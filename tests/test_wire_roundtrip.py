@@ -1,0 +1,156 @@
+"""Construct→parse round-trip tests for the wire layer.
+
+Mirrors the reference's event-factory round-trip suite
+(`/root/reference/replication/binlog_event_make_test.go:80-387`) and its
+pipeline fixture (`row_streamer_test.go:53-152` — e.g. LE bytes
+0x10,0x20,0x30,0x40 decode to "1076895760").
+"""
+
+import struct
+
+from binlog_spark.wire import constants as C
+from binlog_spark.wire import events as E
+
+FMT = E.BinlogFormat()
+
+
+def pk(typ, data, log_pos=4, ts=1407805592):
+    return E.packetize(FMT, typ, 0, data, timestamp=ts, server_id=1,
+                       log_position=log_pos)
+
+
+VT_A = E.TableMapSpec(
+    database="vt_test_keyspace",
+    name="vt_a",
+    columns=[
+        ("id", C.TYPE_LONG, 0, False),
+        ("message", C.TYPE_VARCHAR, 256 * 3, False),
+    ],
+    key_cols=("id",),
+)
+
+
+def test_header_and_validity():
+    buf = pk(C.E_XID, E.make_xid(7))
+    assert E.is_valid_frame(buf)
+    ts, typ, sid, length, next_pos, flags = E.parse_header(buf)
+    assert (ts, typ, sid, length) == (1407805592, C.E_XID, 1, len(buf))
+    assert not E.is_valid_frame(buf[:10])
+    assert not E.is_valid_frame(buf + b"\x00")  # self-declared length mismatch
+
+
+def test_format_description_roundtrip():
+    buf = pk(C.E_FORMAT_DESCRIPTION, E.make_format_description(FMT))
+    f = E.parse_format_description(buf)
+    assert f.format_version == 4
+    assert f.server_version == C.MYSQL56_SERVER_VERSION
+    assert f.header_length == 19
+    assert f.checksum_algorithm == C.CHECKSUM_ALG_CRC32
+    assert f.header_sizes == C.MYSQL56_HEADER_SIZES
+    assert f.header_size(C.E_TABLE_MAP) == 8
+
+
+def test_rotate_roundtrip():
+    buf = pk(C.E_ROTATE, E.make_rotate(456, "mysql-bin.000123"))
+    body = E.strip_checksum(FMT, C.E_ROTATE, buf)
+    fname, pos = E.parse_rotate(FMT, body)
+    assert (fname, pos) == ("mysql-bin.000123", 456)
+
+
+def test_query_roundtrip():
+    buf = pk(C.E_QUERY, E.make_query("my_db", "INSERT INTO t VALUES (1)"))
+    body = E.strip_checksum(FMT, C.E_QUERY, buf)
+    db, sql = E.parse_query(FMT, body)
+    assert (db, sql) == ("my_db", "INSERT INTO t VALUES (1)")
+    assert C.statement_category(sql) == C.ST_INSERT
+    assert C.statement_category("begin") == C.ST_BEGIN
+    assert C.is_ddl(C.statement_category("ALTER TABLE t ADD COLUMN c INT"))
+
+
+def test_gtid_roundtrip():
+    buf = pk(C.E_GTID, E.make_gtid(424242))
+    body = E.strip_checksum(FMT, C.E_GTID, buf)
+    assert E.parse_gtid(body[C.HEADER_LEN:]) == 424242
+
+
+def test_table_map_roundtrip():
+    buf = pk(C.E_TABLE_MAP, E.make_table_map(VT_A, table_id=0x102030405060))
+    body = E.strip_checksum(FMT, C.E_TABLE_MAP, buf)
+    tm = E.parse_table_map(FMT, body)
+    assert tm.table_id == 0x102030405060
+    assert (tm.database, tm.name) == ("vt_test_keyspace", "vt_a")
+    assert tm.types == [C.TYPE_LONG, C.TYPE_VARCHAR]
+    assert tm.metadata == [0, 768]
+
+
+def _rows(buf, typ):
+    body = E.strip_checksum(FMT, typ, buf)
+    return list(E.iter_rows(FMT, typ, body, VT_A.types, VT_A.metadata))
+
+
+def test_write_rows_roundtrip():
+    # same logical row as the reference pipeline test: id bytes
+    # 0x10,0x20,0x30,0x40 (LE) == 1076895760, message "abcd"
+    payload = E.make_rows_event(
+        VT_A, 15, C.E_WRITE_ROWS_V2,
+        rows=[(None, {"id": "1076895760", "message": "abcd"})],
+    )
+    rows = _rows(pk(C.E_WRITE_ROWS_V2, payload), C.E_WRITE_ROWS_V2)
+    assert len(rows) == 1
+    ident, data = rows[0]
+    assert ident is None
+    assert data == [(b"1076895760", False), (b"abcd", False)]
+
+
+def test_update_rows_roundtrip_with_null_and_minimal_image():
+    payload = E.make_rows_event(
+        VT_A, 15, C.E_UPDATE_ROWS_V2,
+        rows=[
+            ({"id": "1076895760"}, {"id": "1076895760", "message": None}),
+            ({"id": "5"}, {"id": "5", "message": "new"}),
+        ],
+    )
+    rows = _rows(pk(C.E_UPDATE_ROWS_V2, payload), C.E_UPDATE_ROWS_V2)
+    assert len(rows) == 2
+    ident0, data0 = rows[0]
+    assert ident0 == [(b"1076895760", False), (None, True)]  # message absent
+    assert data0 == [(b"1076895760", False), (None, False)]  # explicit NULL
+    ident1, data1 = rows[1]
+    assert ident1 == [(b"5", False), (None, True)]
+    assert data1 == [(b"5", False), (b"new", False)]
+
+
+def test_delete_rows_roundtrip():
+    payload = E.make_rows_event(
+        VT_A, 15, C.E_DELETE_ROWS_V2,
+        rows=[({"id": "1076895760", "message": "abcd"}, None)],
+    )
+    rows = _rows(pk(C.E_DELETE_ROWS_V2, payload), C.E_DELETE_ROWS_V2)
+    assert rows == [([(b"1076895760", False), (b"abcd", False)], None)]
+
+
+def test_multirow_write_blob_and_unsigned():
+    tm = E.TableMapSpec(
+        database="d", name="t",
+        columns=[
+            ("k", C.TYPE_LONGLONG, 0, True),
+            ("body", C.TYPE_BLOB, 2, False),
+        ],
+        key_cols=("k",),
+    )
+    big = "x" * 70000  # forces >64KB... but metadata=2 caps at 65535; keep below
+    big = "y" * 60000
+    payload = E.make_rows_event(
+        tm, 9, C.E_WRITE_ROWS_V2,
+        rows=[
+            (None, {"k": str(2**64 - 1), "body": big}),
+            (None, {"k": "1", "body": ""}),
+        ],
+    )
+    buf = pk(C.E_WRITE_ROWS_V2, payload)
+    body = E.strip_checksum(FMT, C.E_WRITE_ROWS_V2, buf)
+    rows = list(E.iter_rows(FMT, C.E_WRITE_ROWS_V2, body, tm.types, tm.metadata,
+                            tm.unsigned))
+    assert rows[0][1][0] == (b"18446744073709551615", False)
+    assert rows[0][1][1] == (big.encode(), False)
+    assert rows[1][1] == [(b"1", False), (b"", False)]
