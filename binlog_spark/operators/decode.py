@@ -1,0 +1,240 @@
+"""Vectorized binlog decode: frames DataFrame → change-row DataFrame.
+
+Spark-first re-expression of the reference's single-threaded parse loop
+(`/root/reference/row_streamer.go:90-343` ``parseEvents``) as two
+shuffle-free Arrow stages:
+
+1. **Schema discovery** (`discover_stream_meta`): scan only
+   FORMAT_DESCRIPTION and TABLE_MAP frames (predicate on the `etype`
+   column is pushed down to the parquet scan), decode them in
+   ``mapInPandas``, and aggregate to *distinct schema versions per
+   (file, table_id)* with their first-seen position. The result is tiny
+   (one row per schema version, not per TABLE_MAP event) regardless of
+   input scale, so it is collected and **broadcast** — the distributed
+   analogue of the reference's per-tableID schema cache
+   (`row_streamer.go:41-44,220-243`), including its refresh-on-new-TABLE_MAP
+   schema-change hook (`row_streamer.go:220-223`).
+
+2. **Main decode** (`decode_frames`): a stateless ``mapInPandas`` over the
+   full frame set under *any* partitioning — each frame resolves its table
+   schema from the broadcast index by (file, table_id, pos) binary search,
+   so decode parallelism is unconstrained by transaction or file
+   boundaries. Emits change rows plus gtid/begin/commit/rollback marker
+   rows, a DDL side channel, and a dead-letter channel (INTVAR/RAND etc.,
+   which the reference rejects as errors — row_streamer.go:331-339).
+
+Column names and signedness come from an external table registry, the
+analogue of the pluggable ``MysqlTableMapper`` (`row_streamer.go:19-21`);
+the registry supplies one entry per schema *width* so an ALTER-evolved
+TABLE_MAP (more columns) binds to the evolved name vector, with the
+reference's column-count consistency check (`row_streamer.go:236-241`).
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schema as S
+from ..wire import constants as C
+from ..wire import events as E
+
+_META_SCHEMA = (
+    "file string, pos long, table_id long, db string, tbl string, "
+    "types array<int>, metadata array<int>, checksum_alg int"
+)
+
+
+def discover_stream_meta(frames: DataFrame) -> dict:
+    """Scan TABLE_MAP + FORMAT_DESCRIPTION frames → broadcastable index.
+
+    Returns ``{"checksum_alg": int, "table_maps": {(file, table_id):
+    [(pos, (db, tbl, types, metadata)), ...sorted]}}``.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = E.BinlogFormat()
+        for pdf in batches:
+            out = {k: [] for k in ("file", "pos", "table_id", "db", "tbl",
+                                   "types", "metadata", "checksum_alg")}
+            for file, pos, etype, frame in zip(pdf["file"], pdf["pos"],
+                                               pdf["etype"], pdf["frame"]):
+                if etype == C.E_FORMAT_DESCRIPTION:
+                    f = E.parse_format_description(frame)
+                    out["file"].append(file); out["pos"].append(pos)
+                    out["table_id"].append(-1)
+                    out["db"].append(None); out["tbl"].append(None)
+                    out["types"].append(None); out["metadata"].append(None)
+                    out["checksum_alg"].append(f.checksum_algorithm)
+                elif etype == C.E_TABLE_MAP:
+                    body = E.strip_checksum(fmt, etype, frame)
+                    tm = E.parse_table_map(fmt, body)
+                    out["file"].append(file); out["pos"].append(pos)
+                    out["table_id"].append(tm.table_id)
+                    out["db"].append(tm.database); out["tbl"].append(tm.name)
+                    out["types"].append(tm.types)
+                    out["metadata"].append(tm.metadata)
+                    out["checksum_alg"].append(None)
+            yield pd.DataFrame(out)
+
+    meta = (
+        frames
+        .where(F.col("etype").isin(C.E_TABLE_MAP, C.E_FORMAT_DESCRIPTION))
+        .select("file", "pos", "etype", "frame")
+        .mapInPandas(_decode, schema=_META_SCHEMA)
+    )
+    # collapse to distinct schema versions: first-seen pos per fingerprint
+    versions = (
+        meta.where(F.col("table_id") >= 0)
+        .groupBy("file", "table_id", "db", "tbl",
+                 F.col("types").cast("array<int>").alias("types"),
+                 F.col("metadata").cast("array<int>").alias("metadata"))
+        .agg(F.min("pos").alias("valid_from"))
+    )
+    checksum = (
+        meta.where(F.col("table_id") < 0)
+        .agg(F.max("checksum_alg").alias("alg"))
+        .collect()[0]["alg"]
+    )
+    index: dict = {}
+    for r in versions.collect():
+        key = (r["file"], r["table_id"])
+        index.setdefault(key, []).append(
+            (r["valid_from"], (r["db"], r["tbl"], list(r["types"]),
+                               list(r["metadata"]))))
+    for v in index.values():
+        v.sort(key=lambda x: x[0])
+    return {
+        "checksum_alg": checksum if checksum is not None else C.CHECKSUM_ALG_CRC32,
+        "table_maps": index,
+    }
+
+
+def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
+                  registry: dict) -> DataFrame:
+    """Stateless vectorized decode of every frame → DECODE_OUTPUT_SCHEMA."""
+    bc = spark.sparkContext.broadcast((stream_meta, registry))
+    out_schema = S.DECODE_OUTPUT_SCHEMA
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meta, reg = bc.value
+        fmt = E.BinlogFormat(checksum_algorithm=meta["checksum_alg"])
+        tmaps = meta["table_maps"]
+        # (db, tbl, ncols) -> (names, unsigned)
+        name_index = {}
+        for (db, tbl), vers in reg.items():
+            for cols in vers:
+                name_index[(db, tbl, len(cols))] = (
+                    [c[0] for c in cols], [c[1] for c in cols])
+
+        def resolve_tm(file, table_id, pos):
+            vers = tmaps.get((file, table_id))
+            if not vers:
+                return None
+            i = bisect.bisect_right([v[0] for v in vers], pos) - 1
+            return vers[max(i, 0)][1]
+
+        for pdf in batches:
+            rows = []
+            for file, pos, frame in zip(pdf["file"], pdf["pos"], pdf["frame"]):
+                if not E.is_valid_frame(frame):  # P7 validity filter
+                    rows.append(_aux(file, pos, 0, 0, 0, "deadletter",
+                                     reason="invalid frame"))
+                    continue
+                ts, etype, _sid, _ln, next_pos, _fl = E.parse_header(frame)
+                if etype in (C.E_FORMAT_DESCRIPTION, C.E_ROTATE,
+                             C.E_PREVIOUS_GTIDS, C.E_ANONYMOUS_GTID):
+                    continue  # position/format bookkeeping: carried per-frame
+                body = E.strip_checksum(fmt, etype, frame)
+                if etype == C.E_GTID:
+                    gno = E.parse_gtid(body[C.HEADER_LEN:])
+                    rows.append(_aux(file, pos, next_pos, ts, gno, "gtid"))
+                elif etype == C.E_QUERY:
+                    db, sql = E.parse_query(fmt, body)
+                    cat = C.statement_category(sql)
+                    if cat == C.ST_BEGIN:
+                        rows.append(_aux(file, pos, next_pos, ts, None, "begin"))
+                    elif cat == C.ST_COMMIT:
+                        rows.append(_aux(file, pos, next_pos, ts, None, "commit"))
+                    elif cat == C.ST_ROLLBACK:
+                        rows.append(_aux(file, pos, next_pos, ts, None,
+                                         "rollback"))
+                    elif C.is_ddl(cat):
+                        rows.append(_aux(file, pos, next_pos, ts, None, "ddl",
+                                         db=db, sql=sql, reason=cat))
+                    # DML-as-statement / SET: ignored (ROW mode carries data)
+                elif etype == C.E_XID:
+                    rows.append(_aux(file, pos, next_pos, ts, None, "commit"))
+                elif etype in (C.E_INTVAR, C.E_RAND):
+                    rows.append(_aux(file, pos, next_pos, ts, None,
+                                     "deadletter",
+                                     reason=f"unsupported event type {etype}"))
+                elif etype in C.ROWS_EVENT_TYPES:
+                    table_id = E.parse_table_id(fmt, etype, body)
+                    tm = resolve_tm(file, table_id, pos)
+                    if tm is None:
+                        rows.append(_aux(file, pos, next_pos, ts, None,
+                                         "deadletter",
+                                         reason=f"no TABLE_MAP for id {table_id}"))
+                        continue
+                    db, tbl, types, metadata = tm
+                    names_uns = name_index.get((db, tbl, len(types)))
+                    if names_uns is None:
+                        rows.append(_aux(file, pos, next_pos, ts, None,
+                                         "deadletter",
+                                         reason="column count mismatch"))
+                        continue
+                    names, unsigned = names_uns
+                    if etype in C.WRITE_ROWS_TYPES:
+                        op = "I"
+                    elif etype in C.UPDATE_ROWS_TYPES:
+                        op = "U"
+                    else:
+                        op = "D"
+                    seq = 0
+                    for ident, data in E.iter_rows(fmt, etype, body, types,
+                                                   metadata, unsigned):
+                        rows.append({
+                            "gtid_seq": None, "txn_id": None,
+                            "seq_in_txn": None,
+                            "file": file, "pos": int(pos),
+                            "next_pos": int(next_pos), "ts": int(ts),
+                            "op": op, "db": db, "tbl": tbl,
+                            "before": _image_map(names, ident),
+                            "after": _image_map(names, data),
+                            "seq_in_event": seq, "kind": "change",
+                            "sql": None, "reason": None,
+                        })
+                        seq += 1
+                # unknown event types are skipped, as the reference does
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return frames.select("file", "pos", "etype", "frame").mapInPandas(
+        _decode, schema=out_schema)
+
+
+def _image_map(names, cells):
+    """Row image → {col: canonical str | None}; absent (minimal row image)
+    columns are omitted from the map entirely."""
+    if cells is None:
+        return None
+    out = {}
+    for name, (val, is_empty) in zip(names, cells):
+        if is_empty:
+            continue
+        out[name] = val.decode("utf-8", errors="replace") if val is not None else None
+    return out
+
+
+def _aux(file, pos, next_pos, ts, gtid, kind, db=None, sql=None, reason=None):
+    return {
+        "gtid_seq": gtid, "txn_id": None, "seq_in_txn": None,
+        "file": file, "pos": int(pos), "next_pos": int(next_pos),
+        "ts": int(ts), "op": None, "db": db, "tbl": None,
+        "before": None, "after": None, "seq_in_event": None,
+        "kind": kind, "sql": sql, "reason": reason,
+    }

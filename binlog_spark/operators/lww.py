@@ -1,0 +1,151 @@
+"""Per-key change folding and last-writer-wins reduction.
+
+The north rule's LWW apply: changes are reduced per key in
+``(gtid_seq, seq_in_txn)`` order before hitting the lake table. Because
+updates may carry a *minimal row image* (only changed columns present —
+reference ``IsEmpty``, transaction.go:114-119), a plain "latest row wins"
+is insufficient: partial updates must FOLD over earlier images. The fold
+runs entirely JVM-side as a Catalyst higher-order ``aggregate`` over a
+sorted event array — no Python in the hot path.
+
+Fold state per key: ``(del, full, m)`` —
+* ``del``:  last effective op is a delete (tombstone),
+* ``full``: the map ``m`` is a complete row (an insert occurred after the
+  last delete), i.e. apply as REPLACE; otherwise ``m`` is a PATCH over the
+  pre-existing base row,
+* ``m``:    folded column→canonical-string image (SQL NULLs included).
+
+The fold step is associative over *ordered contiguous chunks*, which gives
+the skew-safe two-phase variant (``chunk_size``): hot keys pre-fold in
+parallel per contiguous gtid chunk, then combine — the "salted
+repartitioning before the merge-apply stage" required by the north rule,
+with deterministic chunking (contiguity is what keeps the combine exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INIT = (
+    "named_struct('del', false, 'full', false, "
+    "'m', map_filter(map('', ''), (k, v) -> false), "
+    "'g', cast(-1 as bigint), 's', -1)"
+)
+
+# event-level fold step (e: struct<g,s,op,after>)
+_STEP = """
+CASE
+  WHEN e.op = 'D' THEN named_struct(
+    'del', true, 'full', false,
+    'm', map_filter(map('', ''), (k, v) -> false), 'g', e.g, 's', e.s)
+  WHEN e.op = 'I' THEN named_struct(
+    'del', false, 'full', true,
+    'm', coalesce(e.after, map_filter(map('', ''), (k, v) -> false)),
+    'g', e.g, 's', e.s)
+  ELSE named_struct(
+    'del', acc.del, 'full', acc.full,
+    'm', map_concat(acc.m, coalesce(e.after, map_filter(map('', ''), (k, v) -> false))),
+    'g', e.g, 's', e.s)
+END
+"""
+
+# chunk-level combine step (p: struct<del,full,m,g,s> for a LATER chunk)
+_COMBINE = """
+CASE
+  WHEN p.del OR p.full THEN p
+  ELSE named_struct(
+    'del', acc.del, 'full', acc.full,
+    'm', map_concat(acc.m, p.m), 'g', p.g, 's', p.s)
+END
+"""
+
+
+# array_sort needs an explicit comparator: the event structs carry a map
+# (not orderable); order on (g, s) / chunk id only
+_CMP_GS = ("(l, r) -> CASE WHEN l.g < r.g THEN -1 WHEN l.g > r.g THEN 1 "
+           "WHEN l.s < r.s THEN -1 WHEN l.s > r.s THEN 1 ELSE 0 END")
+_CMP_CHUNK = ("(l, r) -> CASE WHEN l.c < r.c THEN -1 WHEN l.c > r.c THEN 1 "
+              "ELSE 0 END")
+
+
+def with_key(changes: DataFrame, key_cols=("repo", "path")) -> DataFrame:
+    """Materialize key columns from the row images (after first — inserts
+    and updates carry the key there; deletes only in the identify image)."""
+    out = changes
+    for k in key_cols:
+        out = out.withColumn(
+            f"_k_{k}", F.coalesce(F.col("after")[k], F.col("before")[k])
+        )
+    return out
+
+
+def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
+                 chunk_size: int | None = None) -> DataFrame:
+    """changes (CHANGE_SCHEMA) → one folded delta row per key:
+    ``(_k_*, del, full, m, g, s)``; ``g``/``s`` are the high-water
+    (gtid_seq, seq_in_txn) consumed into the fold (idempotency guard)."""
+    keyed = with_key(changes, key_cols)
+    keys = [f"_k_{k}" for k in key_cols]
+    ev = F.struct(
+        F.col("gtid_seq").alias("g"),
+        F.col("seq_in_txn").alias("s"),
+        F.col("op").alias("op"),
+        F.col("after").alias("after"),
+    )
+
+    if chunk_size:
+        # phase 1: exact fold inside contiguous gtid chunks (parallel for
+        # hot keys); phase 2: ordered combine of the per-chunk partials
+        part = (
+            keyed.withColumn("_chunk", (F.col("gtid_seq") / chunk_size).cast("long"))
+            .groupBy(*keys, "_chunk")
+            .agg(F.collect_list(ev).alias("evs"))
+            .selectExpr(
+                *keys, "_chunk",
+                f"aggregate(array_sort(evs, {_CMP_GS}), {_INIT}, "
+                f"(acc, e) -> {_STEP}) AS partial",
+            )
+        )
+        folded = (
+            part.groupBy(*keys)
+            .agg(F.collect_list(F.struct(
+                F.col("_chunk").alias("c"), F.col("partial").alias("p")
+            )).alias("parts"))
+            .selectExpr(
+                *keys,
+                f"aggregate(array_sort(parts, {_CMP_CHUNK}).p, {_INIT}, "
+                f"(acc, p) -> {_COMBINE}) AS folded",
+            )
+        )
+    else:
+        folded = (
+            keyed.groupBy(*keys)
+            .agg(F.collect_list(ev).alias("evs"))
+            .selectExpr(
+                *keys,
+                f"aggregate(array_sort(evs, {_CMP_GS}), {_INIT}, "
+                f"(acc, e) -> {_STEP}) AS folded",
+            )
+        )
+    return folded.select(
+        *keys,
+        F.col("folded.del").alias("del"),
+        F.col("folded.full").alias("full"),
+        F.col("folded.m").alias("m"),
+        F.col("folded.g").alias("g"),
+        F.col("folded.s").alias("s"),
+    )
+
+
+def lww_latest(changes: DataFrame, key_cols=("repo", "path")) -> DataFrame:
+    """Plain last-writer-wins: the single latest change row per key in
+    (gtid_seq, seq_in_txn) order — the dedup window from SURVEY §2.2.
+    Implemented as ``max_by`` (partial-aggregable map-side, no window
+    sort shuffle of the full change set)."""
+    keyed = with_key(changes, key_cols)
+    keys = [f"_k_{k}" for k in key_cols]
+    payload = F.struct(*[F.col(c) for c in changes.columns])
+    order = F.struct(F.col("gtid_seq"), F.col("seq_in_txn"))
+    latest = keyed.groupBy(*keys).agg(F.max_by(payload, order).alias("row"))
+    return latest.select(*keys, "row.*")

@@ -1,0 +1,219 @@
+"""Bucketed copy-on-write lake table with idempotent MERGE apply.
+
+The sink half the reference delegates to its callback consumers
+(`/root/reference/row_streamer.go:33-39` ``SendTransactionFunc``): an
+Iceberg-style table of source-code repositories keyed ``(repo, path)``,
+maintained by last-writer-wins upsert in GTID order with exactly-once
+effect. No Iceberg runtime ships in this sandbox, so the table format is a
+minimal parquet + JSON-manifest implementation of the same physical design:
+
+* data is hash-**bucketed by key** (``pmod(xxhash64(keys), n_buckets)``) —
+  a merge only shuffles on the key and only **rewrites the buckets that
+  contain changed keys** (copy-on-write at bucket granularity, the same
+  pruning Iceberg's MERGE INTO gets from partition-level copy-on-write);
+  hot repos spread across buckets because the key includes ``path``;
+* a tiny ``_meta.json`` manifest maps bucket → data version and records
+  schema + applied batch ids + the GTID high-water mark; commits are
+  atomic (write new data files, then ``os.replace`` the manifest);
+* idempotency is row-level: every stored row carries its applying
+  ``(_gtid_seq, _seq_in_txn)``; a change folds in only when strictly newer
+  — replaying a batch after a crash is a no-op (exactly-once effect), the
+  MERGE guard keyed (gtid, table, row-key) per the north rule;
+* schema evolution: ``evolve_add_column`` extends the manifest schema;
+  old data files are read through the evolved schema (missing columns
+  null), the Iceberg ALTER TABLE ADD COLUMN semantics.
+
+At 100 TB: n_buckets scales to O(10^4); per-batch work is
+(decode) + (fold shuffle on key) + (join+rewrite of touched buckets only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_COLS = ["_gtid_seq", "_seq_in_txn"]
+
+
+def _bucket_expr(key_cols, n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta = self._read_meta()
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def _meta_path(self):
+        return os.path.join(self.path, "_meta.json")
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _commit_meta(self, meta: dict):
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)  # atomic manifest swap
+        self.meta = meta
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, columns: list,
+               key_cols: list, n_buckets: int = 16) -> "LakeTable":
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "columns": list(columns),
+            "key": list(key_cols),
+            "n_buckets": n_buckets,
+            "buckets": {},  # bucket id (str) -> version int
+            "version": 0,
+            "applied_batches": [],
+            "last_gtid": -1,
+        }
+        tmp = os.path.join(path, "_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "_meta.json"))
+        return cls(spark, path)
+
+    # ------------------------------------------------------------------ read
+    def _schema(self) -> T.StructType:
+        fields = [T.StructField(c, T.StringType(), True)
+                  for c in self.meta["columns"]]
+        fields += [T.StructField("_gtid_seq", T.LongType(), True),
+                   T.StructField("_seq_in_txn", T.IntegerType(), True)]
+        return T.StructType(fields)
+
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(self.path, "data", f"v{version:06d}",
+                            f"_bucket={bucket}")
+
+    def read(self, buckets=None) -> DataFrame:
+        """Current snapshot (with merge metadata columns). Reading a subset
+        of buckets = partition pruning: untouched data is never scanned."""
+        live = self.meta["buckets"]
+        want = (
+            [str(b) for b in buckets] if buckets is not None else list(live)
+        )
+        paths = [self._bucket_dir(int(b), live[b]) for b in want if b in live]
+        schema = self._schema()
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: evolved columns absent from old files read as null
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def to_df(self) -> DataFrame:
+        return self.read().select(*self.meta["columns"])
+
+    # ----------------------------------------------------------------- write
+    def evolve_add_column(self, name: str):
+        """Iceberg-style ALTER TABLE ADD COLUMN (driven by the DDL branch)."""
+        if name in self.meta["columns"]:
+            return
+        meta = dict(self.meta)
+        meta["columns"] = meta["columns"] + [name]
+        self._commit_meta(meta)
+
+    def merge_apply(self, folded: DataFrame, batch_id=None,
+                    max_gtid: int | None = None) -> dict:
+        """Apply a per-key folded delta (from ``lww.fold_changes``).
+
+        Exactly-once: if ``batch_id`` was already applied, no-op; row-level
+        (gtid, seq) guards make re-application idempotent regardless.
+        """
+        if batch_id is not None and batch_id in self.meta["applied_batches"]:
+            return {"skipped": True, "batch_id": batch_id}
+
+        key_cols = self.meta["key"]
+        n_buckets = self.meta["n_buckets"]
+        cols = self.meta["columns"]
+
+        delta = folded.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*[F.col(f"_k_{k}") for k in key_cols]),
+                   F.lit(n_buckets)),
+        )
+        delta.persist()
+        try:
+            changed = [r["_bucket"] for r in
+                       delta.select("_bucket").distinct().collect()]
+            if not changed:
+                return self._commit_noop(batch_id, max_gtid)
+
+            base = self.read(changed).withColumn(
+                "_bucket", _bucket_expr(key_cols, n_buckets))
+
+            join_cond = [base[k] == delta[f"_k_{k}"] for k in key_cols]
+            j = base.alias("b").join(delta.alias("d"), join_cond, "full_outer")
+
+            has_delta = F.col("d.g").isNotNull()
+            has_base = F.col(f"b.{key_cols[0]}").isNotNull()
+            newer = has_delta & (
+                ~has_base
+                | (F.col("d.g") > F.col("b._gtid_seq"))
+                | ((F.col("d.g") == F.col("b._gtid_seq"))
+                   & (F.col("d.s") >= F.col("b._seq_in_txn")))
+            )
+            drop = newer & F.col("d.del")
+
+            out_cols = []
+            for c in cols:
+                applied = F.when(
+                    F.col("d.full"), F.col("d.m")[c]
+                ).when(
+                    F.map_contains_key(F.col("d.m"), F.lit(c)), F.col("d.m")[c]
+                ).otherwise(F.col(f"b.{c}"))
+                out_cols.append(
+                    F.when(newer, applied).otherwise(F.col(f"b.{c}")).alias(c))
+            out_cols.append(
+                F.when(newer, F.col("d.g"))
+                .otherwise(F.col("b._gtid_seq")).alias("_gtid_seq"))
+            out_cols.append(
+                F.when(newer, F.col("d.s"))
+                .otherwise(F.col("b._seq_in_txn")).alias("_seq_in_txn"))
+            out_cols.append(
+                F.coalesce(F.col("b._bucket"), F.col("d._bucket")).alias("_bucket"))
+
+            result = j.where(~drop).select(*out_cols)
+            # a pure PATCH onto a non-existent base row cannot produce a
+            # complete row; surface it rather than inventing nulls for keys
+            result = result.where(F.col(key_cols[0]).isNotNull())
+
+            new_version = self.meta["version"] + 1
+            out_dir = os.path.join(self.path, "data", f"v{new_version:06d}")
+            (result.repartition(max(len(changed), 1), F.col("_bucket"))
+             .write.mode("overwrite").partitionBy("_bucket").parquet(out_dir))
+
+            meta = dict(self.meta)
+            meta["buckets"] = dict(meta["buckets"])
+            for b in changed:
+                meta["buckets"][str(b)] = new_version
+            meta["version"] = new_version
+            if batch_id is not None:
+                meta["applied_batches"] = meta["applied_batches"] + [batch_id]
+            if max_gtid is not None:
+                meta["last_gtid"] = max(meta["last_gtid"], int(max_gtid))
+            self._commit_meta(meta)
+            return {"skipped": False, "batch_id": batch_id,
+                    "buckets_rewritten": len(changed),
+                    "version": new_version}
+        finally:
+            delta.unpersist()
+
+    def _commit_noop(self, batch_id, max_gtid):
+        meta = dict(self.meta)
+        if batch_id is not None:
+            meta["applied_batches"] = meta["applied_batches"] + [batch_id]
+        if max_gtid is not None:
+            meta["last_gtid"] = max(meta["last_gtid"], int(max_gtid))
+        self._commit_meta(meta)
+        return {"skipped": False, "batch_id": batch_id, "buckets_rewritten": 0}
