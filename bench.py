@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+The flagship number is the wire-format CDC apply: generate a deterministic
+binlog frame set (generation time excluded — it is input prep), then time
+decode → transaction assembly → fold → bucketed MERGE end-to-end and
+report events/sec alongside the per-query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from binlog_spark import genlog, pipeline  # noqa: E402
+from binlog_spark.operators.merge import LakeTable  # noqa: E402
+from binlog_spark.queries import QUERIES  # noqa: E402
+from binlog_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "cdc_lww_latest",
+    "cdc_apply_changelog",
+    "cdc_txn_assembly",
+    "cdc_lineage_by_op",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "join_broadcast_part_counts",
+    "window_topk_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_blob_metadata",
+]
+
+
+def build_replay_input(n_txns: int, workdir: str, seed: int = 42):
+    gen = genlog.CdcWorldGenerator(seed=seed, n_repos=200, paths_per_repo=80,
+                                   txns_per_file=500)
+    result = gen.generate(n_txns=n_txns)
+    frames_dir = os.path.join(workdir, "frames")
+    genlog.write_frames_parquet(result, frames_dir)
+    return result, frames_dir
+
+
+def time_replay(spark, frames_dir: str, n_changes: int, workdir: str,
+                chunk_size=None) -> dict:
+    lake_path = os.path.join(workdir, f"lake-{time.time_ns()}")
+    LakeTable.create(spark, lake_path, columns=genlog.table_spec().col_names,
+                     key_cols=list(genlog.KEY_COLS), n_buckets=32)
+    lake = LakeTable(spark, lake_path)
+    frames = pipeline.read_frames(spark, frames_dir)
+    t0 = time.perf_counter()
+    stats = pipeline.replay_batch(spark, frames, lake,
+                                  genlog.table_registry(), batch_id=0,
+                                  chunk_size=chunk_size,
+                                  record_lineage=False)
+    dt = time.perf_counter() - t0
+    assert stats["n_changes"] == n_changes, (stats, n_changes)
+    shutil.rmtree(lake_path, ignore_errors=True)
+    return {"seconds": dt, "events_per_sec": n_changes / dt,
+            "n_changes": n_changes}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_txns = int(os.environ.get("BENCH_CDC_TXNS", "4000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark(app_name="binlog-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    workdir = tempfile.mkdtemp(prefix="binlog_bench_")
+    result, frames_dir = build_replay_input(n_txns, workdir)
+
+    timings = {}
+    total = 0.0
+
+    # flagship: CDC wire replay (warm-up once at small size first)
+    small = genlog.CdcWorldGenerator(seed=1, txns_per_file=100)
+    sres = small.generate(200)
+    sdir = os.path.join(workdir, "warmup")
+    genlog.write_frames_parquet(sres, sdir)
+    time_replay(spark, sdir, len(sres.changes), workdir)
+
+    replay = time_replay(spark, frames_dir, len(result.changes), workdir)
+    timings["cdc_replay"] = round(replay["seconds"], 3)
+    total += replay["seconds"]
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "bench_total_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_replay_events": replay["n_changes"],
+        "cdc_replay_events_per_sec": round(replay["events_per_sec"], 1),
+        "cpus": cpus,
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families over the ``documents`` table:
+
+* exact (hash-groupBy) — scales as one shuffle on a 32-byte digest;
+* word n-gram Jaccard — exact similarity via shingle inverted index
+  (explode → self-join on shingle → pair aggregation), the candidate-pair
+  generation bounded by shared shingles instead of the O(N²) cross join;
+* MinHash + LSH — signature via k seeded affine permutations over md5-derived
+  shingle hashes, banded into buckets; candidates = bucket collisions.
+  Entirely JVM-side (higher-order functions), deterministic, so the DuckDB
+  oracle can replay it exactly;
+* SimHash — 64-bit sign-aggregated token hashes (vectorized pandas UDF;
+  numpy bit ops), Hamming-radius grouping via band keys;
+* embedding cosine near-dup — see similarity.py (shares the dot-product
+  kernel).
+
+Scale notes: every operator keys its shuffle on a digest/shingle/bucket —
+uniformly distributed by construction, so no skew salting is needed; the
+n-gram inverted index drops top-frequency shingles (`max_df`) to bound the
+worst-case join fanout, the standard trick at 10^9-document scale.
+"""
+
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic affine-permutation constants (public textbook MinHash):
+# h_i(x) = (A_i * x + B_i) mod P over a 28-bit md5-derived shingle hash.
+# P = 2^31 - 1 keeps every intermediate product < 2^60, exact in BIGINT on
+# both engines (no HUGEINT needed, no silent 64-bit wrap on the Spark side).
+MINHASH_P = (1 << 31) - 1  # Mersenne prime
+MINHASH_A0, MINHASH_A1 = 0x5DEECE66D, 0x2545F4914F6CDD1D
+MINHASH_B0, MINHASH_B1 = 0xB, 0x9E3779B97F4A7C15
+
+
+def _minhash_coeffs(num_hashes: int):
+    """Seeded (a, b) pairs, reproducible in plain SQL arithmetic."""
+    coeffs = []
+    for i in range(num_hashes):
+        a = (MINHASH_A0 * (i + 1) + MINHASH_A1) % (MINHASH_P - 1) + 1
+        b = (MINHASH_B0 * (i + 1) + MINHASH_B1) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_dedup(df: DataFrame, col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest; keeps the smallest doc_id
+    as the canonical representative."""
+    return (
+        df.groupBy(F.md5(F.col(col)).alias("digest"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (doc_id, shingle)."""
+    tokens = F.split(F.trim(F.col(col)), r"\s+")
+    grams = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle inverted index."""
+    sh = shingles(df, n)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _shingle_hash(col):
+    """md5 hex prefix (28 bits) -> bigint; identical in DuckDB via
+    ('0x' || substr(md5(x),1,7))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
+                      col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signature, all JVM-side."""
+    sh = shingles(df, n, col).withColumn("h", _shingle_hash(F.col("shingle")))
+    coeffs = _minhash_coeffs(num_hashes)
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
+                           bands: int = 4, col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, n, num_hashes, col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(",", *[
+                    F.col("sig")[bi * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (vectorized pandas UDF; numpy bit votes
+    over md5-derived token hashes). Python is justified here: 64 per-bit
+    weighted majority votes have no compact Catalyst form; the UDF is
+    Arrow-batched and O(tokens) per doc."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tokens = (t or "").split()
+            if not tokens:
+                continue
+            hs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big")
+                 for tok in tokens),
+                dtype=np.uint64, count=len(tokens))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            votes = bits.astype(np.int32).sum(0) * 2 - len(tokens)
+            sig = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select("doc_id", _simhash(F.col(col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, col: str = "text",
+                       bands: int = 4) -> DataFrame:
+    """Hamming-near candidates: equal 16-bit SimHash band in any position
+    (catches pairs within small Hamming distance)."""
+    sh = simhash64(df, col)
+    width = 64 // bands
+    banded = sh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+            ) for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---- matching ANSI-SQL (DuckDB) oracles ------------------------------------
+
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {table}
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(t) - {nm1}, 0) + 1),
+      i -> array_to_string(t[i:i+{nm1}], ' ')))) AS shingle
+  FROM toks
+)
+"""
+
+
+def shingle_cte(table: str = "documents", n: int = 3) -> str:
+    return _SHINGLE_CTE.format(table=table, nm1=n - 1)
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return (f"SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id, "
+            f"count(*) AS n_dups FROM {table} GROUP BY md5(text)")
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents", n: int = 3,
+                            threshold: float = 0.4) -> str:
+    return shingle_cte(table, n) + f"""
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.common / CAST(sa.sz + sb.sz - p.common AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE round(p.common / CAST(sa.sz + sb.sz - p.common AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def minhash_signature_sql(table: str = "documents", n: int = 3,
+                          num_hashes: int = 16) -> str:
+    coeffs = _minhash_coeffs(num_hashes)
+    mins = ",\n       ".join(
+        f"min((hv * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    sig_list = "[" + ", ".join(f"mh{i}" for i in range(num_hashes)) + "]"
+    return shingle_cte(table, n) + f"""
+, hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv FROM sh
+), mh AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {sig_list} AS sig FROM mh
+"""
+
+
+def minhash_lsh_candidates_sql(table: str = "documents", n: int = 3,
+                               num_hashes: int = 16, bands: int = 4) -> str:
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "(" + str(bi) + ", " + " || ',' || ".join(
+            f"mh{bi * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)) + ")"
+        for bi in range(bands))
+    coeffs = _minhash_coeffs(num_hashes)
+    mins = ",\n       ".join(
+        f"min((hv * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    return shingle_cte(table, n) + f"""
+, hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv FROM sh
+), mh AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b.* FROM mh, LATERAL (VALUES {band_structs}) AS b(band, bucket)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k for a set of query vectors:
+  broadcast the (small) query set against the full corpus, dot product via
+  JVM-side ``zip_with``/``aggregate`` in float64, deterministic ranking
+  (similarity rounded to 6 dp, ties broken by vec_id). This is the
+  correctness baseline; at 10^9 vectors it is one broadcast-join scan, no
+  shuffle until the per-query top-k (partial ``min_by`` style aggregation).
+* ``embedding_near_dup_pairs`` — cosine near-duplicate pairs, blocked by
+  ``label`` (the pre-clustered coarse bucket) so the self-join is
+  block-diagonal rather than O(N²).
+* ``lsh_ann_topk`` — random-hyperplane LSH: seeded deterministic planes
+  (numpy, broadcast), sign-bit bucket via a vectorized pandas UDF; top-k is
+  searched only within the query's bucket — the scale path (bucket count
+  grows with corpus size; per-bucket candidate lists stay bounded).
+"""
+
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    """Float64 dot product of two array<float> columns, left-to-right sum
+    (same association as the DuckDB oracle's list_aggregate 'sum')."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Input vectors are unit-norm (the corpus convention), so cosine == dot.
+    """
+    queries = (df.where(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")))
+    corpus = df.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("cvec"))
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_dot(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                             block_col: str = "label",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Cosine near-dup pairs within coarse blocks (block-diagonal join)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  F.col(block_col).alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  F.col(block_col).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def hyperplane_buckets(spark: SparkSession, df: DataFrame, n_planes: int = 8,
+                       dim: int = 64, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (deterministic, seeded).
+
+    The sign pattern against ``n_planes`` fixed Gaussian planes is the
+    bucket id; vectorized numpy matmul inside an Arrow-batched pandas UDF.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    bc = spark.sparkContext.broadcast(planes)
+
+    @pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        p = bc.value
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ p) > 0
+        weights = (1 << np.arange(p.shape[1], dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("embedding"),
+                     _bucket(F.col(vec_col)).alias("bucket"))
+
+
+def lsh_ann_topk(spark: SparkSession, df: DataFrame, n_queries: int = 5,
+                 k: int = 10, n_planes: int = 8, dim: int = 64,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k: exact ranking restricted to the query's bucket."""
+    bucketed = hyperplane_buckets(spark, df, n_planes, dim, seed)
+    queries = (bucketed.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("bucket")))
+    scored = (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_dot(F.col("qvec"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+# ---- matching ANSI-SQL (DuckDB) oracles ------------------------------------
+
+_DOT = ("list_aggregate(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')")
+
+
+def cosine_topk_sql(table: str = "embeddings", n_queries: int = 5,
+                    k: int = 10) -> str:
+    dot = _DOT.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({dot}, 6) AS sim
+  FROM {table} q JOIN {table} c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_near_dup_pairs_sql(table: str = "embeddings",
+                                 threshold: float = 0.9) -> str:
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dot}, 6) AS sim
+FROM {table} a JOIN {table} b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({dot}, 6) >= {threshold}
+"""

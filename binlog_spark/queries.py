@@ -1,0 +1,411 @@
+"""Registered queries + ANSI-SQL oracles for the driver contract.
+
+Each entry pairs an idiomatic-Spark implementation with an exact DuckDB
+oracle over the same parquet tables (``TESTDATA.md``). The CDC semantics
+queries re-express the engine's core operators (LWW dedup, changelog
+apply, transaction grouping, lineage aggregation — SURVEY.md §2) over the
+driver's ``events`` table so they are SQL-checkable; the wire-format
+pipeline itself (binary decode) is registered as rows-only checks.
+
+Cross-engine parity rules used throughout:
+* money/quantity sums go through DECIMAL (exact, association-free), then
+  round to a fixed scale as DOUBLE;
+* float ratios/similarities are rounded to 6 dp;
+* every ranking has a total deterministic order (tie-break on ids).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import genlog, pipeline
+from .operators import dedup, multimodal, similarity, textstats
+from .operators.lww import fold_changes, lww_latest
+from .operators.merge import LakeTable
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_OP_EXPR = ("CASE event_type WHEN 'signup' THEN 'I' "
+            "WHEN 'error' THEN 'D' ELSE 'U' END")
+
+
+# --------------------------------------------------------------------- CDC
+def cdc_lww_latest(spark, sf_dir):
+    """LWW dedup window (SURVEY §2.2): latest change per key."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct("event_id", "event_type", "value")
+    latest = (ev.groupBy("user_id")
+              .agg(F.max_by(payload, F.col("event_id")).alias("r")))
+    return latest.select(
+        "user_id",
+        F.col("r.event_id").alias("last_event_id"),
+        F.col("r.event_type").alias("last_event_type"),
+        F.col("r.value").alias("last_value"),
+    )
+
+
+def cdc_lww_latest_sql():
+    return """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def cdc_apply_changelog(spark, sf_dir):
+    """Changelog apply: final state per key after I/U/D replay in order —
+    rows whose last op is a delete vanish (the merge-apply semantics)."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    payload = F.struct("event_id", "op", "value")
+    latest = (ev.groupBy("user_id")
+              .agg(F.max_by(payload, F.col("event_id")).alias("r")))
+    return (latest.where(F.col("r.op") != "D")
+            .select("user_id",
+                    F.col("r.event_id").alias("last_event_id"),
+                    F.col("r.op").alias("last_op"),
+                    F.col("r.value").alias("last_value")))
+
+
+def cdc_apply_changelog_sql():
+    return f"""
+SELECT user_id, event_id AS last_event_id, op AS last_op,
+       value AS last_value
+FROM (SELECT user_id, event_id, {_OP_EXPR} AS op, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1 AND op != 'D'
+"""
+
+
+def cdc_txn_assembly(spark, sf_dir):
+    """Commit-marker transaction grouping (P28 as a window): a 'purchase'
+    commits the open transaction; every event gets the txn it belongs to."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1))
+    return ev.select(
+        "event_id", "user_id",
+        (F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("long")).over(w),
+            F.lit(0)) + 1).alias("txn_id"),
+    )
+
+
+def cdc_txn_assembly_sql():
+    return """
+SELECT event_id, user_id,
+       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       + 1 AS txn_id
+FROM events
+"""
+
+
+def cdc_lineage_by_op(spark, sf_dir):
+    """Lineage aggregation: per op-class counts + position range + exact
+    value total (DECIMAL — association-free across engines)."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    return (ev.groupBy("op")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("min_event_id"),
+                 F.max("event_id").alias("max_event_id"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("total_value")))
+
+
+def cdc_lineage_by_op_sql():
+    return f"""
+SELECT {_OP_EXPR} AS op, count(*) AS n_events,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ classic
+def tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 2)
+                 .alias("sum_qty"),
+                 F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+                 .alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+def tpch_q1_pricing_sql():
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_topk(spark, sf_dir):
+    """Join + aggregate + deterministic top-k (revenue in exact DECIMAL)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q3_topk_sql():
+    return """
+SELECT o_orderkey, o_orderdate,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def join_broadcast_part_counts(spark, sf_dir):
+    """Broadcast dimension join (the frames⋈table_map shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+def join_broadcast_part_counts_sql():
+    return """
+SELECT p_brand, count(*) AS n_items,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def window_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rank"))
+
+
+def window_topk_orders_sql():
+    return """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+WHERE rank <= 3
+"""
+
+
+# ------------------------------------------------------------------- dedup
+def dedup_exact_q(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.4)
+
+
+def dedup_minhash_signature_q(spark, sf_dir):
+    sig = dedup.minhash_signature(_t(spark, sf_dir, "documents"),
+                                  n=3, num_hashes=8)
+    return sig.select("doc_id",
+                      *[F.col("sig")[i].alias(f"mh{i}") for i in range(8)])
+
+
+def dedup_minhash_signature_sql():
+    inner = dedup.minhash_signature_sql("documents", n=3, num_hashes=8)
+    cols = ", ".join(f"sig[{i + 1}] AS mh{i}" for i in range(8))
+    return f"SELECT doc_id, {cols} FROM ({inner})"
+
+
+def dedup_minhash_lsh_q(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+                                        n=3, num_hashes=8, bands=4)
+
+
+def dedup_simhash_q(spark, sf_dir):
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- similarity
+def sim_cosine_topk_q(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"),
+                                  n_queries=5, k=10)
+
+
+def sim_embedding_near_dup_q(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+def sim_lsh_ann_q(spark, sf_dir):
+    return similarity.lsh_ann_topk(spark, _t(spark, sf_dir, "embeddings"),
+                                   n_queries=5, k=10)
+
+
+# -------------------------------------------------------------------- text
+def text_token_count_q(spark, sf_dir):
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+def text_quality_q(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def text_lang_id_q(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def text_fingerprint_q(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- multimodal
+def mm_blob_metadata_q(spark, sf_dir):
+    return multimodal.blob_metadata(_t(spark, sf_dir, "documents"))
+
+
+def mm_features_q(spark, sf_dir):
+    blobs = multimodal.to_blob_table(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(blobs)
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[15], 6).alias("f15"),
+    )
+
+
+# --------------------------------------------------- wire pipeline (flagship)
+def cdc_replay_final_state(spark, sf_dir=None, n_txns: int = 120):
+    """Full wire pipeline: generate deterministic binlog frames, decode,
+    assemble, fold, MERGE into a fresh lake table; return the final
+    repo-content state with the per-row content sha256 parity column.
+    Binary frame decode is not DuckDB-expressible → rows-only check; its
+    correctness gate is the generator-oracle pytest suite."""
+    work = tempfile.mkdtemp(prefix="binlog_spark_entry_")
+    gen = genlog.CdcWorldGenerator(seed=42, n_repos=20, paths_per_repo=30,
+                                   txns_per_file=50)
+    result = gen.generate(n_txns=n_txns)
+    frames_dir = os.path.join(work, "frames")
+    genlog.write_frames_parquet(result, frames_dir)
+    lake = LakeTable.create(spark, os.path.join(work, "lake"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=8)
+    frames = pipeline.read_frames(spark, frames_dir)
+    pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
+                          batch_id=0, record_lineage=False)
+    return (lake.to_df()
+            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            .orderBy("repo", "path"))
+
+
+def cdc_replay_lineage(spark, sf_dir=None, n_txns: int = 80):
+    """Wire pipeline lineage: per binlog file position ranges + op counts."""
+    from .operators.lineage import lineage_summary
+    work = tempfile.mkdtemp(prefix="binlog_spark_lineage_")
+    gen = genlog.CdcWorldGenerator(seed=42, n_repos=20, paths_per_repo=30,
+                                   txns_per_file=40)
+    result = gen.generate(n_txns=n_txns)
+    frames_dir = os.path.join(work, "frames")
+    genlog.write_frames_parquet(result, frames_dir)
+    frames = pipeline.read_frames(spark, frames_dir)
+    changes = pipeline.decode_to_changes(spark, frames,
+                                         genlog.table_registry())
+    return lineage_summary(changes).orderBy("file")
+
+
+QUERIES = {
+    # CDC semantics (oracle-checked over the events table)
+    "cdc_lww_latest": cdc_lww_latest,
+    "cdc_apply_changelog": cdc_apply_changelog,
+    "cdc_txn_assembly": cdc_txn_assembly,
+    "cdc_lineage_by_op": cdc_lineage_by_op,
+    # classical operators
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_topk": tpch_q3_topk,
+    "join_broadcast_part_counts": join_broadcast_part_counts,
+    "window_topk_orders": window_topk_orders,
+    # dedup family
+    "dedup_exact": dedup_exact_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_minhash_signature": dedup_minhash_signature_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_simhash": dedup_simhash_q,
+    # similarity search
+    "sim_cosine_topk": sim_cosine_topk_q,
+    "sim_embedding_near_dup": sim_embedding_near_dup_q,
+    "sim_lsh_ann_topk": sim_lsh_ann_q,
+    # text analysis
+    "text_token_count": text_token_count_q,
+    "text_quality": text_quality_q,
+    "text_lang_id": text_lang_id_q,
+    "text_fingerprint": text_fingerprint_q,
+    # multimodal plumbing
+    "mm_blob_metadata": mm_blob_metadata_q,
+    "mm_features": mm_features_q,
+    # wire-format CDC pipeline (rows-only: binary decode isn't SQL)
+    "cdc_replay_final_state": lambda s, d: cdc_replay_final_state(s, d),
+    "cdc_replay_lineage": lambda s, d: cdc_replay_lineage(s, d),
+}
+
+ORACLES = {
+    "cdc_lww_latest": cdc_lww_latest_sql(),
+    "cdc_apply_changelog": cdc_apply_changelog_sql(),
+    "cdc_txn_assembly": cdc_txn_assembly_sql(),
+    "cdc_lineage_by_op": cdc_lineage_by_op_sql(),
+    "tpch_q1_pricing": tpch_q1_pricing_sql(),
+    "tpch_q3_topk": tpch_q3_topk_sql(),
+    "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
+    "window_topk_orders": window_topk_orders_sql(),
+    "dedup_exact": dedup.exact_dedup_sql(),
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.4),
+    "dedup_minhash_signature": dedup_minhash_signature_sql(),
+    "dedup_minhash_lsh": dedup.minhash_lsh_candidates_sql(
+        n=3, num_hashes=8, bands=4),
+    "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
+    "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
+        threshold=0.8),
+    "text_token_count": textstats.token_count_sql(),
+    "text_quality": textstats.quality_score_sql(),
+    "text_lang_id": textstats.lang_id_sql(),
+    "text_fingerprint": textstats.fingerprint_sql(),
+    "mm_blob_metadata": multimodal.blob_metadata_sql(),
+}

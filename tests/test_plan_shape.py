@@ -1,0 +1,69 @@
+"""Physical-plan shape assertions — the 100 TB contract.
+
+Correctness tests prove the operators right; these prove they would still
+be the *right plans* at 1000× the data: pushdown reaches the scan, small
+dims broadcast, aggregations combine map-side, the decode stage is
+shuffle-free, and scans prune columns.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_spark import genlog, pipeline, plans
+from binlog_spark.operators.decode import decode_frames, discover_stream_meta
+from binlog_spark.queries import (
+    join_broadcast_part_counts,
+    tpch_q1_pricing,
+    tpch_q3_topk,
+)
+from binlog_spark.wire import constants as C
+
+
+@pytest.fixture(scope="module")
+def frames(spark, tmp_path_factory):
+    gen = genlog.CdcWorldGenerator(seed=3, txns_per_file=50)
+    result = gen.generate(n_txns=60)
+    d = str(tmp_path_factory.mktemp("frames_plan"))
+    genlog.write_frames_parquet(result, d)
+    return pipeline.read_frames(spark, d)
+
+
+def test_tablemap_scan_pushes_etype_filter(spark, frames):
+    scan = frames.where(
+        F.col("etype").isin(C.E_TABLE_MAP, C.E_FORMAT_DESCRIPTION))
+    assert plans.has_pushed_filter(scan, "etype"), plans.physical_plan(scan)
+
+
+def test_decode_stage_is_shuffle_free(spark, frames):
+    meta = discover_stream_meta(frames)
+    decoded = decode_frames(spark, frames, meta, genlog.table_registry())
+    # scan -> project -> mapInPandas: zero Exchange nodes
+    assert plans.count_shuffles(decoded) == 0, plans.physical_plan(decoded)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = join_broadcast_part_counts(spark, sf_dir)
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
+    df3 = tpch_q3_topk(spark, sf_dir)
+    assert plans.has_broadcast_join(df3)
+
+
+def test_agg_has_map_side_partial(spark, sf_dir):
+    df = tpch_q1_pricing(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "partial" in plan.lower(), plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    two = li.select("l_orderkey", "l_quantity")
+    rs = plans.scan_read_schema(two)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs, rs
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    df = tpch_q1_pricing(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_shipdate"), plans.physical_plan(df)
