@@ -79,24 +79,22 @@ def time_replay(spark, frames_dir: str, n_changes: int, workdir: str,
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_txns = int(os.environ.get("BENCH_CDC_TXNS", "4000"))
+    n_txns = int(os.environ.get("BENCH_CDC_TXNS", "12000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark(app_name="binlog-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    workdir = tempfile.mkdtemp(prefix="binlog_bench_")
+    workdir = tempfile.mkdtemp(prefix="binlog_bench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     result, frames_dir = build_replay_input(n_txns, workdir)
 
     timings = {}
     total = 0.0
 
-    # flagship: CDC wire replay (warm-up once at small size first)
-    small = genlog.CdcWorldGenerator(seed=1, txns_per_file=100)
-    sres = small.generate(200)
-    sdir = os.path.join(workdir, "warmup")
-    genlog.write_frames_parquet(sres, sdir)
-    time_replay(spark, sdir, len(sres.changes), workdir)
+    # flagship: CDC wire replay. Warm up once on the SAME full-size input
+    # (JVM codegen + python worker pool are plan/size-dependent), then
+    # measure the steady-state replay.
+    time_replay(spark, frames_dir, len(result.changes), workdir)
 
     replay = time_replay(spark, frames_dir, len(result.changes), workdir)
     timings["cdc_replay"] = round(replay["seconds"], 3)

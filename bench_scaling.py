@@ -46,7 +46,7 @@ def main():
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
-    workdir = tempfile.mkdtemp(prefix="binlog_scaling_")
+    workdir = tempfile.mkdtemp(prefix="binlog_scaling_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     result, frames_dir = build_replay_input(n_txns, workdir)
     n = len(result.changes)
 

@@ -130,6 +130,24 @@ class CdcWorldGenerator:
         rng = self.rng
         frames, changes, ddls = [], [], []
         state: dict = {}
+        # live-key sampling structures: O(1) pick / insert / swap-remove
+        # (a per-event `list(state.keys())` copy is quadratic in stream
+        # length — at 10^5 txns it dominates generation)
+        live_keys: list = []
+        live_pos: dict = {}
+
+        def live_add(key):
+            if key not in live_pos:
+                live_pos[key] = len(live_keys)
+                live_keys.append(key)
+
+        def live_remove(key):
+            i = live_pos.pop(key)
+            last = live_keys.pop()
+            if i < len(live_keys):
+                live_keys[i] = last
+                live_pos[last] = i
+
         evolved = False
         spec = table_spec(False)
 
@@ -207,14 +225,14 @@ class CdcWorldGenerator:
                             row["stars"] = str(rng.randrange(10000))
                         rows_logical.append((None, row))
                         state[key] = dict(row)
+                        live_add(key)
                     etype = C.E_WRITE_ROWS_V2
                 elif op == "U":
-                    live = list(state.keys())
-                    if not live:
+                    if not live_keys:
                         continue
                     minimal = rng.random() < 0.5
-                    for _ in range(min(n_rows, len(live))):
-                        key = rng.choice(live)
+                    for _ in range(min(n_rows, len(live_keys))):
+                        key = live_keys[rng.randrange(len(live_keys))]
                         after = {"repo": key[0], "path": key[1],
                                  "commit": self._commit(),
                                  "content": self._content()}
@@ -229,17 +247,14 @@ class CdcWorldGenerator:
                             cur.update(after)
                     etype = C.E_UPDATE_ROWS_V2
                 else:
-                    live = list(state.keys())
-                    if not live:
+                    if not live_keys:
                         continue
-                    for _ in range(min(n_rows, len(live), 5)):
-                        key = rng.choice(live)
-                        if key not in state:
-                            continue
+                    for _ in range(min(n_rows, len(live_keys), 5)):
+                        key = live_keys[rng.randrange(len(live_keys))]
                         rows_logical.append(
                             (({"repo": key[0], "path": key[1]}), None))
                         del state[key]
-                        live.remove(key)
+                        live_remove(key)
                     etype = C.E_DELETE_ROWS_V2
                 if not rows_logical:
                     continue

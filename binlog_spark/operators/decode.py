@@ -87,21 +87,23 @@ def discover_stream_meta(frames: DataFrame) -> dict:
         .select("file", "pos", "etype", "frame")
         .mapInPandas(_decode, schema=_META_SCHEMA)
     )
-    # collapse to distinct schema versions: first-seen pos per fingerprint
+    # collapse to distinct schema versions: first-seen pos per fingerprint.
+    # FORMAT_DESCRIPTION rows (table_id=-1) ride along in the same grouped
+    # aggregation so the whole discovery is ONE Spark job / ONE collect.
     versions = (
-        meta.where(F.col("table_id") >= 0)
-        .groupBy("file", "table_id", "db", "tbl",
-                 F.col("types").cast("array<int>").alias("types"),
-                 F.col("metadata").cast("array<int>").alias("metadata"))
-        .agg(F.min("pos").alias("valid_from"))
+        meta.groupBy("file", "table_id", "db", "tbl",
+                     F.col("types").cast("array<int>").alias("types"),
+                     F.col("metadata").cast("array<int>").alias("metadata"))
+        .agg(F.min("pos").alias("valid_from"),
+             F.max("checksum_alg").alias("alg"))
     )
-    checksum = (
-        meta.where(F.col("table_id") < 0)
-        .agg(F.max("checksum_alg").alias("alg"))
-        .collect()[0]["alg"]
-    )
+    checksum = None
     index: dict = {}
     for r in versions.collect():
+        if r["table_id"] < 0:
+            if r["alg"] is not None:
+                checksum = max(checksum or 0, r["alg"])
+            continue
         key = (r["file"], r["table_id"])
         index.setdefault(key, []).append(
             (r["valid_from"], (r["db"], r["tbl"], list(r["types"]),

@@ -299,3 +299,33 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+
+def simhash_sql(table: str = "documents") -> str:
+    """DuckDB replay of ``simhash64``: same md5-derived 64-bit token hashes
+    (first 16 hex chars, big-endian), same per-bit weighted majority vote.
+    Two's-complement int64 is rebuilt arithmetically (bit 63 subtracts 2^62
+    twice — a single ``(1<<62)*2`` would overflow BIGINT before negation)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS tok
+  FROM {table}
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+), votes AS (
+  SELECT doc_id, b.b AS b,
+         2 * SUM(((h >> b.b) & 1)::BIGINT) - COUNT(*) AS vote
+  FROM h, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+         - SUM(CASE WHEN vote > 0 AND b = 63 THEN (1::BIGINT << 62) ELSE 0 END)
+         - SUM(CASE WHEN vote > 0 AND b = 63 THEN (1::BIGINT << 62) ELSE 0 END)
+         AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM {table} d LEFT JOIN sig s USING (doc_id)
+"""

@@ -100,9 +100,10 @@ def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
         part = (
             keyed.withColumn("_chunk", (F.col("gtid_seq") / chunk_size).cast("long"))
             .groupBy(*keys, "_chunk")
-            .agg(F.collect_list(ev).alias("evs"))
+            .agg(F.collect_list(ev).alias("evs"),
+                 F.count("*").alias("n_events"))
             .selectExpr(
-                *keys, "_chunk",
+                *keys, "_chunk", "n_events",
                 f"aggregate(array_sort(evs, {_CMP_GS}), {_INIT}, "
                 f"(acc, e) -> {_STEP}) AS partial",
             )
@@ -111,9 +112,10 @@ def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
             part.groupBy(*keys)
             .agg(F.collect_list(F.struct(
                 F.col("_chunk").alias("c"), F.col("partial").alias("p")
-            )).alias("parts"))
+            )).alias("parts"),
+                F.sum("n_events").alias("n_events"))
             .selectExpr(
-                *keys,
+                *keys, "n_events",
                 f"aggregate(array_sort(parts, {_CMP_CHUNK}).p, {_INIT}, "
                 f"(acc, p) -> {_COMBINE}) AS folded",
             )
@@ -121,9 +123,10 @@ def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
     else:
         folded = (
             keyed.groupBy(*keys)
-            .agg(F.collect_list(ev).alias("evs"))
+            .agg(F.collect_list(ev).alias("evs"),
+                 F.count("*").alias("n_events"))
             .selectExpr(
-                *keys,
+                *keys, "n_events",
                 f"aggregate(array_sort(evs, {_CMP_GS}), {_INIT}, "
                 f"(acc, e) -> {_STEP}) AS folded",
             )
@@ -135,6 +138,7 @@ def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
         F.col("folded.m").alias("m"),
         F.col("folded.g").alias("g"),
         F.col("folded.s").alias("s"),
+        F.col("n_events").alias("n_events"),
     )
 
 

@@ -123,12 +123,27 @@ class LakeTable:
         meta["columns"] = meta["columns"] + [name]
         self._commit_meta(meta)
 
+    def bucket_of(self, folded: DataFrame) -> DataFrame:
+        """Attach the table's bucket id to a folded delta (`_k_*` keys)."""
+        key_cols = self.meta["key"]
+        return folded.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*[F.col(f"_k_{k}") for k in key_cols]),
+                   F.lit(self.meta["n_buckets"])),
+        )
+
     def merge_apply(self, folded: DataFrame, batch_id=None,
-                    max_gtid: int | None = None) -> dict:
+                    max_gtid: int | None = None,
+                    changed_buckets: list | None = None) -> dict:
         """Apply a per-key folded delta (from ``lww.fold_changes``).
 
         Exactly-once: if ``batch_id`` was already applied, no-op; row-level
         (gtid, seq) guards make re-application idempotent regardless.
+
+        ``changed_buckets``: pass the delta's distinct ``_bucket`` values if
+        the caller already knows them (e.g. from its stats aggregation) —
+        skips one Spark job; ``folded`` must then already carry ``_bucket``
+        (see ``bucket_of``) and be persisted by the caller.
         """
         if batch_id is not None and batch_id in self.meta["applied_batches"]:
             return {"skipped": True, "batch_id": batch_id}
@@ -137,15 +152,14 @@ class LakeTable:
         n_buckets = self.meta["n_buckets"]
         cols = self.meta["columns"]
 
-        delta = folded.withColumn(
-            "_bucket",
-            F.pmod(F.xxhash64(*[F.col(f"_k_{k}") for k in key_cols]),
-                   F.lit(n_buckets)),
-        )
-        delta.persist()
+        caller_managed = changed_buckets is not None
+        delta = folded if "_bucket" in folded.columns else self.bucket_of(folded)
+        if not caller_managed:
+            delta.persist()
         try:
-            changed = [r["_bucket"] for r in
-                       delta.select("_bucket").distinct().collect()]
+            changed = (list(changed_buckets) if caller_managed else
+                       [r["_bucket"] for r in
+                        delta.select("_bucket").distinct().collect()])
             if not changed:
                 return self._commit_noop(batch_id, max_gtid)
 
@@ -207,7 +221,8 @@ class LakeTable:
                     "buckets_rewritten": len(changed),
                     "version": new_version}
         finally:
-            delta.unpersist()
+            if not caller_managed:
+                delta.unpersist()
 
     def _commit_noop(self, batch_id, max_gtid):
         meta = dict(self.meta)

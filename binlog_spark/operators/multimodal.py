@@ -106,3 +106,23 @@ def blob_metadata(df: DataFrame, col: str = "text") -> DataFrame:
 def blob_metadata_sql(table: str = "documents") -> str:
     return (f"SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             f"upper(hex(encode(substr(text, 1, 4)))) AS magic FROM {table}")
+
+
+def features_sql(table: str = "documents") -> str:
+    """DuckDB replay of the fallback featurizer's f0/f15 components: the
+    16-bin high-nibble byte histogram over the utf-8 payload, read off the
+    hex encoding (high nibble of byte i = hex char at position 2i+1)."""
+    return r"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, upper(hex(encode(text))) AS h
+  FROM {table}
+)
+SELECT doc_id, n AS n_bytes,
+  CASE WHEN n = 0 THEN 0.0 ELSE
+    round(len(list_filter(range(n), i -> substr(h, 2*i+1, 1) = '0')) / n::DOUBLE, 6)
+  END AS f0,
+  CASE WHEN n = 0 THEN 0.0 ELSE
+    round(len(list_filter(range(n), i -> substr(h, 2*i+1, 1) = 'F')) / n::DOUBLE, 6)
+  END AS f15
+FROM b
+""".replace("{table}", table)

@@ -93,7 +93,14 @@ def hyperplane_buckets(spark: SparkSession, df: DataFrame, n_planes: int = 8,
     def _bucket(vecs: pd.Series) -> pd.Series:
         p = bc.value
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (mat @ p) > 0
+        # sequential accumulation over dims (vectorized across rows): the
+        # exact left-to-right IEEE order of Spark's F.aggregate and DuckDB's
+        # list_aggregate 'sum', so bucket signs replay bit-identically in
+        # the SQL oracle (a blas matmul reassociates the sum)
+        dots = np.zeros((mat.shape[0], p.shape[1]))
+        for d in range(p.shape[0]):
+            dots += mat[:, d:d + 1] * p[d]
+        signs = dots > 0
         weights = (1 << np.arange(p.shape[1], dtype=np.int64))
         return pd.Series(signs.astype(np.int64) @ weights)
 
@@ -158,4 +165,40 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dot}, 6) AS sim
 FROM {table} a JOIN {table} b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({dot}, 6) >= {threshold}
+"""
+
+
+def lsh_ann_topk_sql(table: str = "embeddings", n_queries: int = 5,
+                     k: int = 10, n_planes: int = 8, dim: int = 64,
+                     seed: int = 42) -> str:
+    """DuckDB replay of ``lsh_ann_topk``: the seeded hyperplane matrix is
+    inlined as SQL literals (shortest-round-trip repr, exact float64), and
+    both engines accumulate the plane dot products in the same left-to-right
+    IEEE order, so bucket assignment is bit-identical."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[:, j])}])"
+        for j in range(n_planes))
+    pdot = _DOT.format(a="v.embedding", b="p.pvec")
+    qcdot = _DOT.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH planes(j, pvec) AS (VALUES {plane_rows}),
+buckets AS (
+  SELECT v.vec_id, v.embedding,
+         SUM(CASE WHEN {pdot} > 0 THEN (1::BIGINT << p.j) ELSE 0 END) AS bucket
+  FROM {table} v CROSS JOIN planes p
+  GROUP BY v.vec_id, v.embedding
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({qcdot}, 6) AS sim
+  FROM buckets q JOIN buckets c
+    ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
 """

@@ -45,28 +45,44 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                  registry: dict, batch_id=None, chunk_size: int | None = None,
                  record_lineage: bool = True) -> dict:
     """Decode+apply one (micro)batch of frames into the lake table."""
+    # Four Spark actions per batch, everything else pipelined inside them:
+    #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC frames)
+    #   2. DDL side channel (first action → materializes the decode persist)
+    #   3. per-bucket stats over the folded delta (collect: changed buckets
+    #      + n_changes + gtid high-water mark, one small row per bucket)
+    #   4. the MERGE join + bucket rewrite itself
     meta = discover_stream_meta(frames)
     decoded = decode_frames(spark, frames, meta, registry)
     decoded.persist()
+    folded = None
     try:
-        changes = assemble_transactions(decoded)
-        changes.persist()
         ddls = [r.asDict() for r in ddl_stream(decoded).collect()]
         apply_ddls(lake, ddls)
 
-        agg = changes.agg(F.max("gtid_seq").alias("g"),
-                          F.count("*").alias("n")).collect()[0]
-        n_changes, max_gtid = agg["n"], agg["g"]
-        folded = fold_changes(changes, tuple(lake.meta["key"]),
-                              chunk_size=chunk_size)
-        stats = lake.merge_apply(folded, batch_id=batch_id, max_gtid=max_gtid)
+        changes = assemble_transactions(decoded)
+        if record_lineage and batch_id is not None:
+            changes.persist()
+        folded = lake.bucket_of(
+            fold_changes(changes, tuple(lake.meta["key"]),
+                         chunk_size=chunk_size))
+        folded.persist()
+        per_bucket = (folded.groupBy("_bucket")
+                      .agg(F.sum("n_events").alias("n"),
+                           F.max("g").alias("g")).collect())
+        n_changes = sum(r["n"] for r in per_bucket)
+        max_gtid = max((r["g"] for r in per_bucket), default=None)
+        stats = lake.merge_apply(
+            folded, batch_id=batch_id, max_gtid=max_gtid,
+            changed_buckets=[r["_bucket"] for r in per_bucket])
         stats["n_changes"] = n_changes
         stats["n_ddls"] = len(ddls)
         if record_lineage and batch_id is not None:
             write_lineage(changes, lake.path, batch_id)
-        changes.unpersist()
+            changes.unpersist()
         return stats
     finally:
+        if folded is not None:
+            folded.unpersist()
         decoded.unpersist()
 
 

@@ -400,12 +400,15 @@ ORACLES = {
     "dedup_minhash_signature": dedup_minhash_signature_sql(),
     "dedup_minhash_lsh": dedup.minhash_lsh_candidates_sql(
         n=3, num_hashes=8, bands=4),
+    "dedup_simhash": dedup.simhash_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.8),
+    "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "text_token_count": textstats.token_count_sql(),
     "text_quality": textstats.quality_score_sql(),
     "text_lang_id": textstats.lang_id_sql(),
     "text_fingerprint": textstats.fingerprint_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
+    "mm_features": multimodal.features_sql(),
 }

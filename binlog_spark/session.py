@@ -27,7 +27,17 @@ def get_spark(app_name: str = "binlog-spark", cpus: int | None = None,
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # canonical temporal rendering is UTC-pinned
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver+executor: size the heap for the
+        # concurrent task count (32 tasks × sort/agg buffers), not for a
+        # driver-only role — 8g thrashes GC at local[32]
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill scratch on tmpfs when available: local-mode disk
+        # commit latency otherwise dominates (and adds noise to) small
+        # benchmark batches; harmless fallback to /tmp elsewhere
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
