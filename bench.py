@@ -79,7 +79,9 @@ def time_replay(spark, frames_dir: str, n_changes: int, workdir: str,
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_txns = int(os.environ.get("BENCH_CDC_TXNS", "12000"))
+    # flagship size: big enough that per-job overhead is amortized and the
+    # events/sec number reflects pipeline capacity, not fixed costs
+    n_txns = int(os.environ.get("BENCH_CDC_TXNS", "50000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark(app_name="binlog-spark-bench", cpus=cpus)

@@ -117,8 +117,15 @@ def discover_stream_meta(frames: DataFrame) -> dict:
 
 
 def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
-                  registry: dict) -> DataFrame:
-    """Stateless vectorized decode of every frame → DECODE_OUTPUT_SCHEMA."""
+                  registry: dict, ddl_acc=None) -> DataFrame:
+    """Stateless vectorized decode of every frame → DECODE_OUTPUT_SCHEMA.
+
+    ``ddl_acc``: optional CollectionAccumulator; DDL rows are ALSO pushed
+    through it so the driver can pick them up from whatever first action
+    materializes the decode — fusing the DDL side-channel scan into the
+    main pass instead of spending a separate Spark job on it. Consumers
+    must dedupe by (file, pos): accumulators re-fire on task retries.
+    """
     bc = spark.sparkContext.broadcast((stream_meta, registry))
     out_schema = S.DECODE_OUTPUT_SCHEMA
 
@@ -168,6 +175,9 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
                     elif C.is_ddl(cat):
                         rows.append(_aux(file, pos, next_pos, ts, None, "ddl",
                                          db=db, sql=sql, reason=cat))
+                        if ddl_acc is not None:
+                            ddl_acc.add([(file, int(pos), int(ts), db, sql,
+                                          cat)])
                     # DML-as-statement / SET: ignored (ROW mode carries data)
                 elif etype == C.E_XID:
                     rows.append(_aux(file, pos, next_pos, ts, None, "commit"))

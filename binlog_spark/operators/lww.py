@@ -80,11 +80,95 @@ def with_key(changes: DataFrame, key_cols=("repo", "path")) -> DataFrame:
     return out
 
 
+def fold_changes_arrow(changes: DataFrame, key_cols=("repo", "path"),
+                       num_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched fold — same semantics as the SQL ``fold_changes``
+    (cross-checked in tests), different physical strategy.
+
+    Why not the Catalyst higher-order ``aggregate``: HOF lambdas are
+    *interpreted* per element (no whole-stage codegen) and each step
+    allocates a fresh struct+map — measured ~700µs/event of CPU plus GC
+    on the replay hot path. Here the ordered fold runs as plain dict ops
+    inside ``mapInPandas`` (~µs/event, one Python call per Arrow batch).
+
+    Physical shape: one shuffle (``repartition`` on the key) + in-partition
+    sort by (key, gtid_seq, seq_in_txn) — groups arrive contiguous and
+    ordered, so the fold is a single forward pass. This is also the plan
+    a 1000-executor cluster wants: the sort is per-partition (no global
+    ordering), and partition count scales with the cluster.
+    """
+    keyed = with_key(changes, key_cols)
+    keys = [f"_k_{k}" for k in key_cols]
+    src = keyed.select(*keys, "gtid_seq", "seq_in_txn", "op", "after")
+    if num_partitions:
+        src = src.repartition(num_partitions, *[F.col(k) for k in keys])
+    else:
+        src = src.repartition(*[F.col(k) for k in keys])
+    src = src.sortWithinPartitions(*keys, "gtid_seq", "seq_in_txn")
+
+    out_schema = ", ".join(f"{k} string" for k in keys) + (
+        ", del boolean, full boolean, m map<string,string>, "
+        "g bigint, s int, n_events bigint")
+    nkeys = len(keys)
+
+    def _fold(batches):
+        import pandas as pd
+
+        cur_key = None
+        st = None  # [del, full, m(dict), g, s, n]
+
+        def emit_rows(rows):
+            return pd.DataFrame(
+                rows, columns=[*keys, "del", "full", "m", "g", "s",
+                               "n_events"])
+
+        rows = []
+        for pdf in batches:
+            cols = [pdf[k].tolist() for k in keys]
+            ops = pdf["op"].tolist()
+            afters = pdf["after"].tolist()
+            gs = pdf["gtid_seq"].tolist()
+            ss = pdf["seq_in_txn"].tolist()
+            for key, op, after, g, s in zip(zip(*cols), ops, afters, gs, ss):
+                if key != cur_key:
+                    if cur_key is not None:
+                        rows.append([*cur_key, *st])
+                    cur_key = key
+                    st = [False, False, {}, -1, -1, 0]
+                if op == "U":
+                    if after:
+                        st[2].update(after)
+                elif op == "I":
+                    st[0], st[1] = False, True
+                    st[2] = dict(after) if after else {}
+                else:  # D
+                    st[0], st[1], st[2] = True, False, {}
+                st[3] = int(g)
+                st[4] = int(s)
+                st[5] += 1
+            if len(rows) >= 4096:
+                yield emit_rows(rows)
+                rows = []
+        if cur_key is not None:
+            rows.append([*cur_key, *st])
+        if rows or True:
+            yield emit_rows(rows)
+
+    return src.mapInPandas(_fold, schema=out_schema)
+
+
 def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
-                 chunk_size: int | None = None) -> DataFrame:
+                 chunk_size: int | None = None,
+                 engine: str = "arrow") -> DataFrame:
     """changes (CHANGE_SCHEMA) → one folded delta row per key:
-    ``(_k_*, del, full, m, g, s)``; ``g``/``s`` are the high-water
-    (gtid_seq, seq_in_txn) consumed into the fold (idempotency guard)."""
+    ``(_k_*, del, full, m, g, s, n_events)``; ``g``/``s`` are the
+    high-water (gtid_seq, seq_in_txn) consumed into the fold (idempotency
+    guard). ``engine='arrow'`` (default) uses the mapInPandas fold;
+    ``engine='sql'`` keeps the pure-Catalyst HOF formulation (slower —
+    interpreted lambdas — but zero Python; the two are cross-checked in
+    tests). ``chunk_size`` selects the two-phase skew-safe SQL variant."""
+    if engine == "arrow" and not chunk_size:
+        return fold_changes_arrow(changes, key_cols)
     keyed = with_key(changes, key_cols)
     keys = [f"_k_{k}" for k in key_cols]
     ev = F.struct(

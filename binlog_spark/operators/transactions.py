@@ -41,11 +41,14 @@ def assemble_transactions(decoded: DataFrame) -> DataFrame:
         F.last(F.when(F.col("kind") == "gtid", F.col("gtid_seq")), True).over(w_run),
     )
 
+    # one Window node for all three outcome flags (same spec → Catalyst
+    # evaluates them in a single pass over the sorted partition)
     w_txn = Window.partitionBy("file", "gtid_seq")
-    df = (
-        df.withColumn("_rb", F.max((F.col("kind") == "rollback").cast("int")).over(w_txn))
-        .withColumn("_cm", F.max((F.col("kind") == "commit").cast("int")).over(w_txn))
-        .withColumn("_bg", F.max((F.col("kind") == "begin").cast("int")).over(w_txn))
+    df = df.select(
+        "*",
+        F.max((F.col("kind") == "rollback").cast("int")).over(w_txn).alias("_rb"),
+        F.max((F.col("kind") == "commit").cast("int")).over(w_txn).alias("_cm"),
+        F.max((F.col("kind") == "begin").cast("int")).over(w_txn).alias("_bg"),
     )
     committed = df.where(
         (F.col("kind") == "change")

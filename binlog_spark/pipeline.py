@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,10 +20,21 @@ from .operators.decode import decode_frames, discover_stream_meta
 from .operators.lineage import write_lineage
 from .operators.lww import fold_changes
 from .operators.merge import LakeTable
-from .operators.transactions import assemble_transactions, ddl_stream
+from .operators.transactions import assemble_transactions
 
 _ADD_COLUMN_RE = re.compile(
     r"alter\s+table\s+\S+\s+add\s+(?:column\s+)?(\w+)", re.IGNORECASE)
+
+
+class _DdlAccum(AccumulatorParam):
+    """List accumulator carrying DDL rows out of the decode stage."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
 
 
 def decode_to_changes(spark: SparkSession, frames: DataFrame,
@@ -45,20 +57,18 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                  registry: dict, batch_id=None, chunk_size: int | None = None,
                  record_lineage: bool = True) -> dict:
     """Decode+apply one (micro)batch of frames into the lake table."""
-    # Four Spark actions per batch, everything else pipelined inside them:
+    # Three Spark actions per batch, everything else pipelined inside them:
     #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC frames)
-    #   2. DDL side channel (first action → materializes the decode persist)
-    #   3. per-bucket stats over the folded delta (collect: changed buckets
-    #      + n_changes + gtid high-water mark, one small row per bucket)
-    #   4. the MERGE join + bucket rewrite itself
+    #   2. per-bucket stats over the folded delta (collect) — this single
+    #      action materializes decode+assemble+fold, and the DDL side
+    #      channel rides along in an accumulator instead of its own job
+    #   3. the MERGE join + bucket rewrite itself
     meta = discover_stream_meta(frames)
-    decoded = decode_frames(spark, frames, meta, registry)
+    ddl_acc = spark.sparkContext.accumulator([], _DdlAccum())
+    decoded = decode_frames(spark, frames, meta, registry, ddl_acc=ddl_acc)
     decoded.persist()
     folded = None
     try:
-        ddls = [r.asDict() for r in ddl_stream(decoded).collect()]
-        apply_ddls(lake, ddls)
-
         changes = assemble_transactions(decoded)
         if record_lineage and batch_id is not None:
             changes.persist()
@@ -71,6 +81,18 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                            F.max("g").alias("g")).collect())
         n_changes = sum(r["n"] for r in per_bucket)
         max_gtid = max((r["g"] for r in per_bucket), default=None)
+
+        # accumulator is complete once the stats action returns; dedupe by
+        # (file, pos) — task retries re-fire accumulator updates
+        seen, ddls = set(), []
+        for file, pos, ts, db, sql, cat in sorted(ddl_acc.value):
+            if (file, pos) in seen:
+                continue
+            seen.add((file, pos))
+            ddls.append({"file": file, "pos": pos, "ts": ts, "db": db,
+                         "sql": sql, "category": cat})
+        apply_ddls(lake, ddls)
+
         stats = lake.merge_apply(
             folded, batch_id=batch_id, max_gtid=max_gtid,
             changed_buckets=[r["_bucket"] for r in per_bucket])

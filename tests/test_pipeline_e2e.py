@@ -126,3 +126,45 @@ def test_lww_latest_and_txn_summaries(spark, world):
     summ = transaction_summaries(changes)
     row = summ.agg(F.sum("n_events").alias("n")).collect()[0]
     assert row["n"] == len(result.changes)
+
+
+def test_batch_replay_with_schema_evolution(spark, tmp_path):
+    """The accumulator-carried DDL side channel: a mid-stream ALTER TABLE
+    ADD COLUMN must evolve the lake schema in-flight (Iceberg ALTER
+    semantics) and the post-ALTER rows must land with the new column."""
+    gen = genlog.CdcWorldGenerator(seed=11, n_repos=10, paths_per_repo=15,
+                                   txns_per_file=30, evolve_at_txn=40)
+    result = gen.generate(n_txns=100)
+    frames_dir = str(tmp_path / "frames")
+    genlog.write_frames_parquet(result, frames_dir)
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_evo"),
+                            columns=genlog.table_spec(False).col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    frames = pipeline.read_frames(spark, frames_dir)
+    stats = pipeline.replay_batch(spark, frames, lake,
+                                  genlog.table_registry(), batch_id=0)
+    assert stats["n_ddls"] == 1
+    assert stats["n_changes"] == len(result.changes)
+    assert "stars" in lake.meta["columns"]
+
+    got = {(r["repo"], r["path"]): r.asDict() for r in lake.to_df().collect()}
+    assert set(got) == set(result.final_state)
+    for key, row in result.final_state.items():
+        assert got[key]["content"] == row["content"], key
+        assert got[key].get("stars") == row.get("stars"), key
+
+
+def test_arrow_fold_equals_sql_fold(spark, world):
+    result, frames_dir = world
+    frames = pipeline.read_frames(spark, frames_dir)
+    changes = pipeline.decode_to_changes(spark, frames, genlog.table_registry())
+
+    def norm(df):
+        return {tuple(r[k] for k in ("_k_repo", "_k_path")):
+                (r["del"], r["full"], dict(r["m"] or {}), r["g"], r["s"],
+                 r["n_events"])
+                for r in df.collect()}
+
+    assert norm(fold_changes(changes, engine="arrow")) == \
+        norm(fold_changes(changes, engine="sql"))
