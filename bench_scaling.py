@@ -73,7 +73,7 @@ def main():
 
     runs = {low: [], high: []}
     for cores in (low, high, low, high):
-        for r in block(cores, 4, frames_dir, n, workdir):
+        for r in block(cores, int(os.environ.get('SCALING_REPS', 4)), frames_dir, n, workdir):
             runs[cores].append(r)
             print(f"# local[{cores}]: {r['seconds']:.2f}s "
                   f"{r['events_per_sec']:.0f} ev/s", file=sys.stderr)
@@ -82,6 +82,16 @@ def main():
     r_high = max(runs[high], key=lambda r: r["events_per_sec"])
     speedup = r_high["events_per_sec"] / r_low["events_per_sec"]
     efficiency = speedup / (high / low)
+
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    med_low = median([r["seconds"] for r in runs[low]])
+    med_high = median([r["seconds"] for r in runs[high]])
+    med_speedup = med_low / med_high
+    med_efficiency = med_speedup / (high / low)
 
     doc = {
         "n_change_events": n,
@@ -93,6 +103,10 @@ def main():
         "high_seconds": round(r_high["seconds"], 2),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "median_low_seconds": round(med_low, 2),
+        "median_high_seconds": round(med_high, 2),
+        "median_speedup": round(med_speedup, 3),
+        "median_scaling_efficiency": round(med_efficiency, 3),
         "all_runs": {str(c): [round(r["seconds"], 2) for r in rs]
                      for c, rs in runs.items()},
     }
@@ -125,9 +139,12 @@ would between N and 4N separate executor machines.
 All reps (s): local[{low}] = {doc['all_runs'][str(low)]},
 local[{high}] = {doc['all_runs'][str(high)]}.
 
-speedup {low}→{high} cores: **{doc['speedup']}×** (cores ratio
-{high // low}×) → scaling efficiency **{doc['scaling_efficiency']}**
-(north-rule target ≥ 0.8).
+speedup {low}→{high} cores: best-vs-best **{doc['speedup']}×**, 
+median-vs-median **{doc['median_speedup']}×** (cores ratio {high // low}×)
+→ scaling efficiency **{doc['scaling_efficiency']}** (best) /
+**{doc['median_scaling_efficiency']}** (median); north-rule target ≥ 0.8.
+Best-vs-best estimates capacity when interference windows differ between
+levels; median-vs-median is robust when interference is symmetric.
 
 The reference publishes no quantitative numbers (BASELINE.md); its
 pipeline is single-connection single-threaded

@@ -55,15 +55,20 @@ def apply_ddls(lake: LakeTable, ddls: list):
 
 def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                  registry: dict, batch_id=None, chunk_size: int | None = None,
-                 record_lineage: bool = True) -> dict:
-    """Decode+apply one (micro)batch of frames into the lake table."""
+                 record_lineage: bool = True,
+                 stream_meta: dict | None = None) -> dict:
+    """Decode+apply one (micro)batch of frames into the lake table.
+
+    ``stream_meta``: pass a pre-merged TABLE_MAP index (streaming keeps an
+    accumulated one across microbatches) to skip the discovery job.
+    """
     # Three Spark actions per batch, everything else pipelined inside them:
     #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC frames)
     #   2. per-bucket stats over the folded delta (collect) — this single
     #      action materializes decode+assemble+fold, and the DDL side
     #      channel rides along in an accumulator instead of its own job
     #   3. the MERGE join + bucket rewrite itself
-    meta = discover_stream_meta(frames)
+    meta = stream_meta if stream_meta is not None else discover_stream_meta(frames)
     ddl_acc = spark.sparkContext.accumulator([], _DdlAccum())
     decoded = decode_frames(spark, frames, meta, registry, ddl_acc=ddl_acc)
     decoded.persist()

@@ -30,12 +30,9 @@ import os
 from pyspark.sql import SparkSession
 
 from .. import schema as S
-from ..operators.decode import decode_frames, discover_stream_meta
-from ..operators.lineage import write_lineage
-from ..operators.lww import fold_changes
+from ..operators.decode import discover_stream_meta
 from ..operators.merge import LakeTable
-from ..operators.transactions import assemble_transactions, ddl_stream
-from ..pipeline import apply_ddls
+from ..pipeline import replay_batch
 
 
 class _MetaStore:
@@ -96,22 +93,11 @@ def run_stream(spark: SparkSession, frames_dir: str, lake_path: str,
         lake = LakeTable(spark, lake_path)  # re-read manifest each batch
         meta = _merge_meta(store.load(), discover_stream_meta(batch_df))
         store.save(meta)
-        decoded = decode_frames(spark, batch_df, meta, registry)
-        decoded.persist()
-        try:
-            changes = assemble_transactions(decoded).persist()
-            ddls = [r.asDict() for r in ddl_stream(decoded).collect()]
-            apply_ddls(lake, ddls)
-            from pyspark.sql import functions as F
-            agg = changes.agg(F.max("gtid_seq").alias("g")).collect()[0]
-            folded = fold_changes(changes, tuple(lake.meta["key"]),
-                                  chunk_size=chunk_size)
-            lake.merge_apply(folded, batch_id=f"stream-{batch_id}",
-                             max_gtid=agg["g"])
-            write_lineage(changes, lake.path, f"stream-{batch_id}")
-            changes.unpersist()
-        finally:
-            decoded.unpersist()
+        # same fused 3-action pipeline as the batch path (DDLs ride the
+        # decode accumulator; stats+fold in one action; MERGE in one)
+        replay_batch(spark, batch_df, lake, registry,
+                     batch_id=f"stream-{batch_id}", chunk_size=chunk_size,
+                     record_lineage=True, stream_meta=meta)
 
     stream = (
         spark.readStream.schema(S.FRAME_SCHEMA)
