@@ -442,3 +442,81 @@ def _decode_new_decimal(data, pos: int, metadata: int):
     if nb:
         out += b"%0*d" % (frac0x, int.from_bytes(d[p : p + nb], "big"))
     return bytes(out), l
+
+
+# ---------------------------------------------------------------------------
+# per-column decoder specialization
+# ---------------------------------------------------------------------------
+
+_DECODER_CACHE: dict = {}
+
+
+def make_cell_decoder(typ: int, metadata: int, unsigned: bool):
+    """Specialized ``(data, pos) -> (bytes|None, consumed)`` closure for one
+    column — hoists the type dispatch and metadata branching out of the
+    per-cell hot loop (the generic ``cell_bytes`` if-chain costs ~15
+    comparisons per cell for the string/blob types a repo-content table is
+    made of). Cached per (type, metadata, unsigned)."""
+    key = (typ, metadata, unsigned)
+    d = _DECODER_CACHE.get(key)
+    if d is None:
+        d = _DECODER_CACHE[key] = _build_decoder(typ, metadata, unsigned)
+    return d
+
+
+def _build_decoder(typ: int, metadata: int, unsigned: bool):
+    if typ in (C.TYPE_VARCHAR, C.TYPE_VARSTRING):
+        if metadata > 255:
+            def d(data, pos):
+                ln = data[pos] | data[pos + 1] << 8
+                return bytes(data[pos + 2 : pos + 2 + ln]), ln + 2
+        else:
+            def d(data, pos):
+                ln = data[pos]
+                return bytes(data[pos + 1 : pos + 1 + ln]), ln + 1
+        return d
+
+    if typ in (C.TYPE_TINYBLOB, C.TYPE_MEDIUMBLOB, C.TYPE_LONGBLOB,
+               C.TYPE_BLOB, C.TYPE_GEOMETRY) and 1 <= metadata <= 4:
+        width = metadata
+
+        def d(data, pos):
+            ln = int.from_bytes(data[pos : pos + width], "little")
+            start = pos + width
+            return bytes(data[start : start + ln]), ln + width
+        return d
+
+    if typ == C.TYPE_LONG:
+        if unsigned:
+            def d(data, pos):
+                return b"%d" % int.from_bytes(data[pos : pos + 4], "little"), 4
+        else:
+            def d(data, pos):
+                v = int.from_bytes(data[pos : pos + 4], "little")
+                return b"%d" % (v - 0x100000000 if v >= 0x80000000 else v), 4
+        return d
+
+    if typ == C.TYPE_LONGLONG:
+        if unsigned:
+            def d(data, pos):
+                return b"%d" % int.from_bytes(data[pos : pos + 8], "little"), 8
+        else:
+            def d(data, pos):
+                v = int.from_bytes(data[pos : pos + 8], "little")
+                return b"%d" % (v - (1 << 64) if v >= 1 << 63 else v), 8
+        return d
+
+    if typ == C.TYPE_TINY:
+        if unsigned:
+            def d(data, pos):
+                return b"%d" % data[pos], 1
+        else:
+            def d(data, pos):
+                v = data[pos]
+                return b"%d" % (v - 0x100 if v >= 0x80 else v), 1
+        return d
+
+    # everything else: generic path (fixed small cost, rarely dominant)
+    def d(data, pos):
+        return cell_bytes(data, pos, typ, metadata, unsigned)
+    return d

@@ -382,7 +382,7 @@ def iter_rows(fmt: BinlogFormat, typ: int, data, types, metadata, unsigned=None)
     absent-from-event (minimal row image / IsEmpty). Parity:
     binlog_event_rbr.go:348-465 + row_streamer.go:388-477.
     """
-    from .codec import cell_bytes  # local import keeps module load cheap
+    from .codec import make_cell_decoder  # local import keeps module load cheap
 
     if unsigned is None:
         unsigned = [False] * len(types)
@@ -398,32 +398,39 @@ def iter_rows(fmt: BinlogFormat, typ: int, data, types, metadata, unsigned=None)
     ncols, pos = read_lenenc_int(body, pos)
     nb = (ncols + 7) // 8
 
+    # per-column specialized decoders (type dispatch hoisted out of the
+    # per-cell loop; cached across events)
+    decoders = [make_cell_decoder(types[c], metadata[c], unsigned[c])
+                for c in range(ncols)]
+    mask = (1 << ncols) - 1
+
     identify_cols = data_cols = None
     n_identify = n_data = 0
     if has_identify:
         identify_cols = body[pos : pos + nb]
         pos += nb
-        n_identify = sum(bitmap_get(identify_cols, i) for i in range(ncols))
+        n_identify = (int.from_bytes(identify_cols, "little") & mask).bit_count()
     if has_data:
         data_cols = body[pos : pos + nb]
         pos += nb
-        n_data = sum(bitmap_get(data_cols, i) for i in range(ncols))
+        n_data = (int.from_bytes(data_cols, "little") & mask).bit_count()
 
     def read_image(pos, present, n_present):
         null_nb = (n_present + 7) // 8
-        nulls = body[pos : pos + null_nb]
+        nulls = int.from_bytes(body[pos : pos + null_nb], "little")
+        present_bits = int.from_bytes(present, "little")
         pos += null_nb
         cells = []
         vidx = 0
         for c in range(ncols):
-            if not bitmap_get(present, c):
+            if not present_bits >> c & 1:
                 cells.append((None, True))  # absent: minimal row image
                 continue
-            if bitmap_get(nulls, vidx):
+            if nulls >> vidx & 1:
                 cells.append((None, False))  # SQL NULL
                 vidx += 1
                 continue
-            val, ln = cell_bytes(body, pos, types[c], metadata[c], unsigned[c])
+            val, ln = decoders[c](body, pos)
             cells.append((val, False))
             pos += ln
             vidx += 1
