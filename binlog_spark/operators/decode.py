@@ -156,11 +156,15 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
                     continue
                 ts, etype, _sid, _ln, next_pos, _fl = E.parse_header(frame)
                 if etype in (C.E_FORMAT_DESCRIPTION, C.E_ROTATE,
-                             C.E_PREVIOUS_GTIDS, C.E_ANONYMOUS_GTID):
+                             C.E_PREVIOUS_GTIDS, C.E_ANONYMOUS_GTID,
+                             C.E_GTID_LIST_MARIADB):
                     continue  # position/format bookkeeping: carried per-frame
                 body = E.strip_checksum(fmt, etype, frame)
                 if etype == C.E_GTID:
                     gno = E.parse_gtid(body[C.HEADER_LEN:])
+                    rows.append(_aux(file, pos, next_pos, ts, gno, "gtid"))
+                elif etype == C.E_GTID_MARIADB:
+                    gno = E.parse_gtid_mariadb(body[C.HEADER_LEN:])
                     rows.append(_aux(file, pos, next_pos, ts, gno, "gtid"))
                 elif etype == C.E_QUERY:
                     db, sql = E.parse_query(fmt, body)

@@ -100,3 +100,20 @@ def transaction_summaries(changes: DataFrame) -> DataFrame:
         F.max("ts").alias("ts"),
         F.count("*").alias("n_events"),
     )
+
+
+def changes_to_json(changes: DataFrame) -> DataFrame:
+    """P30 JSON sink: change rows → one JSON document per event, the debug
+    parity dump of the reference's ``Transaction.MarshalJSON``
+    (transaction.go:28-41,73-99,137-157 — there: Type/Table/SQL/Timestamp/
+    RowValues/RowIdentifies; here the same content keyed op/tbl/ts/after/
+    before plus our position fields). Pure ``to_json(struct(...))`` —
+    JVM-side, no Python."""
+    return changes.select(
+        F.to_json(F.struct(
+            F.col("op"), F.col("db"), F.col("tbl"), F.col("ts"),
+            F.col("gtid_seq"), F.col("seq_in_txn"),
+            F.col("file"), F.col("pos"), F.col("next_pos"),
+            F.col("before"), F.col("after"),
+        )).alias("json")
+    )

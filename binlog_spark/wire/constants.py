@@ -60,6 +60,10 @@ E_DELETE_ROWS_V2 = 32
 E_GTID = 33
 E_ANONYMOUS_GTID = 34
 E_PREVIOUS_GTIDS = 35
+# MariaDB flavor (reference: replication/binlog_event_mariadb.go:16-18) —
+# GTID is (sequence uint64 LE, domain uint32 LE, flags byte)
+E_GTID_MARIADB = 162
+E_GTID_LIST_MARIADB = 163
 
 ROWS_EVENT_TYPES = frozenset(
     {

@@ -136,8 +136,20 @@ def make_gtid(gno: int, sid: bytes = b"\x00" * 16, flags: int = 1) -> bytes:
     return bytes([flags]) + sid + struct.pack("<q", gno)
 
 
+def make_gtid_mariadb(gno: int, domain: int = 0, flags: int = 0) -> bytes:
+    """MariaDB GTID event payload: sequence(8 LE) + domain(4 LE) + flags."""
+    return struct.pack("<QI", gno, domain) + bytes([flags])
+
+
 def parse_gtid(data) -> int:
     return struct.unpack_from("<q", data, 17)[0]
+
+
+def parse_gtid_mariadb(data) -> int:
+    """MariaDB GTID event body → sequence number (the ordering key).
+    Layout: sequence uint64 LE, domain uint32 LE, flags byte
+    (reference flavor: replication/binlog_event_mariadb.go)."""
+    return struct.unpack_from("<Q", data, 0)[0]
 
 
 def make_table_map(tm: TableMapSpec, table_id: int) -> bytes:

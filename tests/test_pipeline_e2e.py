@@ -168,3 +168,74 @@ def test_arrow_fold_equals_sql_fold(spark, world):
 
     assert norm(fold_changes(changes, engine="arrow")) == \
         norm(fold_changes(changes, engine="sql"))
+
+
+def test_mariadb_gtid_flavor_decodes(spark, tmp_path):
+    """A MariaDB-flavored stream (GTID event 162, sequence+domain payload)
+    decodes to the same committed change rows — reference parity with the
+    mariadb binlog flavor (replication/binlog_event_mariadb.go)."""
+    import struct as _struct
+
+    from binlog_spark.wire import constants as C
+    from binlog_spark.wire import events as E
+
+    fmt = E.BinlogFormat()
+    spec = genlog.table_spec()
+    frames = []
+    pos = 4
+
+    def emit(etype, payload, ts=1700000000):
+        nonlocal pos
+        frame = bytearray(E.packetize(fmt, etype, 0, payload, timestamp=ts,
+                                      server_id=1, log_position=pos))
+        next_pos = pos + len(frame)
+        _struct.pack_into("<I", frame, 13, next_pos & 0xFFFFFFFF)
+        frames.append(("binlog.000000", pos, etype, bytes(frame)))
+        pos = next_pos
+
+    emit(C.E_FORMAT_DESCRIPTION, E.make_format_description(fmt))
+    emit(C.E_GTID_MARIADB, E.make_gtid_mariadb(77, domain=3))
+    emit(C.E_QUERY, E.make_query(genlog.DB, "BEGIN"))
+    emit(C.E_TABLE_MAP, E.make_table_map(spec, genlog.TABLE_ID))
+    row = {"repo": "org0/repo-0001", "path": "src/a.py", "commit": "c" * 40,
+           "lang": "py", "content": "print('mariadb')"}
+    emit(C.E_WRITE_ROWS_V2,
+         E.make_rows_event(spec, genlog.TABLE_ID, C.E_WRITE_ROWS_V2,
+                           [(None, row)]))
+    emit(C.E_XID, E.make_xid(77))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    table = pa.table({
+        "file": pa.array([f[0] for f in frames], pa.string()),
+        "pos": pa.array([f[1] for f in frames], pa.int64()),
+        "etype": pa.array([f[2] for f in frames], pa.int32()),
+        "frame": pa.array([f[3] for f in frames], pa.binary()),
+    })
+    fdir = tmp_path / "maria_frames"
+    fdir.mkdir()
+    pq.write_table(table, str(fdir / "f.parquet"))
+
+    df = pipeline.read_frames(spark, str(fdir))
+    changes = pipeline.decode_to_changes(spark, df, genlog.table_registry())
+    got = [r.asDict() for r in changes.collect()]
+    assert len(got) == 1
+    assert got[0]["gtid_seq"] == 77
+    assert got[0]["op"] == "I"
+    assert got[0]["after"]["content"] == "print('mariadb')"
+
+
+def test_changes_to_json_sink(spark, world):
+    import json as _json
+
+    from binlog_spark.operators.transactions import changes_to_json
+
+    result, frames_dir = world
+    frames = pipeline.read_frames(spark, frames_dir)
+    changes = pipeline.decode_to_changes(spark, frames, genlog.table_registry())
+    docs = [_json.loads(r["json"]) for r in changes_to_json(changes).collect()]
+    assert len(docs) == len(result.changes)
+    ops = {d["op"] for d in docs}
+    assert ops <= {"I", "U", "D"}
+    ins = next(d for d in docs if d["op"] == "I")
+    assert "after" in ins and "repo" in ins["after"]

@@ -154,3 +154,17 @@ def test_multirow_write_blob_and_unsigned():
     assert rows[0][1][0] == (b"18446744073709551615", False)
     assert rows[0][1][1] == (big.encode(), False)
     assert rows[1][1] == [(b"1", False), (b"", False)]
+
+
+def test_mariadb_gtid_roundtrip():
+    """MariaDB GTID flavor (reference: binlog_event_mariadb.go): sequence
+    survives encode→parse, and the event code is the MariaDB one."""
+    payload = E.make_gtid_mariadb(987654321, domain=7, flags=1)
+    assert E.parse_gtid_mariadb(payload) == 987654321
+    fmt = E.BinlogFormat()
+    frame = E.packetize(fmt, C.E_GTID_MARIADB, 0, payload,
+                        timestamp=1700000000, server_id=1, log_position=4)
+    ts, etype, _sid, _ln, _np, _fl = E.parse_header(frame)
+    assert etype == C.E_GTID_MARIADB
+    body = E.strip_checksum(fmt, etype, frame)
+    assert E.parse_gtid_mariadb(body[C.HEADER_LEN:]) == 987654321
