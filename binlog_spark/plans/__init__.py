@@ -32,7 +32,16 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange")
+    """Number of Exchange operators (distinct plan nodes, not string hits —
+    the formatted explain prints each node in both the tree and the detail
+    section)."""
+    import re
+
+    plan = physical_plan(df)
+    nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
+    if nodes:
+        return len(nodes)
+    return simple_plan(df).count("Exchange")
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:

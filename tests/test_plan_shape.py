@@ -67,3 +67,22 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
 def test_q1_filter_pushdown(spark, sf_dir):
     df = tpch_q1_pricing(spark, sf_dir)
     assert plans.has_pushed_filter(df, "l_shipdate"), plans.physical_plan(df)
+
+
+def test_arrow_fold_single_key_shuffle(spark, frames):
+    """The default fold plan: ONE Exchange (hash on the salted key) feeding
+    an in-partition sort + mapInPandas — no second shuffle, and no
+    interpreted higher-order `aggregate(...)` lambda in the hot path
+    (decode's window shuffle on `file` is upstream and expected)."""
+    from binlog_spark.operators.lww import fold_changes
+
+    meta = discover_stream_meta(frames)
+    decoded = decode_frames(spark, frames, meta, genlog.table_registry())
+    from binlog_spark.operators.transactions import assemble_transactions
+    changes = assemble_transactions(decoded)
+    folded = fold_changes(changes)  # engine="arrow"
+    plan = plans.physical_plan(folded)
+    # upstream window shuffle (file) + fold key shuffle = exactly 2 total
+    assert plans.count_shuffles(folded) == 2, plan
+    assert "aggregate(array_sort" not in plan, plan
+    assert "MapInPandas" in plan, plan
