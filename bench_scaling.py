@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling evidence for BENCH/BASELINE.md.
+"""Two-parallelism scaling evidence (writes BENCH/last_run.md;
+the curated multi-session summary lives in BENCH/BASELINE.md).
 
 The north rule's two-cluster-size criterion (throughput scaling efficiency
 ≥ 0.8 from N to 4N executors) cannot use a real cluster in this sandbox;
@@ -150,7 +151,7 @@ def main():
     }
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/last_run.md", "w") as f:
         f.write(f"""# BENCH baseline — CDC replay throughput & scaling
 
 Flagship job: wire-format binlog replay (decode → transaction assembly →

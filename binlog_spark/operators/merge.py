@@ -18,7 +18,10 @@ minimal parquet + JSON-manifest implementation of the same physical design:
 * idempotency is row-level: every stored row carries its applying
   ``(_gtid_seq, _seq_in_txn)``; a change folds in only when strictly newer
   — replaying a batch after a crash is a no-op (exactly-once effect), the
-  MERGE guard keyed (gtid, table, row-key) per the north rule;
+  MERGE guard keyed (gtid, table, row-key) per the north rule; a
+  table-level GTID high-water mark additionally drops whole re-delivered
+  slices, which also closes the tombstone hole (a physically deleted key
+  has no row left to carry its per-row guard);
 * schema evolution: ``evolve_add_column`` extends the manifest schema;
   old data files are read through the evolved schema (missing columns
   null), the Iceberg ALTER TABLE ADD COLUMN semantics.
@@ -154,6 +157,16 @@ class LakeTable:
 
         caller_managed = changed_buckets is not None
         delta = folded if "_bucket" in folded.columns else self.bucket_of(folded)
+        # GTID high-water-mark guard: in an ordered CDC stream every new
+        # batch's per-key folded gtid exceeds everything already applied,
+        # so rows at-or-below the lake's watermark are by construction
+        # re-deliveries (crash replay, late slice) — dropping them keeps
+        # replays no-ops even for keys whose base row a DELETE physically
+        # removed (the tombstone problem: without this, a late older
+        # insert would resurrect a deleted key).
+        hwm = self.meta.get("last_gtid", -1)
+        if hwm is not None and hwm >= 0:
+            delta = delta.where(F.col("g") > F.lit(hwm))
         if not caller_managed:
             delta.persist()
         try:

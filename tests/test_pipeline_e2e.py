@@ -239,3 +239,29 @@ def test_changes_to_json_sink(spark, world):
     assert ops <= {"I", "U", "D"}
     ins = next(d for d in docs if d["op"] == "I")
     assert "after" in ins and "repo" in ins["after"]
+
+
+def test_late_cross_batch_changes_do_not_regress_state(spark, world, tmp_path):
+    """Cross-batch late data: a batch carrying only OLDER gtids than what
+    the lake has applied must be a no-op per key — the row-level
+    (gtid, seq) MERGE guard, i.e. the engine's answer to watermarks for
+    CDC ordering (SURVEY §2.2)."""
+    result, frames_dir = world
+    lake = LakeTable.create(spark, str(tmp_path / "lake_late"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    frames = pipeline.read_frames(spark, frames_dir)
+    pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
+                          batch_id=0)
+    state1 = sorted(tuple(r) for r in lake.to_df().collect())
+
+    # replay only the FIRST HALF of the stream as a later batch: every
+    # gtid in it is already applied → state must not move backwards
+    changes = pipeline.decode_to_changes(spark, frames,
+                                         genlog.table_registry())
+    mid = result.changes[len(result.changes) // 2]["gtid_seq"]
+    late = changes.where(F.col("gtid_seq") <= mid)
+    folded = fold_changes(late, tuple(lake.meta["key"]))
+    lake.merge_apply(folded, batch_id="late-batch", max_gtid=mid)
+    state2 = sorted(tuple(r) for r in lake.to_df().collect())
+    assert state1 == state2
