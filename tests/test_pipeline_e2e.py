@@ -265,3 +265,60 @@ def test_late_cross_batch_changes_do_not_regress_state(spark, world, tmp_path):
     lake.merge_apply(folded, batch_id="late-batch", max_gtid=mid)
     state2 = sorted(tuple(r) for r in lake.to_df().collect())
     assert state1 == state2
+
+
+def test_hot_key_chunked_fold_correct(spark):
+    """Skew path: one pathological hot key with 20k minimal-image updates
+    (plus interleaved I/D) folds identically through the two-phase chunked
+    variant — the 'salted repartitioning before the merge-apply stage' of
+    the north rule, exact because chunks are contiguous gtid ranges."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    # hot key: insert, then 20k partial updates, a delete+reinsert mid-way
+    rows.append((1, 0, "I", {"repo": "hot/r", "path": "p", "commit": "c0",
+                             "lang": "py", "content": "v0"}))
+    for g in range(2, 20002):
+        if g == 9000:
+            rows.append((g, 0, "D", None))
+        elif g == 9001:
+            rows.append((g, 0, "I", {"repo": "hot/r", "path": "p",
+                                     "commit": "c9001", "lang": "go",
+                                     "content": "reborn"}))
+        else:
+            rows.append((g, 0, "U", {"repo": "hot/r", "path": "p",
+                                     "commit": f"c{g}",
+                                     "content": f"v{g}"}))
+    # a handful of cold keys
+    for i in range(50):
+        rows.append((30000 + i, 0, "I",
+                     {"repo": f"cold/r{i}", "path": "p", "commit": "cc",
+                      "lang": "rs", "content": f"cold{i}"}))
+
+    df = spark.createDataFrame(
+        [(g, g, s, "binlog.000000", g, g + 1, 0, op, "codehub",
+          "repo_content",
+          {"repo": (after or {}).get("repo", "hot/r"),
+           "path": (after or {}).get("path", "p")} if op != "I" else None,
+          after)
+         for g, s, op, after in rows],
+        "gtid_seq long, txn_id long, seq_in_txn int, file string, "
+        "pos long, next_pos long, ts long, op string, db string, "
+        "tbl string, before map<string,string>, after map<string,string>")
+
+    def norm(d):
+        return {tuple(r[k] for k in ("_k_repo", "_k_path")):
+                (r["del"], r["full"], dict(r["m"] or {}), r["g"],
+                 r["n_events"])
+                for r in d.collect()}
+
+    plain = norm(fold_changes(df, engine="arrow"))
+    chunked = norm(fold_changes(df, chunk_size=512))
+    assert plain == chunked
+    hot = plain[("hot/r", "p")]
+    assert hot[1] is True  # reinserted: full image
+    assert hot[2]["content"] == "v20001"
+    assert hot[2]["lang"] == "go"  # carried from the reinsert, not clobbered
+    assert hot[3] == 20001
+    assert hot[4] == 20001
