@@ -30,11 +30,16 @@ def lineage_summary(changes: DataFrame) -> DataFrame:
     )
 
 
-def write_lineage(changes: DataFrame, lake_path: str, batch_id) -> list:
+def write_lineage(changes: DataFrame, lake_path: str, batch_id,
+                  metrics: dict | None = None) -> list:
+    """Persist the per-file lineage plus batch throughput metrics
+    (events applied, wall seconds, events/sec) next to the lake data."""
     rows = [r.asDict() for r in lineage_summary(changes).collect()]
     out_dir = os.path.join(lake_path, "_lineage")
     os.makedirs(out_dir, exist_ok=True)
     doc = {"batch_id": batch_id, "wall_time": time.time(), "files": rows}
+    if metrics:
+        doc["metrics"] = metrics
     with open(os.path.join(out_dir, f"batch-{batch_id}.json"), "w") as f:
         json.dump(doc, f, default=str)
     return rows

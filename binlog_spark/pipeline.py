@@ -10,6 +10,7 @@ and a bucket-pruned copy-on-write MERGE.
 from __future__ import annotations
 
 import re
+import time as _time
 
 from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +69,7 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     #      action materializes decode+assemble+fold, and the DDL side
     #      channel rides along in an accumulator instead of its own job
     #   3. the MERGE join + bucket rewrite itself
+    t_start = _time.perf_counter()
     meta = stream_meta if stream_meta is not None else discover_stream_meta(frames)
     ddl_acc = spark.sparkContext.accumulator([], _DdlAccum())
     decoded = decode_frames(spark, frames, meta, registry, ddl_acc=ddl_acc)
@@ -104,7 +106,12 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
         stats["n_changes"] = n_changes
         stats["n_ddls"] = len(ddls)
         if record_lineage and batch_id is not None:
-            write_lineage(changes, lake.path, batch_id)
+            secs = _time.perf_counter() - t_start
+            write_lineage(changes, lake.path, batch_id, metrics={
+                "n_changes": n_changes, "n_ddls": len(ddls),
+                "seconds": round(secs, 3),
+                "events_per_sec": round(n_changes / secs, 1) if secs else None,
+            })
             changes.unpersist()
         return stats
     finally:
