@@ -272,8 +272,10 @@ def sim_cosine_topk_q(spark, sf_dir):
 
 
 def sim_embedding_near_dup_q(spark, sf_dir):
+    # threshold sits below the corpus's max within-label cosine (~0.47 at
+    # sf0.01) so the parity check exercises non-empty results
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8)
+        _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def sim_lsh_ann_q(spark, sf_dir):
@@ -403,7 +405,7 @@ ORACLES = {
     "dedup_simhash": dedup.simhash_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
-        threshold=0.8),
+        threshold=0.4),
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "text_token_count": textstats.token_count_sql(),
     "text_quality": textstats.quality_score_sql(),
