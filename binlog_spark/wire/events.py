@@ -223,7 +223,106 @@ def encode_cell(typ: int, metadata: int, unsigned: bool, value: str) -> bytes:
                C.TYPE_GEOMETRY):
         raw = value.encode() if isinstance(value, str) else bytes(value)
         return len(raw).to_bytes(metadata, "little") + raw
+    if typ == C.TYPE_TIMESTAMP2:
+        # "<epoch secs>[.frac]" -> BE secs + packed fractional (fsp=metadata)
+        secs, frac = _split_frac(value, metadata)
+        return secs.to_bytes(4, "big") + frac
+    if typ == C.TYPE_DATETIME2:
+        # "YYYY-MM-DD HH:MM:SS[.ffffff]" -> 5-byte BE packed + 0x8000000000
+        base, frac = value.split(".") if "." in value else (value, "")
+        date_part, time_part = base.split(" ")
+        y, mo, d = (int(x) for x in date_part.split("-"))
+        h, mi, s = (int(x) for x in time_part.split(":"))
+        ymd = (y * 13 + mo) << 5 | d
+        hms = h << 12 | mi << 6 | s
+        packed = (ymd << 17 | hms) + 0x8000000000
+        return packed.to_bytes(5, "big") + _pack_frac(frac, metadata)
+    if typ == C.TYPE_TIME2:
+        # "[-]HH:MM:SS[.ffffff]" -> 3-byte BE packed + 0x800000, negative
+        # values two's-complement with fractional borrow (codec.py inverse)
+        neg = value.startswith("-")
+        base, frac = value.lstrip("-").split(".") if "." in value else (
+            value.lstrip("-"), "")
+        h, mi, s = (int(x) for x in base.split(":"))
+        hms = h << 12 | mi << 6 | s
+        fb = _pack_frac(frac, metadata)
+        if not neg:
+            return (hms + 0x800000).to_bytes(3, "big") + fb
+        if metadata and int(frac.ljust((metadata + 1) // 2 * 2, "0") or 0):
+            nbytes = (metadata + 1) // 2
+            fv = int(frac.ljust(metadata, "0"))
+            if metadata % 2 == 1:
+                fv *= 10
+            return (0x800000 - hms - 1).to_bytes(3, "big") + (
+                (1 << (nbytes * 8)) - fv).to_bytes(nbytes, "big")
+        return (0x800000 - hms).to_bytes(3, "big") + fb
+    if typ == C.TYPE_NEWDECIMAL:
+        return _encode_new_decimal(value, metadata)
+    if typ == C.TYPE_BIT:
+        nbits = ((metadata >> 8) * 8) + (metadata & 0xFF)
+        raw = value.encode() if isinstance(value, str) else bytes(value)
+        want = (nbits + 7) // 8
+        return raw[:want].rjust(want, b"\x00")
     raise ValueError(f"encode_cell: unsupported type {typ}")
+
+
+def _split_frac(value: str, fsp: int):
+    if "." in value:
+        secs, frac = value.split(".")
+    else:
+        secs, frac = value, ""
+    return int(secs), _pack_frac(frac, fsp)
+
+
+def _pack_frac(frac_digits: str, fsp: int) -> bytes:
+    """Pack fractional-second digits to the (fsp+1)//2-byte BE field."""
+    if fsp == 0:
+        return b""
+    nbytes = (fsp + 1) // 2
+    v = int(frac_digits.ljust(fsp, "0") or 0)
+    if fsp % 2 == 1:
+        v *= 10  # decoder divides odd-fsp values by 10
+    return v.to_bytes(nbytes, "big")
+
+
+def _encode_new_decimal(value: str, metadata: int) -> bytes:
+    """Inverse of codec._decode_new_decimal: exact digit string -> MySQL
+    packed decimal (9-digit/4-byte groups, sign-bit flip)."""
+    from .codec import DIG2BYTES
+
+    precision = metadata >> 8
+    scale = metadata & 0xFF
+    intg = precision - scale
+    intg0, intg0x = divmod(intg, 9)
+    frac0, frac0x = divmod(scale, 9)
+
+    negative = value.startswith("-")
+    body = value.lstrip("-")
+    int_part, _, frac_part = body.partition(".")
+    int_part = (int_part or "0").rjust(intg, "0")[-intg:] if intg else ""
+    frac_part = frac_part.ljust(scale, "0")[:scale]
+
+    out = bytearray()
+    p = 0
+    if intg0x:
+        out += int(int_part[:intg0x] or 0).to_bytes(DIG2BYTES[intg0x], "big")
+        p = intg0x
+    for _ in range(intg0):
+        out += int(int_part[p : p + 9] or 0).to_bytes(4, "big")
+        p += 9
+    p = 0
+    for _ in range(frac0):
+        out += int(frac_part[p : p + 9] or 0).to_bytes(4, "big")
+        p += 9
+    if frac0x:
+        out += int(frac_part[p : p + frac0x] or 0).to_bytes(
+            DIG2BYTES[frac0x], "big")
+
+    if negative:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+    out[0] ^= 0x80
+    return bytes(out)
 
 
 def _encode_row_image(tm: TableMapSpec, present_cols, values: dict) -> bytes:

@@ -45,6 +45,10 @@ COLUMNS = [
     ("t_varchar", C.TYPE_VARCHAR, 255, False),
     ("t_中文列", C.TYPE_VARCHAR, 1024, False),  # UTF-8 column name
     ("t_blob", C.TYPE_BLOB, 2, False),
+    ("t_dec", C.TYPE_NEWDECIMAL, (12 << 8) | 4, False),
+    ("t_dt2", C.TYPE_DATETIME2, 3, False),
+    ("t_time2", C.TYPE_TIME2, 2, False),
+    ("t_ts2", C.TYPE_TIMESTAMP2, 0, False),
 ]
 
 SPEC = E.TableMapSpec(database=DB, name=TBL,
@@ -71,7 +75,13 @@ ROW1 = {
     "t_varchar": "hello world",
     "t_中文列": "código↦测试 🚀",
     "t_blob": "\x00\x01binary\xc3\xa9",
+    "t_dec": "-12345678.9012",
+    "t_dt2": "2026-08-17 23:59:59.999",
+    "t_time2": "-838:59:58.97",
+    "t_ts2": "86400",
 }
+# TIMESTAMP2 is stored as epoch seconds but canonically rendered UTC
+ROW1_EXPECT = dict(ROW1, t_ts2="1970-01-02 00:00:00")
 ROW2 = {
     "t_id": "2",
     "t_tiny_u": "0",
@@ -90,7 +100,13 @@ ROW2 = {
     # t_varchar omitted -> SQL NULL
     "t_中文列": "",
     "t_blob": "",
+    "t_dec": "0.0001",
+    "t_dt2": "1000-01-01 00:00:00.000",
+    "t_time2": "00:00:00.01",
+    "t_ts2": "0",
 }
+# epoch 0 is MySQL's zero-timestamp sentinel (rbr.go:14-15,315-327)
+ROW2_EXPECT_TS2 = "0000-00-00 00:00:00"
 
 
 def _build_frames():
@@ -149,8 +165,8 @@ def test_all_types_decode_exactly(spark, tmp_path):
     ins1, ins2, upd, dele = got
     # blob round-trips utf-8: encode_cell utf-8-encodes the str, the
     # canonical decode utf-8-decodes it back
-    assert ins1["after"] == ROW1
-    want2 = dict(ROW2)
+    assert ins1["after"] == ROW1_EXPECT
+    want2 = dict(ROW2, t_ts2=ROW2_EXPECT_TS2)
     want2["t_varchar"] = None  # SQL NULL survives as None in the map
     assert ins2["after"] == want2
 

@@ -168,3 +168,46 @@ def test_mariadb_gtid_roundtrip():
     assert etype == C.E_GTID_MARIADB
     body = E.strip_checksum(fmt, etype, frame)
     assert E.parse_gtid_mariadb(body[C.HEADER_LEN:]) == 987654321
+
+
+import pytest as _pytest
+
+from binlog_spark.wire.codec import cell_bytes
+
+
+@_pytest.mark.parametrize("typ,meta,value,expect", [
+    # NEWDECIMAL (precision<<8 | scale) — sign, leading-zero suppression
+    (C.TYPE_NEWDECIMAL, (10 << 8) | 2, "1234.56", b"1234.56"),
+    (C.TYPE_NEWDECIMAL, (10 << 8) | 2, "-1234.56", b"-1234.56"),
+    (C.TYPE_NEWDECIMAL, (10 << 8) | 2, "0.50", b"0.50"),
+    (C.TYPE_NEWDECIMAL, (10 << 8) | 2, "-0.01", b"-0.01"),
+    (C.TYPE_NEWDECIMAL, (20 << 8) | 10, "123456789.0123456789",
+     b"123456789.0123456789"),
+    (C.TYPE_NEWDECIMAL, (18 << 8) | 0, "987654321987654321",
+     b"987654321987654321"),
+    (C.TYPE_NEWDECIMAL, (9 << 8) | 0, "0", b"0"),
+    # DATETIME2 at fsp 0/2/6
+    (C.TYPE_DATETIME2, 0, "2026-08-17 12:34:56", b"2026-08-17 12:34:56"),
+    (C.TYPE_DATETIME2, 2, "2026-08-17 12:34:56.99",
+     b"2026-08-17 12:34:56.99"),
+    (C.TYPE_DATETIME2, 6, "1000-01-01 00:00:00.000001",
+     b"1000-01-01 00:00:00.000001"),
+    # TIME2 incl. negative with fractional borrow (my_time.c cases)
+    (C.TYPE_TIME2, 0, "838:59:59", b"838:59:59"),
+    (C.TYPE_TIME2, 0, "-838:59:59", b"-838:59:59"),
+    (C.TYPE_TIME2, 2, "11:22:33.45", b"11:22:33.45"),
+    (C.TYPE_TIME2, 2, "-11:22:33.45", b"-11:22:33.45"),
+    (C.TYPE_TIME2, 6, "-00:00:00.000001", b"-00:00:00.000001"),
+    (C.TYPE_TIME2, 3, "00:00:00.001", b"00:00:00.001"),
+    # TIMESTAMP2: encoder takes epoch secs, decoder emits UTC render
+    (C.TYPE_TIMESTAMP2, 0, "86400", b"1970-01-02 00:00:00"),
+    (C.TYPE_TIMESTAMP2, 2, "86400.25", b"1970-01-02 00:00:00.25"),
+    (C.TYPE_TIMESTAMP2, 6, "1.000001", b"1970-01-01 00:00:01.000001"),
+])
+def test_v2_temporal_and_decimal_encode_decode(typ, meta, value, expect):
+    """encode_cell (new v2/decimal encoders) → golden-tested cell decoder
+    reproduces the canonical string exactly."""
+    raw = E.encode_cell(typ, meta, False, value)
+    got, ln = cell_bytes(raw, 0, typ, meta, False)
+    assert got == expect
+    assert ln == len(raw)
