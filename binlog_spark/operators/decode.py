@@ -200,9 +200,12 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
                     db, tbl, types, metadata = tm
                     names_uns = name_index.get((db, tbl, len(types)))
                     if names_uns is None:
-                        rows.append(_aux(file, pos, next_pos, ts, None,
-                                         "deadletter",
-                                         reason="column count mismatch"))
+                        known = any(k[0] == db and k[1] == tbl
+                                    for k in name_index)
+                        rows.append(_aux(
+                            file, pos, next_pos, ts, None, "deadletter",
+                            reason=("column count mismatch" if known else
+                                    f"table {db}.{tbl} not in registry")))
                         continue
                     names, unsigned = names_uns
                     if etype in C.WRITE_ROWS_TYPES:

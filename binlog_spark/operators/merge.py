@@ -71,11 +71,15 @@ class LakeTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, columns: list,
-               key_cols: list, n_buckets: int = 16) -> "LakeTable":
+               key_cols: list, n_buckets: int = 16,
+               table: tuple | None = None) -> "LakeTable":
+        """``table``: optional ``(db, tbl)`` source identity; when set,
+        ``pipeline.replay_batch`` filters multi-table streams to it."""
         os.makedirs(path, exist_ok=True)
         meta = {
             "columns": list(columns),
             "key": list(key_cols),
+            "table": list(table) if table else None,
             "n_buckets": n_buckets,
             "buckets": {},  # bucket id (str) -> version int
             "version": 0,

@@ -57,11 +57,17 @@ def apply_ddls(lake: LakeTable, ddls: list):
 def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                  registry: dict, batch_id=None, chunk_size: int | None = None,
                  record_lineage: bool = True,
-                 stream_meta: dict | None = None) -> dict:
+                 stream_meta: dict | None = None,
+                 target_table: tuple | None = None) -> dict:
     """Decode+apply one (micro)batch of frames into the lake table.
 
     ``stream_meta``: pass a pre-merged TABLE_MAP index (streaming keeps an
     accumulated one across microbatches) to skip the discovery job.
+    ``target_table``: ``(db, tbl)`` this lake table materializes; other
+    tables' change rows in the same stream are excluded before the fold
+    (the MERGE idempotency key is (gtid, table, row-key) per the north
+    rule — one LakeTable applies one table). Defaults to the lake
+    manifest's recorded identity, else no filter (single-table streams).
     """
     # Three Spark actions per batch, everything else pipelined inside them:
     #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC frames)
@@ -77,6 +83,10 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     folded = None
     try:
         changes = assemble_transactions(decoded)
+        target = target_table or lake.meta.get("table")
+        if target is not None:
+            db, tbl = target
+            changes = changes.where((F.col("db") == db) & (F.col("tbl") == tbl))
         if record_lineage and batch_id is not None:
             changes.persist()
         folded = lake.bucket_of(

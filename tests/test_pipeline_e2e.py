@@ -322,3 +322,75 @@ def test_hot_key_chunked_fold_correct(spark):
     assert hot[2]["lang"] == "go"  # carried from the reinsert, not clobbered
     assert hot[3] == 20001
     assert hot[4] == 20001
+
+
+def test_multi_table_stream_filters_to_target(spark, tmp_path):
+    """A stream interleaving a second table's row events: the lake created
+    with a (db, tbl) identity applies only its own table; the other
+    table's changes still decode (for other consumers) and never leak
+    into the repo-content state."""
+    import struct as _struct
+
+    from binlog_spark.wire import constants as C
+    from binlog_spark.wire import events as E
+
+    other = E.TableMapSpec(
+        database="codehub", name="stars_log",
+        columns=[("user", C.TYPE_VARCHAR, 255, False),
+                 ("repo", C.TYPE_VARCHAR, 255, False),
+                 ("n", C.TYPE_LONG, 0, False)])
+    spec = genlog.table_spec()
+    registry = dict(genlog.table_registry())
+    registry[("codehub", "stars_log")] = [[("user", False), ("repo", False),
+                                           ("n", False)]]
+    fmt = E.BinlogFormat()
+    frames, pos = [], 4
+
+    def emit(etype, payload, ts=1700000000):
+        nonlocal pos
+        fr = bytearray(E.packetize(fmt, etype, 0, payload, timestamp=ts,
+                                   server_id=1, log_position=pos))
+        nxt = pos + len(fr)
+        _struct.pack_into("<I", fr, 13, nxt & 0xFFFFFFFF)
+        frames.append(("binlog.000000", pos, etype, bytes(fr)))
+        pos = nxt
+
+    emit(C.E_FORMAT_DESCRIPTION, E.make_format_description(fmt))
+    emit(C.E_GTID, E.make_gtid(1))
+    emit(C.E_QUERY, E.make_query("codehub", "BEGIN"))
+    emit(C.E_TABLE_MAP, E.make_table_map(spec, genlog.TABLE_ID))
+    emit(C.E_WRITE_ROWS_V2, E.make_rows_event(
+        spec, genlog.TABLE_ID, C.E_WRITE_ROWS_V2,
+        [(None, {"repo": "r1", "path": "p1", "commit": "c" * 40,
+                 "lang": "py", "content": "keepme"})]))
+    emit(C.E_TABLE_MAP, E.make_table_map(other, 9999))
+    emit(C.E_WRITE_ROWS_V2, E.make_rows_event(
+        other, 9999, C.E_WRITE_ROWS_V2,
+        [(None, {"user": "alice", "repo": "r1", "n": "5"})]))
+    emit(C.E_XID, E.make_xid(1))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({"file": pa.array([f[0] for f in frames]),
+                  "pos": pa.array([f[1] for f in frames], pa.int64()),
+                  "etype": pa.array([f[2] for f in frames], pa.int32()),
+                  "frame": pa.array([f[3] for f in frames], pa.binary())})
+    d = tmp_path / "mt_frames"
+    d.mkdir()
+    pq.write_table(t, str(d / "f.parquet"))
+
+    fr = pipeline.read_frames(spark, str(d))
+    # both tables decode
+    changes = pipeline.decode_to_changes(spark, fr, registry)
+    tbls = {r["tbl"] for r in changes.collect()}
+    assert tbls == {"repo_content", "stars_log"}
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_mt"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=2,
+                            table=("codehub", "repo_content"))
+    stats = pipeline.replay_batch(spark, fr, lake, registry, batch_id=0)
+    assert stats["n_changes"] == 1  # only the repo_content row applied
+    rows = [r.asDict() for r in lake.to_df().collect()]
+    assert len(rows) == 1 and rows[0]["content"] == "keepme"
+    assert "user" not in rows[0]
