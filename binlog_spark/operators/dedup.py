@@ -127,7 +127,15 @@ def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
 
 def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
                            bands: int = 4, col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Physical shape: instead of a self-join (which computes the expensive
+    shingle→md5→minhash signature for BOTH sides — Catalyst does not
+    reuse the subtree), group each band bucket once and emit its member
+    pairs with a JVM-side nested `transform` — one signature computation,
+    one shuffle on (band, bucket), pair fan-out bounded by bucket size
+    (near-dup cluster size), which is the formulation that survives at
+    10^9 documents."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, n, num_hashes, col)
     banded = sig.select(
@@ -143,16 +151,18 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
             for bi in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    # all (i < j) pairs within a bucket, JVM-side
+    pairs = buckets.select(F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b)))"
+    ))).alias("p")).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
 
 
 def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
