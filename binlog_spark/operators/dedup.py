@@ -77,13 +77,21 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
                .where(F.col("count") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # inverted index: group each shingle's posting list once and emit its
+    # member pairs JVM-side — the shingle explode+hash runs once instead
+    # of twice (a self-join recomputes both sides), and per-shingle
+    # fan-out is naturally bounded by max_df at scale
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .where(F.size("ids") > 1))
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(F.flatten(F.expr(
+            "transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b)))"
+        ))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     out = (
@@ -215,15 +223,17 @@ def simhash_near_pairs(df: DataFrame, col: str = "text",
             ) for bi in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # bucket-grouped pair generation (same shape as minhash LSH: one
+    # simhash computation, bounded per-bucket fan-out)
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b)))"
+    ))).alias("p")).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
 
 
 # ---- matching ANSI-SQL (DuckDB) oracles ------------------------------------
@@ -338,4 +348,31 @@ WITH toks AS (
 )
 SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
 FROM {table} d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+def simhash_near_pairs_sql(table: str = "documents", bands: int = 4) -> str:
+    """DuckDB replay of ``simhash_near_pairs``: the simhash CTE (see
+    ``simhash_sql``) banded into 64/bands-bit buckets; the int64 is mapped
+    to its unsigned value in HUGEINT so the band extraction matches
+    Spark's shiftrightunsigned."""
+    width = 64 // bands
+    inner = simhash_sql(table).strip()
+    return f"""
+WITH shq AS ({inner}),
+u AS (
+  SELECT doc_id,
+         simhash::HUGEINT
+         + CASE WHEN simhash < 0 THEN 18446744073709551616::HUGEINT
+                ELSE 0::HUGEINT END AS u
+  FROM shq
+), banded AS (
+  SELECT doc_id, b.b AS band,
+         ((u // (1::HUGEINT << ({width} * b.b))) % {1 << width})::BIGINT
+         AS bucket
+  FROM u, (SELECT unnest(range({bands})) AS b) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """

@@ -265,6 +265,10 @@ def dedup_simhash_q(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def dedup_simhash_pairs_q(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- similarity
 def sim_cosine_topk_q(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"),
@@ -371,6 +375,7 @@ QUERIES = {
     "dedup_minhash_signature": dedup_minhash_signature_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
@@ -403,6 +408,7 @@ ORACLES = {
     "dedup_minhash_lsh": dedup.minhash_lsh_candidates_sql(
         n=3, num_hashes=8, bands=4),
     "dedup_simhash": dedup.simhash_sql(),
+    "dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),
