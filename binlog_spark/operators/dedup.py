@@ -4,8 +4,9 @@ Five families over the ``documents`` table:
 
 * exact (hash-groupBy) — scales as one shuffle on a 32-byte digest;
 * word n-gram Jaccard — exact similarity via shingle inverted index
-  (explode → self-join on shingle → pair aggregation), the candidate-pair
-  generation bounded by shared shingles instead of the O(N²) cross join;
+  (explode → per-shingle posting lists → in-list pair generation), the
+  candidate-pair generation bounded by shared shingles instead of the
+  O(N²) cross join, and the shingle hash computed once (no self-join);
 * MinHash + LSH — signature via k seeded affine permutations over md5-derived
   shingle hashes, banded into buckets; candidates = bucket collisions.
   Entirely JVM-side (higher-order functions), deterministic, so the DuckDB
