@@ -185,6 +185,11 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
                     # DML-as-statement / SET: ignored (ROW mode carries data)
                 elif etype == C.E_XID:
                     rows.append(_aux(file, pos, next_pos, ts, None, "commit"))
+                elif etype == C.E_ROWS_QUERY:
+                    # original-statement side channel (IsRowsQuery, P8)
+                    rows.append(_aux(file, pos, next_pos, ts, None,
+                                     "rowsquery",
+                                     sql=E.parse_rows_query(fmt, body)))
                 elif etype in (C.E_INTVAR, C.E_RAND):
                     rows.append(_aux(file, pos, next_pos, ts, None,
                                      "deadletter",

@@ -131,6 +131,19 @@ def make_xid(xid: int = 0) -> bytes:
     return struct.pack("<Q", xid)
 
 
+def make_rows_query(sql: str) -> bytes:
+    """ROWS_QUERY payload: 1-byte (truncated) length + query text."""
+    raw = sql.encode()
+    return bytes([min(len(raw), 255)]) + raw
+
+
+def parse_rows_query(fmt: BinlogFormat, data) -> str:
+    """ROWS_QUERY event → original statement text (the length byte is
+    capped at 255; the text is simply the remainder, as in MySQL)."""
+    body = data[fmt.header_length :]
+    return bytes(body[1:]).decode("utf-8", errors="replace")
+
+
 def make_gtid(gno: int, sid: bytes = b"\x00" * 16, flags: int = 1) -> bytes:
     """MySQL 5.6 GTID event payload: flags(1) + sid(16) + gno(8, LE)."""
     return bytes([flags]) + sid + struct.pack("<q", gno)

@@ -211,3 +211,12 @@ def test_v2_temporal_and_decimal_encode_decode(typ, meta, value, expect):
     got, ln = cell_bytes(raw, 0, typ, meta, False)
     assert got == expect
     assert ln == len(raw)
+
+
+def test_rows_query_roundtrip():
+    fmt = E.BinlogFormat()
+    sql = "UPDATE repo_content SET content = 'x' WHERE repo = 'r'"
+    frame = E.packetize(fmt, C.E_ROWS_QUERY, 0, E.make_rows_query(sql),
+                        timestamp=1, server_id=1, log_position=4)
+    body = E.strip_checksum(fmt, C.E_ROWS_QUERY, frame)
+    assert E.parse_rows_query(fmt, body) == sql
