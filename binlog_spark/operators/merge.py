@@ -249,3 +249,32 @@ class LakeTable:
             meta["last_gtid"] = max(meta["last_gtid"], int(max_gtid))
         self._commit_meta(meta)
         return {"skipped": False, "batch_id": batch_id, "buckets_rewritten": 0}
+
+    # ------------------------------------------------------------- maintenance
+    def vacuum(self) -> dict:
+        """Drop data versions no live bucket references (old copy-on-write
+        generations — the Iceberg `expire_snapshots` analogue). Safe at any
+        point: the manifest is the source of truth and commits atomically."""
+        import shutil
+
+        data_dir = os.path.join(self.path, "data")
+        if not os.path.isdir(data_dir):
+            return {"removed_versions": 0}
+        live = {int(v) for v in self.meta["buckets"].values()}
+        removed = 0
+        for name in sorted(os.listdir(data_dir)):
+            if not name.startswith("v"):
+                continue
+            version = int(name[1:])
+            if version in live:
+                continue
+            # a version dir may hold several buckets; only remove ones
+            # where EVERY bucket has been superseded
+            vdir = os.path.join(data_dir, name)
+            still_live = any(
+                int(self.meta["buckets"].get(b.split("=")[1], -1)) == version
+                for b in os.listdir(vdir) if b.startswith("_bucket="))
+            if not still_live:
+                shutil.rmtree(vdir)
+                removed += 1
+        return {"removed_versions": removed}

@@ -132,3 +132,16 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
 
 def read_frames(spark: SparkSession, frames_dir: str) -> DataFrame:
     return spark.read.schema(S.FRAME_SCHEMA).parquet(frames_dir)
+
+
+def read_frames_from(spark: SparkSession, frames_dir: str,
+                     start_file: str, start_pos: int) -> DataFrame:
+    """Batch resume cursor — the analogue of the reference's
+    COM_BINLOG_DUMP (offset, filename) request (P5,
+    dump/packets.go:991-1007) and ``SetStartBinlogPosition``: scan only
+    frames at or after the position. Both predicates push down to the
+    parquet scan (file names sort chronologically: binlog.NNNNNN)."""
+    f = read_frames(spark, frames_dir)
+    return f.where(
+        (F.col("file") > start_file)
+        | ((F.col("file") == start_file) & (F.col("pos") >= start_pos)))

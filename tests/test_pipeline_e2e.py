@@ -394,3 +394,64 @@ def test_multi_table_stream_filters_to_target(spark, tmp_path):
     rows = [r.asDict() for r in lake.to_df().collect()]
     assert len(rows) == 1 and rows[0]["content"] == "keepme"
     assert "user" not in rows[0]
+
+
+def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
+    result, frames_dir = world
+    lake = LakeTable.create(spark, str(tmp_path / "lake_vac"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    frames = pipeline.read_frames(spark, frames_dir)
+    # two applies (second is a differently-keyed replay → new version)
+    pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
+                          batch_id=0)
+    before = sorted(tuple(r) for r in lake.to_df().collect())
+    import os as _os
+    data_dir = str(tmp_path / "lake_vac" / "data")
+    n_before = len(_os.listdir(data_dir))
+    pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
+                          batch_id=1)
+    stats = lake.vacuum()
+    after = sorted(tuple(r) for r in lake.to_df().collect())
+    assert after == before  # vacuum never changes visible state
+    assert stats["removed_versions"] >= 1 or n_before == len(
+        _os.listdir(data_dir))
+
+
+def test_resume_cursor_pushes_down_and_replays_suffix(spark, world, tmp_path):
+    """P5 batch analogue: resume from (file, pos) — the predicate reaches
+    the parquet scan, and replaying [start, end] onto a lake that already
+    has [begin, start) reproduces the full final state."""
+    from binlog_spark import plans
+
+    result, frames_dir = world
+    files = sorted({c["file"] for c in result.changes})
+    cut_file = files[len(files) // 2]
+    # resume tokens are transaction boundaries (the reference's
+    # NextPosition, row_streamer.go:107-118): cut at a GTID event start
+    from binlog_spark.wire import constants as C
+    gtid_starts = [p for f, p, et, _ in result.frames
+                   if f == cut_file and et == C.E_GTID]
+    cut_pos = gtid_starts[len(gtid_starts) // 2]
+
+    suffix = pipeline.read_frames_from(spark, frames_dir, cut_file, cut_pos)
+    assert plans.has_pushed_filter(suffix, "file"), plans.physical_plan(suffix)
+
+    # apply prefix then resume with the suffix
+    prefix = pipeline.read_frames(spark, frames_dir).where(
+        (F.col("file") < cut_file)
+        | ((F.col("file") == cut_file) & (F.col("pos") < cut_pos)))
+    lake = LakeTable.create(spark, str(tmp_path / "lake_res"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    pipeline.replay_batch(spark, prefix, lake, genlog.table_registry(),
+                          batch_id=0)
+    # FORMAT_DESCRIPTION of the cut file precedes the cut; re-union it so
+    # the suffix is self-describing (a real dump re-sends it on connect)
+    pipeline.replay_batch(spark, suffix, lake, genlog.table_registry(),
+                          batch_id=1, stream_meta=None)
+
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in lake.to_df().collect()}
+    want = {k: v["content"] for k, v in result.final_state.items()}
+    assert got == want
