@@ -104,10 +104,20 @@ class LakeTable:
         return os.path.join(self.path, "data", f"v{version:06d}",
                             f"_bucket={bucket}")
 
-    def read(self, buckets=None) -> DataFrame:
+    def read(self, buckets=None, at_version: int | None = None) -> DataFrame:
         """Current snapshot (with merge metadata columns). Reading a subset
-        of buckets = partition pruning: untouched data is never scanned."""
-        live = self.meta["buckets"]
+        of buckets = partition pruning: untouched data is never scanned.
+        ``at_version``: time-travel to a committed snapshot (requires the
+        referenced data versions to not have been vacuumed)."""
+        if at_version is not None:
+            for h in self.meta.get("history", []):
+                if h["version"] == at_version:
+                    live = h["buckets"]
+                    break
+            else:
+                raise ValueError(f"no snapshot at version {at_version}")
+        else:
+            live = self.meta["buckets"]
         want = (
             [str(b) for b in buckets] if buckets is not None else list(live)
         )
@@ -118,8 +128,12 @@ class LakeTable:
         # explicit schema: evolved columns absent from old files read as null
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def to_df(self) -> DataFrame:
-        return self.read().select(*self.meta["columns"])
+    def to_df(self, at_version: int | None = None) -> DataFrame:
+        return self.read(at_version=at_version).select(*self.meta["columns"])
+
+    def snapshots(self) -> list:
+        """Committed snapshot log (Iceberg `.snapshots` analogue)."""
+        return list(self.meta.get("history", []))
 
     # ----------------------------------------------------------------- write
     def evolve_add_column(self, name: str):
@@ -233,6 +247,14 @@ class LakeTable:
                 meta["applied_batches"] = meta["applied_batches"] + [batch_id]
             if max_gtid is not None:
                 meta["last_gtid"] = max(meta["last_gtid"], int(max_gtid))
+            # snapshot log: full bucket map per committed version (tiny —
+            # n_buckets entries), enabling time-travel reads and making
+            # vacuum() deletions auditable. Iceberg snapshot analogue.
+            meta["history"] = list(meta.get("history", [])) + [{
+                "version": new_version, "batch_id": batch_id,
+                "buckets": dict(meta["buckets"]),
+                "last_gtid": meta["last_gtid"],
+            }]
             self._commit_meta(meta)
             return {"skipped": False, "batch_id": batch_id,
                     "buckets_rewritten": len(changed),

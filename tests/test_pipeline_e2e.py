@@ -455,3 +455,30 @@ def test_resume_cursor_pushes_down_and_replays_suffix(spark, world, tmp_path):
            for r in lake.to_df().collect()}
     want = {k: v["content"] for k, v in result.final_state.items()}
     assert got == want
+
+
+def test_time_travel_snapshots(spark, world, tmp_path):
+    """Iceberg-snapshot analogue: every merge commit logs its bucket map;
+    reading at an old version reproduces that batch's exact state."""
+    result, frames_dir = world
+    lake = LakeTable.create(spark, str(tmp_path / "lake_tt"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    all_frames = pipeline.read_frames(spark, frames_dir)
+    files = sorted({c["file"] for c in result.changes})
+    first = all_frames.where(F.col("file") == files[0])
+    pipeline.replay_batch(spark, first, lake, genlog.table_registry(),
+                          batch_id=0)
+    v1 = lake.meta["version"]
+    state_v1 = sorted(tuple(r) for r in lake.to_df().collect())
+
+    rest = all_frames.where(F.col("file") > files[0])
+    pipeline.replay_batch(spark, rest, lake, genlog.table_registry(),
+                          batch_id=1)
+    assert lake.meta["version"] > v1
+    # current state differs, but the v1 snapshot is still readable
+    assert sorted(tuple(r) for r in lake.to_df(at_version=v1).collect()) \
+        == state_v1
+    snaps = lake.snapshots()
+    assert [s["version"] for s in snaps] == sorted(s["version"] for s in snaps)
+    assert snaps[-1]["last_gtid"] == lake.meta["last_gtid"]
