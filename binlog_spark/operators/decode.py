@@ -140,11 +140,16 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
                 name_index[(db, tbl, len(cols))] = (
                     [c[0] for c in cols], [c[1] for c in cols])
 
+        # position-key vectors hoisted out of the per-frame loop (a
+        # rebuilt [v[0] for v in vers] per rows-event shows up in profiles)
+        tmap_keys = {k: [v[0] for v in vers] for k, vers in tmaps.items()}
+
         def resolve_tm(file, table_id, pos):
-            vers = tmaps.get((file, table_id))
+            key = (file, table_id)
+            vers = tmaps.get(key)
             if not vers:
                 return None
-            i = bisect.bisect_right([v[0] for v in vers], pos) - 1
+            i = bisect.bisect_right(tmap_keys[key], pos) - 1
             return vers[max(i, 0)][1]
 
         for pdf in batches:
