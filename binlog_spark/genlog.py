@@ -300,7 +300,11 @@ def write_frames_parquet(result: GenResult, out_dir: str,
             "etype": pa.array([r[1] for r in rows], pa.int32()),
             "frame": pa.array([r[2] for r in rows], pa.binary()),
         })
-        pq.write_table(table, os.path.join(out_dir, f"{fname}.parquet"))
+        # several row groups per file so a scan can split WITHIN a binlog
+        # file (at production scale a 1 GiB file in one row group would
+        # pin decode parallelism to the file count)
+        pq.write_table(table, os.path.join(out_dir, f"{fname}.parquet"),
+                       row_group_size=4096)
     return out_dir
 
 

@@ -320,6 +320,26 @@ def mm_features_q(spark, sf_dir):
 
 
 # --------------------------------------------------- wire pipeline (flagship)
+def cdc_packet_framing(spark, sf_dir=None):
+    """P3 source stage: wrap a deterministic frame set in MySQL dump-stream
+    wire packets (incl. an EOF marker per blob), then split them back
+    distributed. Binary framing is not DuckDB-expressible -> rows-only."""
+    from .sources.packets import frames_from_dump_blobs, packetize_stream
+
+    gen = genlog.CdcWorldGenerator(seed=5, n_repos=10, paths_per_repo=10,
+                                   txns_per_file=25)
+    result = gen.generate(n_txns=50)
+    by_file = {}
+    for f, _pos, _et, frame in result.frames:
+        by_file.setdefault(f, []).append(b"\x00" + frame)
+    blobs = [(f, packetize_stream(payloads + [b"\xfe\x00\x00"]))
+             for f, payloads in sorted(by_file.items())]
+    df = spark.createDataFrame(blobs, "blob_id string, blob binary")
+    out = frames_from_dump_blobs(spark, df)
+    return (out.groupBy("blob_id", "status")
+            .count().orderBy("blob_id", "status"))
+
+
 def cdc_replay_final_state(spark, sf_dir=None, n_txns: int = 120):
     """Full wire pipeline: generate deterministic binlog frames, decode,
     assemble, fold, MERGE into a fresh lake table; return the final
@@ -389,6 +409,7 @@ QUERIES = {
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
     # wire-format CDC pipeline (rows-only: binary decode isn't SQL)
+    "cdc_packet_framing": lambda s, d: cdc_packet_framing(s, d),
     "cdc_replay_final_state": lambda s, d: cdc_replay_final_state(s, d),
     "cdc_replay_lineage": lambda s, d: cdc_replay_lineage(s, d),
 }
