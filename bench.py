@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",

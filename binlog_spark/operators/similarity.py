@@ -202,3 +202,77 @@ buckets AS (
 )
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf_assign(df: DataFrame, n_centroids: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max dot product). Centroids are the first ``n_centroids``
+    corpus vectors — deterministic, no iterative training, so the
+    assignment is exactly reproducible in the SQL oracle. At scale the
+    centroid set stays broadcast-small while cells partition the corpus."""
+    cents = (df.where(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cvec")))
+    scored = (df.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+              .join(F.broadcast(cents))
+              .withColumn("dot", _dot(F.col("embedding"), F.col("cvec"))))
+    # deterministic argmax: highest dot, ties to the smallest centroid id
+    best = (scored.groupBy("vec_id")
+            .agg(F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("dot"), -F.col("cent_id"))).alias("cell")))
+    return (df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"))
+            .join(best, "vec_id"))
+
+
+def ivf_ann_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
+                 n_centroids: int = 8) -> DataFrame:
+    """Approximate top-k: exact ranking restricted to the query's IVF cell
+    (nprobe=1). The scale path: one broadcast of centroids + one shuffle
+    on the cell id; per-cell candidate lists are corpus/n_centroids."""
+    cells = ivf_assign(df, n_centroids)
+    queries = (cells.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec"), F.col("cell")))
+    scored = (cells.join(F.broadcast(queries), "cell")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .withColumn("sim", F.round(_dot(F.col("qvec"),
+                                              F.col("embedding")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "sim", "rank"))
+
+
+def ivf_ann_topk_sql(table: str = "embeddings", n_queries: int = 5,
+                     k: int = 10, n_centroids: int = 8) -> str:
+    """DuckDB replay of ``ivf_ann_topk``: same deterministic centroids
+    (vec_id < n_centroids), same order-stable dot products, same
+    ties-to-smallest-centroid argmax."""
+    vdot = _DOT.format(a="v.embedding", b="c.embedding")
+    qcdot = _DOT.format(a="q.embedding", b="t.embedding")
+    return f"""
+WITH scored AS (
+  SELECT v.vec_id, v.embedding, c.vec_id AS cent_id,
+         {vdot} AS dot
+  FROM {table} v JOIN {table} c ON c.vec_id < {n_centroids}
+), best AS (
+  SELECT vec_id, embedding, cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dot DESC, cent_id ASC) AS rn FROM scored)
+  WHERE rn = 1
+), pairs AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+         round({qcdot}, 6) AS sim
+  FROM best q JOIN best t ON q.cell = t.cell AND t.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id ASC) AS rank FROM pairs)
+WHERE rank <= {k}
+"""

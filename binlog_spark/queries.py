@@ -287,6 +287,11 @@ def sim_lsh_ann_q(spark, sf_dir):
                                    n_queries=5, k=10)
 
 
+def sim_ivf_ann_q(spark, sf_dir):
+    return similarity.ivf_ann_topk(_t(spark, sf_dir, "embeddings"),
+                                   n_queries=5, k=10)
+
+
 # -------------------------------------------------------------------- text
 def text_token_count_q(spark, sf_dir):
     return textstats.token_count(_t(spark, sf_dir, "documents"))
@@ -400,6 +405,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
     "sim_lsh_ann_topk": sim_lsh_ann_q,
+    "sim_ivf_ann_topk": sim_ivf_ann_q,
     # text analysis
     "text_token_count": text_token_count_q,
     "text_quality": text_quality_q,
@@ -434,6 +440,7 @@ ORACLES = {
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
+    "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
     "text_token_count": textstats.token_count_sql(),
     "text_quality": textstats.quality_score_sql(),
     "text_lang_id": textstats.lang_id_sql(),
