@@ -21,7 +21,7 @@ state):
     scales (a single block can sit entirely inside a bad window).
 
 Usage: python bench_scaling.py [n_txns] [low_cores] [high_cores]
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/last_run.md and prints one JSON line.
 """
 
 from __future__ import annotations

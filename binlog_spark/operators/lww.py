@@ -151,8 +151,7 @@ def fold_changes_arrow(changes: DataFrame, key_cols=("repo", "path"),
                 rows = []
         if cur_key is not None:
             rows.append([*cur_key, *st])
-        if rows or True:
-            yield emit_rows(rows)
+        yield emit_rows(rows)
 
     return src.mapInPandas(_fold, schema=out_schema)
 

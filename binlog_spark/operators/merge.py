@@ -155,7 +155,8 @@ class LakeTable:
 
     def merge_apply(self, folded: DataFrame, batch_id=None,
                     max_gtid: int | None = None,
-                    changed_buckets: list | None = None) -> dict:
+                    changed_buckets: list | None = None,
+                    enforce_gtid_watermark: bool = True) -> dict:
         """Apply a per-key folded delta (from ``lww.fold_changes``).
 
         Exactly-once: if ``batch_id`` was already applied, no-op; row-level
@@ -182,7 +183,11 @@ class LakeTable:
         # replays no-ops even for keys whose base row a DELETE physically
         # removed (the tombstone problem: without this, a late older
         # insert would resurrect a deleted key).
-        hwm = self.meta.get("last_gtid", -1)
+        # Contract: batches arrive in gtid order (the CDC stream order) —
+        # a backfill that intentionally replays an OLD gtid range must
+        # pass enforce_gtid_watermark=False and accepts that deletes below
+        # the watermark have no tombstone to guard against resurrection.
+        hwm = self.meta.get("last_gtid", -1) if enforce_gtid_watermark else -1
         if hwm is not None and hwm >= 0:
             delta = delta.where(F.col("g") > F.lit(hwm))
         if not caller_managed:
@@ -238,10 +243,21 @@ class LakeTable:
             (result.repartition(max(len(changed), 1), F.col("_bucket"))
              .write.mode("overwrite").partitionBy("_bucket").parquet(out_dir))
 
+            # a changed bucket can produce ZERO output rows (e.g. its only
+            # key was inserted and deleted within the batch, or every base
+            # row was dropped): partitionBy writes no directory for it, so
+            # commit only directories that exist and remove emptied buckets
+            # from the manifest — pointing at a never-written path would
+            # make every later read crash
+            written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+                       if d.startswith("_bucket=")} if os.path.isdir(out_dir) else set()
             meta = dict(self.meta)
             meta["buckets"] = dict(meta["buckets"])
             for b in changed:
-                meta["buckets"][str(b)] = new_version
+                if str(b) in written:
+                    meta["buckets"][str(b)] = new_version
+                else:
+                    meta["buckets"].pop(str(b), None)
             meta["version"] = new_version
             if batch_id is not None:
                 meta["applied_batches"] = meta["applied_batches"] + [batch_id]
@@ -290,13 +306,8 @@ class LakeTable:
             version = int(name[1:])
             if version in live:
                 continue
-            # a version dir may hold several buckets; only remove ones
-            # where EVERY bucket has been superseded
-            vdir = os.path.join(data_dir, name)
-            still_live = any(
-                int(self.meta["buckets"].get(b.split("=")[1], -1)) == version
-                for b in os.listdir(vdir) if b.startswith("_bucket="))
-            if not still_live:
-                shutil.rmtree(vdir)
-                removed += 1
+            # `live` is exactly the set of versions the manifest points at,
+            # so everything else is superseded in full
+            shutil.rmtree(os.path.join(data_dir, name))
+            removed += 1
         return {"removed_versions": removed}

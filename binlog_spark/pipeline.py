@@ -24,7 +24,7 @@ from .operators.merge import LakeTable
 from .operators.transactions import assemble_transactions
 
 _ADD_COLUMN_RE = re.compile(
-    r"alter\s+table\s+\S+\s+add\s+(?:column\s+)?(\w+)", re.IGNORECASE)
+    r"alter\s+table\s+(\S+)\s+add\s+(?:column\s+)?(\w+)", re.IGNORECASE)
 
 
 class _DdlAccum(AccumulatorParam):
@@ -47,11 +47,23 @@ def decode_to_changes(spark: SparkSession, frames: DataFrame,
 
 
 def apply_ddls(lake: LakeTable, ddls: list):
-    """Iceberg-style in-flight schema evolution from the DDL side channel."""
+    """Iceberg-style in-flight schema evolution from the DDL side channel.
+
+    In a multi-table stream only the lake's own table's ALTERs apply: the
+    statement's table token (``tbl`` or ``db.tbl``, optionally quoted)
+    must match the lake identity when one is recorded."""
+    target = lake.meta.get("table")
     for row in ddls:
         m = _ADD_COLUMN_RE.match(row["sql"].strip())
-        if m:
-            lake.evolve_add_column(m.group(1))
+        if not m:
+            continue
+        if target is not None:
+            db, tbl = target
+            token = m.group(1).strip('`"').lower()
+            names = {tbl.lower(), f"{db}.{tbl}".lower()}
+            if token not in names:
+                continue
+        lake.evolve_add_column(m.group(2))
 
 
 def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
@@ -81,6 +93,7 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     decoded = decode_frames(spark, frames, meta, registry, ddl_acc=ddl_acc)
     decoded.persist()
     folded = None
+    changes = None
     try:
         changes = assemble_transactions(decoded)
         target = target_table or lake.meta.get("table")
@@ -98,6 +111,12 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                            F.max("g").alias("g")).collect())
         n_changes = sum(r["n"] for r in per_bucket)
         max_gtid = max((r["g"] for r in per_bucket), default=None)
+        # merge_apply drops delta rows at-or-below the lake's gtid
+        # watermark; apply the same cut to the changed-bucket list so a
+        # re-delivered batch commits a no-op instead of rewriting every
+        # touched bucket byte-identically
+        hwm = lake.meta.get("last_gtid", -1)
+        effective = [r for r in per_bucket if r["g"] > hwm]
 
         # accumulator is complete once the stats action returns; dedupe by
         # (file, pos) — task retries re-fire accumulator updates
@@ -112,7 +131,7 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
 
         stats = lake.merge_apply(
             folded, batch_id=batch_id, max_gtid=max_gtid,
-            changed_buckets=[r["_bucket"] for r in per_bucket])
+            changed_buckets=[r["_bucket"] for r in effective])
         stats["n_changes"] = n_changes
         stats["n_ddls"] = len(ddls)
         if record_lineage and batch_id is not None:
@@ -122,9 +141,10 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                 "seconds": round(secs, 3),
                 "events_per_sec": round(n_changes / secs, 1) if secs else None,
             })
-            changes.unpersist()
         return stats
     finally:
+        if changes is not None and record_lineage and batch_id is not None:
+            changes.unpersist()
         if folded is not None:
             folded.unpersist()
         decoded.unpersist()

@@ -7,6 +7,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(4, min(48, int(total * 0.4 / (1 << 30))))
+    except (ValueError, OSError):
+        gb = 4
+    return f"{gb}g"
+
+
+def _default_scratch() -> str:
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 << 30:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(app_name: str = "binlog-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
@@ -28,16 +47,16 @@ def get_spark(app_name: str = "binlog-spark", cpus: int | None = None,
         # canonical temporal rendering is UTC-pinned
         .config("spark.sql.session.timeZone", "UTC")
         # local mode = one JVM for driver+executor: size the heap for the
-        # concurrent task count (32 tasks × sort/agg buffers), not for a
-        # driver-only role — 8g thrashes GC at local[32]
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # shuffle/spill scratch on tmpfs when available: local-mode disk
-        # commit latency otherwise dominates (and adds noise to) small
-        # benchmark batches; harmless fallback to /tmp elsewhere
+        # concurrent task count (N tasks × sort/agg buffers), not for a
+        # driver-only role — but never beyond ~40% of system RAM so the
+        # default stays safe on small hosts
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", _default_heap()))
+        # shuffle/spill scratch on tmpfs when it is present AND roomy:
+        # local-mode disk commit latency otherwise dominates small
+        # batches; small-RAM hosts keep the disk default
         .config("spark.local.dir",
-                os.environ.get("SPARK_LOCAL_DIRS",
-                               "/dev/shm/spark-local"
-                               if os.path.isdir("/dev/shm") else "/tmp"))
+                os.environ.get("SPARK_LOCAL_DIRS", _default_scratch()))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -482,3 +482,48 @@ def test_time_travel_snapshots(spark, world, tmp_path):
     snaps = lake.snapshots()
     assert [s["version"] for s in snaps] == sorted(s["version"] for s in snaps)
     assert snaps[-1]["last_gtid"] == lake.meta["last_gtid"]
+
+
+def test_foreign_table_ddl_does_not_evolve_lake(spark, tmp_path):
+    """Multi-table stream: another table's ALTER must not add columns to
+    this lake (review finding: apply_ddls used to ignore the statement's
+    table token)."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake_fddl"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=2,
+                            table=("codehub", "repo_content"))
+    pipeline.apply_ddls(lake, [
+        {"sql": "ALTER TABLE stars_log ADD COLUMN fork_count INT"},
+        {"sql": "ALTER TABLE codehub.stars_log ADD forks INT"},
+        {"sql": "ALTER TABLE `repo_content` ADD COLUMN stars INT"},
+        {"sql": "ALTER TABLE codehub.repo_content ADD COLUMN watchers INT"},
+    ])
+    assert "fork_count" not in lake.meta["columns"]
+    assert "forks" not in lake.meta["columns"]
+    assert "stars" in lake.meta["columns"]       # bare own-table name
+    assert "watchers" in lake.meta["columns"]    # db-qualified own table
+
+
+def test_bucket_emptied_within_batch_stays_readable(spark, tmp_path):
+    """Review finding: a changed bucket whose every key is inserted AND
+    deleted within the batch produces no output rows — the manifest must
+    not point at a never-written directory (read() used to crash)."""
+    from binlog_spark.operators.lww import fold_changes as _fold
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_phantom"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=2)
+    base = {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+            "content": "x"}
+    changes = spark.createDataFrame(
+        [(1, 1, 0, "f", 4, 5, 0, "I", "codehub", "repo_content", None, base),
+         (2, 2, 0, "f", 5, 6, 0, "D", "codehub", "repo_content",
+          {"repo": "r", "path": "p"}, None)],
+        "gtid_seq long, txn_id long, seq_in_txn int, file string, pos long, "
+        "next_pos long, ts long, op string, db string, tbl string, "
+        "before map<string,string>, after map<string,string>")
+    stats = lake.merge_apply(_fold(changes), batch_id=0, max_gtid=2)
+    assert not stats.get("skipped")
+    # readable, and empty — no phantom directory in the manifest
+    assert lake.to_df().count() == 0
+    assert lake.read().count() == 0
