@@ -226,6 +226,10 @@ def encode_cell(typ: int, metadata: int, unsigned: bool, value: str) -> bytes:
         if metadata > 255:
             return struct.pack("<H", len(raw)) + raw
         return bytes([len(raw)]) + raw
+    if typ == C.TYPE_STRING and (metadata >> 8) in (C.TYPE_ENUM, C.TYPE_SET):
+        # reference quirk: ENUM/SET ride inside TYPE_STRING metadata
+        # (binlog_event_rbr.go:939-977); cells are little-endian ints
+        return int(value).to_bytes(metadata & 0xFF, "little")
     if typ == C.TYPE_STRING:
         raw = value.encode()
         max_len = (((metadata >> 4) & 0x300) ^ 0x300) + (metadata & 0xFF)
@@ -271,6 +275,13 @@ def encode_cell(typ: int, metadata: int, unsigned: bool, value: str) -> bytes:
         return (0x800000 - hms).to_bytes(3, "big") + fb
     if typ == C.TYPE_NEWDECIMAL:
         return _encode_new_decimal(value, metadata)
+    if typ == C.TYPE_ENUM:
+        width = metadata & 0xFF
+        return int(value).to_bytes(width, "little")
+    if typ == C.TYPE_SET:
+        l = metadata & 0xFF
+        raw = value.encode() if isinstance(value, str) else bytes(value)
+        return raw[:l].ljust(l, b"\x00")
     if typ == C.TYPE_BIT:
         nbits = ((metadata >> 8) * 8) + (metadata & 0xFF)
         raw = value.encode() if isinstance(value, str) else bytes(value)

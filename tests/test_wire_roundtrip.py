@@ -220,3 +220,20 @@ def test_rows_query_roundtrip():
                         timestamp=1, server_id=1, log_position=4)
     body = E.strip_checksum(fmt, C.E_ROWS_QUERY, frame)
     assert E.parse_rows_query(fmt, body) == sql
+
+
+@_pytest.mark.parametrize("typ,meta,value,expect", [
+    (C.TYPE_ENUM, (C.TYPE_ENUM << 8) | 1, "3", b"3"),
+    (C.TYPE_ENUM, (C.TYPE_ENUM << 8) | 2, "260", b"260"),
+    # standalone SET decodes to raw bytes
+    (C.TYPE_SET, (C.TYPE_SET << 8) | 2, "ab", b"ab"),
+    # ENUM/SET inside TYPE_STRING metadata (10-bit quirk neighborhood)
+    (C.TYPE_STRING, (C.TYPE_ENUM << 8) | 1, "7", b"7"),
+    (C.TYPE_STRING, (C.TYPE_ENUM << 8) | 2, "513", b"513"),
+    (C.TYPE_STRING, (C.TYPE_SET << 8) | 2, "5", b"5"),
+])
+def test_enum_set_encode_decode(typ, meta, value, expect):
+    raw = E.encode_cell(typ, meta, False, value)
+    got, ln = cell_bytes(raw, 0, typ, meta, False)
+    assert got == expect
+    assert ln == len(raw)
