@@ -134,6 +134,29 @@ FROM events GROUP BY 1
 
 
 # ------------------------------------------------------------------ classic
+def agg_rollup_pricing(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows —
+    the grouping-sets category of SURVEY §2.2, pure built-in."""
+    li = _t(spark, sf_dir, "lineitem")
+    rolled = (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("sum_qty"),
+                   F.count("*").alias("n_rows")))
+    # subtotal marker NULLs -> sentinel so results stay totally ordered
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+        "sum_qty", "n_rows")
+
+
+def agg_rollup_pricing_sql():
+    return """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def tpch_q1_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -390,6 +413,7 @@ QUERIES = {
     "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_lineage_by_op": cdc_lineage_by_op,
     # classical operators
+    "agg_rollup_pricing": agg_rollup_pricing,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,
     "join_broadcast_part_counts": join_broadcast_part_counts,
@@ -425,6 +449,7 @@ ORACLES = {
     "cdc_apply_changelog": cdc_apply_changelog_sql(),
     "cdc_txn_assembly": cdc_txn_assembly_sql(),
     "cdc_lineage_by_op": cdc_lineage_by_op_sql(),
+    "agg_rollup_pricing": agg_rollup_pricing_sql(),
     "tpch_q1_pricing": tpch_q1_pricing_sql(),
     "tpch_q3_topk": tpch_q3_topk_sql(),
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),

@@ -49,6 +49,8 @@ COLUMNS = [
     ("t_dt2", C.TYPE_DATETIME2, 3, False),
     ("t_time2", C.TYPE_TIME2, 2, False),
     ("t_ts2", C.TYPE_TIMESTAMP2, 0, False),
+    ("t_enum", C.TYPE_ENUM, (C.TYPE_ENUM << 8) | 1, False),
+    ("t_set", C.TYPE_STRING, (C.TYPE_SET << 8) | 2, False),
 ]
 
 SPEC = E.TableMapSpec(database=DB, name=TBL,
@@ -79,6 +81,8 @@ ROW1 = {
     "t_dt2": "2026-08-17 23:59:59.999",
     "t_time2": "-838:59:58.97",
     "t_ts2": "86400",
+    "t_enum": "3",
+    "t_set": "513",
 }
 # TIMESTAMP2 is stored as epoch seconds but canonically rendered UTC
 ROW1_EXPECT = dict(ROW1, t_ts2="1970-01-02 00:00:00")
@@ -104,6 +108,8 @@ ROW2 = {
     "t_dt2": "1000-01-01 00:00:00.000",
     "t_time2": "00:00:00.01",
     "t_ts2": "0",
+    "t_enum": "255",
+    "t_set": "0",
 }
 # epoch 0 is MySQL's zero-timestamp sentinel (rbr.go:14-15,315-327)
 ROW2_EXPECT_TS2 = "0000-00-00 00:00:00"
