@@ -348,6 +348,32 @@ def mm_features_q(spark, sf_dir):
 
 
 # --------------------------------------------------- wire pipeline (flagship)
+def window_tumbling_events(spark, sf_dir):
+    """Tumbling 1-hour event windows (SURVEY §2.2 streaming-window
+    semantics expressed on the batch table): per-window event counts and
+    value sums — in Structured Streaming the identical groupBy(window)
+    runs incrementally with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (ev.groupBy(win.start.alias("win_start"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .withColumn("win_start",
+                        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")))
+
+
+def window_tumbling_events_sql():
+    return """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def cdc_packet_framing(spark, sf_dir=None):
     """P3 source stage: wrap a deterministic frame set in MySQL dump-stream
     wire packets (incl. an EOF marker per blob), then split them back
@@ -418,6 +444,7 @@ QUERIES = {
     "tpch_q3_topk": tpch_q3_topk,
     "join_broadcast_part_counts": join_broadcast_part_counts,
     "window_topk_orders": window_topk_orders,
+    "window_tumbling_events": window_tumbling_events,
     # dedup family
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
@@ -454,6 +481,7 @@ ORACLES = {
     "tpch_q3_topk": tpch_q3_topk_sql(),
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
     "window_topk_orders": window_topk_orders_sql(),
+    "window_tumbling_events": window_tumbling_events_sql(),
     "dedup_exact": dedup.exact_dedup_sql(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.4),
     "dedup_minhash_signature": dedup_minhash_signature_sql(),
