@@ -348,6 +348,45 @@ def mm_features_q(spark, sf_dir):
 
 
 # --------------------------------------------------- wire pipeline (flagship)
+def set_ops_users(spark, sf_dir):
+    """Set operations (SURVEY §2.2): users who click but never error —
+    EXCEPT over two filtered projections, built-in distinct set logic."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    erroring = ev.where(F.col("event_type") == "error").select("user_id")
+    return clickers.subtract(erroring)  # EXCEPT (set semantics)
+
+
+def set_ops_users_sql():
+    return """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+def json_props_events(spark, sf_dir):
+    """JSON functions over a string column (the reference explicitly lacks
+    a JSON type — binlog_event.go:4-5; our engine supports JSON functions
+    on string payloads as a superset): extract props.k, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.min(k).alias("min_k"), F.max(k).alias("max_k"),
+                 F.sum(k).alias("sum_k")))
+
+
+def json_props_events_sql():
+    return """
+SELECT event_type,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def window_tumbling_events(spark, sf_dir):
     """Tumbling 1-hour event windows (SURVEY §2.2 streaming-window
     semantics expressed on the batch table): per-window event counts and
@@ -445,6 +484,8 @@ QUERIES = {
     "join_broadcast_part_counts": join_broadcast_part_counts,
     "window_topk_orders": window_topk_orders,
     "window_tumbling_events": window_tumbling_events,
+    "set_ops_users": set_ops_users,
+    "json_props_events": json_props_events,
     # dedup family
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
@@ -482,6 +523,8 @@ ORACLES = {
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
     "window_topk_orders": window_topk_orders_sql(),
     "window_tumbling_events": window_tumbling_events_sql(),
+    "set_ops_users": set_ops_users_sql(),
+    "json_props_events": json_props_events_sql(),
     "dedup_exact": dedup.exact_dedup_sql(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.4),
     "dedup_minhash_signature": dedup_minhash_signature_sql(),
