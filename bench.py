@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "tpch_q3_topk",
     "join_broadcast_part_counts",
     "window_topk_orders",
+    "window_tumbling_events",
+    "agg_rollup_pricing",
+    "set_ops_users",
+    "json_props_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
