@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from . import genlog, pipeline
 from .operators import dedup, multimodal, similarity, textstats
-from .operators.lww import fold_changes, lww_latest
+from .operators.lww import lww_latest
 from .operators.merge import LakeTable
 
 

@@ -26,7 +26,6 @@ Spark UDFs.
 from __future__ import annotations
 
 import datetime as _dt
-import struct
 
 import numpy as np
 

@@ -18,8 +18,6 @@ from dataclasses import dataclass, field
 
 from . import constants as C
 from .codec import (
-    cell_length,
-    metadata_length,
     metadata_read,
     metadata_write,
     read_lenenc_int,
