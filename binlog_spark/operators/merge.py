@@ -291,23 +291,34 @@ class LakeTable:
     # ------------------------------------------------------------- maintenance
     def vacuum(self) -> dict:
         """Drop data versions no live bucket references (old copy-on-write
-        generations — the Iceberg `expire_snapshots` analogue). Safe at any
-        point: the manifest is the source of truth and commits atomically."""
+        generations — the Iceberg `expire_snapshots` analogue), and expire
+        the snapshot-log entries that referenced them so ``snapshots()``
+        never advertises a time-travel point whose data is gone. The pruned
+        manifest commits atomically BEFORE any file is deleted, so a crash
+        mid-vacuum leaves at worst unreferenced garbage, never a snapshot
+        pointing at a missing directory."""
         import shutil
 
         data_dir = os.path.join(self.path, "data")
         if not os.path.isdir(data_dir):
-            return {"removed_versions": 0}
+            return {"removed_versions": 0, "expired_snapshots": 0}
         live = {int(v) for v in self.meta["buckets"].values()}
-        removed = 0
-        for name in sorted(os.listdir(data_dir)):
-            if not name.startswith("v"):
-                continue
-            version = int(name[1:])
-            if version in live:
-                continue
-            # `live` is exactly the set of versions the manifest points at,
-            # so everything else is superseded in full
-            shutil.rmtree(os.path.join(data_dir, name))
-            removed += 1
-        return {"removed_versions": removed}
+        # `live` is exactly the set of versions the current manifest points
+        # at, so every other on-disk version is superseded in full
+        removable = sorted(
+            int(name[1:]) for name in os.listdir(data_dir)
+            if name.startswith("v") and int(name[1:]) not in live)
+        expired = 0
+        if removable:
+            gone = set(removable)
+            meta = dict(self.meta)
+            history = meta.get("history", [])
+            kept = [h for h in history
+                    if not any(int(v) in gone for v in h["buckets"].values())]
+            expired = len(history) - len(kept)
+            meta["history"] = kept
+            self._commit_meta(meta)
+            for version in removable:
+                shutil.rmtree(os.path.join(data_dir, f"v{version:06d}"))
+        return {"removed_versions": len(removable),
+                "expired_snapshots": expired}

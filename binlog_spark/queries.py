@@ -88,25 +88,40 @@ WHERE rn = 1 AND op != 'D'
 
 def cdc_txn_assembly(spark, sf_dir):
     """Commit-marker transaction grouping (P28 as a window): a 'purchase'
-    commits the open transaction; every event gets the txn it belongs to."""
+    commits the open transaction; every event gets the txn it belongs to.
+
+    Scalable shape — a running count over a total order, done as a two-level
+    prefix sum instead of a single-partition global window: (1) segment rows
+    by event_id range, (2) per-segment running count (parallel windows),
+    (3) tiny per-segment totals get a prefix sum (one row per segment) and
+    broadcast back. The engine path partitions the same way by binlog file
+    (operators/transactions.py)."""
     ev = _t(spark, sf_dir, "events")
-    w = (Window.orderBy("event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1))
-    return ev.select(
-        "event_id", "user_id",
-        (F.coalesce(
-            F.sum((F.col("event_type") == "purchase").cast("long")).over(w),
-            F.lit(0)) + 1).alias("txn_id"),
-    )
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    ev = ev.withColumn("seg", F.floor(F.col("event_id") / F.lit(4096)))
+    w_in = (Window.partitionBy("seg").orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    seg_tot = ev.groupBy("seg").agg(F.sum(is_p).alias("n_p"))
+    # prefix over segments: one row per segment — tiny at any corpus size
+    w_seg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = seg_tot.select(
+        "seg", F.coalesce(F.sum("n_p").over(w_seg), F.lit(0)).alias("prior"))
+    return (ev.join(F.broadcast(prefix), "seg")
+            .select("event_id", "user_id",
+                    (F.col("prior")
+                     + F.coalesce(F.sum(is_p).over(w_in), F.lit(0))
+                     + 1).alias("txn_id")))
 
 
 def cdc_txn_assembly_sql():
+    # CAST: DuckDB's windowed sum(+1) yields HUGEINT; Spark yields BIGINT —
+    # values identical, but the driver's value hash is type-sensitive
     return """
 SELECT event_id, user_id,
-       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                OVER (ORDER BY event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       + 1 AS txn_id
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) + 1 AS BIGINT) AS txn_id
 FROM events
 """
 
@@ -349,11 +364,16 @@ def mm_features_q(spark, sf_dir):
 
 # --------------------------------------------------- wire pipeline (flagship)
 def set_ops_users(spark, sf_dir):
-    """Set operations (SURVEY §2.2): users who click but never error —
-    EXCEPT over two filtered projections, built-in distinct set logic."""
+    """Set operations (SURVEY §2.2): users who click but never had a
+    high-value error — EXCEPT over two filtered projections, built-in
+    distinct set logic. The error side is value-restricted so both sides
+    and the difference are non-empty at sf0.01/sf0.1 (every user errors
+    eventually — an unrestricted EXCEPT would be vacuously empty)."""
     ev = _t(spark, sf_dir, "events")
     clickers = ev.where(F.col("event_type") == "click").select("user_id")
-    erroring = ev.where(F.col("event_type") == "error").select("user_id")
+    erroring = (ev.where((F.col("event_type") == "error")
+                         & (F.col("value") > 300))
+                .select("user_id"))
     return clickers.subtract(erroring)  # EXCEPT (set semantics)
 
 
@@ -362,7 +382,7 @@ def set_ops_users_sql():
 SELECT DISTINCT user_id FROM (
   SELECT user_id FROM events WHERE event_type = 'click'
   EXCEPT
-  SELECT user_id FROM events WHERE event_type = 'error')
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 300)
 """
 
 
@@ -382,7 +402,7 @@ def json_props_events_sql():
 SELECT event_type,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -456,6 +476,25 @@ def cdc_replay_final_state(spark, sf_dir=None, n_txns: int = 120):
             .orderBy("repo", "path"))
 
 
+def cdc_replay_state_digest(spark, sf_dir=None):
+    """Deterministic digest of the replayed final state: row count + one
+    sha256 over the sorted canonical row strings. The wire pipeline itself
+    is not SQL-expressible, but the generator is seeded, so the digest is a
+    pinned literal — this gives the flagship a real driver oracle instead
+    of a rows-only check. (``collect_list`` into one reduce is fine here:
+    this is a fixed-size verification query, not a scale path — at scale
+    the same digest would be computed per-bucket then combined.)"""
+    state = cdc_replay_final_state(spark, sf_dir)
+    row_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in state.columns])
+    return (state.select(row_str.alias("r"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sha2(F.concat_ws(
+                     "\n", F.array_sort(F.collect_list("r"))), 256)
+                 .alias("state_sha256")))
+
+
 def cdc_replay_lineage(spark, sf_dir=None, n_txns: int = 80):
     """Wire pipeline lineage: per binlog file position ranges + op counts."""
     from .operators.lineage import lineage_summary
@@ -506,11 +545,44 @@ QUERIES = {
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
-    # wire-format CDC pipeline (rows-only: binary decode isn't SQL)
+    # wire-format CDC pipeline: the binary decode isn't SQL-expressible,
+    # but the generator is seeded, so each query's exact output is pinned
+    # as a literal VALUES oracle (captured from the deterministic run)
     "cdc_packet_framing": lambda s, d: cdc_packet_framing(s, d),
-    "cdc_replay_final_state": lambda s, d: cdc_replay_final_state(s, d),
+    "cdc_replay_final_state": lambda s, d: cdc_replay_state_digest(s, d),
     "cdc_replay_lineage": lambda s, d: cdc_replay_lineage(s, d),
 }
+
+# literal oracles for the seeded wire-pipeline queries (values captured from
+# the deterministic generator; any generator change must re-pin these)
+CDC_PACKET_FRAMING_ORACLE = """
+SELECT blob_id, status, CAST(cnt AS BIGINT) AS count FROM (VALUES
+  ('binlog.000000', 'eof', 1), ('binlog.000000', 'ok', 175),
+  ('binlog.000001', 'eof', 1), ('binlog.000001', 'ok', 162)
+) AS t(blob_id, status, cnt)
+"""
+
+CDC_REPLAY_LINEAGE_ORACLE = """
+SELECT file, CAST(min_pos AS BIGINT) AS min_pos,
+       CAST(max_next_pos AS BIGINT) AS max_next_pos,
+       CAST(min_gtid AS BIGINT) AS min_gtid,
+       CAST(max_gtid AS BIGINT) AS max_gtid,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(n_insert AS BIGINT) AS n_insert,
+       CAST(n_update AS BIGINT) AS n_update,
+       CAST(n_delete AS BIGINT) AS n_delete
+FROM (VALUES
+  ('binlog.000000', 416, 294827, 2, 40, 724, 421, 261, 42),
+  ('binlog.000001', 288, 341881, 41, 80, 826, 425, 370, 31)
+) AS t(file, min_pos, max_next_pos, min_gtid, max_gtid,
+       n_changes, n_insert, n_update, n_delete)
+"""
+
+CDC_REPLAY_STATE_ORACLE = """
+SELECT CAST(1036 AS BIGINT) AS n_rows,
+       'c37e72bedfd0662981f3ece13f2d5f42c1dffea96cb44b2b9dbad7f928d48448'
+           AS state_sha256
+"""
 
 ORACLES = {
     "cdc_lww_latest": cdc_lww_latest_sql(),
@@ -543,4 +615,7 @@ ORACLES = {
     "text_fingerprint": textstats.fingerprint_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
+    "cdc_packet_framing": CDC_PACKET_FRAMING_ORACLE,
+    "cdc_replay_final_state": CDC_REPLAY_STATE_ORACLE,
+    "cdc_replay_lineage": CDC_REPLAY_LINEAGE_ORACLE,
 }

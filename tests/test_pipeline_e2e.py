@@ -418,6 +418,37 @@ def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
         _os.listdir(data_dir))
 
 
+def test_vacuum_expires_orphaned_snapshots(spark, world, tmp_path):
+    """Vacuum prunes snapshot-log entries whose data versions it removes,
+    so every advertised time-travel point stays readable and a vacuumed
+    version raises the clear no-snapshot error (r1 advice: snapshots()
+    used to keep advertising points whose read crashed on a missing
+    parquet path)."""
+    result, frames_dir = world
+    lake = LakeTable.create(spark, str(tmp_path / "lake_vexp"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=1)
+    all_frames = pipeline.read_frames(spark, frames_dir)
+    files = sorted({c["file"] for c in result.changes})
+    pipeline.replay_batch(spark, all_frames.where(F.col("file") == files[0]),
+                          lake, genlog.table_registry(), batch_id=0)
+    v1 = lake.meta["version"]
+    # second batch rewrites the single bucket → v1 fully superseded
+    pipeline.replay_batch(spark, all_frames.where(F.col("file") > files[0]),
+                          lake, genlog.table_registry(), batch_id=1)
+    assert any(s["version"] == v1 for s in lake.snapshots())
+
+    stats = lake.vacuum()
+    assert stats["removed_versions"] >= 1
+    assert stats["expired_snapshots"] >= 1
+    snaps = lake.snapshots()
+    assert all(s["version"] != v1 for s in snaps)
+    for s in snaps:  # everything still advertised is actually readable
+        lake.to_df(at_version=s["version"]).count()
+    with pytest.raises(ValueError, match="no snapshot"):
+        lake.read(at_version=v1)
+
+
 def test_resume_cursor_pushes_down_and_replays_suffix(spark, world, tmp_path):
     """P5 batch analogue: resume from (file, pos) — the predicate reaches
     the parquet scan, and replaying [start, end] onto a lake that already
