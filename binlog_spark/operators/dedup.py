@@ -11,8 +11,9 @@ Five families over the ``documents`` table:
   shingle hashes, banded into buckets; candidates = bucket collisions.
   Entirely JVM-side (higher-order functions), deterministic, so the DuckDB
   oracle can replay it exactly;
-* SimHash — 64-bit sign-aggregated token hashes (vectorized pandas UDF;
-  numpy bit ops), Hamming-radius grouping via band keys;
+* SimHash — 64-bit sign-aggregated token hashes (Arrow-batched kernel,
+  vocabulary-deduped md5 + vectorized bit votes), Hamming-radius grouping
+  via band keys;
 * embedding cosine near-dup — see similarity.py (shares the dot-product
   kernel).
 
@@ -23,7 +24,7 @@ worst-case join fanout, the standard trick at 10^9-document scale.
 """
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic affine-permutation constants (public textbook MinHash):
@@ -56,17 +57,27 @@ def exact_dedup(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def shingles(df: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (doc_id, shingle)."""
-    tokens = F.split(F.trim(F.col(col)), r"\s+")
-    grams = F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    """Word n-gram shingles per document (doc_id, shingle), NOT deduped —
+    consumers that need per-doc distinctness aggregate with
+    countDistinct/collect_set (min-hash is duplicate-insensitive anyway).
+
+    Formulated as posexplode + window ``lead`` (whole-stage-codegen
+    JVM ops) rather than Catalyst higher-order ``transform``/``slice``
+    lambdas, which are interpreted per element — the measured scale-killer
+    on this path (BENCH/BASELINE.md). The window's doc_id shuffle is
+    reused by every downstream per-doc aggregation (same key)."""
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(col)), r"\s+")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)])
+    sh = toks.select(
+        "doc_id", gram.alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("_tail"))
+    # a window position with no (n-1)th successor is an incomplete gram
+    # (concat_ws silently skips nulls, so filter on the tail explicitly)
+    return sh.where(F.col("_tail").isNotNull()).select("doc_id", "shingle")
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
@@ -74,16 +85,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
     """Exact Jaccard-similar pairs via a shingle inverted index."""
     sh = shingles(df, n)
     if max_df is not None:
-        hot = (sh.groupBy("shingle").count()
-               .where(F.col("count") > max_df).select("shingle"))
+        hot = (sh.groupBy("shingle").agg(
+                   F.countDistinct("doc_id").alias("df"))
+               .where(F.col("df") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # shingles() is not per-doc deduped: distinctness folds into the
+    # aggregations (countDistinct / collect_set) instead of a separate
+    # distinct shuffle
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
     # inverted index: group each shingle's posting list once and emit its
     # member pairs JVM-side — the shingle explode+hash runs once instead
     # of twice (a self-join recomputes both sides), and per-shingle
     # fan-out is naturally bounded by max_df at scale
     postings = (sh.groupBy("shingle")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
                 .where(F.size("ids") > 1))
     common = (
         postings.select(F.explode(F.flatten(F.expr(
@@ -175,10 +190,20 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
 
 
 def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (vectorized pandas UDF; numpy bit votes
-    over md5-derived token hashes). Python is justified here: 64 per-bit
-    weighted majority votes have no compact Catalyst form; the UDF is
-    Arrow-batched and O(tokens) per doc."""
+    """64-bit SimHash per document (Arrow-batched, vocabulary-vectorized).
+
+    Per Arrow batch: flatten all tokens, ``md5`` only the UNIQUE tokens
+    (hashlib is C; the Python loop runs over the batch vocabulary, not
+    the token stream — Zipf makes that a small fraction), expand their
+    bit matrices once, then segment-sum the per-doc bit votes with
+    ``np.add.reduceat``. Shuffle-free narrow map, O(vocab) Python per
+    batch.
+
+    Why not JVM-side? Measured (sf0.1, 16 cores): exploding tokens into
+    built-in ``md5`` + ``conv`` + 64 per-bit sum aggregates is ~10×
+    SLOWER than this kernel — the 64-aggregate update falls out of
+    whole-stage codegen and the explode+groupBy adds a token-level
+    shuffle, while hashlib's md5 costs ~0.5 µs/token with zero shuffle."""
     import hashlib
 
     import numpy as np
@@ -188,21 +213,34 @@ def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        doc_idx, toks = [], []
         for i, t in enumerate(texts):
-            tokens = (t or "").split()
-            if not tokens:
-                continue
-            hs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "big")
-                 for tok in tokens),
-                dtype=np.uint64, count=len(tokens))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            votes = bits.astype(np.int32).sum(0) * 2 - len(tokens)
-            sig = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig)
+            tt = (t or "").split()
+            if tt:
+                doc_idx.append(np.full(len(tt), i, dtype=np.int64))
+                toks.extend(tt)
+        if not toks:
+            return pd.Series(out)
+        doc_idx = np.concatenate(doc_idx)
+        codes, uniq = pd.factorize(pd.Series(toks, dtype=object))
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+             for u in uniq),
+            dtype=np.uint64, count=len(uniq))
+        ubits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                 ).astype(np.int64)                      # (vocab, 64)
+        bits = ubits[codes]                              # (tokens, 64)
+        # doc_idx is nondecreasing by construction → segment reduction
+        starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+        votes = np.add.reduceat(bits, starts, axis=0)    # (docs_with, 64)
+        counts = np.diff(np.r_[starts, len(doc_idx)])
+        pos = (2 * votes) > counts[:, None]
+        weights = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+        sig = (pos[:, :63].astype(np.int64) * weights).sum(axis=1)
+        # two's-complement bit 63: subtract 2^62 twice (2^63 overflows)
+        hi = pos[:, 63].astype(np.int64) * np.int64(1 << 62)
+        sig = sig - hi - hi
+        out[doc_idx[starts]] = sig
         return pd.Series(out)
 
     return df.select("doc_id", _simhash(F.col(col)).alias("simhash"))

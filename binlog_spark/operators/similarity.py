@@ -2,10 +2,11 @@
 
 * ``cosine_topk`` — exact brute-force top-k for a set of query vectors:
   broadcast the (small) query set against the full corpus, dot product via
-  JVM-side ``zip_with``/``aggregate`` in float64, deterministic ranking
-  (similarity rounded to 6 dp, ties broken by vec_id). This is the
-  correctness baseline; at 10^9 vectors it is one broadcast-join scan, no
-  shuffle until the per-query top-k (partial ``min_by`` style aggregation).
+  an Arrow-vectorized float64 kernel (order-stable accumulation, see
+  ``_dot_kernel``), deterministic ranking (similarity rounded to 6 dp,
+  ties broken by vec_id). This is the correctness baseline; at 10^9
+  vectors it is one broadcast-join scan whose only shuffle carries the
+  bounded per-partition top-k candidates (``_partial_topk``).
 * ``embedding_near_dup_pairs`` — cosine near-duplicate pairs, blocked by
   ``label`` (the pre-clustered coarse bucket) so the self-join is
   block-diagonal rather than O(N²).
@@ -17,18 +18,68 @@
 
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# a DataType instance (not a DDL string) keeps the module importable with
+# no active SparkContext — string return types are parsed eagerly
+@pandas_udf(DoubleType())
+def _dot_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Float64 dot product of two array<float> columns.
+
+    Arrow-batched and vectorized ACROSS rows in numpy, but accumulated
+    sequentially left-to-right OVER dimensions — the exact IEEE order of
+    DuckDB's list_aggregate 'sum' (and of Spark's F.aggregate fold), so
+    similarity values replay bit-identically in the SQL oracles. A BLAS
+    matmul would reassociate the sum and drift in the last ulp.
+
+    This replaces the Catalyst higher-order-function formulation: HOF
+    lambdas are interpreted per element (~µs/element + allocation — the
+    measured scale-killer, see BENCH/BASELINE.md), while this kernel runs
+    one numpy multiply-add per dimension per Arrow batch."""
+    A = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+    B = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return pd.Series(acc)
 
 
 def _dot(a, b):
-    """Float64 dot product of two array<float> columns, left-to-right sum
-    (same association as the DuckDB oracle's list_aggregate 'sum')."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return _dot_kernel(a if isinstance(a, F.Column) else F.col(a),
+                       b if isinstance(b, F.Column) else F.col(b))
+
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with a bounded per-partition partial aggregate.
+
+    A bare ``row_number`` over ``Window.partitionBy(query_id)`` funnels the
+    entire scored corpus into n_queries tasks. Instead: each input
+    partition keeps only its own best k per query (map-side complete —
+    the grouping key includes the partition id), so the shuffle carries
+    n_partitions × n_queries × k rows; the final rank window runs over
+    that tiny candidate set. The global top-k is a subset of the union of
+    per-partition top-ks under the same total order, so results are
+    unchanged."""
+    entry = F.struct(F.col("sim"),
+                     (-F.col("vec_id")).alias("nvid"),  # ties → smaller id
+                     F.col("vec_id"))
+    partial = (scored
+               .groupBy("query_id", F.spark_partition_id().alias("_p"))
+               .agg(F.slice(F.sort_array(F.collect_list(entry), asc=False),
+                            1, k).alias("top")))
+    cand = (partial.select("query_id", F.explode("top").alias("t"))
+            .select("query_id", F.col("t.sim").alias("sim"),
+                    F.col("t.vec_id").alias("vec_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "sim", "rank"))
 
 
 def cosine_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
@@ -47,13 +98,7 @@ def cosine_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
                     F.col("vec_id") != F.col("query_id"))
         .withColumn("sim", F.round(_dot(F.col("qvec"), F.col("cvec")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return _partial_topk(scored, k)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
@@ -123,13 +168,7 @@ def lsh_ann_topk(spark: SparkSession, df: DataFrame, n_queries: int = 5,
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("sim", F.round(_dot(F.col("qvec"), F.col("embedding")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return _partial_topk(scored, k)
 
 
 # ---- matching ANSI-SQL (DuckDB) oracles ------------------------------------
@@ -241,11 +280,7 @@ def ivf_ann_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
               .where(F.col("vec_id") != F.col("query_id"))
               .withColumn("sim", F.round(_dot(F.col("qvec"),
                                               F.col("embedding")), 6)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "vec_id", "sim", "rank"))
+    return _partial_topk(scored, k)
 
 
 def ivf_ann_topk_sql(table: str = "embeddings", n_queries: int = 5,

@@ -69,6 +69,20 @@ def test_q1_filter_pushdown(spark, sf_dir):
     assert plans.has_pushed_filter(df, "l_shipdate"), plans.physical_plan(df)
 
 
+def test_sim_topk_plan_vectorized_and_partial(spark, sf_dir):
+    """The ANN ranking contract: the dot product must be the Arrow kernel
+    (not an interpreted Catalyst higher-order lambda), and the per-query
+    top-k must pre-aggregate a bounded candidate list per input partition
+    instead of shuffling the whole scored corpus into n_queries tasks."""
+    from binlog_spark.queries import sim_cosine_topk_q
+
+    df = sim_cosine_topk_q(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "zip_with" not in plan, plan        # no interpreted HOF kernel
+    assert "ArrowEvalPython" in plan, plan     # vectorized Arrow dot product
+    assert "collect_list" in plan, plan        # bounded partial top-k agg
+
+
 def test_arrow_fold_single_key_shuffle(spark, frames):
     """The default fold plan: ONE Exchange (hash on the salted key) feeding
     an in-partition sort + mapInPandas — no second shuffle, and no
