@@ -23,11 +23,14 @@ shuffle-free Arrow stages:
    rows, a DDL side channel, and a dead-letter channel (INTVAR/RAND etc.,
    which the reference rejects as errors — row_streamer.go:331-339).
 
-Column names and signedness come from an external table registry, the
-analogue of the pluggable ``MysqlTableMapper`` (`row_streamer.go:19-21`);
-the registry supplies one entry per schema *width* so an ALTER-evolved
-TABLE_MAP (more columns) binds to the evolved name vector, with the
-reference's column-count consistency check (`row_streamer.go:236-241`).
+Column names and signedness come from a pluggable schema provider — the
+analogue of the reference's ``MysqlTableMapper`` (`row_streamer.go:19-21`).
+``as_table_mapper`` accepts either the static registry dict or any user
+object with ``mysql_table(db, tbl, ncols)``, resolved lazily at stream
+time and cached per executor (the `row_streamer.go:220-243` cache);
+width-keyed lookups bind an ALTER-evolved TABLE_MAP (more columns) to the
+evolved name vector, with the reference's column-count consistency check
+(`row_streamer.go:236-241`) surfacing as a dead-letter row.
 """
 
 from __future__ import annotations
@@ -116,6 +119,195 @@ def discover_stream_meta(frames: DataFrame) -> dict:
     }
 
 
+_OUT_COLS = [f.name for f in S.DECODE_OUTPUT_SCHEMA.fields]
+
+
+class StaticTableMapper:
+    """Default schema provider wrapping the registry dict
+    ``{(db, tbl): [columns_version, ...]}`` where a columns version is a
+    list of ``(name, is_unsigned)`` pairs keyed by width."""
+
+    def __init__(self, registry: dict):
+        self.registry = registry
+
+    def mysql_table(self, db: str, tbl: str, ncols: int):
+        for cols in self.registry.get((db, tbl), []):
+            if len(cols) == ncols:
+                return cols
+        return None
+
+    def knows(self, db: str, tbl: str) -> bool:
+        return (db, tbl) in self.registry
+
+
+def as_table_mapper(registry_or_mapper):
+    """Accept either the plain registry dict or a user mapper object.
+
+    The mapper protocol is the analogue of the reference's pluggable
+    ``MysqlTableMapper`` (`/root/reference/row_streamer.go:19-21`,
+    DESC-backed in `example_test.go:76-98`): ``mysql_table(db, tbl,
+    ncols) -> [(col_name, is_unsigned), ...] | None``, called lazily at
+    stream time the first time a (table, width) is seen on an executor
+    and cached thereafter — the per-tableID cache semantics of
+    `row_streamer.go:220-243`, including refresh-on-ALTER (a new width
+    triggers a fresh lookup). User mappers must be picklable (they ride
+    the broadcast to executors); ``knows`` (optional) distinguishes the
+    column-count-mismatch dead-letter from an unknown table."""
+    if hasattr(registry_or_mapper, "mysql_table"):
+        return registry_or_mapper
+    return StaticTableMapper(registry_or_mapper)
+
+
+_MISS = object()
+
+
+def build_decode_context(stream_meta: dict, registry: dict):
+    """Per-partition decode state, built once from the broadcast payload:
+    the stream format, the (file, table_id) → schema-version index with
+    its hoisted position-key vectors, and the lazily-populated
+    (db, tbl, ncols) → column names/signedness cache over the schema
+    provider."""
+    fmt = E.BinlogFormat(checksum_algorithm=stream_meta["checksum_alg"])
+    tmaps = stream_meta["table_maps"]
+    mapper = as_table_mapper(registry)
+    name_index: dict = {}
+    tmap_keys = {k: [v[0] for v in vers] for k, vers in tmaps.items()}
+    return fmt, tmaps, tmap_keys, name_index, mapper
+
+
+def _resolve_names(name_index, mapper, db, tbl, ncols):
+    """Cached schema-provider lookup (negative results cached too)."""
+    key = (db, tbl, ncols)
+    hit = name_index.get(key, _MISS)
+    if hit is not _MISS:
+        return hit
+    cols = mapper.mysql_table(db, tbl, ncols)
+    hit = (([c[0] for c in cols], [c[1] for c in cols])
+           if cols is not None else None)
+    name_index[key] = hit
+    return hit
+
+
+def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
+    """Decode one Arrow batch of frames → DECODE_OUTPUT_SCHEMA rows.
+
+    The inner loop is the throughput-critical kernel (the Spark analogue
+    of the reference's single-threaded ``parseEvents`` loop): rows-event
+    images decode through fused per-column str decoders
+    (``events.iter_row_maps``) straight into the before/after maps, and
+    output rows accumulate as tuples in schema column order — no per-row
+    dict construction, no second bytes→str pass. Module-level (not a
+    closure) so it is directly profilable and unit-testable."""
+    import numpy as np
+
+    fmt, tmaps, tmap_keys, name_index, mapper = ctx
+    files = pdf["file"].tolist()
+    positions = pdf["pos"].tolist()
+    frames_list = pdf["frame"].tolist()
+    n = len(frames_list)
+    # header fields + validity for the whole batch in one numpy pass
+    # (P7 validity filter and the v4 header parse, vectorized): 19-byte
+    # headers stacked into an (n, 19) byte matrix, little-endian uint32
+    # fields recovered by a dot with the byte weights
+    hdr = np.frombuffer(
+        b"".join(f[:19].ljust(19, b"\0") for f in frames_list),
+        dtype=np.uint8).reshape(n, 19).astype(np.int64) if n else \
+        np.zeros((0, 19), dtype=np.int64)
+    w4 = np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.int64)
+    lens = np.fromiter((len(f) for f in frames_list), dtype=np.int64,
+                       count=n)
+    # .tolist(): hand the loop plain Python ints — np.int64 scalars cost
+    # ~10x on struct/int.from_bytes/dict-key ops in the per-frame path
+    ts_v = (hdr[:, 0:4] @ w4).tolist()
+    etype_v = hdr[:, 4].tolist()
+    evlen_v = hdr[:, 9:13] @ w4
+    next_v = (hdr[:, 13:17] @ w4).tolist()
+    valid_v = ((lens >= C.HEADER_LEN) & (evlen_v == lens)).tolist()
+
+    rows = []
+    append = rows.append
+    for i in range(n):
+        file, pos, frame = files[i], positions[i], frames_list[i]
+        if not valid_v[i]:  # P7 validity filter
+            append(_aux(file, pos, 0, 0, 0, "deadletter",
+                        reason="invalid frame"))
+            continue
+        ts, etype, next_pos = ts_v[i], etype_v[i], next_v[i]
+        if etype in (C.E_FORMAT_DESCRIPTION, C.E_ROTATE,
+                     C.E_PREVIOUS_GTIDS, C.E_ANONYMOUS_GTID,
+                     C.E_GTID_LIST_MARIADB):
+            continue  # position/format bookkeeping: carried per-frame
+        body = E.strip_checksum(fmt, etype, frame)
+        if etype in C.ROWS_EVENT_TYPES:
+            table_id = E.parse_table_id(fmt, etype, body)
+            key = (file, table_id)
+            vers = tmaps.get(key)
+            if not vers:
+                append(_aux(file, pos, next_pos, ts, None, "deadletter",
+                            reason=f"no TABLE_MAP for id {table_id}"))
+                continue
+            i = bisect.bisect_right(tmap_keys[key], pos) - 1
+            db, tbl, types, metadata = vers[max(i, 0)][1]
+            names_uns = _resolve_names(name_index, mapper, db, tbl,
+                                       len(types))
+            if names_uns is None:
+                known = (mapper.knows(db, tbl)
+                         if hasattr(mapper, "knows") else
+                         any(k[0] == db and k[1] == tbl and v is not None
+                             for k, v in name_index.items()))
+                append(_aux(
+                    file, pos, next_pos, ts, None, "deadletter",
+                    reason=("column count mismatch" if known else
+                            f"table {db}.{tbl} not in registry")))
+                continue
+            names, unsigned = names_uns
+            if etype in C.WRITE_ROWS_TYPES:
+                op = "I"
+            elif etype in C.UPDATE_ROWS_TYPES:
+                op = "U"
+            else:
+                op = "D"
+            posi, nposi, tsi = int(pos), int(next_pos), int(ts)
+            seq = 0
+            for before, after in E.iter_row_maps(fmt, etype, body, types,
+                                                 metadata, unsigned, names):
+                append((None, None, None, file, posi, nposi, tsi, op, db,
+                        tbl, before, after, seq, "change", None, None))
+                seq += 1
+        elif etype == C.E_GTID:
+            gno = E.parse_gtid(body[C.HEADER_LEN:])
+            append(_aux(file, pos, next_pos, ts, gno, "gtid"))
+        elif etype == C.E_GTID_MARIADB:
+            gno = E.parse_gtid_mariadb(body[C.HEADER_LEN:])
+            append(_aux(file, pos, next_pos, ts, gno, "gtid"))
+        elif etype == C.E_QUERY:
+            db, sql = E.parse_query(fmt, body)
+            cat = C.statement_category(sql)
+            if cat == C.ST_BEGIN:
+                append(_aux(file, pos, next_pos, ts, None, "begin"))
+            elif cat == C.ST_COMMIT:
+                append(_aux(file, pos, next_pos, ts, None, "commit"))
+            elif cat == C.ST_ROLLBACK:
+                append(_aux(file, pos, next_pos, ts, None, "rollback"))
+            elif C.is_ddl(cat):
+                append(_aux(file, pos, next_pos, ts, None, "ddl",
+                            db=db, sql=sql, reason=cat))
+                if ddl_acc is not None:
+                    ddl_acc.add([(file, int(pos), int(ts), db, sql, cat)])
+            # DML-as-statement / SET: ignored (ROW mode carries data)
+        elif etype == C.E_XID:
+            append(_aux(file, pos, next_pos, ts, None, "commit"))
+        elif etype == C.E_ROWS_QUERY:
+            # original-statement side channel (IsRowsQuery, P8)
+            append(_aux(file, pos, next_pos, ts, None, "rowsquery",
+                        sql=E.parse_rows_query(fmt, body)))
+        elif etype in (C.E_INTVAR, C.E_RAND):
+            append(_aux(file, pos, next_pos, ts, None, "deadletter",
+                        reason=f"unsupported event type {etype}"))
+        # unknown event types are skipped, as the reference does
+    return pd.DataFrame(rows, columns=_OUT_COLS)
+
+
 def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
                   registry: dict, ddl_acc=None) -> DataFrame:
     """Stateless vectorized decode of every frame → DECODE_OUTPUT_SCHEMA.
@@ -127,143 +319,20 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
     must dedupe by (file, pos): accumulators re-fire on task retries.
     """
     bc = spark.sparkContext.broadcast((stream_meta, registry))
-    out_schema = S.DECODE_OUTPUT_SCHEMA
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meta, reg = bc.value
-        fmt = E.BinlogFormat(checksum_algorithm=meta["checksum_alg"])
-        tmaps = meta["table_maps"]
-        # (db, tbl, ncols) -> (names, unsigned)
-        name_index = {}
-        for (db, tbl), vers in reg.items():
-            for cols in vers:
-                name_index[(db, tbl, len(cols))] = (
-                    [c[0] for c in cols], [c[1] for c in cols])
-
-        # position-key vectors hoisted out of the per-frame loop (a
-        # rebuilt [v[0] for v in vers] per rows-event shows up in profiles)
-        tmap_keys = {k: [v[0] for v in vers] for k, vers in tmaps.items()}
-
-        def resolve_tm(file, table_id, pos):
-            key = (file, table_id)
-            vers = tmaps.get(key)
-            if not vers:
-                return None
-            i = bisect.bisect_right(tmap_keys[key], pos) - 1
-            return vers[max(i, 0)][1]
-
+        ctx = build_decode_context(meta, reg)
         for pdf in batches:
-            rows = []
-            for file, pos, frame in zip(pdf["file"], pdf["pos"], pdf["frame"]):
-                if not E.is_valid_frame(frame):  # P7 validity filter
-                    rows.append(_aux(file, pos, 0, 0, 0, "deadletter",
-                                     reason="invalid frame"))
-                    continue
-                ts, etype, _sid, _ln, next_pos, _fl = E.parse_header(frame)
-                if etype in (C.E_FORMAT_DESCRIPTION, C.E_ROTATE,
-                             C.E_PREVIOUS_GTIDS, C.E_ANONYMOUS_GTID,
-                             C.E_GTID_LIST_MARIADB):
-                    continue  # position/format bookkeeping: carried per-frame
-                body = E.strip_checksum(fmt, etype, frame)
-                if etype == C.E_GTID:
-                    gno = E.parse_gtid(body[C.HEADER_LEN:])
-                    rows.append(_aux(file, pos, next_pos, ts, gno, "gtid"))
-                elif etype == C.E_GTID_MARIADB:
-                    gno = E.parse_gtid_mariadb(body[C.HEADER_LEN:])
-                    rows.append(_aux(file, pos, next_pos, ts, gno, "gtid"))
-                elif etype == C.E_QUERY:
-                    db, sql = E.parse_query(fmt, body)
-                    cat = C.statement_category(sql)
-                    if cat == C.ST_BEGIN:
-                        rows.append(_aux(file, pos, next_pos, ts, None, "begin"))
-                    elif cat == C.ST_COMMIT:
-                        rows.append(_aux(file, pos, next_pos, ts, None, "commit"))
-                    elif cat == C.ST_ROLLBACK:
-                        rows.append(_aux(file, pos, next_pos, ts, None,
-                                         "rollback"))
-                    elif C.is_ddl(cat):
-                        rows.append(_aux(file, pos, next_pos, ts, None, "ddl",
-                                         db=db, sql=sql, reason=cat))
-                        if ddl_acc is not None:
-                            ddl_acc.add([(file, int(pos), int(ts), db, sql,
-                                          cat)])
-                    # DML-as-statement / SET: ignored (ROW mode carries data)
-                elif etype == C.E_XID:
-                    rows.append(_aux(file, pos, next_pos, ts, None, "commit"))
-                elif etype == C.E_ROWS_QUERY:
-                    # original-statement side channel (IsRowsQuery, P8)
-                    rows.append(_aux(file, pos, next_pos, ts, None,
-                                     "rowsquery",
-                                     sql=E.parse_rows_query(fmt, body)))
-                elif etype in (C.E_INTVAR, C.E_RAND):
-                    rows.append(_aux(file, pos, next_pos, ts, None,
-                                     "deadletter",
-                                     reason=f"unsupported event type {etype}"))
-                elif etype in C.ROWS_EVENT_TYPES:
-                    table_id = E.parse_table_id(fmt, etype, body)
-                    tm = resolve_tm(file, table_id, pos)
-                    if tm is None:
-                        rows.append(_aux(file, pos, next_pos, ts, None,
-                                         "deadletter",
-                                         reason=f"no TABLE_MAP for id {table_id}"))
-                        continue
-                    db, tbl, types, metadata = tm
-                    names_uns = name_index.get((db, tbl, len(types)))
-                    if names_uns is None:
-                        known = any(k[0] == db and k[1] == tbl
-                                    for k in name_index)
-                        rows.append(_aux(
-                            file, pos, next_pos, ts, None, "deadletter",
-                            reason=("column count mismatch" if known else
-                                    f"table {db}.{tbl} not in registry")))
-                        continue
-                    names, unsigned = names_uns
-                    if etype in C.WRITE_ROWS_TYPES:
-                        op = "I"
-                    elif etype in C.UPDATE_ROWS_TYPES:
-                        op = "U"
-                    else:
-                        op = "D"
-                    seq = 0
-                    for ident, data in E.iter_rows(fmt, etype, body, types,
-                                                   metadata, unsigned):
-                        rows.append({
-                            "gtid_seq": None, "txn_id": None,
-                            "seq_in_txn": None,
-                            "file": file, "pos": int(pos),
-                            "next_pos": int(next_pos), "ts": int(ts),
-                            "op": op, "db": db, "tbl": tbl,
-                            "before": _image_map(names, ident),
-                            "after": _image_map(names, data),
-                            "seq_in_event": seq, "kind": "change",
-                            "sql": None, "reason": None,
-                        })
-                        seq += 1
-                # unknown event types are skipped, as the reference does
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            yield decode_batch(pdf, ctx, ddl_acc)
 
     return frames.select("file", "pos", "etype", "frame").mapInPandas(
-        _decode, schema=out_schema)
-
-
-def _image_map(names, cells):
-    """Row image → {col: canonical str | None}; absent (minimal row image)
-    columns are omitted from the map entirely."""
-    if cells is None:
-        return None
-    out = {}
-    for name, (val, is_empty) in zip(names, cells):
-        if is_empty:
-            continue
-        out[name] = val.decode("utf-8", errors="replace") if val is not None else None
-    return out
+        _decode, schema=S.DECODE_OUTPUT_SCHEMA)
 
 
 def _aux(file, pos, next_pos, ts, gtid, kind, db=None, sql=None, reason=None):
-    return {
-        "gtid_seq": gtid, "txn_id": None, "seq_in_txn": None,
-        "file": file, "pos": int(pos), "next_pos": int(next_pos),
-        "ts": int(ts), "op": None, "db": db, "tbl": None,
-        "before": None, "after": None, "seq_in_event": None,
-        "kind": kind, "sql": sql, "reason": reason,
-    }
+    # tuple in _OUT_COLS order: (gtid_seq, txn_id, seq_in_txn, file, pos,
+    # next_pos, ts, op, db, tbl, before, after, seq_in_event, kind, sql,
+    # reason)
+    return (gtid, None, None, file, int(pos), int(next_pos), int(ts), None,
+            db, None, None, None, None, kind, sql, reason)

@@ -447,6 +447,23 @@ def _decode_new_decimal(data, pos: int, metadata: int):
 # per-column decoder specialization
 # ---------------------------------------------------------------------------
 
+
+def to_text(raw: bytes) -> str:
+    """Canonical text for a cell's bytes: UTF-8 when valid, else a lossless
+    latin-1 byte→U+00..FF mapping (reversible via ``.encode('latin-1')``).
+
+    The reference's output model is charset-oblivious raw byte strings
+    (`/root/reference/transaction.go:114-119` ``CellBytes``); a Spark
+    string column must hold valid Unicode, so non-UTF8 content (latin1
+    text, binary BLOBs) is carried through the one-to-one latin-1 mapping
+    instead of being corrupted by replacement characters. Deterministic:
+    a byte sequence decodes the same way on every executor."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 _DECODER_CACHE: dict = {}
 
 
@@ -518,4 +535,98 @@ def _build_decoder(typ: int, metadata: int, unsigned: bool):
     # everything else: generic path (fixed small cost, rarely dominant)
     def d(data, pos):
         return cell_bytes(data, pos, typ, metadata, unsigned)
+    return d
+
+
+_STR_DECODER_CACHE: dict = {}
+
+
+def make_cell_str_decoder(typ: int, metadata: int, unsigned: bool):
+    """Specialized ``(data, pos) -> (str, consumed)`` closure: the decode
+    and the canonical text conversion fused in one call, so the hot row
+    loop does one closure call per cell with no intermediate bytes→str
+    second pass. Non-UTF8 bytes take the lossless ``to_text`` path."""
+    key = (typ, metadata, unsigned)
+    d = _STR_DECODER_CACHE.get(key)
+    if d is None:
+        d = _STR_DECODER_CACHE[key] = _build_str_decoder(typ, metadata,
+                                                         unsigned)
+    return d
+
+
+def _build_str_decoder(typ: int, metadata: int, unsigned: bool):
+    # NOTE: the try/except UTF-8→latin-1 fallback (see ``to_text``) is
+    # inlined in the string closures — a zero-cost try on the valid-UTF8
+    # fast path beats a per-cell helper call (~0.6 s / M cells measured)
+    if typ in (C.TYPE_VARCHAR, C.TYPE_VARSTRING):
+        if metadata > 255:
+            def d(data, pos):
+                ln = data[pos] | data[pos + 1] << 8
+                raw = data[pos + 2 : pos + 2 + ln]
+                try:
+                    return raw.decode("utf-8"), ln + 2
+                except UnicodeDecodeError:
+                    return raw.decode("latin-1"), ln + 2
+        else:
+            def d(data, pos):
+                ln = data[pos]
+                raw = data[pos + 1 : pos + 1 + ln]
+                try:
+                    return raw.decode("utf-8"), ln + 1
+                except UnicodeDecodeError:
+                    return raw.decode("latin-1"), ln + 1
+        return d
+
+    if typ in (C.TYPE_TINYBLOB, C.TYPE_MEDIUMBLOB, C.TYPE_LONGBLOB,
+               C.TYPE_BLOB, C.TYPE_GEOMETRY) and 1 <= metadata <= 4:
+        width = metadata
+
+        def d(data, pos):
+            ln = int.from_bytes(data[pos : pos + width], "little")
+            start = pos + width
+            raw = data[start : start + ln]
+            try:
+                return raw.decode("utf-8"), ln + width
+            except UnicodeDecodeError:
+                return raw.decode("latin-1"), ln + width
+        return d
+
+    if typ == C.TYPE_LONG:
+        if unsigned:
+            def d(data, pos):
+                return "%d" % int.from_bytes(data[pos : pos + 4],
+                                             "little"), 4
+        else:
+            def d(data, pos):
+                v = int.from_bytes(data[pos : pos + 4], "little")
+                return "%d" % (v - 0x100000000 if v >= 0x80000000 else v), 4
+        return d
+
+    if typ == C.TYPE_LONGLONG:
+        if unsigned:
+            def d(data, pos):
+                return "%d" % int.from_bytes(data[pos : pos + 8],
+                                             "little"), 8
+        else:
+            def d(data, pos):
+                v = int.from_bytes(data[pos : pos + 8], "little")
+                return "%d" % (v - (1 << 64) if v >= 1 << 63 else v), 8
+        return d
+
+    if typ == C.TYPE_TINY:
+        if unsigned:
+            def d(data, pos):
+                return "%d" % data[pos], 1
+        else:
+            def d(data, pos):
+                v = data[pos]
+                return "%d" % (v - 0x100 if v >= 0x80 else v), 1
+        return d
+
+    # generic fallback: bytes decoder + text conversion
+    raw = _build_decoder(typ, metadata, unsigned)
+
+    def d(data, pos):
+        v, ln = raw(data, pos)
+        return to_text(v), ln
     return d

@@ -1,0 +1,185 @@
+"""Dump-protocol client tests against an in-process fake server.
+
+The Spark analogue of the reference's mocked-connection suite
+(`/root/reference/slave_conn_test.go:15-186`, `dump/packets_test.go`,
+`dump/dsn_test.go`): a thread speaks HandshakeV10 + OK + a packetized
+dump stream over a real socket; the client authenticates (the server
+VERIFIES the mysql_native_password scramble), issues session commands and
+COM_BINLOG_DUMP, and the received frames replay through the full decode
+pipeline to exact generator parity.
+"""
+
+import socket
+import struct
+import threading
+
+import pytest
+
+from binlog_spark import genlog
+from binlog_spark.sources import dump_protocol as D
+from binlog_spark.wire import constants as C
+
+SALT = bytes(range(1, 21))  # 20-byte scramble salt
+USER, PASSWORD = "repl", "secret-pw"
+
+
+def test_parse_dsn_full():
+    cfg = D.parse_dsn("repl:s3cr%t@tcp(db.example:3307)/mydb?timeout=5s&tls=false")
+    assert (cfg.user, cfg.password) == ("repl", "s3cr%t")
+    assert (cfg.host, cfg.port, cfg.db) == ("db.example", 3307, "mydb")
+    assert cfg.params == {"timeout": "5s", "tls": "false"}
+
+
+def test_parse_dsn_minimal_and_invalid():
+    cfg = D.parse_dsn("/")
+    assert cfg.addr == "127.0.0.1:3306" and cfg.user == ""
+    with pytest.raises(ValueError):
+        D.parse_dsn("not a dsn")
+
+
+def test_native_password_scramble_matches_protocol_definition():
+    import hashlib
+    token = D.native_password_scramble(PASSWORD, SALT)
+    h1 = hashlib.sha1(PASSWORD.encode()).digest()
+    expect = bytes(a ^ b for a, b in zip(
+        h1, hashlib.sha1(SALT + hashlib.sha1(h1).digest()).digest()))
+    assert token == expect and len(token) == 20
+    assert D.native_password_scramble("", SALT) == b""
+
+
+def _handshake_v10() -> bytes:
+    caps = (D.CLIENT_PROTOCOL_41 | D.CLIENT_SECURE_CONNECTION
+            | D.CLIENT_PLUGIN_AUTH)
+    out = bytearray()
+    out += bytes([10]) + b"5.7.30-fake\x00"
+    out += struct.pack("<I", 99)          # connection id
+    out += SALT[:8] + b"\x00"             # auth-plugin-data part 1 + filler
+    out += struct.pack("<H", caps & 0xFFFF)
+    out += bytes([33])                    # charset
+    out += struct.pack("<H", 0x0002)      # status
+    out += struct.pack("<H", caps >> 16)
+    out += bytes([21])                    # auth data total length
+    out += b"\x00" * 10
+    out += SALT[8:20] + b"\x00"           # part 2 (12 bytes) + NUL
+    out += b"mysql_native_password\x00"
+    return bytes(out)
+
+
+def test_parse_handshake_roundtrip():
+    hs = D.parse_handshake(_handshake_v10())
+    assert hs.protocol_version == 10
+    assert hs.server_version == "5.7.30-fake"
+    assert hs.connection_id == 99
+    assert hs.auth_data == SALT
+    assert hs.auth_plugin == "mysql_native_password"
+
+
+def test_com_binlog_dump_layout():
+    pkt = D.make_com_binlog_dump(1234, 40961, "binlog.000007", flags=1)
+    assert pkt[0] == 0x12
+    pos, flags, sid = struct.unpack_from("<IHI", pkt, 1)
+    assert (pos, flags, sid) == (40961, 1, 1234)
+    assert pkt[11:] == b"binlog.000007"
+
+
+class FakeDumpServer(threading.Thread):
+    """Speaks just enough protocol: handshake, scramble-checked auth, OK
+    for COM_QUERY, packetized frame stream + EOF for COM_BINLOG_DUMP."""
+
+    def __init__(self, frames):
+        super().__init__(daemon=True)
+        self.frames = frames
+        self.listener = socket.create_server(("127.0.0.1", 0))
+        self.port = self.listener.getsockname()[1]
+        self.seen_queries = []
+        self.dump_request = None
+        self.auth_ok = None
+
+    def run(self):
+        conn, _ = self.listener.accept()
+        rf, wf = conn.makefile("rb"), conn.makefile("wb")
+        D._write_packet(wf, 0, _handshake_v10())
+        _, resp = D._read_packet(rf)
+        # verify the client's scramble: user NUL-terminated after the
+        # 32-byte fixed prefix, then 1-byte token length + token
+        upos = 32
+        zero = resp.index(b"\x00", upos)
+        user = resp[upos:zero].decode()
+        tlen = resp[zero + 1]
+        token = resp[zero + 2 : zero + 2 + tlen]
+        expect = D.native_password_scramble(PASSWORD, SALT)
+        self.auth_ok = (user == USER and token == expect)
+        if not self.auth_ok:
+            D._write_packet(wf, 2, b"\xff\x15\x04#28000denied")
+            return
+        D._write_packet(wf, 2, b"\x00\x00\x00\x02\x00\x00\x00")  # OK
+        while True:
+            try:
+                _, cmd = D._read_packet(rf)
+            except ConnectionError:
+                return
+            if cmd[0] == D.COM_QUERY:
+                self.seen_queries.append(cmd[1:].decode())
+                D._write_packet(wf, 1, b"\x00\x00\x00\x02\x00\x00\x00")
+            elif cmd[0] == D.COM_BINLOG_DUMP:
+                pos, flags, sid = struct.unpack_from("<IHI", cmd, 1)
+                self.dump_request = (pos, flags, sid, cmd[11:].decode())
+                seq = 1
+                for fr in self.frames:
+                    D._write_packet(wf, seq, b"\x00" + fr)
+                    seq += 1
+                D._write_packet(wf, seq, b"\xfe\x00\x00")  # EOF
+                return
+
+
+@pytest.fixture(scope="module")
+def dump_world():
+    gen = genlog.CdcWorldGenerator(seed=11, n_repos=10, paths_per_repo=10,
+                                   txns_per_file=100)
+    return gen.generate(n_txns=60)
+
+
+def test_live_dump_end_to_end(spark, dump_world, tmp_path):
+    """connect → auth → session command → COM_BINLOG_DUMP → frames →
+    position bookkeeping → full decode/merge → generator state parity."""
+    from binlog_spark import pipeline
+    from binlog_spark.operators.merge import LakeTable
+    from binlog_spark.schema import FRAME_SCHEMA
+
+    raw_frames = [fr for _, _, _, fr in dump_world.frames]
+    server = FakeDumpServer(raw_frames)
+    server.start()
+
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"))
+    hs = client.connect()
+    assert hs.server_version == "5.7.30-fake"
+    client.exec("SET @master_binlog_checksum= @@global.binlog_checksum")
+
+    received = list(client.start_dump(server_id=777,
+                                      filename="binlog.000000", offset=4))
+    client.close()
+    server.join(timeout=10)
+    assert server.auth_ok is True
+    assert server.seen_queries == [
+        "SET @master_binlog_checksum= @@global.binlog_checksum"]
+    assert server.dump_request == (4, 0, 777, "binlog.000000")
+    assert received == raw_frames
+
+    # P11 position bookkeeping reproduces the generator's (file, pos)
+    rows = list(D.frames_with_positions(received, "binlog.000000"))
+    got = [(f, p) for f, p, _et, _fr in rows]
+    want = [(f, p) for f, p, _et, _fr in dump_world.frames]
+    assert got == want
+
+    # full pipeline over the live-received frames → exact final state
+    df = spark.createDataFrame(rows, FRAME_SCHEMA)
+    lake = LakeTable.create(spark, str(tmp_path / "lake_live"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    pipeline.replay_batch(spark, df, lake, genlog.table_registry(),
+                          batch_id=0, record_lineage=False)
+    got_state = {(r["repo"], r["path"]): r["content"]
+                 for r in lake.to_df().collect()}
+    want_state = {k: v["content"] for k, v in dump_world.final_state.items()}
+    assert got_state == want_state

@@ -418,6 +418,74 @@ def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
         _os.listdir(data_dir))
 
 
+class _DynamicMapper:
+    """User-pluggable schema provider (MysqlTableMapper analogue): serves
+    column names/signedness computed at stream time, no static registry.
+    Must be picklable — it rides the broadcast to executors."""
+
+    def __init__(self, registry):
+        self._reg = registry  # stands in for a DESC-style backend
+
+    def mysql_table(self, db, tbl, ncols):
+        for cols in self._reg.get((db, tbl), []):
+            if len(cols) == ncols:
+                return cols
+        return None
+
+    def knows(self, db, tbl):
+        return (db, tbl) in self._reg
+
+
+def test_pluggable_table_mapper_resolves_at_stream_time(spark, world):
+    """decode accepts any object with mysql_table(db, tbl, ncols) in place
+    of the registry dict — the reference's pluggable MysqlTableMapper
+    (row_streamer.go:19-21) — and produces identical change rows."""
+    result, frames_dir = world
+    frames = pipeline.read_frames(spark, frames_dir)
+    mapper = _DynamicMapper(genlog.table_registry())
+    changes = pipeline.decode_to_changes(spark, frames, mapper)
+    got = [_norm_change(r.asDict()) for r in changes.collect()]
+    want = [_norm_change(c) for c in result.changes]
+    assert sorted(got) == sorted(want)
+
+
+class _EmptyMapper:  # module-level: broadcast values use plain pickle
+    def mysql_table(self, db, tbl, ncols):
+        return None
+
+    def knows(self, db, tbl):
+        return False
+
+
+class _WrongWidthMapper:
+    def mysql_table(self, db, tbl, ncols):
+        return None
+
+    def knows(self, db, tbl):
+        return True  # table known, width unservable
+
+
+def test_unknown_table_and_width_mismatch_deadletter(spark, world):
+    """Provider misses: unknown table vs known-table-wrong-width produce
+    the two distinct dead-letter reasons (row_streamer.go:236-241)."""
+    from binlog_spark.operators.decode import (decode_frames,
+                                               discover_stream_meta)
+
+    result, frames_dir = world
+    frames = pipeline.read_frames(spark, frames_dir)
+    meta = discover_stream_meta(frames)
+
+    decoded = decode_frames(spark, frames, meta, _EmptyMapper())
+    reasons = {r["reason"] for r in
+               decoded.where(F.col("kind") == "deadletter").collect()}
+    assert any("not in registry" in r for r in reasons)
+
+    decoded2 = decode_frames(spark, frames, meta, _WrongWidthMapper())
+    reasons2 = {r["reason"] for r in
+                decoded2.where(F.col("kind") == "deadletter").collect()}
+    assert "column count mismatch" in reasons2
+
+
 def test_vacuum_expires_orphaned_snapshots(spark, world, tmp_path):
     """Vacuum prunes snapshot-log entries whose data versions it removes,
     so every advertised time-travel point stays readable and a vacuumed

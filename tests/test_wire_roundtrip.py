@@ -237,3 +237,48 @@ def test_enum_set_encode_decode(typ, meta, value, expect):
     got, ln = cell_bytes(raw, 0, typ, meta, False)
     assert got == expect
     assert ln == len(raw)
+
+
+# ---------------------------------------------------------------------------
+# byte transparency (reference model: charset-oblivious byte strings,
+# transaction.go:114-119) — non-UTF8 cell content must round-trip
+# losslessly through the string column via the latin-1 fallback mapping
+# ---------------------------------------------------------------------------
+
+def test_non_utf8_varchar_cell_round_trips_losslessly():
+    from binlog_spark.wire.codec import make_cell_str_decoder
+
+    raw = b"caf\xe9 \x80\xff"  # latin-1 text: invalid as UTF-8
+    cell = bytes([len(raw)]) + raw
+    dec = make_cell_str_decoder(C.TYPE_VARCHAR, 80, False)
+    v, ln = dec(cell, 0)
+    assert ln == len(cell)
+    assert v == raw.decode("latin-1")
+    assert v.encode("latin-1") == raw  # lossless reverse mapping
+    # valid UTF-8 still decodes as UTF-8 (not latin-1)
+    utf = "héllo →".encode()
+    v2, _ = dec(bytes([len(utf)]) + utf, 0)
+    assert v2 == "héllo →"
+
+
+def test_non_utf8_blob_round_trips_through_rows_event():
+    spec = E.TableMapSpec(
+        database="db", name="t",
+        columns=[("id", C.TYPE_LONG, 0, False),
+                 ("payload", C.TYPE_BLOB, 2, False)])
+    binary = bytes(range(0x80, 0x100)) + b"\x00\x01binary"
+    payload = E.make_rows_event(
+        spec, 9, C.E_WRITE_ROWS_V2,
+        rows=[(None, {"id": "42", "payload": binary}),
+              (None, {"id": "43", "payload": None})])  # NULL slow path
+    frame = pk(C.E_WRITE_ROWS_V2, payload)
+    body = E.strip_checksum(FMT, C.E_WRITE_ROWS_V2, frame)
+    rows = list(E.iter_row_maps(FMT, C.E_WRITE_ROWS_V2, body, spec.types,
+                                spec.metadata, spec.unsigned,
+                                spec.col_names))
+    assert len(rows) == 2
+    _, after = rows[0]
+    assert after["id"] == "42"
+    assert after["payload"].encode("latin-1") == binary  # lossless
+    _, after2 = rows[1]
+    assert after2 == {"id": "43", "payload": None}
