@@ -69,6 +69,19 @@ def test_q1_filter_pushdown(spark, sf_dir):
     assert plans.has_pushed_filter(df, "l_shipdate"), plans.physical_plan(df)
 
 
+def test_txn_assembly_has_no_global_window(spark, sf_dir):
+    """The running transaction count must not funnel every row through a
+    single-partition window (the r1 scale-killer): the bulk window is
+    partitioned by event-id segment, and only the tiny one-row-per-segment
+    prefix (broadcast back via a join) is globally ordered."""
+    from binlog_spark.queries import cdc_txn_assembly
+
+    df = cdc_txn_assembly(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "hashpartitioning(seg" in plan, plan
+    assert plans.has_broadcast_join(df), plan
+
+
 def test_sim_topk_plan_vectorized_and_partial(spark, sf_dir):
     """The ANN ranking contract: the dot product must be the Arrow kernel
     (not an interpreted Catalyst higher-order lambda), and the per-query
