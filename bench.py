@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "join_broadcast_part_counts",
     "window_topk_orders",
     "window_tumbling_events",
+    "window_session_events",
     "agg_rollup_pricing",
     "set_ops_users",
     "json_props_events",

@@ -433,6 +433,46 @@ FROM events GROUP BY 1
 """
 
 
+def window_session_events(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user — the
+    session-window streaming category of SURVEY §2.2, built-in
+    ``session_window`` (identical groupBy runs incrementally under
+    Structured Streaming with a watermark). The oracle replays the exact
+    merge semantics as a gaps-and-islands window in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (ev.groupBy("user_id", sw)
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id",
+                    F.date_format("session_window.start",
+                                  "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+                    "n_events", "sum_value"))
+
+
+def window_session_events_sql():
+    return """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), m AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM o
+), g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 def cdc_packet_framing(spark, sf_dir=None):
     """P3 source stage: wrap a deterministic frame set in MySQL dump-stream
     wire packets (incl. an EOF marker per blob), then split them back
@@ -523,6 +563,7 @@ QUERIES = {
     "join_broadcast_part_counts": join_broadcast_part_counts,
     "window_topk_orders": window_topk_orders,
     "window_tumbling_events": window_tumbling_events,
+    "window_session_events": window_session_events,
     "set_ops_users": set_ops_users,
     "json_props_events": json_props_events,
     # dedup family
@@ -595,6 +636,7 @@ ORACLES = {
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
     "window_topk_orders": window_topk_orders_sql(),
     "window_tumbling_events": window_tumbling_events_sql(),
+    "window_session_events": window_session_events_sql(),
     "set_ops_users": set_ops_users_sql(),
     "json_props_events": json_props_events_sql(),
     "dedup_exact": dedup.exact_dedup_sql(),
