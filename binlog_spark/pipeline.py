@@ -90,8 +90,11 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     t_start = _time.perf_counter()
     meta = stream_meta if stream_meta is not None else discover_stream_meta(frames)
     ddl_acc = spark.sparkContext.accumulator([], _DdlAccum())
+    # decoded is NOT persisted: the fold's stats action is the only pass
+    # through it (the lineage re-read is served by changes.persist, which
+    # that same pass populates) — caching the full decoded set would cost
+    # a storage-memory write of every change row for zero re-reads
     decoded = decode_frames(spark, frames, meta, registry, ddl_acc=ddl_acc)
-    decoded.persist()
     folded = None
     changes = None
     try:
@@ -147,7 +150,6 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
             changes.unpersist()
         if folded is not None:
             folded.unpersist()
-        decoded.unpersist()
 
 
 def read_frames(spark: SparkSession, frames_dir: str) -> DataFrame:
