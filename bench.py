@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "window_tumbling_events",
     "window_session_events",
     "agg_rollup_pricing",
+    "agg_percentiles_events",
+    "sketch_kmv_distinct",
     "set_ops_users",
     "json_props_events",
     "dedup_exact",

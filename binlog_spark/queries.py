@@ -172,6 +172,92 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def agg_percentiles_events(spark, sf_dir):
+    """Ordered-set aggregates: exact interpolated percentiles per group
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both exact linear
+    interpolation — rounded to 6 dp for cross-engine float parity)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (ev.groupBy("event_type")
+            .agg(F.round(pct[0], 6).alias("p50"),
+                 F.round(pct[1], 6).alias("p90"),
+                 F.round(pct[2], 6).alias("p99"),
+                 F.count("*").alias("n")))
+
+
+def agg_percentiles_events_sql():
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+_KMV_K = 32
+
+
+def sketch_kmv_distinct(spark, sf_dir, k: int = _KMV_K):
+    """KMV (k-minimum-values) distinct-count sketch per event_type —
+    deterministic (md5-derived 48-bit hash) so DuckDB replays it exactly.
+
+    The estimator is the classic (k-1)/kth_min_fraction. Physical shape
+    is the scale path for any min-k sketch: each input partition keeps
+    only its own k smallest hashes (map-side complete — the grouping key
+    includes the partition id), the shuffle carries n_partitions × k
+    values per group, and the final merge re-sorts that bounded set.
+    One tiny exact sketch per group instead of a count-distinct shuffle
+    of every user id."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    # no pre-distinct: collect_set dedupes hashes at both levels, so the
+    # sketch sees distinct values without a dedicated distinct shuffle
+    partial = (ev.select("event_type", h.alias("h"))
+               .groupBy("event_type", F.spark_partition_id().alias("_p"))
+               .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
+                    .alias("mins")))
+    merged = (partial.select("event_type", F.explode("mins").alias("h"))
+              .groupBy("event_type")
+              .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
+                   .alias("mins")))
+    kth = F.element_at("mins", F.least(F.size("mins"), F.lit(k)))
+    est = F.when(
+        F.size("mins") < k, F.size("mins").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(float(1 << 48)))
+                / kth.cast("double"))
+    return merged.select(
+        "event_type", F.size("mins").alias("sketch_size"),
+        kth.alias("kth_min"),
+        F.round(est, 4).alias("est_distinct_users"))
+
+
+def sketch_kmv_distinct_sql(k: int = _KMV_K):
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), mins AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(least(n, {k}) AS INTEGER) AS sketch_size,
+       max(CASE WHEN rn = least(n, {k}) THEN h END) AS kth_min,
+       round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                  ELSE {float(k - 1)} * {float(1 << 48)}
+                       / max(CASE WHEN rn = least(n, {k}) THEN h END)::DOUBLE
+             END, 4) AS est_distinct_users
+FROM mins WHERE rn <= {k}
+GROUP BY event_type, n
+"""
+
+
 def tpch_q1_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -558,6 +644,8 @@ QUERIES = {
     "cdc_lineage_by_op": cdc_lineage_by_op,
     # classical operators
     "agg_rollup_pricing": agg_rollup_pricing,
+    "agg_percentiles_events": agg_percentiles_events,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,
     "join_broadcast_part_counts": join_broadcast_part_counts,
@@ -631,6 +719,8 @@ ORACLES = {
     "cdc_txn_assembly": cdc_txn_assembly_sql(),
     "cdc_lineage_by_op": cdc_lineage_by_op_sql(),
     "agg_rollup_pricing": agg_rollup_pricing_sql(),
+    "agg_percentiles_events": agg_percentiles_events_sql(),
+    "sketch_kmv_distinct": sketch_kmv_distinct_sql(),
     "tpch_q1_pricing": tpch_q1_pricing_sql(),
     "tpch_q3_topk": tpch_q3_topk_sql(),
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
