@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "agg_rollup_pricing",
     "agg_percentiles_events",
     "sketch_kmv_distinct",
+    "rollup_incremental_events",
     "set_ops_users",
     "json_props_events",
     "dedup_exact",

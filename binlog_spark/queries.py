@@ -258,6 +258,46 @@ GROUP BY event_type, n
 """
 
 
+def rollup_incremental_events(spark, sf_dir):
+    """Hypertable-style continuous aggregate: an hourly rollup maintained
+    INCREMENTALLY over three deterministic batches (plus a re-delivered
+    batch that must no-op — exactly-once for non-idempotent additive
+    state). The oracle is the one-shot GROUP BY over the raw table: the
+    incremental result must match it bit-for-bit (sums in exact
+    DECIMAL)."""
+    from .operators.rollup import RollupTable
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:mm:ss"))
+    work = tempfile.mkdtemp(prefix="binlog_rollup_")
+    rt = RollupTable.create(spark, os.path.join(work, "rollup"),
+                            ["hour", "event_type"], n_buckets=8)
+    batch = lambda i: (ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)  # noqa: E731
+                       .select("hour", "event_type", "value"))
+    for i in range(3):
+        rt.apply_batch(batch(i), "value", batch_id=i)
+    rt.apply_batch(batch(1), "value", batch_id=1)  # crash replay: no-op
+    return rt.to_df().select(
+        "hour", "event_type", "n_rows",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+def rollup_incremental_events_sql():
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def tpch_q1_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -646,6 +686,7 @@ QUERIES = {
     "agg_rollup_pricing": agg_rollup_pricing,
     "agg_percentiles_events": agg_percentiles_events,
     "sketch_kmv_distinct": sketch_kmv_distinct,
+    "rollup_incremental_events": rollup_incremental_events,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,
     "join_broadcast_part_counts": join_broadcast_part_counts,
@@ -721,6 +762,7 @@ ORACLES = {
     "agg_rollup_pricing": agg_rollup_pricing_sql(),
     "agg_percentiles_events": agg_percentiles_events_sql(),
     "sketch_kmv_distinct": sketch_kmv_distinct_sql(),
+    "rollup_incremental_events": rollup_incremental_events_sql(),
     "tpch_q1_pricing": tpch_q1_pricing_sql(),
     "tpch_q3_topk": tpch_q3_topk_sql(),
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
