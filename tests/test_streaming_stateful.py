@@ -97,3 +97,50 @@ def test_cdc_running_lww_keys_from_row_images(spark, tmp_path):
         ("r2", "p", 2, "I", 1),
         ("r1", "p", 3, "D", 2),  # tombstone wins; key came from `before`
     }
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark: a row arriving later than the allowed
+    lateness (behind the previous batch's max event time - watermark) is
+    DROPPED from its window; in-time rows keep aggregating."""
+    from binlog_spark.streaming.windows import tumbling_counts
+
+    watch = str(tmp_path / "in_wm")
+    os.makedirs(watch)
+    schema = pa.schema([("ts", pa.timestamp("us")), ("value", pa.float64())])
+
+    def ts(minute):
+        import datetime
+        return datetime.datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    now = time.time()
+    # batch 0: max event time 02:00 → watermark 01:30 (Spark activates a
+    # new watermark one batch after the stats that produced it, hence the
+    # spacer batch before the late row arrives)
+    _write_watch_file(watch, "w1.parquet", pa.table(
+        {"ts": [ts(10), ts(120)], "value": [1.0, 2.0]}, schema=schema),
+        now - 30)
+    _write_watch_file(watch, "w2.parquet", pa.table(
+        {"ts": [ts(125)], "value": [2.5]}, schema=schema), now - 20)
+    # batch 2: 00:20 is behind the 01:30 watermark → dropped;
+    # 02:10 is in time → counted
+    _write_watch_file(watch, "w3.parquet", pa.table(
+        {"ts": [ts(20), ts(130)], "value": [10.0, 3.0]}, schema=schema),
+        now - 10)
+
+    stream = (spark.readStream.schema("ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).parquet(watch))
+    out = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("wm_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.sql(
+        "SELECT win_start, n_events, sum_value FROM wm_test").collect()
+    per_window = {}
+    for r in rows:  # update mode: last emission per window wins
+        per_window[r["win_start"].strftime("%H:%M")] = (
+            r["n_events"], r["sum_value"])
+    # the 00:00 window NEVER saw the late 00:20 row (would be n=2, sum=11)
+    assert per_window["00:00"] == (1, 1.0)
+    assert per_window["02:00"] == (3, 7.5)
