@@ -152,6 +152,65 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
             folded.unpersist()
 
 
+def replay_batch_multi(spark: SparkSession, frames: DataFrame, lakes: dict,
+                       registry: dict, batch_id=None,
+                       stream_meta: dict | None = None) -> dict:
+    """One decode pass fanned out to multiple lake tables.
+
+    ``lakes``: ``{(db, tbl): LakeTable}``. The stream is decoded and
+    transaction-assembled ONCE (persisted across the fan-out), then each
+    table's changes fold and MERGE into that table's lake — the
+    multi-consumer shape of the reference's single callback receiving
+    every table's events (`row_streamer.go:33-39`), with per-table
+    exactly-once (each lake tracks its own batch ids / GTID watermark)
+    and per-table DDL routing (``apply_ddls`` matches the statement's
+    table token against each lake's identity).
+
+    Returns ``{(db, tbl): merge_stats}``."""
+    meta = (stream_meta if stream_meta is not None
+            else discover_stream_meta(frames))
+    ddl_acc = spark.sparkContext.accumulator([], _DdlAccum())
+    decoded = decode_frames(spark, frames, meta, registry, ddl_acc=ddl_acc)
+    changes_all = assemble_transactions(decoded)
+    changes_all.persist()
+    ddls = None
+    out = {}
+    try:
+        for (db, tbl), lake in lakes.items():
+            ch = changes_all.where(
+                (F.col("db") == db) & (F.col("tbl") == tbl))
+            folded = lake.bucket_of(
+                fold_changes(ch, tuple(lake.meta["key"])))
+            folded.persist()
+            try:
+                per_bucket = (folded.groupBy("_bucket")
+                              .agg(F.sum("n_events").alias("n"),
+                                   F.max("g").alias("g")).collect())
+                n_changes = sum(r["n"] for r in per_bucket)
+                max_gtid = max((r["g"] for r in per_bucket), default=None)
+                hwm = lake.meta.get("last_gtid", -1)
+                effective = [r for r in per_bucket if r["g"] > hwm]
+                if ddls is None:  # accumulator complete after first action
+                    seen, ddls = set(), []
+                    for f, p, ts, d, sql, cat in sorted(ddl_acc.value):
+                        if (f, p) in seen:
+                            continue
+                        seen.add((f, p))
+                        ddls.append({"file": f, "pos": p, "ts": ts,
+                                     "db": d, "sql": sql, "category": cat})
+                apply_ddls(lake, ddls)
+                stats = lake.merge_apply(
+                    folded, batch_id=batch_id, max_gtid=max_gtid,
+                    changed_buckets=[r["_bucket"] for r in effective])
+                stats["n_changes"] = n_changes
+                out[(db, tbl)] = stats
+            finally:
+                folded.unpersist()
+        return out
+    finally:
+        changes_all.unpersist()
+
+
 def read_frames(spark: SparkSession, frames_dir: str) -> DataFrame:
     return spark.read.schema(S.FRAME_SCHEMA).parquet(frames_dir)
 

@@ -396,6 +396,111 @@ def test_multi_table_stream_filters_to_target(spark, tmp_path):
     assert "user" not in rows[0]
 
 
+def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
+    """Multi-table fan-out: ONE decode/assembly pass applies a mixed
+    stream to several lake tables, each with its own key, exactly-once
+    state, and final-state parity; re-applying the batch no-ops both."""
+    import struct as _struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from binlog_spark.wire import constants as C
+    from binlog_spark.wire import events as E
+
+    other = E.TableMapSpec(
+        database="codehub", name="stars_log",
+        columns=[("user", C.TYPE_VARCHAR, 255, False),
+                 ("repo", C.TYPE_VARCHAR, 255, False),
+                 ("n", C.TYPE_LONG, 0, False)])
+    spec = genlog.table_spec()
+    registry = dict(genlog.table_registry())
+    registry[("codehub", "stars_log")] = [[("user", False), ("repo", False),
+                                          ("n", False)]]
+    fmt = E.BinlogFormat()
+    frames, pos, gtid = [], 4, 0
+
+    def emit(etype, payload):
+        nonlocal pos
+        fr = bytearray(E.packetize(fmt, etype, 0, payload,
+                                   timestamp=1700000000, server_id=1,
+                                   log_position=pos))
+        nxt = pos + len(fr)
+        _struct.pack_into("<I", fr, 13, nxt & 0xFFFFFFFF)
+        frames.append(("binlog.000000", pos, etype, bytes(fr)))
+        pos = nxt
+
+    def txn(*events):
+        nonlocal gtid
+        gtid += 1
+        emit(C.E_GTID, E.make_gtid(gtid))
+        emit(C.E_QUERY, E.make_query("codehub", "BEGIN"))
+        for etype, spec_, tid, rows in events:
+            emit(C.E_TABLE_MAP, E.make_table_map(spec_, tid))
+            emit(etype, E.make_rows_event(spec_, tid, etype, rows))
+        emit(C.E_XID, E.make_xid(gtid))
+
+    doc = {"repo": "r1", "path": "p1", "commit": "c" * 40, "lang": "py",
+           "content": "v1"}
+    doc2 = {"repo": "r2", "path": "p2", "commit": "d" * 40, "lang": "go",
+            "content": "gone"}
+    emit(C.E_FORMAT_DESCRIPTION, E.make_format_description(fmt))
+    txn((C.E_WRITE_ROWS_V2, spec, genlog.TABLE_ID, [(None, doc)]),
+        (C.E_WRITE_ROWS_V2, other, 9999,
+         [(None, {"user": "alice", "repo": "r1", "n": "5"})]))
+    txn((C.E_WRITE_ROWS_V2, spec, genlog.TABLE_ID, [(None, doc2)]),
+        (C.E_UPDATE_ROWS_V2, other, 9999,
+         [({"user": "alice", "repo": "r1"}, {"n": "7"})]))
+    txn((C.E_UPDATE_ROWS_V2, spec, genlog.TABLE_ID,
+         [({"repo": "r1", "path": "p1"}, {"content": "v2"})]),
+        (C.E_WRITE_ROWS_V2, other, 9999,
+         [(None, {"user": "bob", "repo": "r2", "n": "1"})]))
+    txn((C.E_DELETE_ROWS_V2, spec, genlog.TABLE_ID,
+         [({"repo": "r2", "path": "p2"}, None)]))
+
+    t = pa.table({"file": pa.array([f[0] for f in frames]),
+                  "pos": pa.array([f[1] for f in frames], pa.int64()),
+                  "etype": pa.array([f[2] for f in frames], pa.int32()),
+                  "frame": pa.array([f[3] for f in frames], pa.binary())})
+    d = tmp_path / "fanout_frames"
+    d.mkdir()
+    pq.write_table(t, str(d / "f.parquet"))
+    fr = pipeline.read_frames(spark, str(d))
+
+    lake_docs = LakeTable.create(
+        spark, str(tmp_path / "lk_docs"),
+        columns=genlog.table_spec().col_names,
+        key_cols=list(genlog.KEY_COLS), n_buckets=2,
+        table=("codehub", "repo_content"))
+    lake_stars = LakeTable.create(
+        spark, str(tmp_path / "lk_stars"),
+        columns=["user", "repo", "n"], key_cols=["user", "repo"],
+        n_buckets=2, table=("codehub", "stars_log"))
+
+    stats = pipeline.replay_batch_multi(
+        spark, fr, {("codehub", "repo_content"): lake_docs,
+                    ("codehub", "stars_log"): lake_stars},
+        registry, batch_id=0)
+    assert stats[("codehub", "repo_content")]["n_changes"] == 4
+    assert stats[("codehub", "stars_log")]["n_changes"] == 3
+
+    docs = {(r["repo"], r["path"]): r["content"]
+            for r in lake_docs.to_df().collect()}
+    assert docs == {("r1", "p1"): "v2"}  # r2/p2 deleted, r1 patched
+    stars = {(r["user"], r["repo"]): r["n"]
+             for r in lake_stars.to_df().collect()}
+    assert stars == {("alice", "r1"): "7", ("bob", "r2"): "1"}
+
+    # exactly-once: re-applying the same batch no-ops BOTH lakes
+    lake_docs2 = LakeTable(spark, str(tmp_path / "lk_docs"))
+    lake_stars2 = LakeTable(spark, str(tmp_path / "lk_stars"))
+    stats2 = pipeline.replay_batch_multi(
+        spark, fr, {("codehub", "repo_content"): lake_docs2,
+                    ("codehub", "stars_log"): lake_stars2},
+        registry, batch_id=0)
+    assert all(s["skipped"] for s in stats2.values())
+
+
 def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
     result, frames_dir = world
     lake = LakeTable.create(spark, str(tmp_path / "lake_vac"),
