@@ -32,7 +32,7 @@ from pyspark.sql import SparkSession
 from .. import schema as S
 from ..operators.decode import discover_stream_meta
 from ..operators.merge import LakeTable
-from ..pipeline import replay_batch
+from ..pipeline import replay_batch, replay_batch_multi
 
 
 class _MetaStore:
@@ -98,6 +98,37 @@ def run_stream(spark: SparkSession, frames_dir: str, lake_path: str,
         replay_batch(spark, batch_df, lake, registry,
                      batch_id=f"stream-{batch_id}", chunk_size=chunk_size,
                      record_lineage=True, stream_meta=meta)
+
+    stream = (
+        spark.readStream.schema(S.FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frames_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_multi(spark: SparkSession, frames_dir: str, lake_paths: dict,
+                     registry: dict, checkpoint_dir: str,
+                     max_files_per_trigger: int = 2):
+    """Streaming multi-table fan-out: one source, one decode per
+    microbatch, each table's changes applied to its own lake
+    (``lake_paths``: ``{(db, tbl): lake_path}``). Same resume contract
+    as ``run_stream`` — checkpointed offsets plus each lake's own
+    batch-id/GTID guards make a replayed microbatch a per-table no-op."""
+    store = _MetaStore(os.path.join(checkpoint_dir, "table_map_cache.json"))
+
+    def apply_batch(batch_df, batch_id: int):
+        lakes = {key: LakeTable(spark, path)
+                 for key, path in lake_paths.items()}
+        meta = _merge_meta(store.load(), discover_stream_meta(batch_df))
+        store.save(meta)
+        replay_batch_multi(spark, batch_df, lakes, registry,
+                           batch_id=f"stream-{batch_id}", stream_meta=meta)
 
     stream = (
         spark.readStream.schema(S.FRAME_SCHEMA)

@@ -396,14 +396,11 @@ def test_multi_table_stream_filters_to_target(spark, tmp_path):
     assert "user" not in rows[0]
 
 
-def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
-    """Multi-table fan-out: ONE decode/assembly pass applies a mixed
-    stream to several lake tables, each with its own key, exactly-once
-    state, and final-state parity; re-applying the batch no-ops both."""
+def _two_table_world():
+    """Mixed repo_content + stars_log stream: 4 txns of inserts, a
+    partial update, and a delete across both tables. Returns
+    (frames, registry, expected_docs, expected_stars)."""
     import struct as _struct
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from binlog_spark.wire import constants as C
     from binlog_spark.wire import events as E
@@ -457,14 +454,29 @@ def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
          [(None, {"user": "bob", "repo": "r2", "n": "1"})]))
     txn((C.E_DELETE_ROWS_V2, spec, genlog.TABLE_ID,
          [({"repo": "r2", "path": "p2"}, None)]))
+    return (frames, registry, {("r1", "p1"): "v2"},
+            {("alice", "r1"): "7", ("bob", "r2"): "1"})
+
+
+def _write_frame_file(frames, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     t = pa.table({"file": pa.array([f[0] for f in frames]),
                   "pos": pa.array([f[1] for f in frames], pa.int64()),
                   "etype": pa.array([f[2] for f in frames], pa.int32()),
                   "frame": pa.array([f[3] for f in frames], pa.binary())})
+    pq.write_table(t, str(path))
+
+
+def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
+    """Multi-table fan-out: ONE decode/assembly pass applies a mixed
+    stream to several lake tables, each with its own key, exactly-once
+    state, and final-state parity; re-applying the batch no-ops both."""
+    frames, registry, want_docs, want_stars = _two_table_world()
     d = tmp_path / "fanout_frames"
     d.mkdir()
-    pq.write_table(t, str(d / "f.parquet"))
+    _write_frame_file(frames, d / "f.parquet")
     fr = pipeline.read_frames(spark, str(d))
 
     lake_docs = LakeTable.create(
@@ -486,10 +498,10 @@ def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
 
     docs = {(r["repo"], r["path"]): r["content"]
             for r in lake_docs.to_df().collect()}
-    assert docs == {("r1", "p1"): "v2"}  # r2/p2 deleted, r1 patched
+    assert docs == want_docs  # r2/p2 deleted, r1 patched
     stars = {(r["user"], r["repo"]): r["n"]
              for r in lake_stars.to_df().collect()}
-    assert stars == {("alice", "r1"): "7", ("bob", "r2"): "1"}
+    assert stars == want_stars
 
     # exactly-once: re-applying the same batch no-ops BOTH lakes
     lake_docs2 = LakeTable(spark, str(tmp_path / "lk_docs"))
@@ -499,6 +511,59 @@ def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
                     ("codehub", "stars_log"): lake_stars2},
         registry, batch_id=0)
     assert all(s["skipped"] for s in stats2.values())
+
+
+def test_run_stream_multi_two_microbatches(spark, tmp_path):
+    """Streaming fan-out: the mixed stream split across two microbatches
+    (second batch's rows depend on the persisted TABLE_MAP cache for
+    nothing — each txn re-sends its maps — but the FORMAT_DESCRIPTION
+    arrives only in batch 1 and must carry over via the meta store)."""
+    import os as _os
+    import time as _time
+
+    from binlog_spark.streaming.pipeline import run_stream_multi
+
+    frames, registry, want_docs, want_stars = _two_table_world()
+    # split between transactions: after the 2nd XID
+    from binlog_spark.wire import constants as C
+    xid_idx = [i for i, f in enumerate(frames) if f[2] == C.E_XID]
+    cut = xid_idx[1] + 1
+    d = tmp_path / "stream_fanout"
+    d.mkdir()
+    now = _time.time()
+    _write_frame_file(frames[:cut], d / "f1.parquet")
+    _os.utime(d / "f1.parquet", (now - 20, now - 20))
+    _write_frame_file(frames[cut:], d / "f2.parquet")
+    _os.utime(d / "f2.parquet", (now - 10, now - 10))
+
+    lake_docs = LakeTable.create(
+        spark, str(tmp_path / "slk_docs"),
+        columns=genlog.table_spec().col_names,
+        key_cols=list(genlog.KEY_COLS), n_buckets=2,
+        table=("codehub", "repo_content"))
+    lake_stars = LakeTable.create(
+        spark, str(tmp_path / "slk_stars"),
+        columns=["user", "repo", "n"], key_cols=["user", "repo"],
+        n_buckets=2, table=("codehub", "stars_log"))
+
+    q = run_stream_multi(
+        spark, str(d),
+        {("codehub", "repo_content"): str(tmp_path / "slk_docs"),
+         ("codehub", "stars_log"): str(tmp_path / "slk_stars")},
+        registry, checkpoint_dir=str(tmp_path / "sck"),
+        max_files_per_trigger=1)
+    q.awaitTermination()
+
+    docs = {(r["repo"], r["path"]): r["content"]
+            for r in LakeTable(spark, str(tmp_path / "slk_docs"))
+            .to_df().collect()}
+    stars = {(r["user"], r["repo"]): r["n"]
+             for r in LakeTable(spark, str(tmp_path / "slk_stars"))
+             .to_df().collect()}
+    assert docs == want_docs
+    assert stars == want_stars
+    assert len(LakeTable(spark, str(tmp_path / "slk_docs"))
+               .meta["applied_batches"]) >= 2
 
 
 def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
