@@ -92,6 +92,8 @@ class CdcWorldGenerator:
         self.evolve_at_txn = evolve_at_txn
         self.base_ts = base_ts
         self.fmt = E.BinlogFormat()
+        self._word_pool = ["tok%x" % self.rng.getrandbits(24)
+                           for _ in range(4096)]
 
     # -- workload helpers ---------------------------------------------------
 
@@ -113,15 +115,13 @@ class CdcWorldGenerator:
         return "%040x" % self.rng.getrandbits(160)
 
     def _content(self) -> str:
+        # sample from a seeded per-generator word pool: two RNG draws per
+        # document instead of one per word (the per-word getrandbits +
+        # %x formatting loop dominated generation profiles)
         n = self.rng.randint(10, 600)
-        words = []
-        size = 0
-        while size < n:
-            w = "tok%x" % self.rng.getrandbits(24)
-            words.append(w)
-            size += len(w) + 1
+        words = self.rng.choices(self._word_pool, k=max(2, n // 9))
         if self.rng.random() < 0.05:
-            words.append("código↦测试")  # UTF-8 exercise
+            words = words + ["código↦测试"]  # UTF-8 exercise
         return " ".join(words)
 
     # -- generation ---------------------------------------------------------

@@ -727,8 +727,8 @@ QUERIES = {
 # the deterministic generator; any generator change must re-pin these)
 CDC_PACKET_FRAMING_ORACLE = """
 SELECT blob_id, status, CAST(cnt AS BIGINT) AS count FROM (VALUES
-  ('binlog.000000', 'eof', 1), ('binlog.000000', 'ok', 175),
-  ('binlog.000001', 'eof', 1), ('binlog.000001', 'ok', 162)
+  ('binlog.000000', 'eof', 1), ('binlog.000000', 'ok', 163),
+  ('binlog.000001', 'eof', 1), ('binlog.000001', 'ok', 182)
 ) AS t(blob_id, status, cnt)
 """
 
@@ -742,15 +742,15 @@ SELECT file, CAST(min_pos AS BIGINT) AS min_pos,
        CAST(n_update AS BIGINT) AS n_update,
        CAST(n_delete AS BIGINT) AS n_delete
 FROM (VALUES
-  ('binlog.000000', 416, 294827, 2, 40, 724, 421, 261, 42),
-  ('binlog.000001', 288, 341881, 41, 80, 826, 425, 370, 31)
+  ('binlog.000000', 288, 310840, 1, 40, 700, 487, 192, 21),
+  ('binlog.000001', 288, 315433, 41, 80, 721, 436, 246, 39)
 ) AS t(file, min_pos, max_next_pos, min_gtid, max_gtid,
        n_changes, n_insert, n_update, n_delete)
 """
 
 CDC_REPLAY_STATE_ORACLE = """
-SELECT CAST(1036 AS BIGINT) AS n_rows,
-       'c37e72bedfd0662981f3ece13f2d5f42c1dffea96cb44b2b9dbad7f928d48448'
+SELECT CAST(1145 AS BIGINT) AS n_rows,
+       '86b4f4c0c5d054c961d6d2cb817d8a5e50695c86ebdbd699064dc288c80a7d49'
            AS state_sha256
 """
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
+from functools import cached_property
 
 from . import constants as C
 from .codec import (
@@ -55,19 +56,22 @@ class TableMapSpec:
     flags: int = 1
     key_cols: tuple = ()  # names of primary-key columns (identify image)
 
-    @property
+    # cached: the generator reads these per row image — recomputing the
+    # comprehension millions of times showed up in generation profiles
+    # (specs are treated as immutable after construction)
+    @cached_property
     def col_names(self):
         return [c[0] for c in self.columns]
 
-    @property
+    @cached_property
     def types(self):
         return [c[1] for c in self.columns]
 
-    @property
+    @cached_property
     def metadata(self):
         return [c[2] for c in self.columns]
 
-    @property
+    @cached_property
     def unsigned(self):
         return [c[3] for c in self.columns]
 
