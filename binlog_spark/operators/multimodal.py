@@ -79,14 +79,23 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 def frame_sample_offsets(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Evenly spaced sample offsets into the payload (the frame-sampling
-    plumbing for video): pure JVM-side arithmetic."""
+    plumbing for video): pure JVM-side arithmetic, unrolled per frame
+    index (no interpreted HOF lambda) with explicit ``floor`` so the SQL
+    oracle replays the rounding exactly."""
     n_bytes = F.octet_length(F.col("payload"))
-    offsets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_frames - 1)),
-        lambda i: (i * n_bytes / n_frames).cast("long"),
-    )
+    offsets = F.array(*[
+        F.floor(F.lit(i) * n_bytes / F.lit(n_frames)).cast("long")
+        for i in range(n_frames)])
     return df.select("doc_id", n_bytes.alias("n_bytes"),
                      offsets.alias("sample_offsets"))
+
+
+def frame_sample_sql(table: str = "documents", n_frames: int = 4) -> str:
+    cols = ", ".join(
+        f"CAST(floor({i} * octet_length(encode(text)) / {n_frames}.0) "
+        f"AS BIGINT) AS o{i}" for i in range(n_frames))
+    return (f"SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            f"{cols} FROM {table}")
 
 
 def blob_metadata(df: DataFrame, col: str = "text") -> DataFrame:

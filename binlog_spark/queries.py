@@ -478,6 +478,15 @@ def mm_blob_metadata_q(spark, sf_dir):
     return multimodal.blob_metadata(_t(spark, sf_dir, "documents"))
 
 
+def mm_frame_sample_q(spark, sf_dir):
+    """Video frame-sampling plumbing: evenly spaced payload offsets."""
+    blobs = multimodal.to_blob_table(_t(spark, sf_dir, "documents"))
+    fs = multimodal.frame_sample_offsets(blobs, n_frames=4)
+    return fs.select(
+        "doc_id", "n_bytes",
+        *[F.col("sample_offsets")[i].alias(f"o{i}") for i in range(4)])
+
+
 def mm_features_q(spark, sf_dir):
     blobs = multimodal.to_blob_table(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(blobs)
@@ -715,6 +724,7 @@ QUERIES = {
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
+    "mm_frame_sample": mm_frame_sample_q,
     # wire-format CDC pipeline: the binary decode isn't SQL-expressible,
     # but the generator is seeded, so each query's exact output is pinned
     # as a literal VALUES oracle (captured from the deterministic run)
@@ -789,6 +799,7 @@ ORACLES = {
     "text_fingerprint": textstats.fingerprint_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
+    "mm_frame_sample": multimodal.frame_sample_sql(),
     "cdc_packet_framing": CDC_PACKET_FRAMING_ORACLE,
     "cdc_replay_final_state": CDC_REPLAY_STATE_ORACLE,
     "cdc_replay_lineage": CDC_REPLAY_LINEAGE_ORACLE,
