@@ -55,26 +55,44 @@ def _dot(a, b):
 
 
 def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query top-k with a bounded per-partition partial aggregate.
+    """Per-query top-k with a truly bounded per-partition partial fold.
 
     A bare ``row_number`` over ``Window.partitionBy(query_id)`` funnels the
-    entire scored corpus into n_queries tasks. Instead: each input
-    partition keeps only its own best k per query (map-side complete —
-    the grouping key includes the partition id), so the shuffle carries
-    n_partitions × n_queries × k rows; the final rank window runs over
-    that tiny candidate set. The global top-k is a subset of the union of
-    per-partition top-ks under the same total order, so results are
-    unchanged."""
-    entry = F.struct(F.col("sim"),
-                     (-F.col("vec_id")).alias("nvid"),  # ties → smaller id
-                     F.col("vec_id"))
-    partial = (scored
-               .groupBy("query_id", F.spark_partition_id().alias("_p"))
-               .agg(F.slice(F.sort_array(F.collect_list(entry), asc=False),
-                            1, k).alias("top")))
-    cand = (partial.select("query_id", F.explode("top").alias("t"))
-            .select("query_id", F.col("t.sim").alias("sim"),
-                    F.col("t.vec_id").alias("vec_id")))
+    entire scored corpus into n_queries tasks; a ``collect_list``-then-
+    ``slice`` partial still buffers every scored row of a partition
+    before slicing. Instead, an Arrow ``mapInPandas`` fold keeps at most
+    k candidates per query ACROSS batches (state = n_queries × k rows,
+    independent of partition size), so the shuffle carries
+    n_partitions × n_queries × k rows and the final rank window runs
+    over that tiny set. Same total order (sim desc, vec_id asc) at every
+    step, so results — and the SQL oracles — are unchanged."""
+    import pandas as pd
+
+    def fold(batches):
+        state: dict = {}  # query_id -> (sims desc, vec_ids) best-k arrays
+        for pdf in batches:
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                s = grp["sim"].to_numpy(dtype=np.float64)
+                v = grp["vec_id"].to_numpy(dtype=np.int64)
+                prev = state.get(qid)
+                if prev is not None:
+                    s = np.concatenate([prev[0], s])
+                    v = np.concatenate([prev[1], v])
+                order = np.lexsort((v, -s))[:k]  # sim desc, ties id asc
+                state[qid] = (s[order], v[order])
+        yield pd.DataFrame({
+            "query_id": np.repeat(
+                np.fromiter(state.keys(), dtype=np.int64, count=len(state)),
+                [len(s) for s, _ in state.values()]) if state else
+            np.array([], dtype=np.int64),
+            "sim": (np.concatenate([s for s, _ in state.values()])
+                    if state else np.array([], dtype=np.float64)),
+            "vec_id": (np.concatenate([v for _, v in state.values()])
+                       if state else np.array([], dtype=np.int64)),
+        })
+
+    cand = (scored.select("query_id", "sim", "vec_id")
+            .mapInPandas(fold, "query_id long, sim double, vec_id long"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))

@@ -204,23 +204,40 @@ def sketch_kmv_distinct(spark, sf_dir, k: int = _KMV_K):
     deterministic (md5-derived 48-bit hash) so DuckDB replays it exactly.
 
     The estimator is the classic (k-1)/kth_min_fraction. Physical shape
-    is the scale path for any min-k sketch: each input partition keeps
-    only its own k smallest hashes (map-side complete — the grouping key
-    includes the partition id), the shuffle carries n_partitions × k
-    values per group, and the final merge re-sorts that bounded set.
-    One tiny exact sketch per group instead of a count-distinct shuffle
-    of every user id."""
+    is the scale path for any min-k sketch: an Arrow fold keeps at most
+    k distinct hashes per group PER PARTITION with state bounded at
+    groups × k regardless of partition size, the shuffle carries
+    n_partitions × k values per group, and the final merge re-sorts that
+    bounded set. One tiny exact sketch per group instead of a
+    count-distinct shuffle of every user id."""
+    import numpy as np
+    import pandas as pd
+
     ev = _t(spark, sf_dir, "events")
     h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
                16, 10).cast("long")
-    # no pre-distinct: collect_set dedupes hashes at both levels, so the
-    # sketch sees distinct values without a dedicated distinct shuffle
+
+    def fold(batches):
+        state: dict = {}  # event_type -> sorted unique k-smallest hashes
+        for pdf in batches:
+            for et, grp in pdf.groupby("event_type", sort=False):
+                vals = grp["h"].to_numpy(dtype=np.int64)
+                prev = state.get(et)
+                if prev is not None:
+                    vals = np.concatenate([prev, vals])
+                state[et] = np.unique(vals)[:k]  # sorted distinct min-k
+        yield pd.DataFrame({
+            "event_type": np.repeat(
+                np.array(list(state.keys()), dtype=object),
+                [len(v) for v in state.values()]) if state else
+            np.array([], dtype=object),
+            "h": (np.concatenate(list(state.values())) if state else
+                  np.array([], dtype=np.int64)),
+        })
+
     partial = (ev.select("event_type", h.alias("h"))
-               .groupBy("event_type", F.spark_partition_id().alias("_p"))
-               .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
-                    .alias("mins")))
-    merged = (partial.select("event_type", F.explode("mins").alias("h"))
-              .groupBy("event_type")
+               .mapInPandas(fold, "event_type string, h long"))
+    merged = (partial.groupBy("event_type")
               .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
                    .alias("mins")))
     kth = F.element_at("mins", F.least(F.size("mins"), F.lit(k)))

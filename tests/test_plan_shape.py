@@ -93,7 +93,7 @@ def test_sim_topk_plan_vectorized_and_partial(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "zip_with" not in plan, plan        # no interpreted HOF kernel
     assert "ArrowEvalPython" in plan, plan     # vectorized Arrow dot product
-    assert "collect_list" in plan, plan        # bounded partial top-k agg
+    assert "MapInPandas" in plan, plan         # bounded partial top-k fold
 
 
 def test_arrow_fold_single_key_shuffle(spark, frames):
