@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "join_broadcast_part_counts",
+    "join_anti_idle_customers",
+    "pivot_user_event_matrix",
     "window_topk_orders",
     "window_tumbling_events",
     "window_session_events",

@@ -394,6 +394,49 @@ GROUP BY p_brand
 """
 
 
+def join_anti_idle_customers(spark, sf_dir):
+    """Anti join (the semi/anti category): customers with no big-ticket
+    order — left_anti keeps the probe side unduplicated with no
+    aggregation, the plan Catalyst picks for NOT EXISTS. The build side
+    is price-restricted so the difference is non-empty at test scales
+    (every customer has SOME order)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = (_t(spark, sf_dir, "orders")
+           .where(F.col("o_totalprice") > 300000))
+    return (cust.join(big, cust["c_custkey"] == big["o_custkey"],
+                      "left_anti")
+            .select("c_custkey", "c_name", "c_nationkey"))
+
+
+def join_anti_idle_customers_sql():
+    return """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def pivot_user_event_matrix(spark, sf_dir):
+    """PIVOT: per-user event-type count matrix — Spark's relational
+    pivot over a bounded, explicitly-listed column set (unbounded pivots
+    need a distinct scan first; listing values keeps it one pass)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))  # count(*) is invalid inside pivot
+            .select("user_id",
+                    *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                      for t in types]))
+
+
+def pivot_user_event_matrix_sql():
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in ["click", "error", "purchase", "signup", "view"])
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
 def window_topk_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -716,6 +759,8 @@ QUERIES = {
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,
     "join_broadcast_part_counts": join_broadcast_part_counts,
+    "join_anti_idle_customers": join_anti_idle_customers,
+    "pivot_user_event_matrix": pivot_user_event_matrix,
     "window_topk_orders": window_topk_orders,
     "window_tumbling_events": window_tumbling_events,
     "window_session_events": window_session_events,
@@ -793,6 +838,8 @@ ORACLES = {
     "tpch_q1_pricing": tpch_q1_pricing_sql(),
     "tpch_q3_topk": tpch_q3_topk_sql(),
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
+    "join_anti_idle_customers": join_anti_idle_customers_sql(),
+    "pivot_user_event_matrix": pivot_user_event_matrix_sql(),
     "window_topk_orders": window_topk_orders_sql(),
     "window_tumbling_events": window_tumbling_events_sql(),
     "window_session_events": window_session_events_sql(),
