@@ -566,6 +566,82 @@ def test_run_stream_multi_two_microbatches(spark, tmp_path):
                .meta["applied_batches"]) >= 2
 
 
+def test_type_widening_mid_stream(spark, tmp_path):
+    """ALTER-driven type WIDENING (north rule: column add/type-widen):
+    the TABLE_MAP's type vector changes INT→BIGINT mid-stream at the
+    same column count. The width-keyed schema lookup binds the same name
+    vector, cells decode through the new wire type, and the canonical
+    byte-string model makes the widened values land losslessly —
+    including one beyond int32 range."""
+    import struct as _struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from binlog_spark.wire import constants as C
+    from binlog_spark.wire import events as E
+
+    cols_narrow = [("k", C.TYPE_VARCHAR, 255, False),
+                   ("n", C.TYPE_LONG, 0, False)]
+    cols_wide = [("k", C.TYPE_VARCHAR, 255, False),
+                 ("n", C.TYPE_LONGLONG, 0, False)]
+    narrow = E.TableMapSpec(database="db", name="m", columns=cols_narrow)
+    wide = E.TableMapSpec(database="db", name="m", columns=cols_wide)
+    registry = {("db", "m"): [[("k", False), ("n", False)]]}
+
+    fmt = E.BinlogFormat()
+    frames, pos, gtid = [], 4, 0
+
+    def emit(etype, payload):
+        nonlocal pos
+        fr = bytearray(E.packetize(fmt, etype, 0, payload,
+                                   timestamp=1700000000, server_id=1,
+                                   log_position=pos))
+        nxt = pos + len(fr)
+        _struct.pack_into("<I", fr, 13, nxt & 0xFFFFFFFF)
+        frames.append(("binlog.000000", pos, etype, bytes(fr)))
+        pos = nxt
+
+    def txn(spec_, etype, rows, ddl=None):
+        nonlocal gtid
+        gtid += 1
+        emit(C.E_GTID, E.make_gtid(gtid))
+        if ddl:
+            emit(C.E_QUERY, E.make_query("db", ddl))
+            return
+        emit(C.E_QUERY, E.make_query("db", "BEGIN"))
+        emit(C.E_TABLE_MAP, E.make_table_map(spec_, 77))
+        emit(etype, E.make_rows_event(spec_, 77, etype, rows))
+        emit(C.E_XID, E.make_xid(gtid))
+
+    emit(C.E_FORMAT_DESCRIPTION, E.make_format_description(fmt))
+    txn(narrow, C.E_WRITE_ROWS_V2, [(None, {"k": "a", "n": "41"})])
+    # the widening ALTER arrives as a QUERY event (classified, logged,
+    # not applied — same as the reference), then TABLE_MAP carries the
+    # new type vector
+    txn(None, None, None, ddl="ALTER TABLE m MODIFY COLUMN n BIGINT")
+    txn(wide, C.E_WRITE_ROWS_V2,
+        [(None, {"k": "b", "n": str(2**40 + 7)})])  # beyond int32
+    txn(wide, C.E_UPDATE_ROWS_V2, [({"k": "a"}, {"n": "42"})])
+
+    t = pa.table({"file": pa.array([f[0] for f in frames]),
+                  "pos": pa.array([f[1] for f in frames], pa.int64()),
+                  "etype": pa.array([f[2] for f in frames], pa.int32()),
+                  "frame": pa.array([f[3] for f in frames], pa.binary())})
+    d = tmp_path / "widen_frames"
+    d.mkdir()
+    pq.write_table(t, str(d / "f.parquet"))
+
+    lake = LakeTable.create(spark, str(tmp_path / "lk_widen"),
+                            columns=["k", "n"], key_cols=["k"],
+                            n_buckets=2, table=("db", "m"))
+    fr = pipeline.read_frames(spark, str(d))
+    stats = pipeline.replay_batch(spark, fr, lake, registry, batch_id=0)
+    assert stats["n_changes"] == 3
+    got = {r["k"]: r["n"] for r in lake.to_df().collect()}
+    assert got == {"a": "42", "b": str(2**40 + 7)}
+
+
 def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
     result, frames_dir = world
     lake = LakeTable.create(spark, str(tmp_path / "lake_vac"),
