@@ -269,7 +269,7 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
                 op = "D"
             posi, nposi, tsi = int(pos), int(next_pos), int(ts)
             seq = 0
-            for before, after in E.iter_row_maps(fmt, etype, body, types,
+            for before, after in E.read_row_maps(fmt, etype, body, types,
                                                  metadata, unsigned, names):
                 append((None, None, None, file, posi, nposi, tsi, op, db,
                         tbl, before, after, seq, "change", None, None))

@@ -680,7 +680,15 @@ def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
 
 def iter_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
                   unsigned, names):
-    """Yield ``(before_map, after_map)`` per row of a ROWS event — the hot
+    """Iterate ``(before_map, after_map)`` per row of a ROWS event (see
+    ``read_row_maps`` — this is its iterator facade)."""
+    return iter(read_row_maps(fmt, typ, data, types, metadata, unsigned,
+                              names))
+
+
+def read_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
+                  unsigned, names) -> list:
+    """All ``(before_map, after_map)`` rows of a ROWS event — the hot
     decode kernel.
 
     Same wire semantics as ``iter_rows`` but fused with row
@@ -688,9 +696,12 @@ def iter_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
     ``{column_name: canonical_str | None}`` map the change schema carries,
     with absent columns (minimal row image / ``IsEmpty``) omitted — no
     intermediate per-cell tuple list or second bytes→str pass. Per-column
-    str decoders are specialized+cached (codec.make_cell_str_decoder), the
-    present-column plan is hoisted out of the per-row loop, and the
-    all-non-NULL fast path skips bit tests entirely."""
+    str decoders are specialized+cached (codec.make_cell_str_decoder);
+    image decoders are exec-generated per (schema, present-bitmap)
+    (``make_image_decoder``). Returns a list (events are bounded by the
+    wire's event-size cap, so materializing is cheap) — a plain loop over
+    a list avoids the generator frame switching that showed up in decode
+    profiles."""
     body = data[fmt.header_length :]
     has_identify = typ in C.UPDATE_ROWS_TYPES or typ in C.DELETE_ROWS_TYPES
     has_data = typ in C.WRITE_ROWS_TYPES or typ in C.UPDATE_ROWS_TYPES
@@ -717,10 +728,19 @@ def iter_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
                                       bits)
 
     end = len(body)
-    while pos < end:
-        ident = dat = None
-        if has_identify:
+    out = []
+    append = out.append
+    if has_identify and has_data:  # UPDATE
+        while pos < end:
             ident, pos = identify_dec(body, pos)
-        if has_data:
             dat, pos = data_dec(body, pos)
-        yield ident, dat
+            append((ident, dat))
+    elif has_data:  # WRITE
+        while pos < end:
+            dat, pos = data_dec(body, pos)
+            append((None, dat))
+    else:  # DELETE
+        while pos < end:
+            ident, pos = identify_dec(body, pos)
+            append((ident, None))
+    return out
