@@ -59,6 +59,17 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_burn() -> float:
+    """Single-thread pure-CPU burn (seconds) — a host-interference probe:
+    on this box the quiet-window value is ~0.55-0.6 s, and co-tenant
+    steal windows (documented in BENCH/BASELINE.md) double it or worse."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def build_replay_input(n_txns: int, workdir: str, seed: int = 42):
     gen = genlog.CdcWorldGenerator(seed=seed, n_repos=200, paths_per_repo=80,
                                    txns_per_file=500)
@@ -120,18 +131,19 @@ def main():
 
     # flagship: CDC wire replay. Warm up once on the SAME full-size input
     # (JVM codegen + python worker pool are plan/size-dependent), then
-    # take the best of two steady-state replays (shared-host interference
-    # is bursty; see BENCH/BASELINE.md methodology).
+    # take the best of N steady-state replays (shared-host interference
+    # is bursty; see BENCH/BASELINE.md methodology). A 1-thread pure-CPU
+    # burn is measured alongside and reported so a reader can tell a bad
+    # co-tenant window (burn ≫ ~0.6 s on this host) from a real change.
+    burn_secs = _cpu_burn()
     shuffle_parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     time_replay(spark, frames_dir, len(result.changes), workdir,
                 parts=replay_parts)
 
-    # best-of-3: this host's co-tenant interference is bursty enough that
-    # identical warm runs vary ~4x (BENCH/BASELINE.md methodology)
-    replay = max((time_replay(spark, frames_dir, len(result.changes),
-                              workdir, parts=replay_parts)
-                  for _ in range(3)),
-                 key=lambda r: r["events_per_sec"])
+    n_reps = int(os.environ.get("BENCH_REPLAY_REPS", "3"))
+    reps = [time_replay(spark, frames_dir, len(result.changes), workdir,
+                        parts=replay_parts) for _ in range(n_reps)]
+    replay = max(reps, key=lambda r: r["events_per_sec"])
     spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts_before)
     timings["cdc_replay"] = round(replay["seconds"], 3)
     total += replay["seconds"]
@@ -155,6 +167,8 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc_replay_events": replay["n_changes"],
         "cdc_replay_events_per_sec": round(replay["events_per_sec"], 1),
+        "cdc_replay_rep_seconds": [round(r["seconds"], 2) for r in reps],
+        "cpu_burn_1thread_seconds": burn_secs,
         "cpus": cpus,
     }
     shutil.rmtree(workdir, ignore_errors=True)
