@@ -261,6 +261,86 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def lsh_near_dup_pairs(spark: SparkSession, df: DataFrame,
+                       threshold: float = 0.35, n_tables: int = 8,
+                       k: int = 4, dim: int = 64, seed: int = 7,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs via multi-table LSH blocking — the scale path
+    for ``embedding_near_dup_pairs`` (whose per-label block is exact but
+    O(B²)): candidates are pairs colliding in ANY of ``n_tables`` sign
+    hash tables of ``k`` planes each (the standard OR-construction —
+    recall rises with L, candidate fan-out falls with k), deduped, then
+    scored exactly. Deterministic (seeded planes, order-stable dots), so
+    the SQL oracle replays the candidate set bit-identically."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * k))
+    bc = spark.sparkContext.broadcast(planes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        p = bc.value
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = np.zeros((mat.shape[0], p.shape[1]))
+        for d in range(p.shape[0]):  # sequential: oracle bit-parity
+            dots += mat[:, d:d + 1] * p[d]
+        signs = (dots > 0).astype(np.int64)
+        w = 1 << np.arange(k, dtype=np.int64)
+        codes = [signs[:, t * k:(t + 1) * k] @ w for t in range(n_tables)]
+        return pd.Series(np.stack(codes, axis=1).tolist())
+
+    coded = df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"),
+                      F.posexplode(_codes(F.col(vec_col)))
+                      .alias("t", "code"))
+    a = coded.select(F.col("vec_id").alias("id_a"), "t", "code")
+    b = coded.select(F.col("vec_id").alias("id_b"), "t", "code")
+    cand = (a.join(b, ["t", "code"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb")), 6))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
+
+
+def lsh_near_dup_pairs_sql(table: str = "embeddings",
+                           threshold: float = 0.35, n_tables: int = 8,
+                           k: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replay of ``lsh_near_dup_pairs``: inlined seeded planes,
+    identical left-to-right dot accumulation, same OR-construction."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * k))
+    rows = ", ".join(
+        f"({c // k}, {c % k}, "
+        f"[{', '.join(repr(float(x)) for x in planes[:, c])}])"
+        for c in range(n_tables * k))
+    pdot = _DOT.format(a="v.embedding", b="p.pvec")
+    sdot = _DOT.format(a="x.embedding", b="y.embedding")
+    return f"""
+WITH planes(t, j, pvec) AS (VALUES {rows}),
+buckets AS (
+  SELECT v.vec_id, p.t,
+         SUM(CASE WHEN {pdot} > 0 THEN (1::BIGINT << p.j) ELSE 0 END) AS code
+  FROM {table} v CROSS JOIN planes p
+  GROUP BY v.vec_id, p.t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({sdot}, 6) AS sim
+FROM cand c
+JOIN {table} x ON x.vec_id = c.id_a
+JOIN {table} y ON y.vec_id = c.id_b
+WHERE round({sdot}, 6) >= {threshold}
+"""
+
+
 def ivf_assign(df: DataFrame, n_centroids: int = 8,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest

@@ -506,6 +506,11 @@ def sim_embedding_near_dup_q(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def sim_lsh_near_dup_q(spark, sf_dir):
+    return similarity.lsh_near_dup_pairs(
+        spark, _t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def sim_lsh_ann_q(spark, sf_dir):
     return similarity.lsh_ann_topk(spark, _t(spark, sf_dir, "embeddings"),
                                    n_queries=5, k=10)
@@ -776,6 +781,7 @@ QUERIES = {
     # similarity search
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
+    "sim_lsh_near_dup": sim_lsh_near_dup_q,
     "sim_lsh_ann_topk": sim_lsh_ann_q,
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     # text analysis
@@ -855,6 +861,7 @@ ORACLES = {
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),
+    "sim_lsh_near_dup": similarity.lsh_near_dup_pairs_sql(threshold=0.35),
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
     "text_token_count": textstats.token_count_sql(),
