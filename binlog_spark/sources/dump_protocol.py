@@ -43,7 +43,7 @@ from urllib.parse import parse_qsl
 
 from ..wire import constants as C
 from ..wire import events as E
-from .packets import PKT_EOF, PKT_ERR, PKT_OK
+from .packets import MAX_PACKET_SIZE, PKT_EOF, PKT_ERR, PKT_OK
 
 # capability flags (public protocol constants)
 CLIENT_LONG_PASSWORD = 0x00000001
@@ -201,20 +201,38 @@ def make_com_binlog_dump(server_id: int, offset: int, filename: str,
 
 
 def _read_packet(rf) -> tuple[int, bytes]:
-    """One wire packet from a socket file → (sequence_id, payload)."""
-    hdr = rf.read(4)
-    if len(hdr) < 4:
-        raise ConnectionError("connection closed mid-packet")
-    ln = hdr[0] | hdr[1] << 8 | hdr[2] << 16
-    payload = rf.read(ln)
-    if len(payload) < ln:
-        raise ConnectionError("connection closed mid-payload")
-    return hdr[3], payload
+    """One logical packet from a socket file → (last_sequence_id, payload).
+
+    Reassembles payloads split at the 16 MiB−1 wire boundary exactly like
+    the reference's ``readPacket`` (`dump/packets.go:32-102`): a payload
+    of exactly 2^24−1 bytes continues into the next wire packet; a
+    zero-length packet terminates an exact-multiple chain."""
+    parts = []
+    while True:
+        hdr = rf.read(4)
+        if len(hdr) < 4:
+            raise ConnectionError("connection closed mid-packet")
+        ln = hdr[0] | hdr[1] << 8 | hdr[2] << 16
+        payload = rf.read(ln)
+        if len(payload) < ln:
+            raise ConnectionError("connection closed mid-payload")
+        parts.append(payload)
+        if ln < MAX_PACKET_SIZE:
+            return hdr[3], b"".join(parts)
 
 
 def _write_packet(wf, seq: int, payload: bytes):
-    wf.write(len(payload).to_bytes(3, "little") + bytes([seq & 0xFF])
-             + payload)
+    """Write one logical packet, splitting at the 16 MiB−1 wire boundary
+    (an exact-multiple payload gets a zero-length terminator packet)."""
+    pos = 0
+    while True:
+        chunk = payload[pos : pos + MAX_PACKET_SIZE]
+        wf.write(len(chunk).to_bytes(3, "little") + bytes([seq & 0xFF])
+                 + chunk)
+        seq += 1
+        pos += len(chunk)
+        if len(chunk) < MAX_PACKET_SIZE:
+            break
     wf.flush()
 
 

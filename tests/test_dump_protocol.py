@@ -183,3 +183,22 @@ def test_live_dump_end_to_end(spark, dump_world, tmp_path):
                  for r in lake.to_df().collect()}
     want_state = {k: v["content"] for k, v in dump_world.final_state.items()}
     assert got_state == want_state
+
+
+def test_packet_split_reassembly_over_socket_io():
+    """16 MiB−1 wire-boundary splits round-trip through the client's
+    packet layer (readPacket parity, dump/packets.go:32-102), including
+    the exact-multiple case that needs a zero-length terminator."""
+    import io
+
+    from binlog_spark.sources.packets import MAX_PACKET_SIZE
+
+    for size in (100, MAX_PACKET_SIZE - 1, MAX_PACKET_SIZE,
+                 MAX_PACKET_SIZE + 7, 2 * MAX_PACKET_SIZE):
+        payload = bytes([size % 251]) * size
+        buf = io.BytesIO()
+        D._write_packet(buf, 3, payload)
+        buf.seek(0)
+        seq, got = D._read_packet(buf)
+        assert got == payload, size
+        assert buf.read() == b""  # nothing trailing
