@@ -375,6 +375,34 @@ LIMIT 10
 """
 
 
+_Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+           AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
+"""
+
+
+def sql_q5_region_revenue(spark, sf_dir):
+    """The engine's SQL surface: the same ANSI text runs verbatim through
+    ``spark.sql`` (temp views over the parquet tables, Catalyst plans the
+    5-way join) and through the DuckDB oracle — a TPC-H Q5 shape on the
+    customer's nation (this corpus has no same-nation supplier pairs)."""
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
+
+
 def join_broadcast_part_counts(spark, sf_dir):
     """Broadcast dimension join (the frames⋈table_map shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -763,6 +791,7 @@ QUERIES = {
     "rollup_incremental_events": rollup_incremental_events,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,
+    "sql_q5_region_revenue": sql_q5_region_revenue,
     "join_broadcast_part_counts": join_broadcast_part_counts,
     "join_anti_idle_customers": join_anti_idle_customers,
     "pivot_user_event_matrix": pivot_user_event_matrix,
@@ -843,6 +872,7 @@ ORACLES = {
     "rollup_incremental_events": rollup_incremental_events_sql(),
     "tpch_q1_pricing": tpch_q1_pricing_sql(),
     "tpch_q3_topk": tpch_q3_topk_sql(),
+    "sql_q5_region_revenue": _Q5_SQL,
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
     "join_anti_idle_customers": join_anti_idle_customers_sql(),
     "pivot_user_event_matrix": pivot_user_event_matrix_sql(),
