@@ -513,6 +513,53 @@ def test_replay_batch_multi_fans_out_one_decode(spark, tmp_path):
     assert all(s["skipped"] for s in stats2.values())
 
 
+def test_fanout_partial_crash_then_redelivery(spark, tmp_path):
+    """Exactly-once under a crash BETWEEN per-table merges: the batch
+    lands in lake A but not lake B (simulated by fanning out to A only),
+    then the whole batch is re-delivered to both — A must no-op on its
+    batch id while B catches up, and both end at parity."""
+    frames, registry, want_docs, want_stars = _two_table_world()
+    d = tmp_path / "crash_frames"
+    d.mkdir()
+    _write_frame_file(frames, d / "f.parquet")
+    fr = pipeline.read_frames(spark, str(d))
+
+    lake_docs = LakeTable.create(
+        spark, str(tmp_path / "clk_docs"),
+        columns=genlog.table_spec().col_names,
+        key_cols=list(genlog.KEY_COLS), n_buckets=2,
+        table=("codehub", "repo_content"))
+    lake_stars = LakeTable.create(
+        spark, str(tmp_path / "clk_stars"),
+        columns=["user", "repo", "n"], key_cols=["user", "repo"],
+        n_buckets=2, table=("codehub", "stars_log"))
+
+    # "crash": only the docs merge committed before the process died
+    pipeline.replay_batch_multi(
+        spark, fr, {("codehub", "repo_content"): lake_docs},
+        registry, batch_id=7)
+
+    # re-delivery of the SAME batch to both tables
+    stats = pipeline.replay_batch_multi(
+        spark, fr,
+        {("codehub", "repo_content"): LakeTable(spark,
+                                                str(tmp_path / "clk_docs")),
+         ("codehub", "stars_log"): LakeTable(spark,
+                                             str(tmp_path / "clk_stars"))},
+        registry, batch_id=7)
+    assert stats[("codehub", "repo_content")]["skipped"]       # no-op
+    assert not stats[("codehub", "stars_log")]["skipped"]      # catches up
+
+    docs = {(r["repo"], r["path"]): r["content"]
+            for r in LakeTable(spark, str(tmp_path / "clk_docs"))
+            .to_df().collect()}
+    stars = {(r["user"], r["repo"]): r["n"]
+             for r in LakeTable(spark, str(tmp_path / "clk_stars"))
+             .to_df().collect()}
+    assert docs == want_docs
+    assert stars == want_stars
+
+
 def test_run_stream_multi_two_microbatches(spark, tmp_path):
     """Streaming fan-out: the mixed stream split across two microbatches
     (second batch's rows depend on the persisted TABLE_MAP cache for
