@@ -689,6 +689,67 @@ def test_type_widening_mid_stream(spark, tmp_path):
     assert got == {"a": "42", "b": str(2**40 + 7)}
 
 
+def test_run_stream_multi_kill_and_resume(spark, tmp_path):
+    """Fan-out streaming resume: the query terminates after the first
+    file (a kill between microbatches), more stream arrives, and a new
+    query on the SAME checkpoint resumes both lakes to parity without
+    re-applying the first batch."""
+    import os as _os
+    import time as _time
+
+    from binlog_spark.streaming.pipeline import run_stream_multi
+    from binlog_spark.wire import constants as C
+
+    frames, registry, want_docs, want_stars = _two_table_world()
+    xid_idx = [i for i, f in enumerate(frames) if f[2] == C.E_XID]
+    cut = xid_idx[1] + 1
+    d = tmp_path / "resume_fanout"
+    d.mkdir()
+    now = _time.time()
+    _write_frame_file(frames[:cut], d / "f1.parquet")
+    _os.utime(d / "f1.parquet", (now - 20, now - 20))
+
+    lakes = {("codehub", "repo_content"): str(tmp_path / "rlk_docs"),
+             ("codehub", "stars_log"): str(tmp_path / "rlk_stars")}
+    LakeTable.create(spark, lakes[("codehub", "repo_content")],
+                     columns=genlog.table_spec().col_names,
+                     key_cols=list(genlog.KEY_COLS), n_buckets=2,
+                     table=("codehub", "repo_content"))
+    LakeTable.create(spark, lakes[("codehub", "stars_log")],
+                     columns=["user", "repo", "n"],
+                     key_cols=["user", "repo"], n_buckets=2,
+                     table=("codehub", "stars_log"))
+    ckpt = str(tmp_path / "rck")
+
+    # phase 1: only the first file exists — the query drains it and stops
+    q = run_stream_multi(spark, str(d), lakes, registry, ckpt,
+                         max_files_per_trigger=1)
+    q.awaitTermination()
+    mid_docs = LakeTable(spark, lakes[("codehub", "repo_content")])
+    applied_mid = list(mid_docs.meta["applied_batches"])
+    assert applied_mid  # at least one microbatch committed
+
+    # the rest of the stream lands; resume from the same checkpoint
+    _write_frame_file(frames[cut:], d / "f2.parquet")
+    _os.utime(d / "f2.parquet", (now - 10, now - 10))
+    q2 = run_stream_multi(spark, str(d), lakes, registry, ckpt,
+                          max_files_per_trigger=1)
+    q2.awaitTermination()
+
+    docs = {(r["repo"], r["path"]): r["content"]
+            for r in LakeTable(spark, lakes[("codehub", "repo_content")])
+            .to_df().collect()}
+    stars = {(r["user"], r["repo"]): r["n"]
+             for r in LakeTable(spark, lakes[("codehub", "stars_log")])
+             .to_df().collect()}
+    assert docs == want_docs
+    assert stars == want_stars
+    final_docs = LakeTable(spark, lakes[("codehub", "repo_content")])
+    # the first batch was not re-applied: its id appears exactly once
+    assert final_docs.meta["applied_batches"].count(applied_mid[0]) == 1
+    assert len(final_docs.meta["applied_batches"]) > len(applied_mid)
+
+
 def test_vacuum_drops_superseded_versions(spark, world, tmp_path):
     result, frames_dir = world
     lake = LakeTable.create(spark, str(tmp_path / "lake_vac"),
