@@ -246,8 +246,8 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
                 append(_aux(file, pos, next_pos, ts, None, "deadletter",
                             reason=f"no TABLE_MAP for id {table_id}"))
                 continue
-            i = bisect.bisect_right(tmap_keys[key], pos) - 1
-            db, tbl, types, metadata = vers[max(i, 0)][1]
+            vi = bisect.bisect_right(tmap_keys[key], pos) - 1
+            db, tbl, types, metadata = vers[max(vi, 0)][1]
             names_uns = _resolve_names(name_index, mapper, db, tbl,
                                        len(types))
             if names_uns is None:

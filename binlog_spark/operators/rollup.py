@@ -42,9 +42,12 @@ def _bucket_expr(group_cols, n_buckets: int):
 class RollupTable:
     """Bucketed additive-aggregate store over ``group_cols``.
 
-    ``sum_value`` is DECIMAL(28,6) — exact, association-free, so the
-    incremental result matches a one-shot GROUP BY bit-for-bit (and the
-    DuckDB oracle)."""
+    ``sum_value`` is stored at DECIMAL(38,6) — the type Spark's SUM over
+    DECIMAL(28,6) inputs naturally widens to — so merges never narrow-cast
+    (a cast back to (28,6) would silently NULL on overflow in non-ANSI
+    mode, corrupting the rollup). Exact, association-free: the incremental
+    result matches a one-shot GROUP BY bit-for-bit (and the DuckDB
+    oracle)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -75,7 +78,7 @@ class RollupTable:
         fields = [T.StructField(c, T.StringType(), True)
                   for c in self.meta["group_cols"]]
         fields += [T.StructField("n_rows", T.LongType(), True),
-                   T.StructField("sum_value", T.DecimalType(28, 6), True),
+                   T.StructField("sum_value", T.DecimalType(38, 6), True),
                    T.StructField("min_value", T.DoubleType(), True),
                    T.StructField("max_value", T.DoubleType(), True)]
         return T.StructType(fields)
@@ -123,7 +126,7 @@ class RollupTable:
                 base.unionByName(delta)
                 .groupBy(*gcols)
                 .agg(F.sum("n_rows").alias("n_rows"),
-                     F.sum("sum_value").cast("decimal(28,6)")
+                     F.sum("sum_value").cast("decimal(38,6)")
                      .alias("sum_value"),
                      F.min("min_value").alias("min_value"),
                      F.max("max_value").alias("max_value"))

@@ -17,6 +17,7 @@ Cross-engine parity rules used throughout:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -288,18 +289,25 @@ def rollup_incremental_events(spark, sf_dir):
         "hour", F.date_format(F.date_trunc("hour", "ts"),
                               "yyyy-MM-dd HH:mm:ss"))
     work = tempfile.mkdtemp(prefix="binlog_rollup_")
-    rt = RollupTable.create(spark, os.path.join(work, "rollup"),
-                            ["hour", "event_type"], n_buckets=8)
-    batch = lambda i: (ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)  # noqa: E731
-                       .select("hour", "event_type", "value"))
-    for i in range(3):
-        rt.apply_batch(batch(i), "value", batch_id=i)
-    rt.apply_batch(batch(1), "value", batch_id=1)  # crash replay: no-op
-    return rt.to_df().select(
-        "hour", "event_type", "n_rows",
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"))
+    try:
+        rt = RollupTable.create(spark, os.path.join(work, "rollup"),
+                                ["hour", "event_type"], n_buckets=8)
+        batch = lambda i: (ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)  # noqa: E731
+                           .select("hour", "event_type", "value"))
+        for i in range(3):
+            rt.apply_batch(batch(i), "value", batch_id=i)
+        rt.apply_batch(batch(1), "value", batch_id=1)  # crash replay: no-op
+        out = rt.to_df().select(
+            "hour", "event_type", "n_rows",
+            F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"))
+        # materialize before deleting the working store (the rollup result
+        # is O(hours x event types) — tiny); repeated bench/correctness
+        # invocations must not leak a mkdtemp per call
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def rollup_incremental_events_sql():

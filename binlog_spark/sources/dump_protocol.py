@@ -140,8 +140,11 @@ def parse_handshake(payload: bytes) -> Handshake:
         auth_len = payload[pos + 5]
         pos += 6 + 10  # skip reserved
         if cap & CLIENT_SECURE_CONNECTION:
+            # part-2 field is max(13, auth_len-8) bytes, of which the salt
+            # is exactly max(12, auth_len-9): strip only the single NUL
+            # terminator, never legitimate trailing 0x00 salt bytes
             n = max(13, auth_len - 8)
-            auth2 = payload[pos : pos + n].rstrip(b"\x00")
+            auth2 = payload[pos : pos + max(12, auth_len - 9)]
             pos += n
         if cap & CLIENT_PLUGIN_AUTH and pos < len(payload):
             zero = payload.find(b"\x00", pos)
@@ -318,22 +321,26 @@ class DumpClient:
 def frames_with_positions(frames, start_file: str, start_offset: int = 4):
     """P11 bookkeeping: raw event frames → ``(file, pos, etype, frame)``.
 
-    ROTATE advances the current file/offset (binlog_event_common.go:198-206
-    applied at row_streamer.go:176-184); every other event's position is
-    ``next_position - length`` from its own v4 header. The output rows are
-    exactly the engine's FRAME_SCHEMA tuple layout, ready to land as
-    parquet (``genlog.write_frames_parquet``-compatible) or to feed
+    ROTATE advances the current file/offset *for subsequent events*
+    (binlog_event_common.go:198-206 applied at row_streamer.go:176-184) —
+    the rotate frame itself is recorded at its own (old_file, pos), like
+    every other event (and like the generator's stream), keeping the
+    dedupe-by-(file, pos) contract collision-free: the new file's first
+    frame is its FORMAT_DESCRIPTION at pos 4. Every event's position is
+    ``next_position - length`` from its own v4 header (master-sent
+    artificial rotates carry log_pos=0 and fall back to the running
+    cursor). The output rows are exactly the engine's FRAME_SCHEMA tuple
+    layout, ready to land as parquet
+    (``genlog.write_frames_parquet``-compatible) or to feed
     ``spark.createDataFrame``."""
     fmt = E.BinlogFormat()
     cur_file, cur_pos = start_file, start_offset
     for frame in frames:
         ts, etype, _sid, length, next_pos, _fl = E.parse_header(frame)
+        pos = next_pos - length if next_pos >= length > 0 else cur_pos
+        yield (cur_file, int(pos), etype, frame)
         if etype == C.E_ROTATE:
             body = E.strip_checksum(fmt, etype, frame)
             cur_file, cur_pos = E.parse_rotate(fmt, body)
-            yield (cur_file, int(cur_pos), etype, frame)
-            continue
-        pos = next_pos - length if next_pos >= length > 0 else cur_pos
-        yield (cur_file, int(pos), etype, frame)
-        if next_pos > 0:
+        elif next_pos > 0:
             cur_pos = next_pos

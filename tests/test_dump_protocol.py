@@ -47,20 +47,20 @@ def test_native_password_scramble_matches_protocol_definition():
     assert D.native_password_scramble("", SALT) == b""
 
 
-def _handshake_v10() -> bytes:
+def _handshake_v10(salt: bytes = SALT) -> bytes:
     caps = (D.CLIENT_PROTOCOL_41 | D.CLIENT_SECURE_CONNECTION
             | D.CLIENT_PLUGIN_AUTH)
     out = bytearray()
     out += bytes([10]) + b"5.7.30-fake\x00"
     out += struct.pack("<I", 99)          # connection id
-    out += SALT[:8] + b"\x00"             # auth-plugin-data part 1 + filler
+    out += salt[:8] + b"\x00"             # auth-plugin-data part 1 + filler
     out += struct.pack("<H", caps & 0xFFFF)
     out += bytes([33])                    # charset
     out += struct.pack("<H", 0x0002)      # status
     out += struct.pack("<H", caps >> 16)
     out += bytes([21])                    # auth data total length
     out += b"\x00" * 10
-    out += SALT[8:20] + b"\x00"           # part 2 (12 bytes) + NUL
+    out += salt[8:20] + b"\x00"           # part 2 (12 bytes) + NUL
     out += b"mysql_native_password\x00"
     return bytes(out)
 
@@ -72,6 +72,16 @@ def test_parse_handshake_roundtrip():
     assert hs.connection_id == 99
     assert hs.auth_data == SALT
     assert hs.auth_plugin == "mysql_native_password"
+
+
+def test_parse_handshake_salt_with_trailing_nul_bytes():
+    """A scramble salt legitimately ending in 0x00 must survive intact:
+    only the single NUL terminator after part 2 is dropped (an rstrip
+    would shorten the salt and break the scramble intermittently)."""
+    salt = bytes(range(1, 19)) + b"\x00\x00"  # last two salt bytes are NUL
+    hs = D.parse_handshake(_handshake_v10(salt))
+    assert hs.auth_data == salt
+    assert len(hs.auth_data) == 20
 
 
 def test_com_binlog_dump_layout():
@@ -134,8 +144,10 @@ class FakeDumpServer(threading.Thread):
 
 @pytest.fixture(scope="module")
 def dump_world():
+    # txns_per_file=25 with 60 txns forces two file rotations, so the
+    # position-bookkeeping parity check below crosses ROTATE boundaries
     gen = genlog.CdcWorldGenerator(seed=11, n_repos=10, paths_per_repo=10,
-                                   txns_per_file=100)
+                                   txns_per_file=25)
     return gen.generate(n_txns=60)
 
 
@@ -166,11 +178,18 @@ def test_live_dump_end_to_end(spark, dump_world, tmp_path):
     assert server.dump_request == (4, 0, 777, "binlog.000000")
     assert received == raw_frames
 
-    # P11 position bookkeeping reproduces the generator's (file, pos)
+    # P11 position bookkeeping reproduces the generator's (file, pos) —
+    # including across ROTATE boundaries (the rotate frame itself records
+    # at its own (old_file, pos), never colliding with the new file's
+    # FORMAT_DESCRIPTION at (new_file, 4))
     rows = list(D.frames_with_positions(received, "binlog.000000"))
     got = [(f, p) for f, p, _et, _fr in rows]
     want = [(f, p) for f, p, _et, _fr in dump_world.frames]
     assert got == want
+    rotates = [(f, p) for f, p, et, _fr in rows if et == C.E_ROTATE]
+    assert len(rotates) == 2  # two file rotations in this world
+    assert all(f != "binlog.000002" for f, _ in rotates)
+    assert len(set(got)) == len(got)  # (file, pos) dedupe key is unique
 
     # full pipeline over the live-received frames → exact final state
     df = spark.createDataFrame(rows, FRAME_SCHEMA)
