@@ -164,15 +164,28 @@ _MISS = object()
 def build_decode_context(stream_meta: dict, registry: dict):
     """Per-partition decode state, built once from the broadcast payload:
     the stream format, the (file, table_id) → schema-version index with
-    its hoisted position-key vectors, and the lazily-populated
-    (db, tbl, ncols) → column names/signedness cache over the schema
-    provider."""
+    its hoisted position-key vectors, the lazily-populated (db, tbl,
+    ncols) → column names/signedness cache over the schema provider, and
+    a free-form cache dict (columnar group plans, hoisted image
+    decoders)."""
     fmt = E.BinlogFormat(checksum_algorithm=stream_meta["checksum_alg"])
-    tmaps = stream_meta["table_maps"]
     mapper = as_table_mapper(registry)
     name_index: dict = {}
+    # intern identical schema payloads across (file, table_id) entries so
+    # identity-keyed caches (columnar group plans) collapse to one entry
+    # per distinct schema version, not one per binlog file — group width
+    # is what the wave decode's vectorization amortizes over
+    interned: dict = {}
+    tmaps = {}
+    for k, vers in stream_meta["table_maps"].items():
+        out = []
+        for pos, payload in vers:
+            db, tbl, types, metadata = payload
+            sig = (db, tbl, tuple(types), tuple(metadata))
+            out.append((pos, interned.setdefault(sig, payload)))
+        tmaps[k] = out
     tmap_keys = {k: [v[0] for v in vers] for k, vers in tmaps.items()}
-    return fmt, tmaps, tmap_keys, name_index, mapper
+    return fmt, tmaps, tmap_keys, name_index, mapper, {}
 
 
 def _resolve_names(name_index, mapper, db, tbl, ncols):
@@ -188,7 +201,8 @@ def _resolve_names(name_index, mapper, db, tbl, ncols):
     return hit
 
 
-def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
+def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None,
+                 extra_rows=None) -> pd.DataFrame:
     """Decode one Arrow batch of frames → DECODE_OUTPUT_SCHEMA rows.
 
     The inner loop is the throughput-critical kernel (the Spark analogue
@@ -200,7 +214,7 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
     closure) so it is directly profilable and unit-testable."""
     import numpy as np
 
-    fmt, tmaps, tmap_keys, name_index, mapper = ctx
+    fmt, tmaps, tmap_keys, name_index, mapper, _caches = ctx
     files = pdf["file"].tolist()
     positions = pdf["pos"].tolist()
     frames_list = pdf["frame"].tolist()
@@ -224,7 +238,7 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
     next_v = (hdr[:, 13:17] @ w4).tolist()
     valid_v = ((lens >= C.HEADER_LEN) & (evlen_v == lens)).tolist()
 
-    rows = []
+    rows = list(extra_rows) if extra_rows else []
     append = rows.append
     for i in range(n):
         file, pos, frame = files[i], positions[i], frames_list[i]
@@ -309,7 +323,8 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None) -> pd.DataFrame:
 
 
 def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
-                  registry: dict, ddl_acc=None) -> DataFrame:
+                  registry: dict, ddl_acc=None,
+                  engine: str = "arrow") -> DataFrame:
     """Stateless vectorized decode of every frame → DECODE_OUTPUT_SCHEMA.
 
     ``ddl_acc``: optional CollectionAccumulator; DDL rows are ALSO pushed
@@ -317,8 +332,27 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
     materializes the decode — fusing the DDL side-channel scan into the
     main pass instead of spending a separate Spark job on it. Consumers
     must dedupe by (file, pos): accumulators re-fire on task retries.
+
+    ``engine='arrow'`` (default) runs the columnar cell splitter over
+    ``mapInArrow`` (operators/colsplit.py — per-column numpy offset
+    vectors, Arrow-native map assembly, no per-row Python on NULL-free
+    rows); ``engine='pandas'`` keeps the scalar reference kernel — the
+    two are cross-checked row-for-row in tests/test_colsplit.py.
     """
     bc = spark.sparkContext.broadcast((stream_meta, registry))
+    selected = frames.select("file", "pos", "etype", "frame")
+
+    if engine == "arrow":
+        from . import colsplit
+
+        def _decode_arrow(batches):
+            meta, reg = bc.value
+            ctx = build_decode_context(meta, reg)
+            for rb in batches:
+                yield from colsplit.decode_batch_arrow(rb, ctx, ddl_acc)
+
+        return selected.mapInArrow(_decode_arrow,
+                                   schema=S.DECODE_OUTPUT_SCHEMA)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meta, reg = bc.value
@@ -326,8 +360,7 @@ def decode_frames(spark: SparkSession, frames: DataFrame, stream_meta: dict,
         for pdf in batches:
             yield decode_batch(pdf, ctx, ddl_acc)
 
-    return frames.select("file", "pos", "etype", "frame").mapInPandas(
-        _decode, schema=S.DECODE_OUTPUT_SCHEMA)
+    return selected.mapInPandas(_decode, schema=S.DECODE_OUTPUT_SCHEMA)
 
 
 def _aux(file, pos, next_pos, ts, gtid, kind, db=None, sql=None, reason=None):
