@@ -156,6 +156,126 @@ def fold_changes_arrow(changes: DataFrame, key_cols=("repo", "path"),
     return src.mapInPandas(_fold, schema=out_schema)
 
 
+def prefold_partials(changes: DataFrame, key_cols=("repo", "path"),
+                     seg_col: str = "_seg",
+                     flush_cap: int = 200_000) -> DataFrame:
+    """Map-side pre-fold: reduce the change stream to one partial fold
+    state per (key, contiguous gtid run) WITHOUT a shuffle.
+
+    Contract (provided by ``assemble_transactions(segment=...)``): each
+    partition holds whole segments — gtid-contiguous slices of the stream
+    (a segment is a run of consecutive binlog files; transactions never
+    span files) — with rows sorted by (segment, gtid_seq, pos,
+    seq_in_event). Under that contract a per-partition forward fold per
+    key is exact within each segment, and the per-run partials combine
+    exactly in ``g0`` (first-gtid-consumed) order: runs of one key are
+    disjoint, contiguous gtid intervals (``combine_partials``, the same
+    ordered-chunk algebra as the ``chunk_size`` SQL variant).
+
+    This is the scale shape the north rule asks for: the key shuffle
+    carries ~one row per (key, segment) instead of every change row —
+    with hot keys the volume drops by the key's event count. State is
+    bounded: at ``flush_cap`` live keys the fold flushes every state as
+    partials (still exact — a key's later events open a new run with a
+    later ``g0``).
+    """
+    keyed = with_key(changes, key_cols)
+    keys = [f"_k_{k}" for k in key_cols]
+    src = keyed.select(*keys, seg_col, "gtid_seq", "seq_in_txn", "op",
+                       "after")
+    out_schema = ", ".join(f"{k} string" for k in keys) + (
+        ", del boolean, full boolean, m map<string,string>, "
+        "g bigint, s int, n_events bigint, g0 bigint")
+    nkeys = len(keys)
+
+    def _prefold(batches):
+        import pandas as pd
+
+        cols = [*keys, "del", "full", "m", "g", "s", "n_events", "g0"]
+        states: dict = {}
+        cur_seg = object()
+        rows = []
+
+        def flush():
+            for key, st in states.items():
+                rows.append([*key, *st])
+            states.clear()
+
+        for pdf in batches:
+            kcols = [pdf[k].tolist() for k in keys]
+            segs = pdf[seg_col].tolist()
+            ops = pdf["op"].tolist()
+            afters = pdf["after"].tolist()
+            gs = pdf["gtid_seq"].tolist()
+            ss = pdf["seq_in_txn"].tolist()
+            for key, seg, op, after, g, s in zip(
+                    zip(*kcols), segs, ops, afters, gs, ss):
+                if seg != cur_seg:
+                    flush()
+                    cur_seg = seg
+                st = states.get(key)
+                if st is None:
+                    if len(states) >= flush_cap:
+                        flush()
+                    st = states[key] = [False, False, {}, -1, -1, 0, int(g)]
+                if op == "U":
+                    if after:
+                        st[2].update(after)
+                elif op == "I":
+                    st[0], st[1] = False, True
+                    st[2] = dict(after) if after else {}
+                else:  # D
+                    st[0], st[1], st[2] = True, False, {}
+                st[3] = int(g)
+                st[4] = int(s)
+                st[5] += 1
+            if len(rows) >= 4096:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+        flush()
+        yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(_prefold, schema=out_schema)
+
+
+def combine_partials(partials: DataFrame,
+                     key_cols=("repo", "path")) -> DataFrame:
+    """Ordered combine of pre-fold partials → the folded delta (same
+    output contract as ``fold_changes``). Partial counts per key are
+    small (one per segment the key appears in), so the interpreted HOF
+    cost the chunked SQL variant pays per *event* is paid per *run*."""
+    keys = [f"_k_{k}" for k in key_cols]
+    folded = (
+        partials.groupBy(*keys)
+        .agg(F.collect_list(F.struct(
+            F.col("g0").alias("c"),
+            F.struct("del", "full", "m", "g", "s").alias("p"))).alias("parts"),
+             F.sum("n_events").alias("n_events"))
+        .selectExpr(
+            *keys, "n_events",
+            f"aggregate(array_sort(parts, {_CMP_CHUNK}).p, {_INIT}, "
+            f"(acc, p) -> {_COMBINE}) AS folded",
+        )
+    )
+    return folded.select(
+        *keys,
+        F.col("folded.del").alias("del"),
+        F.col("folded.full").alias("full"),
+        F.col("folded.m").alias("m"),
+        F.col("folded.g").alias("g"),
+        F.col("folded.s").alias("s"),
+        F.col("n_events").alias("n_events"),
+    )
+
+
+def fold_changes_prefold(changes: DataFrame, key_cols=("repo", "path"),
+                         seg_col: str = "_seg") -> DataFrame:
+    """Two-phase fold over segment-ordered changes: map-side pre-fold
+    (no shuffle) + ordered combine (shuffles only partials)."""
+    return combine_partials(prefold_partials(changes, key_cols, seg_col),
+                            key_cols)
+
+
 def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
                  chunk_size: int | None = None,
                  engine: str = "arrow") -> DataFrame:

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from . import schema as S
 from .operators.decode import decode_frames, discover_stream_meta
 from .operators.lineage import write_lineage
-from .operators.lww import fold_changes
+from .operators.lww import fold_changes, fold_changes_prefold
 from .operators.merge import LakeTable
 from .operators.transactions import assemble_transactions
 
@@ -46,6 +46,28 @@ def decode_to_changes(spark: SparkSession, frames: DataFrame,
     return assemble_transactions(decoded)
 
 
+def segment_expr(spark: SparkSession, meta: dict):
+    """File → segment-id Column: contiguous runs of binlog files, one
+    run per shuffle partition.
+
+    Segments give the transaction windows and the map-side pre-fold
+    their physical contract (a partition = whole gtid-contiguous slices
+    of the stream) while keeping partition count at the cluster's
+    parallelism even when the batch spans thousands of small files. The
+    file list comes from the already-collected stream meta — no extra
+    job. Very large file sets (beyond a sane map-literal) degrade to
+    per-file segments: same correctness, finer runs."""
+    files = sorted({f for (f, _tid) in meta["table_maps"]})
+    if not files or len(files) > 10_000:
+        return F.col("file")
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "16"))
+    per_seg = max(1, -(-len(files) // max(p, 1)))
+    pairs = []
+    for i, f in enumerate(files):
+        pairs += [F.lit(f), F.lit(i // per_seg)]
+    return F.element_at(F.create_map(*pairs), F.col("file"))
+
+
 def apply_ddls(lake: LakeTable, ddls: list):
     """Iceberg-style in-flight schema evolution from the DDL side channel.
 
@@ -70,7 +92,8 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
                  registry: dict, batch_id=None, chunk_size: int | None = None,
                  record_lineage: bool = True,
                  stream_meta: dict | None = None,
-                 target_table: tuple | None = None) -> dict:
+                 target_table: tuple | None = None,
+                 fold_engine: str = "shuffle") -> dict:
     """Decode+apply one (micro)batch of frames into the lake table.
 
     ``stream_meta``: pass a pre-merged TABLE_MAP index (streaming keeps an
@@ -80,6 +103,13 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     (the MERGE idempotency key is (gtid, table, row-key) per the north
     rule — one LakeTable applies one table). Defaults to the lake
     manifest's recorded identity, else no filter (single-table streams).
+    ``fold_engine``: ``"shuffle"`` (default) shuffles the change set on
+    the key and folds sorted runs; ``"prefold"`` pre-reduces map-side per
+    (key, file segment) before a partials-only shuffle — wins when keys
+    are hot (events per key per segment ≫ 1, the 10^10-event hot-repo
+    regime), loses when most keys are touched once per batch (the
+    partials add a second Arrow conversion for no volume cut) — both
+    A/B-measured in BENCH/BASELINE.md.
     """
     # Three Spark actions per batch, everything else pipelined inside them:
     #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC frames)
@@ -98,16 +128,28 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     folded = None
     changes = None
     try:
-        changes = assemble_transactions(decoded)
+        prefold = fold_engine == "prefold" and not chunk_size
+        if prefold:
+            changes = assemble_transactions(decoded,
+                                            segment=segment_expr(spark, meta))
+        else:
+            changes = assemble_transactions(decoded)
         target = target_table or lake.meta.get("table")
         if target is not None:
             db, tbl = target
             changes = changes.where((F.col("db") == db) & (F.col("tbl") == tbl))
         if record_lineage and batch_id is not None:
             changes.persist()
-        folded = lake.bucket_of(
-            fold_changes(changes, tuple(lake.meta["key"]),
-                         chunk_size=chunk_size))
+        if prefold:
+            # map-side pre-fold riding the segment windows' partitioning
+            # and sort: the key shuffle carries ~one partial per
+            # (key, segment) instead of every change row
+            folded = lake.bucket_of(
+                fold_changes_prefold(changes, tuple(lake.meta["key"])))
+        else:
+            folded = lake.bucket_of(
+                fold_changes(changes, tuple(lake.meta["key"]),
+                             chunk_size=chunk_size))
         folded.persist()
         per_bucket = (folded.groupBy("_bucket")
                       .agg(F.sum("n_events").alias("n"),

@@ -107,6 +107,90 @@ def test_chunked_fold_equals_plain_fold(spark, world):
     assert plain == chunked
 
 
+def test_prefold_equals_shuffle_fold(spark, world):
+    """Map-side pre-fold over segment windows == the key-shuffle fold,
+    key for key and field for field (incl. tiny flush caps that force a
+    key's run to split into several chunk-ordered partials)."""
+    from binlog_spark.operators.decode import (decode_frames,
+                                               discover_stream_meta)
+    from binlog_spark.operators.lww import (combine_partials,
+                                            fold_changes_prefold,
+                                            prefold_partials)
+    from binlog_spark.operators.transactions import assemble_transactions
+
+    result, frames_dir = world
+    frames = pipeline.read_frames(spark, frames_dir)
+    meta = discover_stream_meta(frames)
+    decoded = decode_frames(spark, frames, meta, genlog.table_registry())
+    seg = pipeline.segment_expr(spark, meta)
+    ch_seg = assemble_transactions(decoded, segment=seg)
+    ch_plain = assemble_transactions(decoded)
+
+    def norm(df):
+        return {tuple(r[k] for k in ("_k_repo", "_k_path")):
+                (r["del"], r["full"], dict(r["m"]), r["g"], r["s"],
+                 r["n_events"])
+                for r in df.collect()}
+
+    want = norm(fold_changes(ch_plain))
+    assert norm(fold_changes_prefold(ch_seg)) == want
+    # a 1-entry state cap flushes on every new key: many partials per
+    # key, still exact after the ordered combine
+    tiny = combine_partials(prefold_partials(ch_seg, flush_cap=1))
+    assert norm(tiny) == want
+
+
+def test_replay_batch_prefold_engine_state_parity(spark, world, tmp_path):
+    result, frames_dir = world
+    lake = LakeTable.create(spark, str(tmp_path / "lake_pf"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=8)
+    frames = pipeline.read_frames(spark, frames_dir)
+    stats = pipeline.replay_batch(spark, frames, lake,
+                                  genlog.table_registry(), batch_id=0,
+                                  fold_engine="prefold")
+    assert stats["n_changes"] == len(result.changes)
+    got = {(r["repo"], r["path"]):
+           hashlib.sha256(r["content"].encode()).hexdigest()
+           for r in lake.to_df().collect()}
+    want = {(repo, path): hashlib.sha256(row["content"].encode()).hexdigest()
+            for (repo, path), row in result.final_state.items()}
+    assert got == want
+
+
+def test_prefold_hot_key_world_and_volume_cut(spark, tmp_path):
+    """The regime prefold exists for: few hot keys, many events per key
+    per segment — partials shrink by ~events-per-key; result identical."""
+    from binlog_spark.operators.decode import (decode_frames,
+                                               discover_stream_meta)
+    from binlog_spark.operators.lww import (fold_changes_prefold,
+                                            prefold_partials)
+    from binlog_spark.operators.transactions import assemble_transactions
+
+    gen = genlog.CdcWorldGenerator(seed=13, n_repos=4, paths_per_repo=2,
+                                   hot_repos=2, txns_per_file=500)
+    result = gen.generate(n_txns=1000)
+    frames_dir = str(tmp_path / "hotframes")
+    genlog.write_frames_parquet(result, frames_dir)
+    frames = pipeline.read_frames(spark, frames_dir)
+    meta = discover_stream_meta(frames)
+    decoded = decode_frames(spark, frames, meta, genlog.table_registry())
+    ch_seg = assemble_transactions(
+        decoded, segment=pipeline.segment_expr(spark, meta))
+    n_changes = len(result.changes)
+    n_partials = prefold_partials(ch_seg).count()
+    assert n_partials < n_changes / 5  # the map-side cut is real
+    ch_plain = assemble_transactions(decoded)
+
+    def norm(df):
+        return {tuple(r[k] for k in ("_k_repo", "_k_path")):
+                (r["del"], r["full"], dict(r["m"]), r["g"], r["s"],
+                 r["n_events"])
+                for r in df.collect()}
+
+    assert norm(fold_changes_prefold(ch_seg)) == norm(fold_changes(ch_plain))
+
+
 def test_lww_latest_and_txn_summaries(spark, world):
     result, frames_dir = world
     frames = pipeline.read_frames(spark, frames_dir)
