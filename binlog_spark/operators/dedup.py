@@ -24,7 +24,7 @@ worst-case join fanout, the standard trick at 10^9-document scale.
 """
 
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # deterministic affine-permutation constants (public textbook MinHash):
@@ -61,23 +61,30 @@ def shingles(df: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
     consumers that need per-doc distinctness aggregate with
     countDistinct/collect_set (min-hash is duplicate-insensitive anyway).
 
-    Formulated as posexplode + window ``lead`` (whole-stage-codegen
-    JVM ops) rather than Catalyst higher-order ``transform``/``slice``
-    lambdas, which are interpreted per element — the measured scale-killer
-    on this path (BENCH/BASELINE.md). The window's doc_id shuffle is
-    reused by every downstream per-doc aggregation (same key)."""
-    toks = df.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col(col)), r"\s+")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)])
-    sh = toks.select(
-        "doc_id", gram.alias("shingle"),
-        F.lead("tok", n - 1).over(w).alias("_tail"))
-    # a window position with no (n-1)th successor is an incomplete gram
-    # (concat_ws silently skips nulls, so filter on the tail explicitly)
-    return sh.where(F.col("_tail").isNotNull()).select("doc_id", "shingle")
+    Shingling is a strictly per-document transformation, so it runs as a
+    SHUFFLE-FREE Arrow kernel (text → array of grams, then ``explode``).
+    The r2 formulation (posexplode + window ``lead``) paid a full
+    token-level shuffle — ≈ corpus size — just to see adjacent tokens;
+    Catalyst higher-order ``transform``/``slice`` lambdas are interpreted
+    per element (the r1 scale-killer), so the array is built batch-wise
+    in Python instead, the ``simhash64`` pattern."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        ap = out.append
+        for t in texts:
+            tt = (t or "").split()
+            if len(tt) >= n:
+                ap([" ".join(tt[i:i + n]) for i in range(len(tt) - n + 1)])
+            else:
+                ap([])
+        return pd.Series(out)
+
+    return df.select("doc_id", F.explode(_sh(F.col(col))).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
@@ -127,26 +134,62 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
 
 def _shingle_hash(col):
     """md5 hex prefix (28 bits) -> bigint; identical in DuckDB via
-    ('0x' || substr(md5(x),1,7))::BIGINT."""
+    ('0x' || substr(md5(x),1,7))::BIGINT, and in the Arrow minhash
+    kernel via int(md5(x).hexdigest()[:7], 16)."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
 def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
                       col: str = "text") -> DataFrame:
-    """(doc_id, sig array<long>) MinHash signature, all JVM-side."""
-    sh = shingles(df, n, col).withColumn("h", _shingle_hash(F.col("shingle")))
+    """(doc_id, sig array<long>) MinHash signature — ONE shuffle-free
+    Arrow kernel per batch computes shingling, the md5-derived 28-bit
+    shingle hashes, all ``num_hashes`` affine permutations and the
+    per-document minima (``np.minimum.reduceat`` over the batch's gram
+    stream; md5 runs once per UNIQUE gram via ``pd.factorize`` — the
+    ``simhash64`` vocabulary trick). The r2 version shuffled the exploded
+    shingle stream to a per-doc aggregation; this one touches each
+    document exactly where it already sits. Same arithmetic as the
+    plain-SQL oracle (exact BIGINT, ``(h*a+b) % (2^31-1)``); documents
+    with no complete n-gram are absent, matching the oracle's GROUP BY
+    over the shingle set."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
     coeffs = _minhash_coeffs(num_hashes)
-    aggs = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        res = [None] * len(texts)
+        doc_idx, grams = [], []
+        for i, t in enumerate(texts):
+            tt = (t or "").split()
+            if len(tt) >= n:
+                g = [" ".join(tt[j:j + n]) for j in range(len(tt) - n + 1)]
+                doc_idx.append(np.full(len(g), i, dtype=np.int64))
+                grams.extend(g)
+        if grams:
+            doc_idx = np.concatenate(doc_idx)
+            codes, uniq = pd.factorize(pd.Series(grams, dtype=object))
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:7], 16)
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            # (vocab, k): products < 2^59 — exact in int64, no wrap
+            mat = (uh[:, None] * A + B) % MINHASH_P
+            rows = mat[codes]
+            starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+            mins = np.minimum.reduceat(rows, starts, axis=0)
+            for d, row in zip(doc_idx[starts].tolist(), mins.tolist()):
+                res[d] = row
+        return pd.Series(res)
+
+    sig = df.select("doc_id", _sig(F.col(col)).alias("sig"))
+    return sig.where(F.col("sig").isNotNull())
 
 
 def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
@@ -299,12 +342,25 @@ def exact_dedup_sql(table: str = "documents") -> str:
 
 
 def ngram_jaccard_pairs_sql(table: str = "documents", n: int = 3,
-                            threshold: float = 0.4) -> str:
-    return shingle_cte(table, n) + f"""
-, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+                            threshold: float = 0.4,
+                            max_df: int | None = None) -> str:
+    """Oracle for ``ngram_jaccard_pairs`` — the ``max_df`` hot-shingle cut
+    is mirrored as a HAVING over per-shingle document frequency, so the
+    driver checks the operator in exactly its at-scale configuration."""
+    src = "sh"
+    cut = ""
+    if max_df is not None:
+        cut = f"""
+, keep AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(DISTINCT doc_id) <= {max_df}
+), shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle))"""
+        src = "shc"
+    return shingle_cte(table, n) + cut + f"""
+, sizes AS (SELECT doc_id, count(*) AS sz FROM {src} GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b,

@@ -499,8 +499,12 @@ def dedup_exact_q(spark, sf_dir):
 
 
 def dedup_ngram_jaccard_q(spark, sf_dir):
+    # max_df ON in the registered (driver-checked) configuration: the
+    # hot-shingle fanout cut is the part that keeps the inverted-index
+    # join bounded at 10^9-document scale, so the oracle must gate the
+    # operator WITH it (r2 verdict finding #3)
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                     n=3, threshold=0.4)
+                                     n=3, threshold=0.4, max_df=64)
 
 
 def dedup_minhash_signature_q(spark, sf_dir):
@@ -890,7 +894,8 @@ ORACLES = {
     "set_ops_users": set_ops_users_sql(),
     "json_props_events": json_props_events_sql(),
     "dedup_exact": dedup.exact_dedup_sql(),
-    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.4),
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.4,
+                                                         max_df=64),
     "dedup_minhash_signature": dedup_minhash_signature_sql(),
     "dedup_minhash_lsh": dedup.minhash_lsh_candidates_sql(
         n=3, num_hashes=8, bands=4),

@@ -96,6 +96,46 @@ def test_sim_topk_plan_vectorized_and_partial(spark, sf_dir):
     assert "MapInPandas" in plan, plan         # bounded partial top-k fold
 
 
+def test_minhash_signature_is_shuffle_free(spark, sf_dir):
+    """Shingling + hashing + the per-doc signature minima are one narrow
+    Arrow stage: no token-level shuffle, no per-doc aggregation exchange
+    (the r2 verdict's finding #4)."""
+    from binlog_spark.operators.dedup import minhash_signature
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sig = minhash_signature(docs, n=3, num_hashes=8)
+    plan = plans.physical_plan(sig)
+    assert plans.count_shuffles(sig) == 0, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_ngram_jaccard_registered_with_hot_shingle_cut(spark, sf_dir):
+    """The driver-checked configuration must carry the max_df fanout cut
+    (broadcast anti join against the hot-shingle list) — without it one
+    stop-word shingle makes candidate generation O(posting^2)."""
+    from binlog_spark.queries import dedup_ngram_jaccard_q
+
+    df = dedup_ngram_jaccard_q(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert plans.has_broadcast_join(df), plan
+
+
+def test_prefold_partials_no_shuffle_after_windows(spark, frames):
+    """The opt-in map-side pre-fold adds ZERO exchanges on top of the
+    segment windows' single shuffle; only the partials move afterwards."""
+    from binlog_spark.operators.lww import prefold_partials
+    from binlog_spark.operators.transactions import assemble_transactions
+
+    meta = discover_stream_meta(frames)
+    decoded = decode_frames(spark, frames, meta, genlog.table_registry())
+    changes = assemble_transactions(
+        decoded, segment=pipeline.segment_expr(spark, meta))
+    partials = prefold_partials(changes)
+    # the one window exchange (segment) is all there is
+    assert plans.count_shuffles(partials) == 1, plans.physical_plan(partials)
+
+
 def test_arrow_fold_single_key_shuffle(spark, frames):
     """The default fold plan: ONE Exchange (hash on the salted key) feeding
     an in-partition sort + mapInPandas — no second shuffle, and no
