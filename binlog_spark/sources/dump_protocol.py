@@ -28,8 +28,10 @@ There is no MySQL server in this sandbox; the protocol path is gated by
 an in-process fake server in tests (tests/test_dump_protocol.py) that
 speaks handshake + OK + a packetized dump stream — the same mocked-
 connection strategy the reference uses (`slave_conn_test.go:15-186`).
-Auth support is mysql_native_password (the reference additionally speaks
-old-password and cleartext).
+Auth support matches the reference: mysql_native_password first, with a
+single AuthSwitch retry into old-password (DSN ``allowOldPasswords=1``),
+cleartext (``allowCleartextPasswords=1``) or a re-saulted native round
+(`dump/connection.go:265-307`). TLS is not implemented (documented gap).
 """
 
 from __future__ import annotations
@@ -163,6 +165,48 @@ def native_password_scramble(password: str, salt: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
+_RND_MAX = 0x3FFFFFFF
+
+
+def _pw_hash(data: bytes):
+    """Pre-4.1 MySQL password hash (public algorithm; spaces/tabs in the
+    password are skipped, results masked to 31 bits)."""
+    nr, nr2, add = 1345345333, 0x12345671, 7
+    for c in data:
+        if c in (0x20, 0x09):
+            continue
+        nr ^= ((((nr & 63) + add) * c) + (nr << 8)) & 0xFFFFFFFF
+        nr &= 0xFFFFFFFF
+        nr2 = (nr2 + ((nr2 << 8) ^ nr)) & 0xFFFFFFFF
+        add = (add + c) & 0xFFFFFFFF
+    return nr & 0x7FFFFFFF, nr2 & 0x7FFFFFFF
+
+
+def old_password_scramble(password: str, salt: bytes) -> bytes:
+    """mysql_old_password: the classic 8-byte scramble — two 31-bit
+    hashes seed the MariaDB-compatible PRNG, 8 bytes + XOR mask
+    (reference parity: `dump/utils.go` scrambleOldPassword/pwHash/myRnd,
+    itself the public pre-4.1 protocol)."""
+    if not password:
+        return b""
+    hp = _pw_hash(password.encode())
+    hs = _pw_hash(salt[:8])
+    seed1 = (hp[0] ^ hs[0]) % _RND_MAX
+    seed2 = (hp[1] ^ hs[1]) % _RND_MAX
+
+    def next_byte():
+        nonlocal seed1, seed2
+        seed1 = (seed1 * 3 + seed2) % _RND_MAX
+        seed2 = (seed1 + seed2 + 33) % _RND_MAX
+        return (seed1 * 31) // _RND_MAX
+
+    out = bytearray(next_byte() + 64 for _ in range(8))
+    mask = next_byte()
+    for i in range(8):
+        out[i] ^= mask
+    return bytes(out)
+
+
 def make_handshake_response(cfg: DsnConfig, hs: Handshake) -> bytes:
     """Client HandshakeResponse41 payload (P2's auth reply)."""
     caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
@@ -186,6 +230,88 @@ def make_handshake_response(cfg: DsnConfig, hs: Handshake) -> bytes:
 def make_com_query(sql: str) -> bytes:
     """P4: COM_QUERY command payload."""
     return bytes([COM_QUERY]) + sql.encode()
+
+
+# ---------------------------------------------------------------------------
+# text-protocol result sets
+# ---------------------------------------------------------------------------
+
+_NULL_CELL = 0xFB
+
+
+def read_lenenc(data: bytes, pos: int):
+    """MySQL length-encoded integer → (value, new_pos)."""
+    first = data[pos]
+    if first == 0xFC:
+        return data[pos + 1] | data[pos + 2] << 8, pos + 3
+    if first == 0xFD:
+        return (data[pos + 1] | data[pos + 2] << 8
+                | data[pos + 3] << 16), pos + 4
+    if first == 0xFE:
+        return int.from_bytes(data[pos + 1 : pos + 9], "little"), pos + 9
+    return first, pos + 1
+
+
+def read_lenenc_str(data: bytes, pos: int):
+    """Length-encoded string → (bytes | None, new_pos); 0xFB is SQL NULL
+    (text-protocol row cells only)."""
+    if data[pos] == _NULL_CELL:
+        return None, pos + 1
+    ln, pos = read_lenenc(data, pos)
+    return data[pos : pos + ln], pos + ln
+
+
+def write_lenenc(v: int) -> bytes:
+    if v < 0xFB:
+        return bytes([v])
+    if v < 1 << 16:
+        return b"\xfc" + v.to_bytes(2, "little")
+    if v < 1 << 24:
+        return b"\xfd" + v.to_bytes(3, "little")
+    return b"\xfe" + v.to_bytes(8, "little")
+
+
+def write_lenenc_str(raw: bytes) -> bytes:
+    return write_lenenc(len(raw)) + raw
+
+
+def parse_column_name(payload: bytes) -> str:
+    """ColumnDefinition41 → column name (catalog, schema, table,
+    org_table skipped; the reference keeps only name/table the same way,
+    `dump/packets.go:599-777`)."""
+    pos = 0
+    for _ in range(4):  # catalog, schema, table, org_table
+        s, pos = read_lenenc_str(payload, pos)
+    name, pos = read_lenenc_str(payload, pos)
+    return (name or b"").decode()
+
+
+def parse_text_row(payload: bytes, ncols: int) -> tuple:
+    """One text-protocol row → tuple of ``str | None`` per column."""
+    out = []
+    pos = 0
+    for _ in range(ncols):
+        cell, pos = read_lenenc_str(payload, pos)
+        out.append(None if cell is None else cell.decode())
+    return tuple(out)
+
+
+class ResultSet:
+    """Parsed text-protocol result set: ``columns`` (names) and ``rows``
+    (tuples of ``str | None``)."""
+
+    def __init__(self, columns, rows):
+        self.columns = list(columns)
+        self.rows = rows
+
+    def dicts(self):
+        return [dict(zip(self.columns, r)) for r in self.rows]
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self):
+        return len(self.rows)
 
 
 def make_com_binlog_dump(server_id: int, offset: int, filename: str,
@@ -270,27 +396,83 @@ class DumpClient:
         _, payload = _read_packet(self._rf)
         hs = parse_handshake(payload)
         _write_packet(self._wf, 1, make_handshake_response(self.cfg, hs))
-        _, reply = _read_packet(self._rf)
+        seq, reply = _read_packet(self._rf)
+        if reply and reply[0] == PKT_EOF:
+            # AuthSwitchRequest: retry once with the requested method
+            # (reference `handleAuthResult`, dump/connection.go:265-307 —
+            # old-password / cleartext are DSN-gated exactly like the
+            # reference's AllowOldPasswords / AllowCleartextPasswords)
+            reply = self._auth_switch(hs, seq, reply)
         if reply and reply[0] == PKT_ERR:
             code = struct.unpack_from("<H", reply, 1)[0]
             raise ConnectionError(f"auth failed: error {code}")
         return hs
 
+    def _allow(self, param: str) -> bool:
+        return self.cfg.params.get(param, "").lower() in ("1", "true")
+
+    def _auth_switch(self, hs: Handshake, seq: int, req: bytes) -> bytes:
+        if len(req) == 1:
+            # bare 0xFE: OldAuthSwitchRequest (pre-4.1 server), original
+            # 8-byte salt
+            plugin, cipher = "mysql_old_password", hs.auth_data[:8]
+        else:
+            zero = req.index(b"\x00", 1)
+            plugin = req[1:zero].decode()
+            cipher = req[zero + 1 :]
+            if cipher.endswith(b"\x00"):  # exactly one NUL terminator
+                cipher = cipher[:-1]
+            cipher = cipher or hs.auth_data
+        if plugin == "mysql_old_password":
+            if not self._allow("allowOldPasswords"):
+                raise ConnectionError(
+                    "server requires old password authentication; add "
+                    "allowOldPasswords=1 to the DSN to permit it")
+            token = old_password_scramble(self.cfg.password, cipher) + b"\x00"
+        elif plugin == "mysql_clear_password":
+            if not self._allow("allowCleartextPasswords"):
+                raise ConnectionError(
+                    "server requires cleartext authentication; add "
+                    "allowCleartextPasswords=1 to the DSN to permit it")
+            token = self.cfg.password.encode() + b"\x00"
+        elif plugin == "mysql_native_password":
+            token = native_password_scramble(self.cfg.password, cipher[:20])
+        else:
+            raise ConnectionError(f"unknown auth plugin {plugin!r}")
+        _write_packet(self._wf, seq + 1, token)
+        _, reply = _read_packet(self._rf)
+        return reply
+
     def exec(self, sql: str):
-        """P4 fire-and-drain: send COM_QUERY, consume OK or a full result
-        set (column count, columns, EOF, rows, EOF)."""
+        """P4: send COM_QUERY; returns ``None`` for an OK reply or a fully
+        parsed text-protocol :class:`ResultSet` (column count, column
+        definitions, EOF, rows, EOF — the reference's
+        ``readColumns``/``textRows`` flow, `dump/packets.go:599-777`,
+        `dump/rows.go:1-91`, re-built from the public protocol)."""
         _write_packet(self._wf, 0, make_com_query(sql))
         _, reply = _read_packet(self._rf)
         if reply and reply[0] == PKT_ERR:
             code = struct.unpack_from("<H", reply, 1)[0]
             raise RuntimeError(f"query failed: error {code}")
         if reply and reply[0] == PKT_OK:
-            return
-        eofs = 0  # result set: drain until the second EOF
-        while eofs < 2:
+            return None
+        ncols, _ = read_lenenc(reply, 0)
+        columns = []
+        while True:  # column definitions until EOF
             _, p = _read_packet(self._rf)
             if p and p[0] == PKT_EOF and len(p) < 9:
-                eofs += 1
+                break
+            columns.append(parse_column_name(p))
+        rows = []
+        while True:  # text rows until EOF
+            _, p = _read_packet(self._rf)
+            if p and p[0] == PKT_EOF and len(p) < 9:
+                break
+            rows.append(parse_text_row(p, len(columns)))
+        if len(columns) != ncols:
+            raise ValueError(
+                f"column count mismatch: {ncols} vs {len(columns)}")
+        return ResultSet(columns, rows)
 
     def start_dump(self, server_id: int, filename: str, offset: int,
                    flags: int = 0):
@@ -316,6 +498,77 @@ class DumpClient:
         for f in (self._rf, self._wf, self._sock):
             if f is not None:
                 f.close()
+
+
+def master_status(client: "DumpClient") -> tuple:
+    """``SHOW MASTER STATUS`` → (binlog file, position): the canonical way
+    a consumer picks its dump start point (reference flow:
+    `example_test.go:62-74`, doc.go's SetStartBinlogPosition note)."""
+    rs = client.exec("SHOW MASTER STATUS")
+    if rs is None or not rs.rows:
+        raise RuntimeError("SHOW MASTER STATUS returned no rows")
+    row = rs.dicts()[0]
+    return row["File"], int(row["Position"])
+
+
+class DescTableMapper:
+    """Schema provider resolving column names/signedness over the wire
+    with ``desc db.tbl`` — the reference's canonical consumer mapper
+    (`example_test.go:76-98`: one Query per table, Field/Type/Null/Key/
+    Default/Extra rows, unsigned-ness = 'unsigned' in the Type string).
+
+    Implements the engine's pluggable ``mysql_table`` protocol
+    (operators/decode.py ``as_table_mapper``): picklable — only the DSN
+    rides the broadcast; each executor opens its own connection lazily on
+    first lookup and caches per (db, tbl). A TABLE_MAP whose column count
+    disagrees with the DESC result returns None (dead-letter upstream,
+    the `row_streamer.go:236-241` consistency check)."""
+
+    def __init__(self, dsn: str):
+        self.dsn = dsn
+        self._client = None
+        self._cache: dict = {}
+
+    def __getstate__(self):
+        return {"dsn": self.dsn}
+
+    def __setstate__(self, state):
+        self.dsn = state["dsn"]
+        self._client = None
+        self._cache = {}
+
+    def _conn(self) -> "DumpClient":
+        if self._client is None:
+            client = DumpClient(parse_dsn(self.dsn))
+            client.connect()
+            self._client = client
+        return self._client
+
+    def _describe(self, db: str, tbl: str):
+        key = (db, tbl)
+        if key not in self._cache:
+            try:
+                rs = self._conn().exec(f"desc `{db}`.`{tbl}`")
+                self._cache[key] = (
+                    [(r["Field"], "unsigned" in (r["Type"] or ""))
+                     for r in rs.dicts()] if rs is not None else None)
+            except RuntimeError:  # server error: unknown table
+                self._cache[key] = None
+        return self._cache[key]
+
+    def mysql_table(self, db: str, tbl: str, ncols: int):
+        cols = self._describe(db, tbl)
+        if cols is None or len(cols) != ncols:
+            return None
+        return cols
+
+    def knows(self, db: str, tbl: str) -> bool:
+        return self._describe(db, tbl) is not None
+
+    def close(self):
+        if self._client is not None:
+            self._client.close()
+            self._client = None
 
 
 def frames_with_positions(frames, start_file: str, start_offset: int = 4):

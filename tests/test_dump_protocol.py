@@ -92,21 +92,77 @@ def test_com_binlog_dump_layout():
     assert pkt[11:] == b"binlog.000007"
 
 
-class FakeDumpServer(threading.Thread):
-    """Speaks just enough protocol: handshake, scramble-checked auth, OK
-    for COM_QUERY, packetized frame stream + EOF for COM_BINLOG_DUMP."""
+def _coldef(name: str) -> bytes:
+    """Minimal ColumnDefinition41: catalog, schema, table, org_table,
+    name, org_name as lenenc strings + fixed tail."""
+    out = b""
+    for s in (b"def", b"", b"", b"", name.encode(), name.encode()):
+        out += D.write_lenenc_str(s)
+    out += bytes([0x0C]) + b"\x21\x00" + b"\x00" * 4 + b"\xfd" + b"\x00" * 5
+    return out
 
-    def __init__(self, frames):
+
+def _result_packets(columns, rows):
+    """Full text-protocol result set as a list of packet payloads."""
+    pkts = [D.write_lenenc(len(columns))]
+    pkts += [_coldef(c) for c in columns]
+    pkts.append(b"\xfe\x00\x00\x02\x00")  # EOF
+    for r in rows:
+        pkts.append(b"".join(
+            b"\xfb" if v is None else D.write_lenenc_str(str(v).encode())
+            for v in r))
+    pkts.append(b"\xfe\x00\x00\x02\x00")  # EOF
+    return pkts
+
+
+class FakeDumpServer(threading.Thread):
+    """Speaks just enough protocol: handshake, scramble-checked auth,
+    OK or a canned result set for COM_QUERY, packetized frame stream +
+    EOF for COM_BINLOG_DUMP. ``results`` maps an exact query string to
+    (columns, rows); ``max_conns`` > 1 serves that many connections
+    (each in a thread) — DescTableMapper opens one per executor."""
+
+    def __init__(self, frames, results=None, max_conns=1, auth_switch=None):
         super().__init__(daemon=True)
         self.frames = frames
+        self.results = results or {}
+        self.max_conns = max_conns
+        self.auth_switch = auth_switch  # (plugin, new_salt_bytes) | "bare"
         self.listener = socket.create_server(("127.0.0.1", 0))
         self.port = self.listener.getsockname()[1]
         self.seen_queries = []
         self.dump_request = None
         self.auth_ok = None
+        self._lock = threading.Lock()
 
     def run(self):
-        conn, _ = self.listener.accept()
+        if self.max_conns == 1:
+            conn, _ = self.listener.accept()
+            self._serve(conn)
+            return
+        served = []
+        for _ in range(self.max_conns):
+            try:
+                conn, _ = self.listener.accept()
+            except OSError:
+                break
+            t = threading.Thread(target=self._serve, args=(conn,),
+                                 daemon=True)
+            t.start()
+            served.append(t)
+        for t in served:
+            t.join(timeout=10)
+
+    def stop(self):
+        self.listener.close()
+
+    def _serve(self, conn):
+        try:
+            self._serve_inner(conn)
+        except (ConnectionError, OSError):
+            pass  # client hung up (e.g. refused an auth switch)
+
+    def _serve_inner(self, conn):
         rf, wf = conn.makefile("rb"), conn.makefile("wb")
         D._write_packet(wf, 0, _handshake_v10())
         _, resp = D._read_packet(rf)
@@ -119,18 +175,50 @@ class FakeDumpServer(threading.Thread):
         token = resp[zero + 2 : zero + 2 + tlen]
         expect = D.native_password_scramble(PASSWORD, SALT)
         self.auth_ok = (user == USER and token == expect)
-        if not self.auth_ok:
+        if self.auth_switch is not None:
+            # ask the client to re-authenticate with another method
+            if self.auth_switch == "bare":
+                D._write_packet(wf, 2, b"\xfe")
+                plugin, salt = "mysql_old_password", SALT[:8]
+            else:
+                plugin, salt = self.auth_switch
+                D._write_packet(
+                    wf, 2, b"\xfe" + plugin.encode() + b"\x00" + salt
+                    + b"\x00")
+            _, token2 = D._read_packet(rf)
+            if plugin == "mysql_old_password":
+                want = D.old_password_scramble(PASSWORD, salt) + b"\x00"
+            elif plugin == "mysql_clear_password":
+                want = PASSWORD.encode() + b"\x00"
+            else:
+                want = D.native_password_scramble(PASSWORD, salt[:20])
+            self.auth_ok = token2 == want
+            if not self.auth_ok:
+                D._write_packet(wf, 4, b"\xff\x15\x04#28000denied")
+                return
+            D._write_packet(wf, 4, b"\x00\x00\x00\x02\x00\x00\x00")
+        elif not self.auth_ok:
             D._write_packet(wf, 2, b"\xff\x15\x04#28000denied")
             return
-        D._write_packet(wf, 2, b"\x00\x00\x00\x02\x00\x00\x00")  # OK
+        else:
+            D._write_packet(wf, 2, b"\x00\x00\x00\x02\x00\x00\x00")  # OK
         while True:
             try:
                 _, cmd = D._read_packet(rf)
             except ConnectionError:
                 return
             if cmd[0] == D.COM_QUERY:
-                self.seen_queries.append(cmd[1:].decode())
-                D._write_packet(wf, 1, b"\x00\x00\x00\x02\x00\x00\x00")
+                sql = cmd[1:].decode()
+                with self._lock:
+                    self.seen_queries.append(sql)
+                if sql in self.results:
+                    cols, rows = self.results[sql]
+                    for i, p in enumerate(_result_packets(cols, rows)):
+                        D._write_packet(wf, i + 1, p)
+                elif sql.startswith("desc "):
+                    D._write_packet(wf, 1, b"\xff\x7a\x04#42S02no such table")
+                else:
+                    D._write_packet(wf, 1, b"\x00\x00\x00\x02\x00\x00\x00")
             elif cmd[0] == D.COM_BINLOG_DUMP:
                 pos, flags, sid = struct.unpack_from("<IHI", cmd, 1)
                 self.dump_request = (pos, flags, sid, cmd[11:].decode())
@@ -202,6 +290,163 @@ def test_live_dump_end_to_end(spark, dump_world, tmp_path):
                  for r in lake.to_df().collect()}
     want_state = {k: v["content"] for k, v in dump_world.final_state.items()}
     assert got_state == want_state
+
+
+def _switch_connect(auth_switch, dsn_params=""):
+    server = FakeDumpServer([], auth_switch=auth_switch)
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/{dsn_params}"))
+    try:
+        client.connect()
+    finally:
+        client.close()
+        server.join(timeout=10)
+    return server
+
+
+def test_auth_switch_old_password_full_and_bare():
+    salt = bytes(range(40, 48))
+    s = _switch_connect(("mysql_old_password", salt),
+                        "?allowOldPasswords=1")
+    assert s.auth_ok is True
+    s = _switch_connect("bare", "?allowOldPasswords=1")
+    assert s.auth_ok is True
+
+
+def test_auth_switch_cleartext_and_native_resalt():
+    s = _switch_connect(("mysql_clear_password", b""),
+                        "?allowCleartextPasswords=1")
+    assert s.auth_ok is True
+    new_salt = bytes(range(100, 120))
+    s = _switch_connect(("mysql_native_password", new_salt))
+    assert s.auth_ok is True
+
+
+def test_auth_switch_gated_by_dsn_params():
+    with pytest.raises(ConnectionError, match="allowOldPasswords"):
+        _switch_connect(("mysql_old_password", bytes(8)))
+    with pytest.raises(ConnectionError, match="allowCleartextPasswords"):
+        _switch_connect(("mysql_clear_password", b""))
+
+
+def test_old_password_scramble_shape():
+    tok = D.old_password_scramble("secret-pw", bytes(range(1, 9)))
+    assert len(tok) == 8
+    # deterministic and salt-sensitive
+    assert tok == D.old_password_scramble("secret-pw", bytes(range(1, 9)))
+    assert tok != D.old_password_scramble("secret-pw", bytes(range(2, 10)))
+    assert D.old_password_scramble("", b"x" * 8) == b""
+    # spaces/tabs in the password are skipped by the pre-4.1 hash
+    assert (D.old_password_scramble("a b\tc", bytes(8))
+            == D.old_password_scramble("abc", bytes(8)))
+
+
+def test_lenenc_roundtrip_and_null_cells():
+    for v in (0, 1, 0xFA, 0xFB, 0xFFFF, 1 << 20, 1 << 40):
+        raw = D.write_lenenc(v)
+        got, pos = D.read_lenenc(raw, 0)
+        assert (got, pos) == (v, len(raw)), v
+    payload = (D.write_lenenc_str(b"alpha") + b"\xfb"
+               + D.write_lenenc_str(b"") + D.write_lenenc_str(b"x" * 300))
+    assert D.parse_text_row(payload, 4) == ("alpha", None, "", "x" * 300)
+
+
+def test_exec_parses_result_set_and_master_status(dump_world):
+    results = {
+        "SHOW MASTER STATUS": (
+            ["File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB"],
+            [("binlog.000003", 1543, "", "")]),
+        "desc `codehub`.`repo_content`": (
+            ["Field", "Type", "Null", "Key", "Default", "Extra"],
+            [("repo", "varchar(512)", "NO", "PRI", None, ""),
+             ("path", "varchar(1024)", "NO", "PRI", None, ""),
+             ("stars", "bigint(20) unsigned", "YES", "", None, "")]),
+    }
+    server = FakeDumpServer([], results=results)
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"))
+    client.connect()
+    assert client.exec("SET @x=1") is None  # OK replies stay None
+    assert D.master_status(client) == ("binlog.000003", 1543)
+    rs = client.exec("desc `codehub`.`repo_content`")
+    assert rs.columns == ["Field", "Type", "Null", "Key", "Default", "Extra"]
+    assert rs.rows[0] == ("repo", "varchar(512)", "NO", "PRI", None, "")
+    assert rs.dicts()[2]["Type"] == "bigint(20) unsigned"
+    client.close()
+
+
+def _desc_results():
+    cols = genlog.table_spec().columns
+    rows = [(name, "blob" if name == "content" else "varchar(255)",
+             "YES", "", None, "") for name, _t, _m, _u in cols]
+    return {f"desc `{genlog.DB}`.`{genlog.TABLE}`": (
+        ["Field", "Type", "Null", "Key", "Default", "Extra"], rows)}
+
+
+def test_desc_table_mapper_resolves_schema_over_the_wire(spark, tmp_path):
+    """The reference's canonical consumer flow (example_test.go:76-98):
+    the decode stage's pluggable mapper resolves column names/signedness
+    with `desc db.tbl` over the dump protocol — executors unpickle the
+    mapper (DSN only) and open their own connections against the fake
+    server."""
+    from binlog_spark import pipeline
+    from binlog_spark.operators.merge import LakeTable
+    from binlog_spark.schema import FRAME_SCHEMA
+
+    gen = genlog.CdcWorldGenerator(seed=21, n_repos=8, paths_per_repo=6,
+                                   txns_per_file=40)
+    world = gen.generate(n_txns=80)
+    server = FakeDumpServer([fr for _, _, _, fr in world.frames],
+                            results=_desc_results(), max_conns=32)
+    server.start()
+    dsn = f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
+
+    # consumer flow: live dump over one connection...
+    client = D.DumpClient(D.parse_dsn(dsn))
+    client.connect()
+    received = list(client.start_dump(777, "binlog.000000", 4))
+    client.close()
+    rows = list(D.frames_with_positions(received, "binlog.000000"))
+    df = spark.createDataFrame(rows, FRAME_SCHEMA).repartition(3)
+
+    # ...decode + apply with the wire-resolved schema provider
+    mapper = D.DescTableMapper(dsn)
+    lake = LakeTable.create(spark, str(tmp_path / "lake_desc"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    stats = pipeline.replay_batch(spark, df, lake, mapper, batch_id=0,
+                                  record_lineage=False)
+    server.stop()
+    assert stats["n_changes"] == len(world.changes)
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in lake.to_df().collect()}
+    want = {k: v["content"] for k, v in world.final_state.items()}
+    assert got == want
+    # the schema really came over the wire
+    assert any(q.startswith("desc `codehub`") for q in server.seen_queries)
+
+
+def test_desc_table_mapper_unknown_table_and_width_mismatch():
+    results = dict(_desc_results())
+    server = FakeDumpServer([], results=results, max_conns=2)
+    server.start()
+    dsn = f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
+    m = D.DescTableMapper(dsn)
+    cols = m.mysql_table(genlog.DB, genlog.TABLE, 5)
+    assert [c for c, _ in cols] == genlog.table_spec().col_names
+    assert m.mysql_table(genlog.DB, genlog.TABLE, 7) is None  # width mismatch
+    assert m.knows(genlog.DB, genlog.TABLE)
+    assert m.mysql_table("nope", "missing", 3) is None
+    assert not m.knows("nope", "missing")
+    # picklability contract: only the DSN travels
+    import pickle
+
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.dsn == dsn and m2._client is None
+    m.close()
+    server.stop()
 
 
 def test_packet_split_reassembly_over_socket_io():
