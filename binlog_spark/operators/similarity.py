@@ -122,8 +122,27 @@ def cosine_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                              block_col: str = "label",
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """Cosine near-dup pairs within coarse blocks (block-diagonal join)."""
+                             vec_col: str = "embedding",
+                             max_block: int | None = 100_000) -> DataFrame:
+    """Cosine near-dup pairs within coarse blocks (block-diagonal join).
+
+    This is the labeled EXACT baseline: cost is O(B²) per block by
+    construction — the registered scale path is ``lsh_near_dup_pairs``.
+    The contract is made explicit by ``max_block``: any block larger than
+    it fails fast (before the quadratic join runs) instead of silently
+    launching an O(B²) stage; pass ``max_block=None`` to waive the guard
+    deliberately."""
+    if max_block is not None:
+        over = (df.groupBy(block_col).count()
+                .where(F.col("count") > max_block)
+                .select(block_col, "count").limit(1).collect())
+        if over:
+            raise ValueError(
+                f"embedding_near_dup_pairs: block {over[0][0]!r} has "
+                f"{over[0][1]} vectors (> max_block={max_block}); the "
+                "exact all-pairs baseline is O(B^2) per block — use "
+                "lsh_near_dup_pairs for blocks this large, or pass "
+                "max_block=None to force it")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                   F.col(block_col).alias("blk"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

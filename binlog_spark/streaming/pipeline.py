@@ -78,19 +78,69 @@ def _merge_meta(acc: dict, new: dict) -> dict:
     return out
 
 
+class _FileOrderGuard:
+    """Cross-batch binlog-file order guard.
+
+    Spark's file streaming source lists new files by modification time;
+    binlog correctness needs NAME order (file names sort chronologically:
+    ``binlog.NNNNNN``). A later-named file applied first would advance
+    the lake's GTID watermark and make the earlier file's changes look
+    already-applied — silent data loss. The guard persists the highest
+    file name applied and fails the microbatch LOUDLY (before any state
+    is touched; offsets stay uncommitted) if a batch would go backwards.
+    For a source that is genuinely mtime-scrambled, use
+    ``run_stream_ordered`` — it ingests by name, immune to mtimes."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def check_and_advance(self, files, batch_id):
+        if not files:
+            return
+        lo, hi = min(files), max(files)
+        prev = None
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                prev = json.load(f)
+        if prev is not None:
+            if prev["batch_id"] == batch_id:
+                return  # crash re-delivery of the same microbatch: fine
+            if lo <= prev["max_file"]:
+                raise ValueError(
+                    f"binlog file order violation: batch contains {lo!r} "
+                    f"but {prev['max_file']!r} was already applied — the "
+                    "file source delivered files out of name order "
+                    "(mtime-scrambled directory?); use run_stream_ordered "
+                    "for name-ordered ingestion")
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"max_file": hi, "batch_id": batch_id}, f)
+        os.replace(tmp, self.path)
+
+
 def run_stream(spark: SparkSession, frames_dir: str, lake_path: str,
                registry: dict, checkpoint_dir: str,
                max_files_per_trigger: int = 2,
-               chunk_size: int | None = None):
+               chunk_size: int | None = None,
+               enforce_name_order: bool = True):
     """Start the streaming apply; returns the StreamingQuery.
 
     Call ``query.awaitTermination()`` / ``processAllAvailable()`` to drive;
     kill and re-invoke with the same checkpoint_dir to resume.
+    ``enforce_name_order`` fails a microbatch loudly if the file source
+    delivers binlog files out of name order (see ``_FileOrderGuard``).
     """
     store = _MetaStore(os.path.join(checkpoint_dir, "table_map_cache.json"))
+    guard = _FileOrderGuard(
+        os.path.join(checkpoint_dir, "file_order_hwm.json"))
 
     def apply_batch(batch_df, batch_id: int):
         lake = LakeTable(spark, lake_path)  # re-read manifest each batch
+        if enforce_name_order:
+            names = [r["file"] for r in
+                     batch_df.select("file").distinct().collect()]
+            guard.check_and_advance(names, batch_id)
         meta = _merge_meta(store.load(), discover_stream_meta(batch_df))
         store.save(meta)
         # same fused 3-action pipeline as the batch path (DDLs ride the
@@ -110,6 +160,53 @@ def run_stream(spark: SparkSession, frames_dir: str, lake_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_ordered(spark: SparkSession, frames_dir: str, lake_path: str,
+                       registry: dict, checkpoint_dir: str,
+                       max_files_per_trigger: int = 2,
+                       fold_engine: str = "shuffle") -> dict:
+    """Name-ordered AvailableNow ingestion: processes every parquet file
+    under ``frames_dir`` in LEXICOGRAPHIC order (binlog names sort
+    chronologically) in microbatches of ``max_files_per_trigger`` files —
+    completely independent of file modification times, which Spark's file
+    streaming source uses for ordering and which nothing on a real file
+    system guarantees (copies, restores and parallel writers scramble
+    them).
+
+    Resume contract: a tiny cursor (last file fully applied) persists in
+    ``checkpoint_dir``; batch ids derive from the first FILE NAME of each
+    batch, so a crash between lake commit and cursor write re-delivers a
+    batch whose id the lake has already applied — a no-op, same
+    exactly-once algebra as the checkpointed stream. Returns
+    ``{"batches": n, "files": m}``."""
+    store = _MetaStore(os.path.join(checkpoint_dir, "table_map_cache.json"))
+    cursor_path = os.path.join(checkpoint_dir, "file_cursor.json")
+    last = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            last = json.load(f)["last_file"]
+    names = sorted(n for n in os.listdir(frames_dir)
+                   if n.endswith(".parquet"))
+    todo = [n for n in names if last is None or n > last]
+    batches = 0
+    for i in range(0, len(todo), max_files_per_trigger):
+        chunk = todo[i : i + max_files_per_trigger]
+        df = spark.read.schema(S.FRAME_SCHEMA).parquet(
+            *[os.path.join(frames_dir, n) for n in chunk])
+        lake = LakeTable(spark, lake_path)
+        meta = _merge_meta(store.load(), discover_stream_meta(df))
+        store.save(meta)
+        replay_batch(spark, df, lake, registry,
+                     batch_id=f"ordered-{chunk[0]}", record_lineage=True,
+                     stream_meta=meta, fold_engine=fold_engine)
+        tmp = cursor_path + ".tmp"
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"last_file": chunk[-1]}, f)
+        os.replace(tmp, cursor_path)
+        batches += 1
+    return {"batches": batches, "files": len(todo)}
 
 
 def run_stream_multi(spark: SparkSession, frames_dir: str, lake_paths: dict,

@@ -136,6 +136,24 @@ def test_prefold_partials_no_shuffle_after_windows(spark, frames):
     assert plans.count_shuffles(partials) == 1, plans.physical_plan(partials)
 
 
+def test_exact_near_dup_block_guard(spark):
+    """The O(B²) exact near-dup baseline fails fast above max_block
+    instead of silently launching a quadratic stage (its at-scale
+    replacement is lsh_near_dup_pairs)."""
+    from binlog_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(i, "hot", [float(i % 3), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, "
+                                     "embedding array<double>")
+    with pytest.raises(ValueError, match="max_block"):
+        embedding_near_dup_pairs(df, threshold=0.5, max_block=10)
+    # under the bound (or waived) it runs the exact all-pairs join
+    assert embedding_near_dup_pairs(df, threshold=100.0,
+                                    max_block=64).count() == 0
+    n = embedding_near_dup_pairs(df, threshold=0.0, max_block=None).count()
+    assert n == 50 * 49 // 2
+
+
 def test_arrow_fold_single_key_shuffle(spark, frames):
     """The default fold plan: ONE Exchange (hash on the salted key) feeding
     an in-partition sort + mapInPandas — no second shuffle, and no
