@@ -447,6 +447,53 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
     file_code = fdict.indices.to_numpy(zero_copy_only=False)
     file_vals = fdict.dictionary.to_pylist()
 
+    # ---- inline schema discovery overlay: TABLE_MAP / FORMAT_DESCRIPTION
+    # frames in THIS partition feed the index directly (they precede their
+    # ROWS events in file order, and mapInArrow preserves partition
+    # order), so a caller with file-partitioned input can skip the
+    # separate discovery job entirely. Keys the broadcast discovery
+    # provided are complete (it scanned every frame) and are not
+    # re-parsed; overlay-added keys track their own version evolution.
+    overlay_keys = caches.setdefault("overlay_keys", set())
+    interned = caches.setdefault("interned", {})
+    tm_mask = valid & ((etype_np == C.E_TABLE_MAP)
+                       | (etype_np == C.E_FORMAT_DESCRIPTION))
+    for i in np.nonzero(tm_mask)[0].tolist():
+        fs = int(starts[i])
+        frame = bytes(mv[fs : fs + int(flen[i])])
+        if int(etype_np[i]) == C.E_FORMAT_DESCRIPTION:
+            alg = E.parse_format_description(frame).checksum_algorithm
+            if alg != fmt.checksum_algorithm:
+                fmt.checksum_algorithm = alg
+            continue
+        file = file_vals[file_code[i]]
+        tid = E.parse_table_id(fmt, C.E_TABLE_MAP, frame)
+        key = (file, tid)
+        if key in tmaps and key not in overlay_keys:
+            continue  # discovery-provided: version list already complete
+        tm = E.parse_table_map(
+            fmt, E.strip_checksum(fmt, C.E_TABLE_MAP, frame))
+        sig = (tm.database, tm.name, tuple(tm.types), tuple(tm.metadata))
+        pos = int(pos_np[i])
+        vers = tmaps.get(key)
+        if vers is not None:
+            import bisect as _b
+
+            vi = _b.bisect_right(tmap_keys[key], pos) - 1
+            cur = vers[max(vi, 0)][1]
+            if (cur[0], cur[1], tuple(cur[2]), tuple(cur[3])) == sig:
+                continue  # same version already in effect at this pos
+        payload = interned.setdefault(
+            sig, (tm.database, tm.name, tm.types, tm.metadata))
+        if vers is None:
+            tmaps[key] = [(pos, payload)]
+            tmap_keys[key] = [pos]
+        else:
+            vers.append((pos, payload))
+            vers.sort(key=lambda v: v[0])
+            tmap_keys[key] = [v[0] for v in vers]
+        overlay_keys.add(key)
+
     for i in np.nonzero(rows_mask)[0].tolist():
         etype = int(etype_np[i])
         fs = int(starts[i])

@@ -26,6 +26,10 @@ from .operators.transactions import assemble_transactions
 _ADD_COLUMN_RE = re.compile(
     r"alter\s+table\s+(\S+)\s+add\s+(?:column\s+)?(\w+)", re.IGNORECASE)
 
+# sentinel for replay_batch(stream_meta=...): skip the discovery job and
+# let the decode stage self-discover TABLE_MAPs from its own partitions
+INLINE_DISCOVERY = "__inline_discovery__"
+
 
 class _DdlAccum(AccumulatorParam):
     """List accumulator carrying DDL rows out of the decode stage."""
@@ -110,15 +114,35 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     regime), loses when most keys are touched once per batch (the
     partials add a second Arrow conversion for no volume cut) — both
     A/B-measured in BENCH/BASELINE.md.
+
+    ``stream_meta=INLINE_DISCOVERY`` skips the schema-discovery job
+    entirely: the decode stage self-discovers TABLE_MAP /
+    FORMAT_DESCRIPTION frames from its own partitions (the colsplit
+    overlay). Sound whenever decode partitions hold whole binlog files
+    or file prefixes — the standard layout (one parquet per binlog
+    file) — because a TABLE_MAP physically precedes its ROWS events; a
+    rows event whose TABLE_MAP sits in another partition dead-letters
+    rather than mis-decoding. One fewer Spark job per batch.
     """
-    # Three Spark actions per batch, everything else pipelined inside them:
-    #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC frames)
+    # Three Spark actions per batch (two with INLINE_DISCOVERY),
+    # everything else pipelined inside them:
+    #   1. schema discovery (tiny collect over TABLE_MAP/FORMAT_DESC
+    #      frames) — skipped in inline mode (decode self-discovers)
     #   2. per-bucket stats over the folded delta (collect) — this single
     #      action materializes decode+assemble+fold, and the DDL side
     #      channel rides along in an accumulator instead of its own job
     #   3. the MERGE join + bucket rewrite itself
     t_start = _time.perf_counter()
-    meta = stream_meta if stream_meta is not None else discover_stream_meta(frames)
+    if stream_meta is INLINE_DISCOVERY:
+        if fold_engine == "prefold":
+            raise ValueError("prefold needs the discovered file list for "
+                             "segmenting; use discovery or fold_engine="
+                             "'shuffle'")
+        meta = {"checksum_alg": 1, "table_maps": {}}
+    elif stream_meta is not None:
+        meta = stream_meta
+    else:
+        meta = discover_stream_meta(frames)
     ddl_acc = spark.sparkContext.accumulator([], _DdlAccum())
     # decoded is NOT persisted: the fold's stats action is the only pass
     # through it (the lineage re-read is served by changes.persist, which

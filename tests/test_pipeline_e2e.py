@@ -191,6 +191,56 @@ def test_prefold_hot_key_world_and_volume_cut(spark, tmp_path):
     assert norm(fold_changes_prefold(ch_seg)) == norm(fold_changes(ch_plain))
 
 
+def test_inline_discovery_replay_parity(spark, tmp_path):
+    """INLINE_DISCOVERY skips the discovery job; the decode overlay
+    resolves TABLE_MAPs from its own partitions — including a mid-stream
+    ALTER — and the final state matches the discovered-meta replay."""
+    gen = genlog.CdcWorldGenerator(seed=17, n_repos=12, paths_per_repo=8,
+                                   txns_per_file=30, evolve_at_txn=45)
+    result = gen.generate(n_txns=120)
+    frames_dir = str(tmp_path / "frames")
+    genlog.write_frames_parquet(result, frames_dir)
+    frames = pipeline.read_frames(spark, frames_dir)
+    lake = LakeTable.create(spark, str(tmp_path / "lake_inline"),
+                            columns=genlog.table_spec(True).col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    stats = pipeline.replay_batch(
+        spark, frames, lake, genlog.table_registry(), batch_id=0,
+        record_lineage=False, stream_meta=pipeline.INLINE_DISCOVERY)
+    assert stats["n_changes"] == len(result.changes)
+    got = {(r["repo"], r["path"]): (r["content"], r["stars"])
+           for r in lake.to_df().collect()}
+    want = {k: (v["content"], v.get("stars"))
+            for k, v in result.final_state.items()}
+    assert got == want
+
+
+def test_inline_discovery_foreign_partition_dead_letters(spark, tmp_path):
+    """The documented contract when partitions do NOT hold whole files:
+    a ROWS event whose TABLE_MAP landed elsewhere dead-letters (never
+    mis-decodes); with the discovery job the same layout decodes fully."""
+    from binlog_spark.operators.decode import (decode_frames,
+                                               discover_stream_meta)
+
+    gen = genlog.CdcWorldGenerator(seed=18, n_repos=6, paths_per_repo=5,
+                                   txns_per_file=50)
+    result = gen.generate(n_txns=3)  # few TABLE_MAPs vs many partitions
+    from binlog_spark.schema import FRAME_SCHEMA
+
+    # scramble frames across partitions: file locality destroyed, most
+    # partitions hold ROWS events but no TABLE_MAP at all
+    df = spark.createDataFrame(result.frames, FRAME_SCHEMA).repartition(8)
+    inline_meta = {"checksum_alg": 1, "table_maps": {}}
+    out = decode_frames(spark, df, inline_meta, genlog.table_registry())
+    out = out.groupBy("kind").count().collect()
+    counts = {r["kind"]: r["count"] for r in out}
+    assert counts.get("deadletter", 0) > 0
+    assert counts.get("change", 0) < len(result.changes)
+    meta = discover_stream_meta(df)
+    full = decode_frames(spark, df, meta, genlog.table_registry())
+    assert full.where(full.kind == "change").count() == len(result.changes)
+
+
 def test_lww_latest_and_txn_summaries(spark, world):
     result, frames_dir = world
     frames = pipeline.read_frames(spark, frames_dir)
