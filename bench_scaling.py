@@ -83,7 +83,11 @@ def session(cores: int):
 def block(cores: int, reps: int, frames_dir: str, n: int, workdir: str):
     spark = session(cores)
     try:
-        return [time_replay(spark, frames_dir, n, workdir)
+        # partition counts scale with the "cluster size" (parts=cores):
+        # the input coalesces to one slice per core and every shuffle
+        # sizes to the level under test — exactly what a real N vs 4N
+        # executor deployment does
+        return [time_replay(spark, frames_dir, n, workdir, parts=cores)
                 for _ in range(reps)]
     finally:
         spark.stop()

@@ -278,14 +278,21 @@ def fold_changes_prefold(changes: DataFrame, key_cols=("repo", "path"),
 
 def fold_changes(changes: DataFrame, key_cols=("repo", "path"),
                  chunk_size: int | None = None,
-                 engine: str = "arrow") -> DataFrame:
+                 engine: str = "columnar") -> DataFrame:
     """changes (CHANGE_SCHEMA) → one folded delta row per key:
     ``(_k_*, del, full, m, g, s, n_events)``; ``g``/``s`` are the
     high-water (gtid_seq, seq_in_txn) consumed into the fold (idempotency
-    guard). ``engine='arrow'`` (default) uses the mapInPandas fold;
+    guard). ``engine='columnar'`` (default) folds directly on the Arrow
+    buffers (operators/foldcol.py — no per-row map materialization);
+    ``engine='arrow'`` is the mapInPandas scalar kernel;
     ``engine='sql'`` keeps the pure-Catalyst HOF formulation (slower —
-    interpreted lambdas — but zero Python; the two are cross-checked in
-    tests). ``chunk_size`` selects the two-phase skew-safe SQL variant."""
+    interpreted lambdas — but zero Python; all engines are cross-checked
+    in tests). ``chunk_size`` selects the two-phase skew-safe SQL
+    variant."""
+    if engine == "columnar" and not chunk_size:
+        from .foldcol import fold_changes_columnar
+
+        return fold_changes_columnar(changes, key_cols)
     if engine == "arrow" and not chunk_size:
         return fold_changes_arrow(changes, key_cols)
     keyed = with_key(changes, key_cols)

@@ -46,6 +46,13 @@ def get_spark(app_name: str = "binlog-spark", cpus: int | None = None,
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # canonical temporal rendering is UTC-pinned
         .config("spark.sql.session.timeZone", "UTC")
+        # v2 file committer: task outputs move into place at task commit —
+        # the job-commit rename walk is pure driver-side floor for the
+        # per-batch bucket rewrites (all writes target fresh version dirs,
+        # so v2's weaker failure atomicity is covered by the manifest
+        # commit being the real atomicity point)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
         # local mode = one JVM for driver+executor: size the heap for the
         # concurrent task count (N tasks × sort/agg buffers), not for a
         # driver-only role — but never beyond ~40% of system RAM so the

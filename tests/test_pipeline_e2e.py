@@ -300,8 +300,18 @@ def test_arrow_fold_equals_sql_fold(spark, world):
                  r["n_events"])
                 for r in df.collect()}
 
-    assert norm(fold_changes(changes, engine="arrow")) == \
-        norm(fold_changes(changes, engine="sql"))
+    want = norm(fold_changes(changes, engine="arrow"))
+    assert want == norm(fold_changes(changes, engine="sql"))
+    assert want == norm(fold_changes(changes, engine="columnar"))
+    # tiny Arrow batches force cross-batch key-run carries in the
+    # columnar fold's kernel
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        assert want == norm(fold_changes(changes, engine="columnar"))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       before)
 
 
 def test_mariadb_gtid_flavor_decodes(spark, tmp_path):

@@ -155,19 +155,24 @@ def test_exact_near_dup_block_guard(spark):
 
 
 def test_arrow_fold_single_key_shuffle(spark, frames):
-    """The default fold plan: ONE Exchange (hash on the salted key) feeding
-    an in-partition sort + mapInPandas — no second shuffle, and no
-    interpreted higher-order `aggregate(...)` lambda in the hot path
-    (decode's window shuffle on `file` is upstream and expected)."""
+    """The default fold plan: ONE Exchange (hash on the salted key)
+    feeding an in-partition sort + the columnar Arrow fold — no second
+    shuffle, no interpreted higher-order `aggregate(...)` lambda in the
+    hot path, and no per-row map materialization (decode's window
+    shuffle on `file` is upstream and expected)."""
     from binlog_spark.operators.lww import fold_changes
 
     meta = discover_stream_meta(frames)
     decoded = decode_frames(spark, frames, meta, genlog.table_registry())
     from binlog_spark.operators.transactions import assemble_transactions
     changes = assemble_transactions(decoded)
-    folded = fold_changes(changes)  # engine="arrow"
+    folded = fold_changes(changes)  # engine="columnar"
     plan = plans.physical_plan(folded)
     # upstream window shuffle (file) + fold key shuffle = exactly 2 total
     assert plans.count_shuffles(folded) == 2, plan
     assert "aggregate(array_sort" not in plan, plan
-    assert "MapInPandas" in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "map_from_arrays" in plan, plan
+
+    arrow_engine = fold_changes(changes, engine="arrow")
+    assert "MapInPandas" in plans.physical_plan(arrow_engine)
