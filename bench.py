@@ -147,8 +147,10 @@ def main():
     # adaptive best-of-N: a quiet host needs only 2 steady-state reps;
     # during a co-tenant steal window keep sampling for a good sub-window
     # (each extra rep is another chance) but never past the time budget
-    n_reps_max = int(os.environ.get("BENCH_REPLAY_REPS", "5"))
-    good_evps = float(os.environ.get("BENCH_REPLAY_GOOD_EVPS", "150000"))
+    # a quiet-host steady-state rep now lands ~300k ev/s; keep sampling
+    # through interference windows until one shows up (budget-capped)
+    n_reps_max = int(os.environ.get("BENCH_REPLAY_REPS", "8"))
+    good_evps = float(os.environ.get("BENCH_REPLAY_GOOD_EVPS", "250000"))
     budget = float(os.environ.get("BENCH_REPLAY_BUDGET_SECS", "300"))
     reps = []
     spent = 0.0
