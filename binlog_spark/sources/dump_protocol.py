@@ -31,7 +31,9 @@ connection strategy the reference uses (`slave_conn_test.go:15-186`).
 Auth support matches the reference: mysql_native_password first, with a
 single AuthSwitch retry into old-password (DSN ``allowOldPasswords=1``),
 cleartext (``allowCleartextPasswords=1``) or a re-saulted native round
-(`dump/connection.go:265-307`). TLS is not implemented (documented gap).
+(`dump/connection.go:265-307`). TLS: DSN ``tls=true`` (verified) or
+``tls=skip-verify`` upgrades via SSLRequest before the handshake
+response, mirroring `dump/connection.go`'s ErrNoTLS capability check.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ from .packets import MAX_PACKET_SIZE, PKT_EOF, PKT_ERR, PKT_OK
 # capability flags (public protocol constants)
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SSL = 0x00000800
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 CLIENT_CONNECT_WITH_DB = 0x00000008
@@ -207,15 +210,31 @@ def old_password_scramble(password: str, salt: bytes) -> bytes:
     return bytes(out)
 
 
-def make_handshake_response(cfg: DsnConfig, hs: Handshake) -> bytes:
-    """Client HandshakeResponse41 payload (P2's auth reply)."""
+def _client_caps(cfg: DsnConfig, extra: int = 0) -> int:
     caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
-            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
+            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH | extra)
     if cfg.db:
         caps |= CLIENT_CONNECT_WITH_DB
+    return caps
+
+
+def make_ssl_request(cfg: DsnConfig) -> bytes:
+    """SSLRequest: the 32-byte HandshakeResponse41 prefix with CLIENT_SSL
+    set — sent before the TLS handshake upgrades the socket."""
+    out = bytearray()
+    out += struct.pack("<I", _client_caps(cfg, CLIENT_SSL))
+    out += struct.pack("<I", 1 << 24)
+    out += bytes([33])
+    out += b"\x00" * 23
+    return bytes(out)
+
+
+def make_handshake_response(cfg: DsnConfig, hs: Handshake,
+                            extra_caps: int = 0) -> bytes:
+    """Client HandshakeResponse41 payload (P2's auth reply)."""
     token = native_password_scramble(cfg.password, hs.auth_data[:20])
     out = bytearray()
-    out += struct.pack("<I", caps)
+    out += struct.pack("<I", _client_caps(cfg, extra_caps))
     out += struct.pack("<I", 1 << 24)  # max packet size
     out += bytes([33])  # utf8_general_ci
     out += b"\x00" * 23
@@ -395,7 +414,30 @@ class DumpClient:
         self._wf = self._sock.makefile("wb")
         _, payload = _read_packet(self._rf)
         hs = parse_handshake(payload)
-        _write_packet(self._wf, 1, make_handshake_response(self.cfg, hs))
+        tls_mode = self.cfg.params.get("tls", "").lower()
+        if tls_mode in ("1", "true", "skip-verify"):
+            # TLS upgrade (reference `dump/connection.go` ErrNoTLS check +
+            # SSLRequest flow, public protocol): SSLRequest, wrap socket,
+            # then the full HandshakeResponse rides the TLS channel
+            import ssl
+
+            if not hs.capabilities & CLIENT_SSL:
+                raise ConnectionError(
+                    "TLS requested but server lacks CLIENT_SSL")
+            _write_packet(self._wf, 1, make_ssl_request(self.cfg))
+            if tls_mode == "skip-verify":
+                ctx = ssl._create_unverified_context()
+            else:
+                ctx = ssl.create_default_context()
+            self._sock = ctx.wrap_socket(
+                self._sock, server_hostname=self.cfg.host)
+            self._rf = self._sock.makefile("rb")
+            self._wf = self._sock.makefile("wb")
+            _write_packet(self._wf, 2,
+                          make_handshake_response(self.cfg, hs, CLIENT_SSL))
+        else:
+            _write_packet(self._wf, 1,
+                          make_handshake_response(self.cfg, hs))
         seq, reply = _read_packet(self._rf)
         if reply and reply[0] == PKT_EOF:
             # AuthSwitchRequest: retry once with the requested method

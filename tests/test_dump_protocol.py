@@ -122,12 +122,15 @@ class FakeDumpServer(threading.Thread):
     (columns, rows); ``max_conns`` > 1 serves that many connections
     (each in a thread) — DescTableMapper opens one per executor."""
 
-    def __init__(self, frames, results=None, max_conns=1, auth_switch=None):
+    def __init__(self, frames, results=None, max_conns=1, auth_switch=None,
+                 ssl_ctx=None):
         super().__init__(daemon=True)
         self.frames = frames
         self.results = results or {}
         self.max_conns = max_conns
         self.auth_switch = auth_switch  # (plugin, new_salt_bytes) | "bare"
+        self.ssl_ctx = ssl_ctx  # server-side SSLContext: offer CLIENT_SSL
+        self.tls_used = False
         self.listener = socket.create_server(("127.0.0.1", 0))
         self.port = self.listener.getsockname()[1]
         self.seen_queries = []
@@ -164,8 +167,25 @@ class FakeDumpServer(threading.Thread):
 
     def _serve_inner(self, conn):
         rf, wf = conn.makefile("rb"), conn.makefile("wb")
-        D._write_packet(wf, 0, _handshake_v10())
+        hs = _handshake_v10()
+        if self.ssl_ctx is not None:
+            # flip CLIENT_SSL on in the advertised capability low bytes
+            hs = bytearray(hs)
+            import struct as _s
+
+            pos = 1 + hs[1:].index(0) + 1 + 4 + 8 + 1
+            cap_low = _s.unpack_from("<H", hs, pos)[0] | D.CLIENT_SSL
+            _s.pack_into("<H", hs, pos, cap_low)
+            hs = bytes(hs)
+        D._write_packet(wf, 0, hs)
         _, resp = D._read_packet(rf)
+        if self.ssl_ctx is not None and len(resp) == 32:  # SSLRequest
+            caps = int.from_bytes(resp[:4], "little")
+            if caps & D.CLIENT_SSL:
+                conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
+                rf, wf = conn.makefile("rb"), conn.makefile("wb")
+                self.tls_used = True
+                _, resp = D._read_packet(rf)
         # verify the client's scramble: user NUL-terminated after the
         # 32-byte fixed prefix, then 1-byte token length + token
         upos = 32
@@ -340,6 +360,51 @@ def test_old_password_scramble_shape():
     # spaces/tabs in the password are skipped by the pre-4.1 hash
     assert (D.old_password_scramble("a b\tc", bytes(8))
             == D.old_password_scramble("abc", bytes(8)))
+
+
+@pytest.fixture(scope="module")
+def ssl_pair(tmp_path_factory):
+    """Self-signed server cert + contexts for both sides."""
+    import ssl
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    key, crt = str(d / "key.pem"), str(d / "cert.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", crt, "-days", "1", "-subj",
+         "/CN=127.0.0.1"], check=True, capture_output=True)
+    server = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server.load_cert_chain(crt, key)
+    return server
+
+
+def test_tls_upgrade_end_to_end(ssl_pair, dump_world):
+    """DSN tls=skip-verify: SSLRequest → TLS handshake → auth + dump over
+    the encrypted channel; frames identical to the plaintext path."""
+    raw = [fr for _, _, _, fr in dump_world.frames][:50]
+    server = FakeDumpServer(raw, ssl_ctx=ssl_pair)
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/?tls=skip-verify"))
+    client.connect()
+    client.exec("SET @x=1")
+    got = list(client.start_dump(1, "binlog.000000", 4))
+    client.close()
+    server.join(timeout=10)
+    assert server.tls_used is True
+    assert server.auth_ok is True
+    assert got == raw
+
+
+def test_tls_refused_when_server_lacks_capability():
+    server = FakeDumpServer([])  # no ssl_ctx: CLIENT_SSL not advertised
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/?tls=true"))
+    with pytest.raises(ConnectionError, match="CLIENT_SSL"):
+        client.connect()
+    client.close()
 
 
 def test_lenenc_roundtrip_and_null_cells():
