@@ -47,6 +47,7 @@ from urllib.parse import parse_qsl
 
 from ..wire import constants as C
 from ..wire import events as E
+from ..wire.collations import DEFAULT_COLLATION, collation_id
 from .packets import MAX_PACKET_SIZE, PKT_EOF, PKT_ERR, PKT_OK
 
 # capability flags (public protocol constants)
@@ -218,13 +219,19 @@ def _client_caps(cfg: DsnConfig, extra: int = 0) -> int:
     return caps
 
 
+def _collation_byte(cfg: DsnConfig) -> int:
+    """DSN ``collation=`` → handshake charset byte; unknown names error
+    exactly like the reference (`dump/packets.go:300-308`)."""
+    return collation_id(cfg.params.get("collation", DEFAULT_COLLATION))
+
+
 def make_ssl_request(cfg: DsnConfig) -> bytes:
     """SSLRequest: the 32-byte HandshakeResponse41 prefix with CLIENT_SSL
     set — sent before the TLS handshake upgrades the socket."""
     out = bytearray()
     out += struct.pack("<I", _client_caps(cfg, CLIENT_SSL))
     out += struct.pack("<I", 1 << 24)
-    out += bytes([33])
+    out += bytes([_collation_byte(cfg)])
     out += b"\x00" * 23
     return bytes(out)
 
@@ -236,7 +243,7 @@ def make_handshake_response(cfg: DsnConfig, hs: Handshake,
     out = bytearray()
     out += struct.pack("<I", _client_caps(cfg, extra_caps))
     out += struct.pack("<I", 1 << 24)  # max packet size
-    out += bytes([33])  # utf8_general_ci
+    out += bytes([_collation_byte(cfg)])  # default utf8_general_ci (33)
     out += b"\x00" * 23
     out += cfg.user.encode() + b"\x00"
     out += bytes([len(token)]) + token
@@ -448,7 +455,24 @@ class DumpClient:
         if reply and reply[0] == PKT_ERR:
             code = struct.unpack_from("<H", reply, 1)[0]
             raise ConnectionError(f"auth failed: error {code}")
+        self._set_names()
         return hs
+
+    def _set_names(self):
+        """DSN ``charset=a,b`` → post-auth ``SET NAMES`` with fallbacks:
+        first accepted name wins, all-refused raises the last error
+        (reference `dump/connection.go:119-135` semantics)."""
+        charsets = self.cfg.params.get("charset", "")
+        if not charsets:
+            return
+        last_err = None
+        for cs in charsets.split(","):
+            try:
+                self.exec("SET NAMES " + cs)
+                return
+            except RuntimeError as e:  # charset may not exist server-side
+                last_err = e
+        raise last_err
 
     def _allow(self, param: str) -> bool:
         return self.cfg.params.get(param, "").lower() in ("1", "true")

@@ -123,10 +123,12 @@ class FakeDumpServer(threading.Thread):
     (each in a thread) — DescTableMapper opens one per executor."""
 
     def __init__(self, frames, results=None, max_conns=1, auth_switch=None,
-                 ssl_ctx=None):
+                 ssl_ctx=None, refuse_queries=()):
         super().__init__(daemon=True)
         self.frames = frames
         self.results = results or {}
+        self.refuse_queries = set(refuse_queries)
+        self.client_collation = None
         self.max_conns = max_conns
         self.auth_switch = auth_switch  # (plugin, new_salt_bytes) | "bare"
         self.ssl_ctx = ssl_ctx  # server-side SSLContext: offer CLIENT_SSL
@@ -189,6 +191,7 @@ class FakeDumpServer(threading.Thread):
         # verify the client's scramble: user NUL-terminated after the
         # 32-byte fixed prefix, then 1-byte token length + token
         upos = 32
+        self.client_collation = resp[8]
         zero = resp.index(b"\x00", upos)
         user = resp[upos:zero].decode()
         tlen = resp[zero + 1]
@@ -231,7 +234,9 @@ class FakeDumpServer(threading.Thread):
                 sql = cmd[1:].decode()
                 with self._lock:
                     self.seen_queries.append(sql)
-                if sql in self.results:
+                if sql in self.refuse_queries:
+                    D._write_packet(wf, 1, b"\xff\x93\x04#42000bad charset")
+                elif sql in self.results:
                     cols, rows = self.results[sql]
                     for i, p in enumerate(_result_packets(cols, rows)):
                         D._write_packet(wf, i + 1, p)
@@ -348,6 +353,49 @@ def test_auth_switch_gated_by_dsn_params():
         _switch_connect(("mysql_old_password", bytes(8)))
     with pytest.raises(ConnectionError, match="allowCleartextPasswords"):
         _switch_connect(("mysql_clear_password", b""))
+
+
+def _collation_connect(dsn_params="", refuse=()):
+    server = FakeDumpServer([], refuse_queries=refuse)
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/{dsn_params}"))
+    try:
+        client.connect()
+    finally:
+        client.close()
+        server.join(timeout=10)
+    return server
+
+
+def test_dsn_collation_sets_handshake_byte():
+    # default (no param) = utf8_general_ci id 33, reference parity
+    assert _collation_connect().client_collation == 33
+    s = _collation_connect("?collation=latin1_swedish_ci")
+    assert s.client_collation == 8
+    assert s.auth_ok is True
+
+
+def test_unknown_dsn_collation_refused_client_side():
+    server = FakeDumpServer([])
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/?collation=nope"))
+    with pytest.raises(ValueError, match="unknown collation"):
+        client.connect()
+    client.close()
+    server.stop()
+
+
+def test_charset_set_names_fallback_chain():
+    # first charset refused → falls back to the next; first OK wins
+    s = _collation_connect("?charset=badcs,utf8mb4,utf8",
+                           refuse=("SET NAMES badcs",))
+    assert s.seen_queries == ["SET NAMES badcs", "SET NAMES utf8mb4"]
+    # all refused → the last server error surfaces
+    with pytest.raises(RuntimeError, match="query failed"):
+        _collation_connect("?charset=badcs",
+                           refuse=("SET NAMES badcs",))
 
 
 def test_old_password_scramble_shape():
