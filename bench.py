@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "agg_rollup_pricing",
     "agg_percentiles_events",
     "sketch_kmv_distinct",
+    "sketch_hll_estimate",
+    "join_asof_purchase_click",
+    "join_range_value_bands",
     "rollup_incremental_events",
     "set_ops_users",
     "json_props_events",

@@ -1,0 +1,96 @@
+"""Distributed connected components: near-dup pairs → dedup clusters.
+
+The dedup family (``operators/dedup.py``, ``operators/similarity.py``)
+emits *pairs*; a production dedup pipeline needs *clusters* — one keeper
+per group of transitively-connected near-duplicates. This module closes
+that gap with the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", ACM
+SoCC 2014 — the standard trillion-edge formulation): every step is a
+``groupBy(node)`` + broadcast-free self-join on edges oriented toward
+smaller ids, converging in O(log n) rounds regardless of component
+diameter, vs O(diameter) for naive label propagation — the difference
+between 4 and 40 shuffles on a 10^9-edge web-scale pair graph.
+
+Scale notes (the 100 TB story):
+* each round's state is the edge set itself — no per-node label table,
+  no driver-side state; memory is bounded by the (shrinking) edge list;
+* ``localCheckpoint`` after each round truncates the lineage so round k
+  does not replay rounds 1..k-1 (and releases shuffle files);
+* convergence needs one tiny action per round (a count + an isEmpty on
+  the set difference), both O(edges) distributed;
+* the output is a star graph: (node → component-min), exactly the shape
+  a downstream keep-one-per-cluster MERGE wants to join on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.union(rev)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbrs = _symmetric(edges)
+    mins = (nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m")))
+    return (nbrs.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, connect all smaller neighbors (and u
+    itself) to the minimum smaller neighbor."""
+    e = (edges.where(F.col("src") != F.col("dst"))
+         .select(F.greatest("src", "dst").alias("src"),
+                 F.least("src", "dst").alias("dst"))
+         .distinct())
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (e.join(mins, "src")
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    return (relink.union(mins.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Edge list (``src``, ``dst``) → star labels (``node``, ``cluster``).
+
+    ``cluster`` is the component's minimum node id; every node that
+    appears in any edge gets exactly one output row (roots label
+    themselves). Isolated nodes never enter the edge list — callers give
+    them their own id via a left join (see ``queries.dedup_cc_clusters``).
+    """
+    cur = (edges.where(F.col("src") != F.col("dst"))
+           .select(F.greatest("src", "dst").alias("src"),
+                   F.least("src", "dst").alias("dst"))
+           .distinct().localCheckpoint(eager=False))
+    n_cur = -1  # unknown until round 0 runs; counts carry across rounds
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        # converged when the oriented edge sets are identical: equal
+        # cardinality (count cached from last round — one action) + empty
+        # difference (checked only on count equality)
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(f"no convergence in {max_rounds} rounds")
+    roots = cur.select(F.col("dst").alias("node")).distinct()
+    return (cur.select(F.col("src").alias("node"),
+                       F.col("dst").alias("cluster"))
+            .union(roots.select("node", F.col("node").alias("cluster"))))
+
+
+def cluster_sizes(labels: DataFrame) -> DataFrame:
+    """(node, cluster) → + ``cluster_size`` (window count per cluster)."""
+    w = Window.partitionBy("cluster")
+    return labels.withColumn("cluster_size", F.count("*").over(w))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import genlog, pipeline
-from .operators import dedup, multimodal, similarity, textstats
+from .operators import dedup, graph, multimodal, similarity, textstats
 from .operators.lww import lww_latest
 from .operators.merge import LakeTable
 
@@ -790,6 +790,228 @@ def cdc_replay_lineage(spark, sf_dir=None, n_txns: int = 80):
     return lineage_summary(changes).orderBy("file")
 
 
+# ------------------------------------------------- clusters / sketches / asof
+def dedup_cc_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive dedup clusters: SimHash band pairs fed
+    through distributed connected components (alternating large-star/
+    small-star, operators/graph.py) — every doc labeled with its
+    component-min ``cluster_id``; singletons label themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    labels = graph.connected_components(edges)
+    out = (docs.select("doc_id")
+           .join(labels, F.col("doc_id") == F.col("node"), "left")
+           .select("doc_id",
+                   F.coalesce("cluster", "doc_id").alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count("*").over(w))
+
+
+def dedup_cc_clusters_sql():
+    # transitive closure once in DuckDB (fine at oracle scale; the Spark
+    # side is the O(log n)-round star algorithm instead)
+    return f"""
+WITH RECURSIVE pairs AS ({dedup.simhash_near_pairs_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON d.doc_id = m.src
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
+_HLL_M = 256  # p=8 → 2^8 registers
+_HLL_W = 4503599627370496  # 2^52: the sub-bucket hash width
+_HLL_ALPHA = 0.7182725932495458  # 0.7213 / (1 + 1.079/256)
+
+
+def _hll_registers_df(spark, sf_dir):
+    """(event_type, bucket, max_rho): md5-derived 60-bit hash, top 8 bits
+    pick the register, rho = leading-zero count of the low 52 bits + 1 —
+    all JVM built-ins (md5/conv/bin), deterministic, DuckDB-replayable."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    bucket = F.shiftright(h, 52)
+    w = h.bitwiseAND(F.lit(_HLL_W - 1))
+    rho = (F.when(w == 0, F.lit(53))
+           .otherwise(F.lit(53) - F.length(F.bin(w)))).cast("int")
+    return (ev.select("event_type", bucket.alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+_HLL_HASH_CTE = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, h >> 52 AS bucket,
+         CAST(max(CASE WHEN h & {mask} = 0 THEN 53
+                       ELSE 53 - length(bin(h & {mask})) END) AS INTEGER)
+             AS max_rho
+  FROM h GROUP BY event_type, h >> 52
+)
+""".format(mask=_HLL_W - 1)
+
+
+def sketch_hll_registers(spark, sf_dir):
+    """HyperLogLog register states per event_type (the mergeable sketch:
+    a shuffle carries ≤ m rows per group no matter the input size)."""
+    return _hll_registers_df(spark, sf_dir)
+
+
+def sketch_hll_registers_sql():
+    return _HLL_HASH_CTE + "SELECT event_type, bucket, max_rho FROM regs"
+
+
+def sketch_hll_estimate(spark, sf_dir):
+    """HLL distinct estimate from the registers (Flajolet et al.'s raw
+    estimator + linear-counting small-range correction), joined against
+    the exact count. All arithmetic is cross-engine exact: the harmonic
+    denominator sums dyadic rationals (2^-rho), the ln() path is rounded
+    to 4 dp."""
+    regs = _hll_registers_df(spark, sf_dir)
+    per = regs.groupBy("event_type").agg(
+        F.count("*").alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("hsum"))
+    m = float(_HLL_M)
+    zeros = F.lit(m) - F.col("used")
+    raw = F.lit(_HLL_ALPHA * m * m) / (zeros + F.col("hsum"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(m) * F.log(F.lit(m) / zeros)).otherwise(raw)
+    exact = (_t(spark, sf_dir, "events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (per.join(exact, "event_type")
+            .select("event_type", F.col("used").alias("registers_used"),
+                    F.round(est, 4).alias("hll_estimate"), "exact_users"))
+
+
+def sketch_hll_estimate_sql():
+    m = float(_HLL_M)
+    return _HLL_HASH_CTE + f""",
+per AS (
+  SELECT event_type, count(*) AS used,
+         sum(power(2.0, -max_rho)) AS hsum
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, CAST(p.used AS BIGINT) AS registers_used,
+       round(CASE WHEN {_HLL_ALPHA * m * m} / (({m} - p.used) + p.hsum)
+                       <= {2.5 * m} AND p.used < {_HLL_M}
+                  THEN {m} * ln({m} / ({m} - p.used))
+                  ELSE {_HLL_ALPHA * m * m} / (({m} - p.used) + p.hsum)
+             END, 4) AS hll_estimate,
+       CAST(e.exact_users AS BIGINT) AS exact_users
+FROM per p JOIN exact e ON p.event_type = e.event_type
+"""
+
+
+def join_asof_purchase_click(spark, sf_dir):
+    """As-of join (at-or-before): each purchase picks the same user's
+    latest click with click.ts <= purchase.ts — the kdb/QuestDB asof
+    semantics as one union + one user-partitioned window (a single
+    shuffle on the key; no range self-join, no per-row probe)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("click", "purchase"))
+    side = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    u = base.select(
+        "user_id", "ts", "event_id", side.alias("side"),
+        F.when(side == 0, F.col("event_id")).alias("click_id"),
+        F.when(side == 0, F.col("value")).alias("click_value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (u.withColumn("last_click_id",
+                         F.last("click_id", ignorenulls=True).over(w))
+            .withColumn("last_click_value",
+                        F.last("click_value", ignorenulls=True).over(w))
+            .where(F.col("side") == 1)
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    # no-prior-click sentinel keeps the output NULL-free
+                    # (comparable/sortable) without dropping those rows
+                    F.coalesce("last_click_id", F.lit(-1))
+                    .alias("last_click_id"),
+                    F.coalesce("last_click_value", F.lit(-1.0))
+                    .alias("last_click_value")))
+
+
+def join_asof_purchase_click_sql():
+    return """
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN value END AS click_value
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id, user_id,
+       coalesce(last_click_id, -1) AS last_click_id,
+       coalesce(last_click_value, -1.0) AS last_click_value
+FROM (
+  SELECT event_id, user_id, side,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+         last_value(click_value IGNORE NULLS) OVER w AS last_click_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE side = 1
+"""
+
+
+_VALUE_BANDS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"),
+                (50.0, 150.0, "high"), (150.0, 1000.0, "extreme")]
+
+
+def join_range_value_bands(spark, sf_dir):
+    """Banded range join: events against a tiny interval-dimension table
+    on value ∈ [lo, hi) — broadcast the bands so the non-equi predicate
+    is a nested-loop probe per row against 4 rows, never a shuffle or a
+    cartesian against anything big. The DECIMAL sum keeps the aggregate
+    association-free (cross-engine exact)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "lo double, hi double, band string")
+    j = ev.join(F.broadcast(bands),
+                (ev.value >= bands.lo) & (ev.value < bands.hi))
+    return (j.groupBy("band")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("sum_value")))
+
+
+def join_range_value_bands_sql():
+    vals = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _VALUE_BANDS)
+    return f"""
+WITH bands(lo, hi, band) AS (VALUES {vals})
+SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band
+"""
+
+
 QUERIES = {
     # CDC semantics (oracle-checked over the events table)
     "cdc_lww_latest": cdc_lww_latest,
@@ -819,6 +1041,12 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "dedup_cc_clusters": dedup_cc_clusters,
+    # sketches / asof / range join
+    "sketch_hll_registers": sketch_hll_registers,
+    "sketch_hll_estimate": sketch_hll_estimate,
+    "join_asof_purchase_click": join_asof_purchase_click,
+    "join_range_value_bands": join_range_value_bands,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
@@ -901,6 +1129,11 @@ ORACLES = {
         n=3, num_hashes=8, bands=4),
     "dedup_simhash": dedup.simhash_sql(),
     "dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
+    "dedup_cc_clusters": dedup_cc_clusters_sql(),
+    "sketch_hll_registers": sketch_hll_registers_sql(),
+    "sketch_hll_estimate": sketch_hll_estimate_sql(),
+    "join_asof_purchase_click": join_asof_purchase_click_sql(),
+    "join_range_value_bands": join_range_value_bands_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),

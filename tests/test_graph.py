@@ -1,0 +1,45 @@
+"""Connected components (large-star/small-star) unit behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_spark.operators import graph
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.connected_components(df, **kw)
+    return {r.node: r.cluster for r in out.collect()}
+
+
+def test_two_components_and_star_shape(spark):
+    lab = _labels(spark, [(1, 2), (2, 3), (10, 11), (3, 1)])
+    assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # a 64-node path has diameter 63; the star algorithm must close it
+    # well inside the 50-round guard (naive propagation would need ~63)
+    chain = [(i, i + 1) for i in range(63)]
+    lab = _labels(spark, chain, max_rounds=12)
+    assert set(lab.values()) == {0}
+    assert len(lab) == 64
+
+
+def test_duplicate_reversed_and_self_edges(spark):
+    lab = _labels(spark, [(5, 4), (4, 5), (4, 4), (5, 4), (7, 6)])
+    assert lab == {4: 4, 5: 4, 6: 6, 7: 6}
+
+
+def test_cluster_sizes(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (9, 8)], "src long, dst long")
+    sized = graph.cluster_sizes(graph.connected_components(df))
+    got = {(r.node, r.cluster, r.cluster_size) for r in sized.collect()}
+    assert got == {(1, 1, 3), (2, 1, 3), (3, 1, 3), (8, 8, 2), (9, 8, 2)}
+
+
+def test_max_rounds_guard(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                               "src long, dst long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        graph.connected_components(df, max_rounds=1)
