@@ -176,3 +176,42 @@ def test_arrow_fold_single_key_shuffle(spark, frames):
 
     arrow_engine = fold_changes(changes, engine="arrow")
     assert "MapInPandas" in plans.physical_plan(arrow_engine)
+
+
+def test_asof_join_is_one_keyed_window_no_join(spark, sf_dir):
+    """The as-of join must stay a union + one user-partitioned window:
+    exactly one exchange on the key, and NO join operator at all (a
+    range self-join or per-row probe would appear as a Join node and
+    explode at corpus scale)."""
+    from binlog_spark.queries import join_asof_purchase_click
+
+    df = join_asof_purchase_click(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.count_shuffles(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_range_band_join_broadcasts_interval_dim(spark, sf_dir):
+    """The non-equi band join must probe a broadcast 4-row interval dim
+    (BroadcastNestedLoopJoin), never sort-merge or shuffle the fact side
+    against it."""
+    from binlog_spark.queries import join_range_value_bands
+
+    df = join_range_value_bands(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_registers_jvm_only_with_partial_agg(spark, sf_dir):
+    """The HLL sketch stays entirely JVM-side (md5/conv/bin built-ins —
+    no Python evaluator of any kind) and combines map-side before the
+    one register shuffle."""
+    from binlog_spark.queries import sketch_hll_registers
+
+    df = sketch_hll_registers(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Python" not in plan, plan  # no BatchEval/ArrowEval stages
+    assert "partial" in plan.lower(), plan
+    assert plans.count_shuffles(df) == 1, plan
