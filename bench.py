@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "sketch_hll_estimate",
     "join_asof_purchase_click",
     "join_range_value_bands",
+    "sample_stratified_docs",
+    "mix_source_weights",
+    "pack_sequences_docs",
     "rollup_incremental_events",
     "set_ops_users",
     "json_props_events",

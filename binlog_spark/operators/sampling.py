@@ -1,0 +1,124 @@
+"""Training-data sampling & sequence packing (deterministic, oracle-able).
+
+The operations a pretraining-corpus pipeline runs after dedup/quality:
+rebalance languages (stratified sampling), compute source-mixture
+reweighting, and pack documents into fixed token budgets. All three are
+deterministic — sampling decisions derive from md5(doc_id), so the same
+rows are selected on any cluster at any parallelism, the runs are
+reproducible, and DuckDB replays them exactly.
+
+Scale shapes:
+* stratified sampling is a pure narrow filter — no shuffle at all; the
+  sampling hash is JVM built-ins (md5/conv), Catalyst keeps it in
+  whole-stage codegen next to the scan;
+* mixture weights aggregate once on the source key (tiny output) — the
+  total ride-along is a scalar subquery/broadcast, never a global sort;
+* packing orders docs inside each language partition only (one keyed
+  window shuffle); the pack id is a cumulative-sum bucket — the
+  standard approximate "contiguous fill" used at 10^9-doc scale, where
+  true first-fit bin packing would serialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# per-language keep rates: downsample the dominant language, keep the
+# tails — the classic pretraining rebalance
+DEFAULT_RATES = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+_SCALE = 10_000  # hash-bucket resolution for the Bernoulli decision
+
+
+def _hash_bucket(col):
+    """Deterministic uniform bucket in [0, _SCALE): top 32 bits of
+    md5(id) mod the scale — stable across engines and partitionings."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("long") % _SCALE
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float] | None = None,
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep each row iff hash_bucket(id) < rate[stratum] * _SCALE."""
+    rates = DEFAULT_RATES if rates is None else rates
+    rate = F.lit(None).cast("double")
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    bucket = _hash_bucket(F.col(id_col))
+    return (df.withColumn("bucket", bucket)
+            .where(F.col("bucket") < rate * _SCALE)
+            .select(id_col, strata_col, "bucket"))
+
+
+def stratified_sample_sql(rates: dict[str, float] | None = None,
+                          table: str = "documents",
+                          strata_col: str = "lang",
+                          id_col: str = "doc_id") -> str:
+    rates = DEFAULT_RATES if rates is None else rates
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items()))
+    return f"""
+SELECT {id_col}, {strata_col},
+       ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT
+           % {_SCALE} AS bucket
+FROM {table}
+WHERE ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT
+          % {_SCALE}
+      < (CASE {strata_col} {case} END) * {_SCALE}
+"""
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source resampling weight toward a uniform target mixture:
+    weight = target_share / actual_share (>1 means upsample)."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()  # tiny: one row per source
+    total = F.sum("n_docs").over(w)
+    n_groups = F.count("*").over(w)
+    share = F.col("n_docs") / total
+    return counts.select(
+        group_col, "n_docs",
+        F.round(share, 6).alias("actual_share"),
+        F.round((F.lit(1.0) / n_groups) / share, 6).alias("weight"))
+
+
+def mixture_weights_sql(table: str = "documents",
+                        group_col: str = "source") -> str:
+    return f"""
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / sum(count(*)) OVER (), 6) AS actual_share,
+       round((1.0 / count(*) OVER ())
+             / (count(*) / sum(count(*)) OVER ()), 6) AS weight
+FROM {table} GROUP BY {group_col}
+"""
+
+
+def pack_sequences(df: DataFrame, budget: int = 512,
+                   part_col: str = "lang") -> DataFrame:
+    """Contiguous token packing: docs ordered by id within each
+    partition column get pack_id = floor(exclusive-prefix-tokens /
+    budget) — the vectorizable approximation of greedy packing (a doc
+    may straddle a boundary; no pack starves)."""
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (Window.partitionBy(part_col).orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (df.select("doc_id", part_col, tokens.alias("n_tokens"))
+            .withColumn("pack_id",
+                        F.floor(prior / budget).cast("long")))
+
+
+def pack_sequences_sql(budget: int = 512, table: str = "documents",
+                       part_col: str = "lang") -> str:
+    return f"""
+SELECT doc_id, {part_col}, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY {part_col} ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {budget}) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, {part_col},
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM {table}
+)
+"""

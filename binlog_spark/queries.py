@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import genlog, pipeline
-from .operators import dedup, graph, multimodal, similarity, textstats
+from .operators import (dedup, graph, multimodal, sampling, similarity,
+                        textstats)
 from .operators.lww import lww_latest
 from .operators.merge import LakeTable
 
@@ -1012,6 +1013,23 @@ GROUP BY band
 """
 
 
+# ----------------------------------------------- sampling / packing
+def sample_stratified_docs(spark, sf_dir):
+    """Deterministic language-rebalance sampling (operators/sampling.py):
+    a narrow md5-bucket filter, zero shuffles."""
+    return sampling.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+def mix_source_weights(spark, sf_dir):
+    """Per-source mixture reweighting toward a uniform target."""
+    return sampling.mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Contiguous token packing into 512-token budgets per language."""
+    return sampling.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # CDC semantics (oracle-checked over the events table)
     "cdc_lww_latest": cdc_lww_latest,
@@ -1047,6 +1065,10 @@ QUERIES = {
     "sketch_hll_estimate": sketch_hll_estimate,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_range_value_bands": join_range_value_bands,
+    # training-data sampling / packing
+    "sample_stratified_docs": sample_stratified_docs,
+    "mix_source_weights": mix_source_weights,
+    "pack_sequences_docs": pack_sequences_docs,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
@@ -1134,6 +1156,9 @@ ORACLES = {
     "sketch_hll_estimate": sketch_hll_estimate_sql(),
     "join_asof_purchase_click": join_asof_purchase_click_sql(),
     "join_range_value_bands": join_range_value_bands_sql(),
+    "sample_stratified_docs": sampling.stratified_sample_sql(),
+    "mix_source_weights": sampling.mixture_weights_sql(),
+    "pack_sequences_docs": sampling.pack_sequences_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),

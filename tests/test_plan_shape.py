@@ -215,3 +215,14 @@ def test_hll_registers_jvm_only_with_partial_agg(spark, sf_dir):
     assert "Python" not in plan, plan  # no BatchEval/ArrowEval stages
     assert "partial" in plan.lower(), plan
     assert plans.count_shuffles(df) == 1, plan
+
+
+def test_stratified_sample_is_narrow_and_jvm_only(spark, sf_dir):
+    """Sampling must be a pure codegen filter riding the scan: zero
+    exchanges, zero Python evaluators."""
+    from binlog_spark.queries import sample_stratified_docs
+
+    df = sample_stratified_docs(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.count_shuffles(df) == 0, plan
+    assert "Python" not in plan, plan
