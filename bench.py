@@ -147,6 +147,17 @@ def main():
     # co-tenant window (burn ≫ ~0.6 s on this host) from a real change.
     burn_secs = _cpu_burn()
     shuffle_parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    # C2 JIT compilation triggers on invocation counts, which a 1/10-size
+    # replay of the same plan reaches at 1/10 the wall cost: a few small
+    # warm-ups take the first measured full-size rep from ~6x-steady to
+    # near-steady (measured 45s -> ~10s on this host), so the best-of-N
+    # loop spends its budget on real samples instead of warm-up
+    warm_txns = max(2000, n_txns // 10)
+    wres, wdir = build_replay_input(warm_txns, os.path.join(workdir, "warm"),
+                                    seed=43)
+    for _ in range(int(os.environ.get("BENCH_WARMUP_REPS", "4"))):
+        time_replay(spark, wdir, len(wres.changes), workdir,
+                    parts=replay_parts)
     time_replay(spark, frames_dir, len(result.changes), workdir,
                 parts=replay_parts)
 

@@ -1,0 +1,48 @@
+"""Charset-aware text layer over byte-transparent cells."""
+
+from pyspark.sql import functions as F
+
+from binlog_spark.operators.charset import (charset_decode_column,
+                                            decode_text_columns)
+
+
+def _one(spark, raw_bytes: bytes, collation: int):
+    cell = raw_bytes.decode("latin-1")  # byte-transparent engine cell
+    df = spark.createDataFrame([(cell,)], "c string")
+    out = df.select(charset_decode_column(F.col("c"), collation).alias("c"))
+    return out.collect()[0].c
+
+
+def test_cp1251_and_gbk_pandas_path(spark):
+    assert _one(spark, "данные".encode("cp1251"), 51) == "данные"
+    assert _one(spark, "数据".encode("gbk"), 28) == "数据"
+
+
+def test_latin1_stays_cp1252(spark):
+    # MySQL latin1 is cp1252: 0x80 is the euro sign, not a C1 control
+    assert _one(spark, b"caf\xe9 \x80", 8) == "café €"
+
+
+def test_utf8_collation_jvm_path(spark):
+    raw = "héllo".encode("utf-8")
+    df = spark.createDataFrame([(raw.decode("latin-1"),)], "c string")
+    out = df.select(charset_decode_column(F.col("c"), 45).alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # utf8 stays a JVM encode/decode pair
+    assert out.collect()[0].c == "héllo"
+
+
+def test_binary_collation_is_identity(spark):
+    blob = bytes(range(256)).decode("latin-1")
+    df = spark.createDataFrame([(blob,)], "c string")
+    out = decode_text_columns(df, {"c": 63})  # binary: stay bytes
+    assert out.collect()[0].c == blob
+
+
+def test_multi_column_map(spark):
+    df = spark.createDataFrame(
+        [("данные".encode("cp1251").decode("latin-1"),
+          "ascii ok")], "a string, b string")
+    out = decode_text_columns(df, {"a": 51, "b": 11})
+    row = out.collect()[0]
+    assert (row.a, row.b) == ("данные", "ascii ok")
