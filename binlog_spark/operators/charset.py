@@ -40,7 +40,10 @@ def charset_decode_column(col, collation: int):
 
     @pandas_udf("string")
     def _recode(s):
-        return s.str.encode("latin-1").str.decode(codec)
+        # substitution on both steps mirrors the JVM path's U+FFFD/?
+        # behavior: one corrupt cell must not fail the job
+        return s.str.encode("latin-1", errors="replace").str.decode(
+            codec, errors="replace")
 
     return _recode(col)
 

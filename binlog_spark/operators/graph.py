@@ -90,7 +90,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .union(roots.select("node", F.col("node").alias("cluster"))))
 
 
-def cluster_sizes(labels: DataFrame) -> DataFrame:
-    """(node, cluster) → + ``cluster_size`` (window count per cluster)."""
-    w = Window.partitionBy("cluster")
+def cluster_sizes(labels: DataFrame,
+                  cluster_col: str = "cluster") -> DataFrame:
+    """Label frame → + ``cluster_size`` (window count per cluster)."""
+    w = Window.partitionBy(cluster_col)
     return labels.withColumn("cluster_size", F.count("*").over(w))

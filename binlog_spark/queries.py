@@ -806,8 +806,7 @@ def dedup_cc_clusters(spark, sf_dir):
            .join(labels, F.col("doc_id") == F.col("node"), "left")
            .select("doc_id",
                    F.coalesce("cluster", "doc_id").alias("cluster_id")))
-    w = Window.partitionBy("cluster_id")
-    return out.withColumn("cluster_size", F.count("*").over(w))
+    return graph.cluster_sizes(out, cluster_col="cluster_id")
 
 
 def dedup_cc_clusters_sql():

@@ -135,5 +135,11 @@ def charset_of(collation_name: str) -> str:
 
 
 def codec_for_collation(cid: int) -> str | None:
-    """Collation id → Python codec name (None = keep raw bytes)."""
-    return CHARSET_CODECS.get(charset_of(ID_TO_COLLATION[cid]))
+    """Collation id → Python codec name; None = keep raw bytes (binary,
+    codec-less legacy charsets, and ids outside the registry — e.g. the
+    MySQL 8.0 utf8mb4_0900 family at 255+, which a >1-byte collation
+    field can carry)."""
+    name = ID_TO_COLLATION.get(cid)
+    if name is None:
+        return None
+    return CHARSET_CODECS.get(charset_of(name))

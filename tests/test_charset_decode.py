@@ -39,6 +39,16 @@ def test_binary_collation_is_identity(spark):
     assert out.collect()[0].c == blob
 
 
+def test_corrupt_cell_substitutes_not_fails(spark):
+    # a lone GBK lead byte must not kill the job — substitution, like
+    # the JVM decode() path
+    assert "�" in _one(spark, b"\x81", 28)
+    # unknown collation id (MySQL 8.0 family): identity, stay-bytes
+    blob = "data\xe9"
+    df = spark.createDataFrame([(blob,)], "c string")
+    assert decode_text_columns(df, {"c": 255}).collect()[0].c == blob
+
+
 def test_multi_column_map(spark):
     df = spark.createDataFrame(
         [("данные".encode("cp1251").decode("latin-1"),

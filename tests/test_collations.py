@@ -52,6 +52,13 @@ def test_charset_prefix_and_codecs():
             codecs.lookup(codec)
 
 
+def test_unknown_id_stays_bytes():
+    # MySQL 8.0-era collations (utf8mb4_0900_* family, ids 255+) are
+    # outside the byte-sized registry: stay-bytes, never KeyError
+    assert CL.codec_for_collation(255) is None
+    assert CL.codec_for_collation(0) is None
+
+
 def test_round_trip_decode_examples():
     assert "käse".encode("cp1252").decode(CL.codec_for_collation(8)) == "käse"
     assert "данные".encode("cp1251").decode(
