@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "agg_percentiles_events",
     "sketch_kmv_distinct",
     "sketch_hll_estimate",
+    "sketch_bloom_filter",
     "join_asof_purchase_click",
     "join_range_value_bands",
     "sample_stratified_docs",

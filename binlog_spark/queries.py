@@ -928,6 +928,53 @@ FROM per p JOIN exact e ON p.event_type = e.event_type
 """
 
 
+_BLOOM_M = 2048  # bits
+_BLOOM_K = 4     # hash functions: disjoint 32-bit md5 slices
+
+
+def sketch_bloom_filter(spark, sf_dir):
+    """Bloom-filter occupancy + cardinality estimate per event_type:
+    k positions from disjoint md5 slices, bits_set = distinct positions,
+    est = -(m/k) * ln(1 - X/m) (Swamidass-Baldi). The registers are a
+    fixed-size OR-mergeable bitset — the standard pre-filter before
+    exact dedup at corpus scale; entirely JVM built-ins."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    pos = F.array(*[
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        % _BLOOM_M for i in range(_BLOOM_K)])
+    m = float(_BLOOM_M)
+    x = F.countDistinct("pos").alias("bits_set")
+    return (ev.select("event_type", F.explode(pos).alias("pos"))
+            .groupBy("event_type").agg(x)
+            .select("event_type", "bits_set",
+                    F.round(F.lit(-m / _BLOOM_K)
+                            * F.log(F.lit(1.0)
+                                    - F.col("bits_set") / F.lit(m)),
+                            4).alias("est_distinct")))
+
+
+def sketch_bloom_filter_sql():
+    m = float(_BLOOM_M)
+    slices = ", ".join(
+        f"('0x' || substr(h, {1 + 8 * i}, 8))::BIGINT % {_BLOOM_M}"
+        for i in range(_BLOOM_K))
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), p AS (
+  SELECT event_type, unnest([{slices}]) AS pos FROM h
+), agg AS (
+  SELECT event_type, count(DISTINCT pos) AS bits_set FROM p
+  GROUP BY event_type
+)
+SELECT event_type, CAST(bits_set AS BIGINT) AS bits_set,
+       round({-m / _BLOOM_K} * ln(1.0 - bits_set / {m}), 4)
+           AS est_distinct
+FROM agg
+"""
+
+
 def join_asof_purchase_click(spark, sf_dir):
     """As-of join (at-or-before): each purchase picks the same user's
     latest click with click.ts <= purchase.ts — the kdb/QuestDB asof
@@ -1062,6 +1109,7 @@ QUERIES = {
     # sketches / asof / range join
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_estimate": sketch_hll_estimate,
+    "sketch_bloom_filter": sketch_bloom_filter,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_range_value_bands": join_range_value_bands,
     # training-data sampling / packing
@@ -1153,6 +1201,7 @@ ORACLES = {
     "dedup_cc_clusters": dedup_cc_clusters_sql(),
     "sketch_hll_registers": sketch_hll_registers_sql(),
     "sketch_hll_estimate": sketch_hll_estimate_sql(),
+    "sketch_bloom_filter": sketch_bloom_filter_sql(),
     "join_asof_purchase_click": join_asof_purchase_click_sql(),
     "join_range_value_bands": join_range_value_bands_sql(),
     "sample_stratified_docs": sampling.stratified_sample_sql(),
