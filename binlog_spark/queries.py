@@ -1059,6 +1059,115 @@ GROUP BY band
 """
 
 
+_CMS_D = 4    # hash rows: disjoint 32-bit md5 slices (same trick as bloom)
+_CMS_W = 512  # counters per row
+
+
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over events.user_id: d=4 hash rows
+    of w=512 counters (registers merge by elementwise add — the shape
+    that survives 10^10 events: sketch state is d*w longs per partition
+    regardless of key cardinality). Point estimate for a key is
+    min_j CMS[j][h_j(key)] >= true count; keys whose estimate clears
+    1.15x the mean per-key volume are reported with both the sketch
+    estimate and the exact count (est >= exact, equal when no collision).
+    Registers stay tiny (d*w = 2048 rows) so the probe join broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    slots = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+                  % _CMS_W).alias("pos"))
+        for j in range(_CMS_D)])
+    hashed = ev.select("user_id", F.explode(slots).alias("s"))
+    regs = (hashed.groupBy("s.j", "s.pos")
+            .agg(F.count("*").alias("cnt")))
+    # pos is a pure function of (user_id, j), so each (user, j) group
+    # holds exactly one row per event of that user — the exact count
+    # rides along for free
+    probes = (hashed.groupBy("user_id", "s.j", "s.pos")
+              .agg(F.count("*").alias("exact")))
+    total = ev.agg((F.count("*") / F.countDistinct("user_id") * 1.15)
+                   .alias("thr"))
+    est = (probes.join(F.broadcast(regs), ["j", "pos"])
+           .groupBy("user_id")
+           .agg(F.min("cnt").alias("est_count"),
+                F.first("exact").alias("exact_count")))
+    return (est.crossJoin(F.broadcast(total))
+            .where(F.col("est_count") >= F.col("thr"))
+            .select("user_id", "est_count", "exact_count"))
+
+
+def sketch_cms_heavy_hitters_sql():
+    slices = ", ".join(
+        f"{{'j': {j}, "
+        f"'pos': ('0x' || substr(h, {1 + 8 * j}, 8))::BIGINT % {_CMS_W}}}"
+        for j in range(_CMS_D))
+    return f"""
+WITH hashed AS (
+  SELECT user_id, u.j AS j, u.pos AS pos
+  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       unnest([{slices}]) AS t(u)
+), regs AS (
+  SELECT j, pos, count(*) AS cnt FROM hashed GROUP BY j, pos
+), probes AS (
+  SELECT user_id, j, pos, count(*) AS exact
+  FROM hashed GROUP BY user_id, j, pos
+), est AS (
+  SELECT p.user_id, min(r.cnt) AS est_count, min(p.exact) AS exact_count
+  FROM probes p JOIN regs r USING (j, pos)
+  GROUP BY p.user_id
+)
+SELECT user_id, CAST(est_count AS BIGINT) AS est_count,
+       CAST(exact_count AS BIGINT) AS exact_count
+FROM est
+WHERE est_count >= (SELECT count(*) / count(DISTINCT user_id) * 1.15
+                    FROM events)
+"""
+
+
+_SALT_N = 8
+
+
+def join_salted_skew(spark, sf_dir):
+    """Skew-salted big-big join: lineitem (probe side, hot keys under
+    real CDC load — think one repo receiving most commits) joins orders
+    with the probe salted into _SALT_N sub-keys by a deterministic hash
+    of non-key columns and the build side replicated once per salt, so
+    a single hot orderkey spreads across _SALT_N reducers instead of
+    pinning one. Result is provably identical to the unsalted join
+    (the oracle IS the plain join). The same pattern runs inside the
+    flagship fold (operators/lww.py salted repartition).
+
+    The join carries a MERGE hint: salting only exists for the big-big
+    shuffle-join regime (at 100 TB neither side broadcasts), and at
+    test SF AQE would otherwise broadcast the build side and erase the
+    very plan this query demonstrates."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    probe = li.withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SALT_N)))
+    build = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))))
+    j = probe.hint("merge").join(
+        build, (probe.l_orderkey == build.o_orderkey)
+        & (probe.salt == build.salt))
+    return (j.groupBy("o_orderpriority", "l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def join_salted_skew_sql():
+    return """
+SELECT o_orderpriority, l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+"""
+
+
 # ----------------------------------------------- sampling / packing
 def sample_stratified_docs(spark, sf_dir):
     """Deterministic language-rebalance sampling (operators/sampling.py):
@@ -1110,8 +1219,10 @@ QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_estimate": sketch_hll_estimate,
     "sketch_bloom_filter": sketch_bloom_filter,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_range_value_bands": join_range_value_bands,
+    "join_salted_skew": join_salted_skew,
     # training-data sampling / packing
     "sample_stratified_docs": sample_stratified_docs,
     "mix_source_weights": mix_source_weights,
@@ -1202,8 +1313,10 @@ ORACLES = {
     "sketch_hll_registers": sketch_hll_registers_sql(),
     "sketch_hll_estimate": sketch_hll_estimate_sql(),
     "sketch_bloom_filter": sketch_bloom_filter_sql(),
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters_sql(),
     "join_asof_purchase_click": join_asof_purchase_click_sql(),
     "join_range_value_bands": join_range_value_bands_sql(),
+    "join_salted_skew": join_salted_skew_sql(),
     "sample_stratified_docs": sampling.stratified_sample_sql(),
     "mix_source_weights": sampling.mixture_weights_sql(),
     "pack_sequences_docs": sampling.pack_sequences_sql(),

@@ -226,3 +226,32 @@ def test_stratified_sample_is_narrow_and_jvm_only(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert plans.count_shuffles(df) == 0, plan
     assert "Python" not in plan, plan
+
+
+def test_salted_join_spreads_key_over_salt(spark, sf_dir):
+    """The skew-salted join must actually shuffle on (key, salt) — both
+    exchanges hash-partitioned on a key list including `salt` — so a hot
+    orderkey lands on _SALT_N reducers, and the build side's replication
+    is the explode (one generator, no extra shuffle to produce it)."""
+    from binlog_spark.queries import join_salted_skew
+
+    df = join_salted_skew(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "salt" in plan, plan
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [p for p in parts if "salt" in p]
+    assert len(salted) >= 2, plan  # probe and build sides both salted
+    assert "Generate" in plan and "explode(" in plan, plan
+
+
+def test_cms_registers_broadcast_and_jvm_only(spark, sf_dir):
+    """The count-min probe joins a broadcast 2048-row register table —
+    never a shuffled join against the key side — and the whole sketch is
+    JVM built-ins (md5/conv), no Python evaluator."""
+    from binlog_spark.queries import sketch_cms_heavy_hitters
+
+    df = sketch_cms_heavy_hitters(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), plan
+    assert "Python" not in plan, plan
