@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "sketch_kmv_distinct",
     "sketch_hll_estimate",
     "sketch_bloom_filter",
+    "sketch_cms_heavy_hitters",
+    "join_salted_skew",
     "join_asof_purchase_click",
     "join_range_value_bands",
     "sample_stratified_docs",

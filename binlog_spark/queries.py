@@ -150,6 +150,71 @@ FROM events GROUP BY 1
 """
 
 
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot row diff: what changed between two replay
+    watermarks (the audit query of a checkpointed ingest engine — "what
+    did the stream do to the table between checkpoint W1 and now?").
+
+    Single-shuffle plan: BOTH snapshot states fold in ONE groupBy pass —
+    the old state is a masked max_by (rows past W1 get ordering key -1,
+    payload NULL), the new state the plain max_by — so at 10^10 events
+    there is exactly one key shuffle and no self-join of two replays.
+    Classification (insert / re-insert after delete / update / delete)
+    is a null-pattern CASE over the two folded structs."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    wm = ev.agg(F.floor(F.max("event_id") / 2).cast("long").alias("w1"))
+    ev = ev.crossJoin(F.broadcast(wm))
+    payload = F.struct("event_id", "op", "value")
+    in_w1 = F.col("event_id") <= F.col("w1")
+    st = ev.groupBy("user_id").agg(
+        # event_id >= 0 always, so -1 never beats a real in-window key;
+        # all-out-of-window groups tie at -1 with a NULL payload.
+        F.max_by(F.when(in_w1, payload),
+                 F.when(in_w1, F.col("event_id")).otherwise(F.lit(-1))
+                 ).alias("r1"),
+        F.max_by(payload, F.col("event_id")).alias("r2"))
+    old_p = F.col("r1").isNotNull() & (F.col("r1.op") != "D")
+    new_p = F.col("r2.op") != "D"
+    return (st
+            .where((old_p | new_p)
+                   & ~(old_p & new_p
+                       & (F.col("r1.event_id") == F.col("r2.event_id"))))
+            .select(
+                "user_id",
+                F.when(~old_p, F.lit("I")).when(~new_p, F.lit("D"))
+                .otherwise(F.lit("U")).alias("change"),
+                F.when(old_p, F.col("r1.event_id")).alias("old_event_id"),
+                F.when(old_p, F.col("r1.value")).alias("old_value"),
+                F.when(new_p, F.col("r2.event_id")).alias("new_event_id"),
+                F.when(new_p, F.col("r2.value")).alias("new_value")))
+
+
+def cdc_snapshot_diff_sql():
+    return f"""
+WITH w AS (SELECT max(event_id) // 2 AS w1 FROM events),
+new_state AS (
+  SELECT user_id, event_id, op, value FROM (
+    SELECT user_id, event_id, {_OP_EXPR} AS op, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1 AND op != 'D'),
+old_state AS (
+  SELECT user_id, event_id, op, value FROM (
+    SELECT user_id, event_id, {_OP_EXPR} AS op, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY event_id DESC) AS rn
+    FROM events, w WHERE event_id <= w.w1) WHERE rn = 1 AND op != 'D')
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'I'
+            WHEN n.user_id IS NULL THEN 'D'
+            ELSE 'U' END AS change,
+       o.event_id AS old_event_id, o.value AS old_value,
+       n.event_id AS new_event_id, n.value AS new_value
+FROM old_state o FULL JOIN new_state n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id != n.event_id
+"""
+
+
 # ------------------------------------------------------------------ classic
 def agg_rollup_pricing(spark, sf_dir):
     """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows —
@@ -1191,6 +1256,7 @@ QUERIES = {
     "cdc_apply_changelog": cdc_apply_changelog,
     "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_lineage_by_op": cdc_lineage_by_op,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
     # classical operators
     "agg_rollup_pricing": agg_rollup_pricing,
     "agg_percentiles_events": agg_percentiles_events,
@@ -1286,6 +1352,7 @@ ORACLES = {
     "cdc_apply_changelog": cdc_apply_changelog_sql(),
     "cdc_txn_assembly": cdc_txn_assembly_sql(),
     "cdc_lineage_by_op": cdc_lineage_by_op_sql(),
+    "cdc_snapshot_diff": cdc_snapshot_diff_sql(),
     "agg_rollup_pricing": agg_rollup_pricing_sql(),
     "agg_percentiles_events": agg_percentiles_events_sql(),
     "sketch_kmv_distinct": sketch_kmv_distinct_sql(),

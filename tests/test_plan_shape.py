@@ -255,3 +255,20 @@ def test_cms_registers_broadcast_and_jvm_only(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert plans.has_broadcast_join(df), plan
     assert "Python" not in plan, plan
+
+
+def test_snapshot_diff_single_pass_one_key_shuffle(spark, sf_dir):
+    """Both snapshot states must fold in ONE pass over events — one scan,
+    one key shuffle (the second exchange is the O(1)-row watermark agg),
+    a map-side partial aggregate, and no self-join or Python evaluator."""
+    from binlog_spark.queries import cdc_snapshot_diff
+
+    df = cdc_snapshot_diff(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # 2 scans (events + watermark), each listed once in the detail section
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    assert plans.count_shuffles(df) == 2, plan    # key shuffle + 1-row agg
+    assert plans.has_partial_aggregate(df), plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, \
+        plan
+    assert "Python" not in plan, plan
