@@ -1145,19 +1145,20 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
                   % _CMS_W).alias("pos"))
         for j in range(_CMS_D)])
     hashed = ev.select("user_id", F.explode(slots).alias("s"))
-    regs = (hashed.groupBy("s.j", "s.pos")
-            .agg(F.count("*").alias("cnt")))
     # pos is a pure function of (user_id, j), so each (user, j) group
     # holds exactly one row per event of that user — the exact count
-    # rides along for free
+    # rides along for free, and the register table derives from the
+    # probe aggregate (keys x d rows) instead of a second full pass
+    # over the exploded event stream
     probes = (hashed.groupBy("user_id", "s.j", "s.pos")
               .agg(F.count("*").alias("exact")))
+    regs = probes.groupBy("j", "pos").agg(F.sum("exact").alias("cnt"))
     total = ev.agg((F.count("*") / F.countDistinct("user_id") * 1.15)
                    .alias("thr"))
     est = (probes.join(F.broadcast(regs), ["j", "pos"])
            .groupBy("user_id")
            .agg(F.min("cnt").alias("est_count"),
-                F.first("exact").alias("exact_count")))
+                F.min("exact").alias("exact_count")))
     return (est.crossJoin(F.broadcast(total))
             .where(F.col("est_count") >= F.col("thr"))
             .select("user_id", "est_count", "exact_count"))
