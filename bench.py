@@ -46,10 +46,12 @@ BENCH_QUERIES = [
     "sketch_hll_estimate",
     "sketch_bloom_filter",
     "sketch_cms_heavy_hitters",
+    "sketch_quantile_bottomk",
     "join_salted_skew",
     "join_asof_purchase_click",
     "join_range_value_bands",
     "sample_stratified_docs",
+    "sample_weighted_docs",
     "mix_source_weights",
     "pack_sequences_docs",
     "rollup_incremental_events",

@@ -122,3 +122,80 @@ FROM (
   FROM {table}
 )
 """
+
+
+# ------------------------------------------------- weighted sampling
+_ES_K = 32
+_H48 = float(1 << 48)
+
+
+def weighted_sample(df: DataFrame, k: int = _ES_K,
+                    group_col: str = "lang", id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, k per
+    group: each row gets key = ln(u) / w with u a deterministic uniform
+    from md5(id), and the k largest keys per group are the sample (the
+    classic distributed one-pass weighted reservoir — PODS'06 / the
+    exp-sort trick). Deterministic: same rows win on any cluster at any
+    parallelism, and DuckDB replays the selection exactly.
+
+    Scale shape: a bounded mapInPandas fold keeps at most k candidates
+    per group PER PARTITION (state = groups x k), the shuffle carries
+    n_partitions x k rows per group, and the final merge re-sorts that
+    bounded set — never a full per-group sort of the corpus."""
+    import pandas as pd
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+               16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_H48)
+    # negate so ascending (nk, id) order == "key DESC, id ASC"
+    nk = -(F.log(u) / F.col(weight_col).cast("double"))
+    slim = df.select(F.col(group_col).alias("g"), nk.alias("nk"),
+                     F.col(id_col).alias("i"),
+                     F.col(weight_col).alias("w"))
+
+    def fold(batches):
+        state: dict = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby("g", sort=False):
+                cur = grp if g not in state else pd.concat([state[g], grp])
+                state[g] = cur.sort_values(["nk", "i"]).head(k)
+        if state:
+            yield pd.concat(state.values())
+        else:
+            yield pd.DataFrame({"g": pd.Series(dtype=object),
+                                "nk": pd.Series(dtype="float64"),
+                                "i": pd.Series(dtype="int64"),
+                                "w": pd.Series(dtype="int64")})
+
+    partial = slim.mapInPandas(fold, "g string, nk double, i long, w long")
+    merged = partial.groupBy("g").agg(
+        F.slice(F.sort_array(F.collect_list(F.struct("nk", "i", "w"))),
+                1, k).alias("top"))
+    ex = merged.select("g", F.posexplode("top").alias("pos", "r"))
+    return ex.select(
+        F.col("g").alias(group_col),
+        (F.col("pos") + 1).cast("long").alias("sample_rank"),
+        F.col("r.i").alias(id_col),
+        F.col("r.w").alias(weight_col))
+
+
+def weighted_sample_sql(k: int = _ES_K, table: str = "documents",
+                        group_col: str = "lang", id_col: str = "doc_id",
+                        weight_col: str = "n_chars") -> str:
+    return f"""
+WITH keyed AS (
+  SELECT {group_col}, {id_col}, {weight_col},
+         ln((('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 12))::BIGINT
+             + 0.5) / {_H48!r}) / {weight_col} AS key
+  FROM {table}
+), ranked AS (
+  SELECT {group_col}, {id_col}, {weight_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY key DESC, {id_col}) AS sample_rank
+  FROM keyed
+)
+SELECT {group_col}, CAST(sample_rank AS BIGINT) AS sample_rank,
+       {id_col}, {weight_col}
+FROM ranked WHERE sample_rank <= {k}
+"""

@@ -1251,6 +1251,88 @@ def pack_sequences_docs(spark, sf_dir):
     return sampling.pack_sequences(_t(spark, sf_dir, "documents"))
 
 
+def sample_weighted_docs(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling, 32 docs per language with
+    probability ∝ n_chars — the quality-weighted corpus subsample. One
+    bounded per-partition fold (state = langs × k), never a full sort."""
+    return sampling.weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+_QSK_K = 256
+
+
+def sketch_quantile_bottomk(spark, sf_dir, k: int = _QSK_K):
+    """Bottom-k uniform-sample quantile sketch per event_type: the k
+    rows with the smallest md5(event_id) hash are a deterministic
+    uniform sample (event_id is unique), and p50/p90/p99 of `value` are
+    read off the sorted sample by explicit index arithmetic
+    (floor(q·(n−1))+1) so both engines select the identical element —
+    no interpolation-rule mismatch. Same scale shape as the KMV sketch:
+    per-partition state bounded at groups × k, the shuffle carries
+    n_partitions × k rows per group, and the estimate error is the
+    standard bottom-k sample bound regardless of corpus size."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    slim = ev.select("event_type", h.alias("h"), "value")
+
+    def fold(batches):
+        state: dict = {}
+        for pdf in batches:
+            for et, grp in pdf.groupby("event_type", sort=False):
+                cur = grp if et not in state else pd.concat([state[et], grp])
+                state[et] = cur.sort_values(["h", "value"]).head(k)
+        if state:
+            yield pd.concat(state.values())
+        else:
+            yield pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                "h": pd.Series(dtype="int64"),
+                                "value": pd.Series(dtype="float64")})
+
+    partial = slim.mapInPandas(fold, "event_type string, h long, value double")
+    merged = partial.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list(F.struct("h", "value"))),
+                1, k).alias("smp"))
+    vals = F.array_sort(F.transform("smp", lambda x: x["value"]))
+    n = F.size(vals)
+
+    def q_at(q):
+        idx = (F.floor(F.lit(q) * (n - F.lit(1)).cast("double"))
+               + F.lit(1)).cast("int")
+        return F.element_at(vals, idx)
+
+    return merged.select(
+        "event_type", n.cast("long").alias("sample_n"),
+        q_at(0.5).alias("p50"), q_at(0.9).alias("p90"),
+        q_at(0.99).alias("p99"))
+
+
+def sketch_quantile_bottomk_sql(k: int = _QSK_K):
+    return f"""
+WITH hashed AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY h, value) AS rn
+  FROM hashed
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n,
+         list(value ORDER BY value) AS vals
+  FROM ranked WHERE rn <= {k} GROUP BY event_type
+)
+SELECT event_type, sample_n,
+       vals[CAST(floor(0.5 * (sample_n - 1)) AS INT) + 1] AS p50,
+       vals[CAST(floor(0.9 * (sample_n - 1)) AS INT) + 1] AS p90,
+       vals[CAST(floor(0.99 * (sample_n - 1)) AS INT) + 1] AS p99
+FROM agg
+"""
+
+
 QUERIES = {
     # CDC semantics (oracle-checked over the events table)
     "cdc_lww_latest": cdc_lww_latest,
@@ -1287,6 +1369,7 @@ QUERIES = {
     "sketch_hll_estimate": sketch_hll_estimate,
     "sketch_bloom_filter": sketch_bloom_filter,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_quantile_bottomk": sketch_quantile_bottomk,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_range_value_bands": join_range_value_bands,
     "join_salted_skew": join_salted_skew,
@@ -1294,6 +1377,7 @@ QUERIES = {
     "sample_stratified_docs": sample_stratified_docs,
     "mix_source_weights": mix_source_weights,
     "pack_sequences_docs": pack_sequences_docs,
+    "sample_weighted_docs": sample_weighted_docs,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
@@ -1382,12 +1466,14 @@ ORACLES = {
     "sketch_hll_estimate": sketch_hll_estimate_sql(),
     "sketch_bloom_filter": sketch_bloom_filter_sql(),
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters_sql(),
+    "sketch_quantile_bottomk": sketch_quantile_bottomk_sql(),
     "join_asof_purchase_click": join_asof_purchase_click_sql(),
     "join_range_value_bands": join_range_value_bands_sql(),
     "join_salted_skew": join_salted_skew_sql(),
     "sample_stratified_docs": sampling.stratified_sample_sql(),
     "mix_source_weights": sampling.mixture_weights_sql(),
     "pack_sequences_docs": sampling.pack_sequences_sql(),
+    "sample_weighted_docs": sampling.weighted_sample_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),

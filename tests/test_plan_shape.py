@@ -272,3 +272,19 @@ def test_snapshot_diff_single_pass_one_key_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, \
         plan
     assert "Python" not in plan, plan
+
+
+def test_bounded_sample_sketches_single_shuffle(spark, sf_dir):
+    """Weighted sampling and the bottom-k quantile sketch both fold
+    per-partition candidates in a bounded MapInPandas stage (state =
+    groups x k) and shuffle ONLY the bounded partials — one exchange,
+    never a full per-group sort of the corpus."""
+    from binlog_spark.queries import (sample_weighted_docs,
+                                      sketch_quantile_bottomk)
+
+    for fn in (sample_weighted_docs, sketch_quantile_bottomk):
+        df = fn(spark, sf_dir)
+        plan = plans.physical_plan(df)
+        assert "MapInPandas" in plan, plan
+        assert plans.count_shuffles(df) == 1, plan
+        assert "Window" not in plan, plan
