@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "pivot_user_event_matrix",
     "window_topk_orders",
     "window_tumbling_events",
+    "window_sliding_events",
     "window_session_events",
     "agg_rollup_pricing",
     "agg_percentiles_events",

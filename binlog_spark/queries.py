@@ -739,6 +739,33 @@ FROM events GROUP BY 1
 """
 
 
+def window_sliding_events(spark, sf_dir):
+    """Sliding 1-hour / 15-minute-slide windows: every event lands in
+    exactly 4 overlapping windows (hop count = size/slide — Spark's
+    `window(ts, size, slide)` explodes the same way under the hood).
+    The oracle replays the hop arithmetic explicitly: win_start =
+    time_bucket(15 min, ts) − k·15 min for k in 0..3."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (ev.groupBy(win.start.alias("win_start"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .withColumn("win_start",
+                        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")))
+
+
+def window_sliding_events_sql():
+    return """
+SELECT strftime(time_bucket(INTERVAL 15 MINUTES, ts)
+                - k.k * INTERVAL 15 MINUTES, '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events, unnest([0, 1, 2, 3]) AS k(k)
+GROUP BY 1
+"""
+
+
 def window_session_events(spark, sf_dir):
     """Session windows (30-min inactivity gap) per user — the
     session-window streaming category of SURVEY §2.2, built-in
@@ -1353,6 +1380,7 @@ QUERIES = {
     "pivot_user_event_matrix": pivot_user_event_matrix,
     "window_topk_orders": window_topk_orders,
     "window_tumbling_events": window_tumbling_events,
+    "window_sliding_events": window_sliding_events,
     "window_session_events": window_session_events,
     "set_ops_users": set_ops_users,
     "json_props_events": json_props_events,
@@ -1450,6 +1478,7 @@ ORACLES = {
     "pivot_user_event_matrix": pivot_user_event_matrix_sql(),
     "window_topk_orders": window_topk_orders_sql(),
     "window_tumbling_events": window_tumbling_events_sql(),
+    "window_sliding_events": window_sliding_events_sql(),
     "window_session_events": window_session_events_sql(),
     "set_ops_users": set_ops_users_sql(),
     "json_props_events": json_props_events_sql(),
