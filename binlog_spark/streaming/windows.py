@@ -31,3 +31,23 @@ def tumbling_counts(stream: DataFrame, ts_col: str = "ts",
                  F.round(F.sum("value"), 6).alias("sum_value"))
             .select(F.col("window.start").alias("win_start"),
                     "n_events", "sum_value"))
+
+
+def dedup_within_watermark(stream: DataFrame, keys=("gtid", "seq"),
+                           ts_col: str = "ts",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Effectively-once from an at-least-once transport: drop redelivered
+    change events by identity key, holding dedup state only inside the
+    watermark horizon (bounded at any stream length — the knob is the
+    redelivery window, not the corpus size).
+
+    The reference's resume token is transaction-granular
+    (row_streamer.go:107-118): a restart replays the tail of the last
+    transaction, so a downstream consumer sees duplicates. The engine's
+    lake path absorbs them with the idempotent MERGE; this is the
+    equivalent protection for DERIVED streams that never touch the lake
+    (metrics, windowed rollups) — built-in
+    ``dropDuplicatesWithinWatermark``, state evicted as event time
+    passes key-arrival time + the watermark delay."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
