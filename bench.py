@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "text_tfidf_topk",
     "mm_blob_metadata",
 ]
 

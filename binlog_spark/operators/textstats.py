@@ -132,3 +132,65 @@ def lang_id_sql(table: str = "documents") -> str:
 def fingerprint_sql(table: str = "documents") -> str:
     return (f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             f" AS fp FROM {table}")
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
+    ln(N / doc-frequency), ties broken (score DESC, term ASC). Tokens
+    are lowercase letter runs.
+
+    Scale shape: explode → one composite-key shuffle for (doc, term)
+    counts; the document-frequency table shuffles on term (vocab-sized,
+    ≪ corpus — Zipf) and joins back on term; the per-doc top-k window
+    rides a doc-keyed exchange. Scores on equal (tf, df) pairs are
+    bit-identical across engines (same double ops), so the
+    deterministic tie-break makes ranks exact."""
+    from pyspark.sql import Window
+
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.lower(F.col(col)),
+                                        "[^a-z]+")).alias("term"))
+            .where(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.col("tf") * F.log(F.col("n_docs")
+                                              / F.col("df"))))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("tfidf"), F.asc("term")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, F.col("rank").cast("long").alias("rank"),
+                    "term", "tf",
+                    F.round("tfidf", 6).alias("tfidf")))
+
+
+def tfidf_topk_sql(k: int = 3, table: str = "documents",
+                   col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t.term
+  FROM {table}, unnest(string_split_regex(lower({col}), '[^a-z]+'))
+       AS t(term)
+  WHERE t.term != ''
+), tf AS (
+  SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf,
+         tf.tf * ln((SELECT count(DISTINCT {id_col}) FROM {table})
+                    / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT {id_col}, CAST(rank AS BIGINT) AS rank, term, tf,
+       round(tfidf, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""

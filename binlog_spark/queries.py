@@ -644,6 +644,11 @@ def text_fingerprint_q(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def text_tfidf_topk_q(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (operators/textstats.py)."""
+    return textstats.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- multimodal
 def mm_blob_metadata_q(spark, sf_dir):
     return multimodal.blob_metadata(_t(spark, sf_dir, "documents"))
@@ -1417,6 +1422,7 @@ QUERIES = {
     "text_quality": text_quality_q,
     "text_lang_id": text_lang_id_q,
     "text_fingerprint": text_fingerprint_q,
+    "text_tfidf_topk": text_tfidf_topk_q,
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
@@ -1513,6 +1519,7 @@ ORACLES = {
     "text_quality": textstats.quality_score_sql(),
     "text_lang_id": textstats.lang_id_sql(),
     "text_fingerprint": textstats.fingerprint_sql(),
+    "text_tfidf_topk": textstats.tfidf_topk_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
