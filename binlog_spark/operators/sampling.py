@@ -143,7 +143,7 @@ def weighted_sample(df: DataFrame, k: int = _ES_K,
     per group PER PARTITION (state = groups x k), the shuffle carries
     n_partitions x k rows per group, and the final merge re-sorts that
     bounded set — never a full per-group sort of the corpus."""
-    import pandas as pd
+    from .folds import bounded_group_topk
 
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
                16, 10).cast("double")
@@ -153,22 +153,8 @@ def weighted_sample(df: DataFrame, k: int = _ES_K,
     slim = df.select(F.col(group_col).alias("g"), nk.alias("nk"),
                      F.col(id_col).alias("i"),
                      F.col(weight_col).alias("w"))
-
-    def fold(batches):
-        state: dict = {}
-        for pdf in batches:
-            for g, grp in pdf.groupby("g", sort=False):
-                cur = grp if g not in state else pd.concat([state[g], grp])
-                state[g] = cur.sort_values(["nk", "i"]).head(k)
-        if state:
-            yield pd.concat(state.values())
-        else:
-            yield pd.DataFrame({"g": pd.Series(dtype=object),
-                                "nk": pd.Series(dtype="float64"),
-                                "i": pd.Series(dtype="int64"),
-                                "w": pd.Series(dtype="int64")})
-
-    partial = slim.mapInPandas(fold, "g string, nk double, i long, w long")
+    partial = bounded_group_topk(slim, "g", ["nk", "i"], k,
+                                 "g string, nk double, i long, w long")
     merged = partial.groupBy("g").agg(
         F.slice(F.sort_array(F.collect_list(F.struct("nk", "i", "w"))),
                 1, k).alias("top"))

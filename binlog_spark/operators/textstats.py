@@ -143,9 +143,12 @@ def tfidf_topk(df: DataFrame, k: int = 3, col: str = "text",
     Scale shape: explode → one composite-key shuffle for (doc, term)
     counts; the document-frequency table shuffles on term (vocab-sized,
     ≪ corpus — Zipf) and joins back on term; the per-doc top-k window
-    rides a doc-keyed exchange. Scores on equal (tf, df) pairs are
-    bit-identical across engines (same double ops), so the
-    deterministic tie-break makes ranks exact."""
+    rides a doc-keyed exchange. The ranking key is the score QUANTIZED
+    to 6 dp: mathematically-equal scores from different (tf, df) pairs
+    (e.g. 2·ln10 vs ln100) may differ by an ulp between libm
+    implementations, so ranking on the raw double would let the two
+    engines break such "ties" differently — after quantization both
+    agree the scores are equal and the (term ASC) tie-break decides."""
     from pyspark.sql import Window
 
     toks = (df.select(id_col,
@@ -158,15 +161,15 @@ def tfidf_topk(df: DataFrame, k: int = 3, col: str = "text",
     scored = (tf.join(dfreq, "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("tfidf",
-                          F.col("tf") * F.log(F.col("n_docs")
-                                              / F.col("df"))))
+                          F.round(F.col("tf") * F.log(F.col("n_docs")
+                                                      / F.col("df")),
+                                  6)))
     w = (Window.partitionBy(id_col)
          .orderBy(F.desc("tfidf"), F.asc("term")))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(id_col, F.col("rank").cast("long").alias("rank"),
-                    "term", "tf",
-                    F.round("tfidf", 6).alias("tfidf")))
+                    "term", "tf", "tfidf"))
 
 
 def tfidf_topk_sql(k: int = 3, table: str = "documents",
@@ -183,12 +186,11 @@ WITH toks AS (
   SELECT term, count(*) AS df FROM tf GROUP BY 1
 ), scored AS (
   SELECT tf.{id_col}, tf.term, tf.tf,
-         tf.tf * ln((SELECT count(DISTINCT {id_col}) FROM {table})
-                    / dfreq.df) AS tfidf
+         round(tf.tf * ln((SELECT count(DISTINCT {id_col}) FROM {table})
+                          / dfreq.df), 6) AS tfidf
   FROM tf JOIN dfreq USING (term)
 )
-SELECT {id_col}, CAST(rank AS BIGINT) AS rank, term, tf,
-       round(tfidf, 6) AS tfidf
+SELECT {id_col}, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
 FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
                                    ORDER BY tfidf DESC, term) AS rank
       FROM scored)

@@ -162,7 +162,9 @@ def cdc_snapshot_diff(spark, sf_dir):
     Classification (insert / re-insert after delete / update / delete)
     is a null-pattern CASE over the two folded structs."""
     ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
-    wm = ev.agg(F.floor(F.max("event_id") / 2).cast("long").alias("w1"))
+    # `div` = exact integer division (the double round-trip of max/2
+    # could diverge from the oracle's `//` past 2^53)
+    wm = ev.agg(F.expr("max(event_id) div 2").alias("w1"))
     ev = ev.crossJoin(F.broadcast(wm))
     payload = F.struct("event_id", "op", "value")
     in_w1 = F.col("event_id") <= F.col("w1")
@@ -1303,27 +1305,15 @@ def sketch_quantile_bottomk(spark, sf_dir, k: int = _QSK_K):
     per-partition state bounded at groups × k, the shuffle carries
     n_partitions × k rows per group, and the estimate error is the
     standard bottom-k sample bound regardless of corpus size."""
-    import pandas as pd
+    from .operators.folds import bounded_group_topk
 
     ev = _t(spark, sf_dir, "events")
     h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
                16, 10).cast("long")
     slim = ev.select("event_type", h.alias("h"), "value")
-
-    def fold(batches):
-        state: dict = {}
-        for pdf in batches:
-            for et, grp in pdf.groupby("event_type", sort=False):
-                cur = grp if et not in state else pd.concat([state[et], grp])
-                state[et] = cur.sort_values(["h", "value"]).head(k)
-        if state:
-            yield pd.concat(state.values())
-        else:
-            yield pd.DataFrame({"event_type": pd.Series(dtype=object),
-                                "h": pd.Series(dtype="int64"),
-                                "value": pd.Series(dtype="float64")})
-
-    partial = slim.mapInPandas(fold, "event_type string, h long, value double")
+    partial = bounded_group_topk(
+        slim, "event_type", ["h", "value"], k,
+        "event_type string, h long, value double")
     merged = partial.groupBy("event_type").agg(
         F.slice(F.sort_array(F.collect_list(F.struct("h", "value"))),
                 1, k).alias("smp"))
