@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "join_broadcast_part_counts",
     "join_anti_idle_customers",
     "pivot_user_event_matrix",
+    "unpivot_event_matrix",
     "window_topk_orders",
     "window_tumbling_events",
     "window_sliding_events",

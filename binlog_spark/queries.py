@@ -541,6 +541,37 @@ def pivot_user_event_matrix_sql():
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
 
 
+def unpivot_event_matrix(spark, sf_dir):
+    """UNPIVOT (melt): the inverse of the relational pivot — the wide
+    per-user count matrix back to long (user_id, event_type, n_events)
+    form, zeros preserved. A narrow generator expansion (one output row
+    per listed column; no shuffle beyond the pivot's own aggregation),
+    and the round trip pins both operators: the oracle reconstructs the
+    same relation from first principles (user × type grid left-joined
+    to the counts)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_user_event_matrix(spark, sf_dir)
+    long = wide.unpivot("user_id", [f"n_{t}" for t in types],
+                        "event_type", "n_events")
+    return long.withColumn("event_type",
+                           F.expr("substring(event_type, 3)"))
+
+
+def unpivot_event_matrix_sql():
+    vals = ", ".join(f"('{t}')"
+                     for t in ["click", "error", "purchase", "signup",
+                               "view"])
+    return f"""
+SELECT u.user_id, t.event_type,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES {vals}) t(event_type)
+LEFT JOIN (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2) c
+  ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+
 def window_topk_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1373,6 +1404,7 @@ QUERIES = {
     "join_broadcast_part_counts": join_broadcast_part_counts,
     "join_anti_idle_customers": join_anti_idle_customers,
     "pivot_user_event_matrix": pivot_user_event_matrix,
+    "unpivot_event_matrix": unpivot_event_matrix,
     "window_topk_orders": window_topk_orders,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -1472,6 +1504,7 @@ ORACLES = {
     "join_broadcast_part_counts": join_broadcast_part_counts_sql(),
     "join_anti_idle_customers": join_anti_idle_customers_sql(),
     "pivot_user_event_matrix": pivot_user_event_matrix_sql(),
+    "unpivot_event_matrix": unpivot_event_matrix_sql(),
     "window_topk_orders": window_topk_orders_sql(),
     "window_tumbling_events": window_tumbling_events_sql(),
     "window_sliding_events": window_sliding_events_sql(),
