@@ -471,3 +471,58 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+
+# -------------------------------------------------------- decontamination
+def decontaminate(df: DataFrame, n: int = 4, modulus: int = 97,
+                  col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word ``n``-gram with a held-out benchmark set (the n-gram-overlap
+    rule used to scrub eval contamination from LLM training corpora,
+    e.g. GPT-3 appendix C / PaLM §6 use 8–13-gram collision; this
+    corpus's synthetic near-dups share runs only up to ~5 grams, so the
+    registered configuration uses 4-grams to keep the check discriminative).
+
+    The benchmark set here is the deterministic slice
+    ``doc_id % modulus == 0`` of the same corpus (the driver's tables are
+    fixed, so membership is reproducible). Shape at scale: shingling is
+    the shuffle-free Arrow kernel (``shingles``); the benchmark shingle
+    set is tiny relative to the corpus (1/modulus of it) and is
+    broadcast, so the overlap test is a map-side hash join — the corpus
+    is never shuffled, matching how a 100 TB corpus is decontaminated
+    against a few-MB eval suite.
+    """
+    sh = shingles(df, n, col)
+    is_bench = F.col("doc_id") % modulus == 0
+    bench_sh = sh.where(is_bench).select("shingle").distinct()
+    hits = (sh.where(~is_bench)
+            .join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_hit_shingles")))
+    return (df.where(~is_bench).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hit_shingles", F.lit(0))
+                    .alias("n_hit_shingles"),
+                    (F.coalesce("n_hit_shingles", F.lit(0)) > 0)
+                    .cast("int").alias("contaminated")))
+
+
+def decontaminate_sql(table: str = "documents", n: int = 4,
+                      modulus: int = 97) -> str:
+    return shingle_cte(table, n) + f"""
+, bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {modulus} = 0
+), hits AS (
+  SELECT doc_id, CAST(count(DISTINCT sh.shingle) AS BIGINT)
+           AS n_hit_shingles
+  FROM sh JOIN bench USING (shingle)
+  WHERE doc_id % {modulus} != 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+       CAST(coalesce(h.n_hit_shingles, 0) > 0 AS INT) AS contaminated
+FROM {table} d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {modulus} != 0
+"""

@@ -196,3 +196,216 @@ FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------- repetition
+def repetition_stats(df: DataFrame, col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-token
+    ratio, most-frequent-token fraction, duplicate-bigram fraction, and a
+    composite ``repetitive`` gate (Rae et al. 2021 §A1.1 use exactly these
+    shapes to drop boilerplate/spam from web-scale corpora).
+
+    The token/bigram tabulation is one shuffle-free Arrow kernel in the
+    ``simhash64`` batch-vectorized style: tokens of the whole batch are
+    factorized ONCE (``pd.factorize``), per-(doc, code) counts come from a
+    single ``np.unique`` over composed int64 keys, per-doc maxima/distinct
+    counts from ``np.maximum.reduceat``/``np.diff`` over the grouped runs —
+    O(batch tokens) vectorized work, no per-doc Python loop beyond the
+    initial split, and NO token-level shuffle (the explode+groupBy
+    formulation would shuffle ≈ the corpus token stream at 10^9 docs).
+
+    The ``repetitive`` gate compares on cross-multiplied INTEGERS
+    (``top_cnt * 8 > n_tokens``), never on rounded doubles, so the flag is
+    bit-identical across engines at any data.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # five int64 counters per doc, packed as array<long> (a struct-returning
+    # scalar pandas_udf signature isn't supported by the type-hint protocol)
+    # NOTE: no type hints — this module has `from __future__ import
+    # annotations`, which stringifies them, and pyspark's hint resolver
+    # can't see the function-local `pd` import; hint-less pandas_udf
+    # defaults to the scalar eval type, which is what this is.
+    @pandas_udf("array<long>")
+    def _rep(texts):
+        n = len(texts)
+        out = {k: np.zeros(n, dtype=np.int64)
+               for k in ("n_tokens", "n_distinct", "top_cnt",
+                         "n_bigrams", "n_distinct_bigrams")}
+        doc_idx, toks = [], []
+        for i, t in enumerate(texts):
+            tt = (t or "").split()
+            out["n_tokens"][i] = len(tt)
+            out["n_bigrams"][i] = max(len(tt) - 1, 0)
+            if tt:
+                doc_idx.append(np.full(len(tt), i, dtype=np.int64))
+                toks.extend(tt)
+        if toks:
+            doc_idx = np.concatenate(doc_idx)
+            codes, uniq = pd.factorize(pd.Series(toks, dtype=object))
+            v = np.int64(len(uniq))
+            # per-(doc, token) counts: one sort over composed keys
+            ukey, ucnt = np.unique(doc_idx * v + codes, return_counts=True)
+            udoc = ukey // v
+            starts = np.flatnonzero(np.r_[True, np.diff(udoc) != 0])
+            docs_with = udoc[starts]
+            out["n_distinct"][docs_with] = np.diff(
+                np.r_[starts, len(ukey)])
+            out["top_cnt"][docs_with] = np.maximum.reduceat(ucnt, starts)
+            # per-doc distinct bigrams: factorize code pairs, same trick
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                bd = doc_idx[:-1][same]
+                pair, _ = pd.factorize(codes[:-1][same] * v
+                                       + codes[1:][same])
+                bkey = np.unique(bd * np.int64(len(pair) + 1) + pair)
+                bdoc = bkey // np.int64(len(pair) + 1)
+                bstarts = np.flatnonzero(np.r_[True, np.diff(bdoc) != 0])
+                out["n_distinct_bigrams"][bdoc[bstarts]] = np.diff(
+                    np.r_[bstarts, len(bkey)])
+        cols = np.column_stack([out[k] for k in
+                                ("n_tokens", "n_distinct", "top_cnt",
+                                 "n_bigrams", "n_distinct_bigrams")])
+        return pd.Series(list(cols))
+
+    r = df.select(id_col, _rep(F.col(col)).alias("a")).select(
+        id_col,
+        F.element_at("a", 1).alias("n_tokens"),
+        F.element_at("a", 2).alias("n_distinct"),
+        F.element_at("a", 3).alias("top_cnt"),
+        F.element_at("a", 4).alias("n_bigrams"),
+        F.element_at("a", 5).alias("n_distinct_bigrams"))
+    nt, nb = F.col("n_tokens"), F.col("n_bigrams")
+    return r.select(
+        id_col, "n_tokens",
+        F.when(nt > 0, F.round(F.col("n_distinct") / nt, 6))
+        .otherwise(F.lit(0.0)).alias("distinct_ratio"),
+        F.when(nt > 0, F.round(F.col("top_cnt") / nt, 6))
+        .otherwise(F.lit(0.0)).alias("top_token_frac"),
+        F.when(nb > 0,
+               F.round(1 - F.col("n_distinct_bigrams") / nb, 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        ((F.col("top_cnt") * 8 > nt)
+         | ((nb - F.col("n_distinct_bigrams")) * 10 > 3 * nb))
+        .cast("int").alias("repetitive"),
+    )
+
+
+def repetition_sql(table: str = "documents", col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    return rf"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim({col}), '\s+'),
+                     x -> x != '') AS t
+  FROM {table}
+), tok AS (
+  SELECT {id_col}, unnest(t) AS tok FROM toks
+), cnt AS (
+  SELECT {id_col}, tok, count(*) AS c FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT {id_col}, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_cnt
+  FROM cnt GROUP BY 1
+), big AS (
+  SELECT {id_col},
+         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1]))) AS BIGINT)
+           AS n_distinct_bigrams
+  FROM toks
+)
+SELECT d.{id_col},
+       coalesce(u.n_tokens, 0) AS n_tokens,
+       CASE WHEN coalesce(u.n_tokens, 0) > 0
+            THEN round(u.n_distinct / CAST(u.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS distinct_ratio,
+       CASE WHEN coalesce(u.n_tokens, 0) > 0
+            THEN round(u.top_cnt / CAST(u.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN b.n_bigrams > 0
+            THEN round(1 - b.n_distinct_bigrams
+                       / CAST(b.n_bigrams AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CAST(coalesce(u.top_cnt * 8 > u.n_tokens, FALSE)
+            OR (b.n_bigrams - b.n_distinct_bigrams) * 10
+               > 3 * b.n_bigrams AS INT) AS repetitive
+FROM {table} d
+LEFT JOIN uni u USING ({id_col})
+JOIN big b USING ({id_col})
+"""
+
+
+# -------------------------------------------------------------- PII scrub
+# dialect-portable patterns (no lookaround/backreferences: valid in both
+# Java regex and DuckDB's RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b555-\d{4}\b"
+
+# deterministic PII augmentation: the documents corpus is synthetic word
+# salad with no real PII, so each doc gets a seeded contact line appended
+# (identically in the Spark plan and the oracle) — the scrubber is then
+# exercised against known-positive text
+_AUG_SPARK = ("concat(text, ' contact user', CAST(doc_id AS STRING),"
+              " '@mail.example.com from 10.', CAST(doc_id % 200 AS STRING),"
+              " '.7.', CAST(doc_id % 250 AS STRING),"
+              " ' tel 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))")
+_AUG_DUCK = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+             " || '@mail.example.com from 10.'"
+             " || CAST(doc_id % 200 AS VARCHAR)"
+             " || '.7.' || CAST(doc_id % 250 AS VARCHAR)"
+             " || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),"
+             " 4, '0')")
+
+
+def pii_scrub(df: DataFrame) -> DataFrame:
+    """PII redaction pass over the corpus: count and replace emails, IPv4
+    addresses and phone-shaped numbers with typed placeholders; emit the
+    redaction counts plus an md5 digest of the scrubbed text (the digest,
+    not the text, is what a privacy audit trail stores).
+
+    Pure JVM ``regexp_replace``/``regexp_count`` — whole-stage codegen,
+    narrow, no shuffle; at 10^9 documents this is a map-only pass.
+    """
+    aug = F.expr(_AUG_SPARK)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(IPV4_RE), F.lit("<IP>")),
+        F.lit(PHONE_RE), F.lit("<PHONE>"))
+    return df.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_digest"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    return rf"""
+WITH aug AS (
+  SELECT doc_id, {_AUG_DUCK} AS s FROM {table}
+), scrubbed AS (
+  SELECT doc_id, s,
+         regexp_replace(regexp_replace(regexp_replace(
+             s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS sc
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{IPV4_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(s, '{PHONE_RE}')) AS INT) AS n_phones,
+       md5(sc) AS scrub_digest,
+       CAST(length(sc) AS INT) AS n_chars_scrubbed
+FROM scrubbed
+"""

@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import genlog, pipeline
-from .operators import (dedup, graph, multimodal, sampling, similarity,
-                        textstats)
+from .operators import (dedup, graph, lake_layout, multimodal, sampling,
+                        similarity, textstats)
 from .operators.lww import lww_latest
 from .operators.merge import LakeTable
 
@@ -215,6 +215,66 @@ SELECT coalesce(o.user_id, n.user_id) AS user_id,
 FROM old_state o FULL JOIN new_state n ON o.user_id = n.user_id
 WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id != n.event_id
 """
+
+
+def cdc_gtid_gaps(spark, sf_dir):
+    """Sequence-gap detection over the acked GTID stream (the replication
+    health check of a CDC pipeline: which transaction ids never arrived).
+    Dropped ids here = events classified as dead-lettered ('error' rows);
+    a gap is a maximal run of missing ids between two surviving ones.
+
+    Scalable shape: ids are segmented by range, within-segment gaps come
+    from parallel per-segment ``lag`` windows, and cross-segment gaps
+    from a window over ONE ROW PER SEGMENT (tiny at any corpus size) —
+    never a global single-partition window over the id stream."""
+    ev = _t(spark, sf_dir, "events")
+    ids = (ev.where(F.col("event_type") != "error")
+           .select("event_id",
+                   F.expr("event_id div 4096").alias("seg")))
+    w_in = Window.partitionBy("seg").orderBy("event_id")
+    within = (ids.withColumn("prev", F.lag("event_id").over(w_in))
+              .where(F.col("prev").isNotNull()
+                     & (F.col("event_id") - F.col("prev") > 1))
+              .select((F.col("prev") + 1).alias("gap_start"),
+                      (F.col("event_id") - 1).alias("gap_end")))
+    segb = ids.groupBy("seg").agg(F.min("event_id").alias("lo"),
+                                  F.max("event_id").alias("hi"))
+    w_seg = Window.orderBy("seg")
+    cross = (segb.withColumn("prev_hi", F.lag("hi").over(w_seg))
+             .where(F.col("prev_hi").isNotNull()
+                    & (F.col("lo") - F.col("prev_hi") > 1))
+             .select((F.col("prev_hi") + 1).alias("gap_start"),
+                     (F.col("lo") - 1).alias("gap_end")))
+    return (within.unionAll(cross)
+            .withColumn("gap_len",
+                        F.col("gap_end") - F.col("gap_start") + 1))
+
+
+def cdc_gtid_gaps_sql():
+    return """
+WITH ids AS (
+  SELECT event_id FROM events WHERE event_type != 'error'
+), g AS (
+  SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev FROM ids
+)
+SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+       event_id - prev - 1 AS gap_len
+FROM g WHERE prev IS NOT NULL AND event_id - prev > 1
+"""
+
+
+def lake_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning over the simulated commit-file
+    inventory (operators/lake_layout.py): bin-pack ordered files into
+    target-size rewrite groups via a two-level prefix sum."""
+    return lake_layout.compaction_plan(_t(spark, sf_dir, "events"))
+
+
+def lake_zorder_cells(spark, sf_dir):
+    """Z-order clustering layout preview: Morton-interleave (user bucket,
+    time bucket) and report the per-cell row/user distribution — pure
+    codegen arithmetic + one aggregate (operators/lake_layout.py)."""
+    return lake_layout.zorder_cells(_t(spark, sf_dir, "events"))
 
 
 # ------------------------------------------------------------------ classic
@@ -1393,6 +1453,10 @@ QUERIES = {
     "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_lineage_by_op": cdc_lineage_by_op,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_gtid_gaps": cdc_gtid_gaps,
+    # lake maintenance (compaction planning, clustering layout)
+    "lake_compaction_plan": lake_compaction_plan,
+    "lake_zorder_cells": lake_zorder_cells,
     # classical operators
     "agg_rollup_pricing": agg_rollup_pricing,
     "agg_percentiles_events": agg_percentiles_events,
@@ -1445,6 +1509,12 @@ QUERIES = {
     "text_lang_id": text_lang_id_q,
     "text_fingerprint": text_fingerprint_q,
     "text_tfidf_topk": text_tfidf_topk_q,
+    "text_repetition": lambda s, d: textstats.repetition_stats(
+        _t(s, d, "documents")),
+    "text_pii_scrub": lambda s, d: textstats.pii_scrub(
+        _t(s, d, "documents")),
+    "text_decontaminate": lambda s, d: dedup.decontaminate(
+        _t(s, d, "documents")),
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
@@ -1494,6 +1564,9 @@ ORACLES = {
     "cdc_txn_assembly": cdc_txn_assembly_sql(),
     "cdc_lineage_by_op": cdc_lineage_by_op_sql(),
     "cdc_snapshot_diff": cdc_snapshot_diff_sql(),
+    "cdc_gtid_gaps": cdc_gtid_gaps_sql(),
+    "lake_compaction_plan": lake_layout.compaction_plan_sql(),
+    "lake_zorder_cells": lake_layout.zorder_cells_sql(),
     "agg_rollup_pricing": agg_rollup_pricing_sql(),
     "agg_percentiles_events": agg_percentiles_events_sql(),
     "sketch_kmv_distinct": sketch_kmv_distinct_sql(),
@@ -1543,6 +1616,9 @@ ORACLES = {
     "text_lang_id": textstats.lang_id_sql(),
     "text_fingerprint": textstats.fingerprint_sql(),
     "text_tfidf_topk": textstats.tfidf_topk_sql(),
+    "text_repetition": textstats.repetition_sql(),
+    "text_pii_scrub": textstats.pii_scrub_sql(),
+    "text_decontaminate": dedup.decontaminate_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
