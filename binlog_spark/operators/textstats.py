@@ -199,6 +199,57 @@ WHERE rank <= {k}
 
 
 # ------------------------------------------------------------- repetition
+def repetition_counters(texts):
+    """Batch-vectorized token/bigram tabulation: for each text, the five
+    int64 counters (n_tokens, n_distinct, top_cnt, n_bigrams,
+    n_distinct_bigrams) as an (n, 5) array. Tokens of the whole batch are
+    factorized ONCE; per-(doc, token) counts come from a single
+    ``np.unique`` over composed int64 keys and per-doc maxima/distinct
+    counts from ``np.maximum.reduceat``/``np.diff`` over the grouped runs
+    — O(batch tokens) vectorized work. Property-tested against a naive
+    ``collections.Counter`` reference (tests/test_textstats_property.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    out = {k: np.zeros(n, dtype=np.int64)
+           for k in ("n_tokens", "n_distinct", "top_cnt",
+                     "n_bigrams", "n_distinct_bigrams")}
+    doc_idx, toks = [], []
+    for i, t in enumerate(texts):
+        tt = (t or "").split()
+        out["n_tokens"][i] = len(tt)
+        out["n_bigrams"][i] = max(len(tt) - 1, 0)
+        if tt:
+            doc_idx.append(np.full(len(tt), i, dtype=np.int64))
+            toks.extend(tt)
+    if toks:
+        doc_idx = np.concatenate(doc_idx)
+        codes, uniq = pd.factorize(pd.Series(toks, dtype=object))
+        v = np.int64(len(uniq))
+        # per-(doc, token) counts: one sort over composed keys
+        ukey, ucnt = np.unique(doc_idx * v + codes, return_counts=True)
+        udoc = ukey // v
+        starts = np.flatnonzero(np.r_[True, np.diff(udoc) != 0])
+        docs_with = udoc[starts]
+        out["n_distinct"][docs_with] = np.diff(np.r_[starts, len(ukey)])
+        out["top_cnt"][docs_with] = np.maximum.reduceat(ucnt, starts)
+        # per-doc distinct bigrams: factorize code pairs, same trick
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            bd = doc_idx[:-1][same]
+            pair, _ = pd.factorize(codes[:-1][same] * v + codes[1:][same])
+            bkey = np.unique(bd * np.int64(len(pair) + 1) + pair)
+            bdoc = bkey // np.int64(len(pair) + 1)
+            bstarts = np.flatnonzero(np.r_[True, np.diff(bdoc) != 0])
+            out["n_distinct_bigrams"][bdoc[bstarts]] = np.diff(
+                np.r_[bstarts, len(bkey)])
+    return np.column_stack([out[k] for k in
+                            ("n_tokens", "n_distinct", "top_cnt",
+                             "n_bigrams", "n_distinct_bigrams")])
+
+
 def repetition_stats(df: DataFrame, col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-token
@@ -219,7 +270,6 @@ def repetition_stats(df: DataFrame, col: str = "text",
     (``top_cnt * 8 > n_tokens``), never on rounded doubles, so the flag is
     bit-identical across engines at any data.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -231,45 +281,7 @@ def repetition_stats(df: DataFrame, col: str = "text",
     # defaults to the scalar eval type, which is what this is.
     @pandas_udf("array<long>")
     def _rep(texts):
-        n = len(texts)
-        out = {k: np.zeros(n, dtype=np.int64)
-               for k in ("n_tokens", "n_distinct", "top_cnt",
-                         "n_bigrams", "n_distinct_bigrams")}
-        doc_idx, toks = [], []
-        for i, t in enumerate(texts):
-            tt = (t or "").split()
-            out["n_tokens"][i] = len(tt)
-            out["n_bigrams"][i] = max(len(tt) - 1, 0)
-            if tt:
-                doc_idx.append(np.full(len(tt), i, dtype=np.int64))
-                toks.extend(tt)
-        if toks:
-            doc_idx = np.concatenate(doc_idx)
-            codes, uniq = pd.factorize(pd.Series(toks, dtype=object))
-            v = np.int64(len(uniq))
-            # per-(doc, token) counts: one sort over composed keys
-            ukey, ucnt = np.unique(doc_idx * v + codes, return_counts=True)
-            udoc = ukey // v
-            starts = np.flatnonzero(np.r_[True, np.diff(udoc) != 0])
-            docs_with = udoc[starts]
-            out["n_distinct"][docs_with] = np.diff(
-                np.r_[starts, len(ukey)])
-            out["top_cnt"][docs_with] = np.maximum.reduceat(ucnt, starts)
-            # per-doc distinct bigrams: factorize code pairs, same trick
-            same = doc_idx[:-1] == doc_idx[1:]
-            if same.any():
-                bd = doc_idx[:-1][same]
-                pair, _ = pd.factorize(codes[:-1][same] * v
-                                       + codes[1:][same])
-                bkey = np.unique(bd * np.int64(len(pair) + 1) + pair)
-                bdoc = bkey // np.int64(len(pair) + 1)
-                bstarts = np.flatnonzero(np.r_[True, np.diff(bdoc) != 0])
-                out["n_distinct_bigrams"][bdoc[bstarts]] = np.diff(
-                    np.r_[bstarts, len(bkey)])
-        cols = np.column_stack([out[k] for k in
-                                ("n_tokens", "n_distinct", "top_cnt",
-                                 "n_bigrams", "n_distinct_bigrams")])
-        return pd.Series(list(cols))
+        return pd.Series(list(repetition_counters(texts)))
 
     r = df.select(id_col, _rep(F.col(col)).alias("a")).select(
         id_col,
