@@ -428,3 +428,122 @@ SELECT query_id, vec_id, sim, rank FROM (
             ORDER BY sim DESC, vec_id ASC) AS rank FROM pairs)
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------------ k-means
+KMEANS_SCALE = 65536  # quantization: floor(x * 2^16) — exact in float64
+
+
+def kmeans_assign(df: DataFrame, k: int = 8,
+                  col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration of distributed k-means over the embedding
+    corpus (the clustering step of embedding-based data curation, e.g.
+    cluster-balanced sampling / SemDeDup-style pruning).
+
+    Structure is the canonical two-job step:
+
+    1. **centroid init** — seed partition ``vec_id % k``; per Spark
+       partition a ``mapInPandas`` fold emits k×dim partial component
+       sums (bounded state, shuffle carries only
+       ``partitions × k × dim`` tiny rows), a small groupBy finishes the
+       elementwise means, and the k×dim matrix is collected (O(k·dim))
+       and broadcast into the assignment kernel's closure;
+    2. **assignment** — one shuffle-free Arrow kernel pass computes all
+       k distances per vector and the argmin.
+
+    Cross-engine exactness: embeddings are quantized to integers
+    (``floor(x · 2^16)`` — exact in float64 for float32 inputs), so the
+    centroid component sums are ORDER-FREE integer arithmetic (a float
+    sum over rows would drift with row order and diverge from the
+    oracle); distances then accumulate in fixed dimension order, the
+    ``_dot_kernel`` technique, so doubles — and argmin tie-breaks — are
+    bit-identical with the SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    dim = len(df.select(col).first()[0])
+
+    def _partials(batches):
+        sums = {}
+        for b in batches:
+            q = np.floor(np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in b[col]])
+                * KMEANS_SCALE).astype(np.int64)
+            js = (b["vec_id"].to_numpy() % k).astype(np.int64)
+            for j in np.unique(js):
+                s, c = sums.setdefault(j, [np.zeros(dim, np.int64), 0])
+                sel = q[js == j]
+                s += sel.sum(axis=0)
+                sums[j][1] = c + len(sel)
+        rows = [(int(j), d, int(s[d]), int(c))
+                for j, (s, c) in sums.items() for d in range(dim)]
+        yield pd.DataFrame(rows, columns=["j", "dim", "s", "c"])
+
+    part = df.select("vec_id", col).mapInPandas(
+        _partials, "j long, dim long, s long, c long")
+    comp = (part.groupBy("j", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect())
+    cent = np.zeros((k, dim), dtype=np.float64)
+    for r in comp:
+        cent[r["j"], r["dim"]] = np.float64(r["s"]) / np.float64(r["c"])
+
+    @pandas_udf("array<double>")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.floor(np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vecs])
+            * KMEANS_SCALE) / KMEANS_SCALE
+        n = len(x)
+        best_d = np.full(n, np.inf)
+        best_j = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            acc = np.zeros(n, dtype=np.float64)
+            cj = cent[j]
+            # fixed dimension order == the oracle's left-to-right
+            # list_aggregate fold; never np.sum (pairwise reassociation)
+            for d in range(dim):
+                t = x[:, d] - cj[d]
+                acc += t * t
+            better = acc < best_d  # strict: ties keep the smaller j
+            best_d[better] = acc[better]
+            best_j[better] = j
+        return pd.Series(list(np.column_stack(
+            [best_j.astype(np.float64), best_d])))
+
+    a = df.select("vec_id", _assign(F.col(col)).alias("a"))
+    return a.select(
+        "vec_id",
+        F.element_at("a", 1).cast("long").alias("cluster"),
+        F.round(F.element_at("a", 2), 6).alias("dist"))
+
+
+def kmeans_assign_sql(table: str = "embeddings", k: int = 8) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, vec_id % {k} AS j,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                  AS BIGINT)) AS qe
+  FROM {table}
+), exq AS (
+  SELECT j, unnest(range(1, len(qe) + 1)) AS i, unnest(qe) AS v FROM q
+), comp AS (
+  SELECT j, i, CAST(sum(v) AS DOUBLE) / count(*) AS c
+  FROM exq GROUP BY 1, 2
+), cent AS (
+  SELECT j, list(c ORDER BY i) AS ce FROM comp GROUP BY j
+), dist AS (
+  SELECT q.vec_id, c.j,
+         list_aggregate(list_transform(range(1, len(q.qe) + 1),
+             i -> (q.qe[i] / {KMEANS_SCALE}.0 - c.ce[i])
+                * (q.qe[i] / {KMEANS_SCALE}.0 - c.ce[i])), 'sum') AS d
+  FROM q, cent c
+)
+SELECT vec_id, j AS cluster, round(d, 6) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d ASC, j ASC) AS rn FROM dist)
+WHERE rn = 1
+"""

@@ -1503,6 +1503,8 @@ QUERIES = {
     "sim_lsh_near_dup": sim_lsh_near_dup_q,
     "sim_lsh_ann_topk": sim_lsh_ann_q,
     "sim_ivf_ann_topk": sim_ivf_ann_q,
+    "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
+        _t(s, d, "embeddings")),
     # text analysis
     "text_token_count": text_token_count_q,
     "text_quality": text_quality_q,
@@ -1611,6 +1613,7 @@ ORACLES = {
     "sim_lsh_near_dup": similarity.lsh_near_dup_pairs_sql(threshold=0.35),
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
+    "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     "text_token_count": textstats.token_count_sql(),
     "text_quality": textstats.quality_score_sql(),
     "text_lang_id": textstats.lang_id_sql(),
