@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_topk",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "sim_kmeans_assign",
+    "cdc_gtid_gaps",
+    "lake_compaction_plan",
+    "lake_zorder_cells",
     "mm_blob_metadata",
 ]
 
