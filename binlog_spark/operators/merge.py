@@ -322,3 +322,44 @@ class LakeTable:
                 shutil.rmtree(os.path.join(data_dir, f"v{version:06d}"))
         return {"removed_versions": len(removable),
                 "expired_snapshots": expired}
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Partition-spec rewrite (Iceberg ``REPLACE PARTITION FIELD`` +
+        ``rewrite_data_files`` analogue): rewrite the table under a new
+        bucket count — the maintenance job when the original sizing no
+        longer matches the data volume (too few buckets ⇒ giant COW
+        rewrites per merge batch; too many ⇒ a small file per commit).
+
+        One full-table job: read every live bucket, recompute the key
+        hash modulo the new count, write ONE new data version, commit
+        atomically. Exactly-once bookkeeping (applied batch ids, GTID
+        high-water mark) is untouched, so the CDC stream continues
+        against the new spec seamlessly; earlier snapshots keep
+        time-travelling until ``vacuum()`` expires their data versions.
+        At 100 TB this is shuffle-optimal: exactly one exchange on the
+        new bucket id, no driver-side data movement.
+        """
+        key_cols = self.meta["key"]
+        base = self.read()
+        new_version = self.meta["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"v{new_version:06d}")
+        df = base.withColumn("_bucket",
+                             _bucket_expr(key_cols, new_n_buckets))
+        (df.repartition(max(new_n_buckets, 1), F.col("_bucket"))
+         .write.mode("overwrite").partitionBy("_bucket").parquet(out_dir))
+        written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+                   if d.startswith("_bucket=")} if os.path.isdir(out_dir) \
+            else set()
+        meta = dict(self.meta)
+        meta["n_buckets"] = int(new_n_buckets)
+        meta["buckets"] = {b: new_version for b in sorted(written, key=int)}
+        meta["version"] = new_version
+        meta["history"] = list(meta.get("history", [])) + [{
+            "version": new_version,
+            "batch_id": f"rebucket:{new_n_buckets}",
+            "buckets": dict(meta["buckets"]),
+            "last_gtid": meta["last_gtid"],
+        }]
+        self._commit_meta(meta)
+        return {"n_buckets": int(new_n_buckets),
+                "buckets_live": len(written), "version": new_version}
