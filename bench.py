@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "sketch_quantile_bottomk",
     "join_salted_skew",
     "join_asof_purchase_click",
+    "join_stream_interval_attrib",
     "join_range_value_bands",
     "sample_stratified_docs",
     "sample_weighted_docs",
@@ -73,6 +74,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "text_decontaminate",
     "sim_kmeans_assign",
+    "sim_semdedup",
     "cdc_gtid_gaps",
     "lake_compaction_plan",
     "lake_zorder_cells",

@@ -547,3 +547,113 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY d ASC, j ASC) AS rn FROM dist)
 WHERE rn = 1
 """
+
+
+def semdedup_prune(df: DataFrame, k: int = 8, threshold: float = 0.99,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_block: int | None = 100_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped by k-means clusters.
+
+    The method that makes embedding dedup tractable at web scale: instead
+    of an O(N²) all-pairs cosine pass, cluster the corpus with k-means and
+    compare pairs ONLY within a cluster (semantic duplicates are, by
+    definition, near each other, so cross-cluster pairs cannot exceed a
+    high threshold). Keep rule: within each pair above ``threshold`` the
+    larger id is dropped — equivalent to greedy keep-first in id order,
+    deterministic and engine-independent.
+
+    Physical shape (the 100 TB story):
+
+    1. ``kmeans_assign`` — shuffle-free Arrow assignment against broadcast
+       centroids (bounded k×dim partial-sum state, see its docstring);
+    2. block-diagonal pair generation shuffled once on ``cluster``
+       (``embedding_near_dup_pairs`` with the cluster as the block) —
+       per-cluster cost is O(B²), and the paper's recipe holds k ∝ N so B
+       stays bounded (they use ~50k clusters for LAION); the ``max_block``
+       guard fails fast instead of silently launching a quadratic stage;
+    3. the dropped-id set joins back to the assignment — it is at most
+       the duplicate count, so AQE broadcasts it.
+
+    Returns one row per input vector: ``(id_col, cluster, dropped)`` with
+    ``dropped`` ∈ {0,1}. Exactness: cluster ids replay bit-identically in
+    the SQL oracle (integer-quantized centroid sums, fixed-order distance
+    folds — ``kmeans_assign``), pair similarity uses the order-stable
+    ``_dot_kernel`` rounded to 6 dp, so the prune set is cross-engine
+    exact.
+    """
+    base = df.select(id_col, vec_col)
+    assign = kmeans_assign(base, k=k, col=vec_col).select(id_col, "cluster")
+    blocked = base.join(assign, id_col)
+    if max_block is not None:
+        over = (blocked.groupBy("cluster").count()
+                .where(F.col("count") > max_block)
+                .select("cluster", "count").limit(1).collect())
+        if over:
+            raise ValueError(
+                f"semdedup_prune: cluster {over[0][0]} has {over[0][1]} "
+                f"vectors (> max_block={max_block}); raise k so clusters "
+                "stay bounded (the paper holds k ∝ N), or pass "
+                "max_block=None to force the quadratic pass")
+
+    # In-cluster scoring as ONE chunked Gram matmul per cluster instead of
+    # a B² pair-row fan-out through the per-pair kernel: the kernel emits
+    # exactly one row per input vector, so the cluster shuffle carries B
+    # rows, not B². BLAS reassociates the per-dimension sum vs the
+    # oracle's fixed-order fold, but only the rounded >=threshold BOOLEAN
+    # leaves the kernel and natural cosines sit far from any sane
+    # threshold, so the last-ulp drift cannot flip a decision (the exact
+    # per-pair path with bit-stable sims is ``embedding_near_dup_pairs``).
+    chunk = 256  # bounds kernel memory at chunk x B doubles per block
+
+    def _cluster_prune(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        X = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf[vec_col]])
+        n = len(pdf)
+        drop = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            sims = np.round(X[s:s + chunk] @ X.T, 6)
+            for li in range(sims.shape[0]):
+                i = s + li
+                if i and sims[li, :i].max() >= threshold:
+                    drop[i] = True
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                             "cluster": pdf["cluster"].to_numpy(),
+                             "dropped": drop.astype(np.int32)})
+
+    return blocked.groupBy("cluster").applyInPandas(
+        _cluster_prune,
+        f"{id_col} long, cluster long, dropped int")
+
+
+def semdedup_sql(table: str = "embeddings", k: int = 8,
+                 threshold: float = 0.99, n_planted: int = 50,
+                 plant_offset: int = 100_000) -> str:
+    """DuckDB replay of the registered ``sim_semdedup`` query: the corpus
+    is the table plus ``n_planted`` exact copies (id + ``plant_offset``),
+    clusters come from the same quantized k-means, and the within-cluster
+    pair pass uses the same fixed-order dot, so the prune set matches
+    bit-for-bit."""
+    ksql = kmeans_assign_sql(table="corpus", k=k)
+    dot = _DOT.format(a="x.embedding", b="y.embedding")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM {table}
+  UNION ALL
+  SELECT vec_id + {plant_offset} AS vec_id, embedding
+  FROM {table} WHERE vec_id < {n_planted}
+), assign AS (
+  SELECT vec_id, cluster FROM ({ksql}) ka
+), j AS (
+  SELECT a.vec_id, a.cluster, c.embedding
+  FROM assign a JOIN corpus c USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round({dot}, 6) >= {threshold}
+)
+SELECT a.vec_id, a.cluster,
+       CAST(a.vec_id IN (SELECT vec_id FROM dropped) AS INT) AS dropped
+FROM assign a
+"""

@@ -705,6 +705,21 @@ def sim_embedding_near_dup_q(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def sim_semdedup_q(spark, sf_dir):
+    """SemDeDup over the embeddings corpus plus 50 planted exact copies
+    (vec_id + 100000): the corpus is random unit vectors (max natural
+    cosine ≈ 0.5), so at threshold 0.99 the uniquely correct prune set is
+    exactly the planted copies — the decision is non-trivially exercised
+    and the k-means + in-cluster pair pipeline must place each copy in
+    its original's cluster to find it."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.where(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       "embedding"))
+    return similarity.semdedup_prune(emb.unionByName(planted),
+                                     k=8, threshold=0.99)
+
+
 def sim_lsh_near_dup_q(spark, sf_dir):
     return similarity.lsh_near_dup_pairs(
         spark, _t(spark, sf_dir, "embeddings"), threshold=0.35)
@@ -1217,6 +1232,42 @@ WHERE side = 1
 """
 
 
+def join_stream_interval_attrib(spark, sf_dir):
+    """Stream-stream event-time interval join (attribution): every
+    (click, purchase) pair by the same user with the purchase inside the
+    hour after the click — `streaming/joins.py::interval_join`, the
+    watermark-bounded two-sided-state join, here run in batch mode where
+    the watermark is a no-op and the plan is an ordinary range join (the
+    streaming execution across microbatches incl. late-row drop is
+    pytest-gated in tests/test_streaming_join.py)."""
+    from .streaming.joins import interval_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("click_id")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id")))
+    j = interval_join(clicks, purchases, key="user_id",
+                      interval="1 hour", watermark="30 minutes")
+    # parquet timestamps load as NTZ; the session tz is pinned UTC, so the
+    # LTZ cast is a pure reinterpretation and the difference is exact
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select("user_id", "click_id", "purchase_id",
+                    (us("ts_r") - us("ts_l")).alias("lag_us"))
+
+
+def join_stream_interval_attrib_sql():
+    return """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 _VALUE_BANDS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"),
                 (50.0, 150.0, "high"), (150.0, 1000.0, "extreme")]
 
@@ -1490,6 +1541,7 @@ QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_quantile_bottomk": sketch_quantile_bottomk,
     "join_asof_purchase_click": join_asof_purchase_click,
+    "join_stream_interval_attrib": join_stream_interval_attrib,
     "join_range_value_bands": join_range_value_bands,
     "join_salted_skew": join_salted_skew,
     # training-data sampling / packing
@@ -1505,6 +1557,7 @@ QUERIES = {
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
+    "sim_semdedup": sim_semdedup_q,
     # text analysis
     "text_token_count": text_token_count_q,
     "text_quality": text_quality_q,
@@ -1601,6 +1654,7 @@ ORACLES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters_sql(),
     "sketch_quantile_bottomk": sketch_quantile_bottomk_sql(),
     "join_asof_purchase_click": join_asof_purchase_click_sql(),
+    "join_stream_interval_attrib": join_stream_interval_attrib_sql(),
     "join_range_value_bands": join_range_value_bands_sql(),
     "join_salted_skew": join_salted_skew_sql(),
     "sample_stratified_docs": sampling.stratified_sample_sql(),
@@ -1614,6 +1668,7 @@ ORACLES = {
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
+    "sim_semdedup": similarity.semdedup_sql(),
     "text_token_count": textstats.token_count_sql(),
     "text_quality": textstats.quality_score_sql(),
     "text_lang_id": textstats.lang_id_sql(),
