@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "set_ops_users",
     "json_props_events",
     "dedup_exact",
+    "dedup_exact_substr_spans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",

@@ -526,3 +526,65 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {modulus} != 0
 """
+
+
+def dup_spans(df: DataFrame, n: int = 8, col: str = "text") -> DataFrame:
+    """Exact duplicated-span statistics per document at word n-gram
+    granularity — the distributed form of ExactSubstr dedup (Lee et al.
+    2022, arXiv:2107.06499): a span is duplicated iff its n-gram also
+    occurs in ANOTHER document (or elsewhere in the corpus under a
+    different doc). The paper's suffix array is a single-machine
+    structure; production distributed pipelines run exactly this
+    fingerprint formulation.
+
+    Returns one row per document: ``(doc_id, n_spans, n_dup_spans,
+    dup_frac)`` — the per-doc span count (every window position counts,
+    multiplicity preserved), how many of those spans are corpus-
+    duplicated, and their ratio. Downstream policy (drop the doc, cut
+    the spans) consumes these stats.
+
+    Scale shape: shingling is the shuffle-free Arrow kernel
+    (``shingles``); then ONE shuffle on (doc, shingle) folds positional
+    multiplicity map-side, the shingle-level document frequency is a
+    second aggregation over that already-collapsed table (≤ one row per
+    doc-gram, not per position), and the frequency joins back on the
+    shingle key. No step ever materializes cross-document pairs, so hot
+    spans (boilerplate) cost their posting-list length, not its square.
+    """
+    base = df.select("doc_id")
+    per = (shingles(df, n, col)
+           .groupBy("doc_id", "shingle")
+           .agg(F.count("*").alias("m")))
+    dfreq = per.groupBy("shingle").agg(F.count("*").alias("nd"))
+    stats = (per.join(dfreq, "shingle")
+             .groupBy("doc_id")
+             .agg(F.sum("m").alias("n_spans"),
+                  F.sum(F.when(F.col("nd") > 1, F.col("m"))
+                        .otherwise(F.lit(0))).alias("n_dup_spans")))
+    return (base.join(stats, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    .alias("n_dup_spans"),
+                    F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+                    .otherwise(F.round(F.col("n_dup_spans")
+                                       / F.col("n_spans"), 6))
+                    .alias("dup_frac")))
+
+
+def dup_spans_sql(table: str = "documents", n: int = 8) -> str:
+    return shingle_cte(table, n) + f"""
+, per AS (SELECT doc_id, shingle, count(*) AS m FROM sh GROUP BY 1, 2),
+dfreq AS (SELECT shingle, count(*) AS nd FROM per GROUP BY 1),
+stats AS (
+  SELECT p.doc_id, sum(p.m) AS n_spans,
+         sum(CASE WHEN d.nd > 1 THEN p.m ELSE 0 END) AS n_dup_spans
+  FROM per p JOIN dfreq d USING (shingle) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 0.0
+             ELSE s.n_dup_spans / CAST(s.n_spans AS DOUBLE) END, 6)
+           AS dup_frac
+FROM {table} t LEFT JOIN stats s USING (doc_id)
+"""

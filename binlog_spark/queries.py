@@ -1570,6 +1570,8 @@ QUERIES = {
         _t(s, d, "documents")),
     "text_decontaminate": lambda s, d: dedup.decontaminate(
         _t(s, d, "documents")),
+    "dedup_exact_substr_spans": lambda s, d: dedup.dup_spans(
+        _t(s, d, "documents")),
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
@@ -1677,6 +1679,7 @@ ORACLES = {
     "text_repetition": textstats.repetition_sql(),
     "text_pii_scrub": textstats.pii_scrub_sql(),
     "text_decontaminate": dedup.decontaminate_sql(),
+    "dedup_exact_substr_spans": dedup.dup_spans_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
