@@ -532,8 +532,9 @@ def dup_spans(df: DataFrame, n: int = 8, col: str = "text") -> DataFrame:
     """Exact duplicated-span statistics per document at word n-gram
     granularity — the distributed form of ExactSubstr dedup (Lee et al.
     2022, arXiv:2107.06499): a span is duplicated iff its n-gram also
-    occurs in ANOTHER document (or elsewhere in the corpus under a
-    different doc). The paper's suffix array is a single-machine
+    occurs in at least one OTHER document (cross-document duplication;
+    every occurrence position counts). The paper's suffix array is a
+    single-machine
     structure; production distributed pipelines run exactly this
     fingerprint formulation.
 
@@ -573,7 +574,19 @@ def dup_spans(df: DataFrame, n: int = 8, col: str = "text") -> DataFrame:
 
 
 def dup_spans_sql(table: str = "documents", n: int = 8) -> str:
-    return shingle_cte(table, n) + f"""
+    # NOT shingle_cte: that one is per-doc deduped (list_distinct), but a
+    # span statistic is positional — a gram repeated inside one document
+    # counts every occurrence (and makes the doc self-duplicated only if
+    # another doc shares the gram, same as the Spark side's count(*))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {table}
+), sh AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(t) - {n - 1}, 0) + 1),
+      i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle
+  FROM toks
+)
 , per AS (SELECT doc_id, shingle, count(*) AS m FROM sh GROUP BY 1, 2),
 dfreq AS (SELECT shingle, count(*) AS nd FROM per GROUP BY 1),
 stats AS (

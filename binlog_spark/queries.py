@@ -413,9 +413,13 @@ def rollup_incremental_events(spark, sf_dir):
     DECIMAL)."""
     from .operators.rollup import RollupTable
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "hour", F.date_format(F.date_trunc("hour", "ts"),
-                              "yyyy-MM-dd HH:mm:ss"))
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"),
+                                            "yyyy-MM-dd HH:mm:ss"))
+          .select("event_id", "hour", "event_type", "value")
+          # four batch derivations scan this once from memory instead of
+          # re-reading the parquet per batch
+          .persist())
     work = tempfile.mkdtemp(prefix="binlog_rollup_")
     try:
         rt = RollupTable.create(spark, os.path.join(work, "rollup"),
@@ -435,6 +439,7 @@ def rollup_incremental_events(spark, sf_dir):
         # invocations must not leak a mkdtemp per call
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
+        ev.unpersist()
         shutil.rmtree(work, ignore_errors=True)
 
 
