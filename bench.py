@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_scrub",
     "text_decontaminate",
+    "tok_bpe_top_pairs",
     "sim_kmeans_assign",
     "sim_semdedup",
     "cdc_gtid_gaps",

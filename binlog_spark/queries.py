@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from . import genlog, pipeline
 from .operators import (dedup, graph, lake_layout, multimodal, sampling,
-                        similarity, textstats)
+                        similarity, textstats, tokenizer)
 from .operators.lww import lww_latest
 from .operators.merge import LakeTable
 
@@ -1577,6 +1577,8 @@ QUERIES = {
         _t(s, d, "documents")),
     "dedup_exact_substr_spans": lambda s, d: dedup.dup_spans(
         _t(s, d, "documents")),
+    "tok_bpe_top_pairs": lambda s, d: tokenizer.bpe_top_pairs(
+        _t(s, d, "documents")),
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
@@ -1685,6 +1687,7 @@ ORACLES = {
     "text_pii_scrub": textstats.pii_scrub_sql(),
     "text_decontaminate": dedup.decontaminate_sql(),
     "dedup_exact_substr_spans": dedup.dup_spans_sql(),
+    "tok_bpe_top_pairs": tokenizer.bpe_top_pairs_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
