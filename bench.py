@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_exact_substr_spans",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",

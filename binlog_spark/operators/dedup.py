@@ -192,20 +192,11 @@ def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
     return sig.where(F.col("sig").isNotNull())
 
 
-def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
-                           bands: int = 4, col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-
-    Physical shape: instead of a self-join (which computes the expensive
-    shingle→md5→minhash signature for BOTH sides — Catalyst does not
-    reuse the subtree), group each band bucket once and emit its member
-    pairs with a JVM-side nested `transform` — one signature computation,
-    one shuffle on (band, bucket), pair fan-out bounded by bucket size
-    (near-dup cluster size), which is the formulation that survives at
-    10^9 documents."""
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) — each signature split into ``bands``
+    concatenated-row bucket keys (the standard LSH OR-construction)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, n, num_hashes, col)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
@@ -218,6 +209,21 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
             for bi in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
+                           bands: int = 4, col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Physical shape: instead of a self-join (which computes the expensive
+    shingle→md5→minhash signature for BOTH sides — Catalyst does not
+    reuse the subtree), group each band bucket once and emit its member
+    pairs with a JVM-side nested `transform` — one signature computation,
+    one shuffle on (band, bucket), pair fan-out bounded by bucket size
+    (near-dup cluster size), which is the formulation that survives at
+    10^9 documents."""
+    sig = minhash_signature(df, n, num_hashes, col)
+    banded = _banded(sig, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -228,6 +234,49 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
         "transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
         "y -> struct(x AS doc_a, y AS doc_b)))"
+    ))).alias("p")).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
+
+
+def incremental_lsh_candidates(new_df: DataFrame, index_sig: DataFrame,
+                               n: int = 3, num_hashes: int = 16,
+                               bands: int = 4,
+                               col: str = "text") -> DataFrame:
+    """Incremental near-dup candidates: a NEW document batch against a
+    PERSISTED signature index — the production dedup mode, where each
+    crawl/CDC increment is checked against the already-clean corpus
+    without ever re-pairing the corpus with itself.
+
+    ``index_sig`` is ``(doc_id, sig array<long>)`` — the stored output of
+    ``minhash_signature`` over the existing corpus (at scale this lives
+    in the lake, bucketed by band key, and only grows by the surviving
+    new docs each increment). Signatures are per-document, so banding the
+    stored sigs is bit-identical to recomputing them; the expensive
+    shingle→md5→minhash kernel runs ONLY over the new batch.
+
+    Returns candidate pairs (doc_a < doc_b) sharing any band bucket with
+    AT LEAST ONE NEW side: new×old and new×new, never old×old — bucket
+    expansion is skipped entirely for buckets containing no new member,
+    so per-increment cost is ∝ new-batch size + touched-bucket sizes,
+    not corpus size. Equals the full-corpus ``minhash_lsh_candidates``
+    restricted to pairs involving a new doc (the oracle's formulation).
+    """
+    new_sig = minhash_signature(new_df, n, num_hashes, col)
+    both = (_banded(index_sig, num_hashes, bands)
+            .withColumn("new", F.lit(False))
+            .unionByName(_banded(new_sig, num_hashes, bands)
+                         .withColumn("new", F.lit(True))))
+    buckets = (both.groupBy("band", "bucket")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("doc_id", "new"))).alias("ids"))
+               .where(F.size("ids") > 1)
+               # no new member -> nothing to emit; prune BEFORE fan-out
+               .where(F.exists("ids", lambda x: x["new"])))
+    pairs = buckets.select(F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "filter(transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.new OR y.new AS any_new)), p -> p.any_new))"
     ))).alias("p")).select("p.doc_a", "p.doc_b")
     return pairs.distinct()
 

@@ -710,6 +710,18 @@ def sim_embedding_near_dup_q(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def dedup_incremental_lsh_q(spark, sf_dir):
+    """Incremental dedup of a new batch (doc_id % 5 == 0, ~20%) against
+    the persisted MinHash index of the rest of the corpus — the result
+    must equal the full-corpus LSH candidates restricted to pairs with a
+    new side (the oracle), while the pipeline only ever signatures the
+    new batch and never pairs the old corpus with itself."""
+    docs = _t(spark, sf_dir, "documents")
+    index = dedup.minhash_signature(docs.where(F.col("doc_id") % 5 != 0))
+    return dedup.incremental_lsh_candidates(
+        docs.where(F.col("doc_id") % 5 == 0), index)
+
+
 def sim_semdedup_q(spark, sf_dir):
     """SemDeDup over the embeddings corpus plus 50 planted exact copies
     (vec_id + 100000): the corpus is random unit vectors (max natural
@@ -1579,6 +1591,7 @@ QUERIES = {
         _t(s, d, "documents")),
     "tok_bpe_top_pairs": lambda s, d: tokenizer.bpe_top_pairs(
         _t(s, d, "documents")),
+    "dedup_incremental_lsh": dedup_incremental_lsh_q,
     # multimodal plumbing
     "mm_blob_metadata": mm_blob_metadata_q,
     "mm_features": mm_features_q,
@@ -1688,6 +1701,9 @@ ORACLES = {
     "text_decontaminate": dedup.decontaminate_sql(),
     "dedup_exact_substr_spans": dedup.dup_spans_sql(),
     "tok_bpe_top_pairs": tokenizer.bpe_top_pairs_sql(),
+    "dedup_incremental_lsh": (
+        "SELECT * FROM (" + dedup.minhash_lsh_candidates_sql()
+        + ") p WHERE p.doc_a % 5 = 0 OR p.doc_b % 5 = 0"),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
