@@ -292,3 +292,48 @@ def read_frames_from(spark: SparkSession, frames_dir: str,
     return f.where(
         (F.col("file") > start_file)
         | ((F.col("file") == start_file) & (F.col("pos") >= start_pos)))
+
+
+def bootstrap_from_snapshot(spark: SparkSession, snapshot: DataFrame,
+                            lake: LakeTable, snapshot_gtid: int,
+                            batch_id: str = "bootstrap") -> dict:
+    """Initial load, then stream — the Debezium/DMS bootstrap mode the
+    reference leaves to its consumers (they run `SHOW MASTER STATUS`,
+    dump the table, then Stream from that position —
+    /root/reference/example_test.go:76-98 sketches exactly this order).
+
+    ``snapshot`` carries one row per live key with the lake's columns,
+    transactionally consistent AS OF ``snapshot_gtid`` (MySQL guarantees
+    such a cut under `FLUSH TABLES WITH READ LOCK` / a consistent-read
+    dump). Every snapshot row is written stamped ``(_gtid_seq =
+    snapshot_gtid, _seq_in_txn = 0)`` and the lake's GTID high-water mark
+    advances to the snapshot position, so catch-up replay may start from
+    ANY position at or before the snapshot: the overlap — every change
+    with gtid ≤ snapshot_gtid, already reflected in the snapshot — is
+    dropped wholesale by the watermark guard (tombstone-safe: keys the
+    overlap deleted are simply absent from the snapshot and stay absent),
+    and everything after applies through the normal LWW merge.
+
+    Implementation is one ``merge_apply`` of the snapshot expressed as a
+    full-row folded delta — bootstrap rides the same exactly-once
+    bookkeeping (re-delivering the bootstrap batch is a manifest no-op)
+    and the same one-shuffle bucketed write as every CDC batch.
+    """
+    if batch_id in lake.meta["applied_batches"]:
+        return {"skipped": True, "batch_id": batch_id}  # crash re-delivery
+    if lake.meta["buckets"] or lake.meta["applied_batches"]:
+        raise ValueError("bootstrap_from_snapshot requires an empty lake "
+                         "(bootstrap is the FIRST batch by definition)")
+    cols = lake.meta["columns"]
+    key_cols = lake.meta["key"]
+    m = F.create_map(*[x for c in cols
+                       for x in (F.lit(c), F.col(c).cast("string"))])
+    folded = snapshot.select(
+        *[F.col(k).cast("string").alias(f"_k_{k}") for k in key_cols],
+        F.lit(False).alias("del"), F.lit(True).alias("full"),
+        m.alias("m"),
+        F.lit(int(snapshot_gtid)).cast("long").alias("g"),
+        F.lit(0).cast("int").alias("s"),
+        F.lit(1).cast("long").alias("n_events"))
+    return lake.merge_apply(lake.bucket_of(folded), batch_id=batch_id,
+                            max_gtid=int(snapshot_gtid))

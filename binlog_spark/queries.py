@@ -979,6 +979,58 @@ def cdc_replay_final_state(spark, sf_dir=None, n_txns: int = 120):
             .orderBy("repo", "path"))
 
 
+def cdc_bootstrap_catchup(spark, sf_dir=None, n_txns: int = 120):
+    """Initial-load-then-stream equivalence: the SAME deterministic world
+    as ``cdc_replay_final_state``, but materialized the production way —
+    a consistent snapshot taken at the first binlog file's end (built by
+    replaying that file), bootstrapped into a FRESH lake
+    (``pipeline.bootstrap_from_snapshot``), then catch-up replay of the
+    WHOLE stream from the beginning (every first-file event overlaps the
+    snapshot and must be dropped wholesale by the GTID watermark).
+    Returns the same state digest, so the oracle is the SAME pinned
+    literal: bootstrap + overlapped catch-up ≡ straight replay."""
+    work = tempfile.mkdtemp(prefix="binlog_spark_bootstrap_")
+    try:
+        gen = genlog.CdcWorldGenerator(seed=42, n_repos=20,
+                                       paths_per_repo=30, txns_per_file=50)
+        result = gen.generate(n_txns=n_txns)
+        frames_dir = os.path.join(work, "frames")
+        genlog.write_frames_parquet(result, frames_dir)
+        frames = pipeline.read_frames(spark, frames_dir)
+        registry = genlog.table_registry()
+        cols = genlog.table_spec().col_names
+
+        src = LakeTable.create(spark, os.path.join(work, "src"),
+                               columns=cols,
+                               key_cols=list(genlog.KEY_COLS), n_buckets=8)
+        pipeline.replay_batch(spark, frames.where(
+            F.col("file") == "binlog.000000"), src, registry,
+            batch_id=0, record_lineage=False)
+
+        lake = LakeTable.create(spark, os.path.join(work, "boot"),
+                                columns=cols,
+                                key_cols=list(genlog.KEY_COLS), n_buckets=8)
+        pipeline.bootstrap_from_snapshot(spark, src.to_df(), lake,
+                                         src.meta["last_gtid"])
+        pipeline.replay_batch(spark, frames, lake, registry,
+                              batch_id=1, record_lineage=False)
+
+        state = (lake.to_df()
+                 .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+                 .orderBy("repo", "path"))
+        row_str = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in state.columns])
+        out = (state.select(row_str.alias("r"))
+               .agg(F.count("*").alias("n_rows"),
+                    F.sha2(F.concat_ws(
+                        "\n", F.array_sort(F.collect_list("r"))), 256)
+                    .alias("state_sha256")))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def cdc_replay_state_digest(spark, sf_dir=None):
     """Deterministic digest of the replayed final state: row count + one
     sha256 over the sorted canonical row strings. The wire pipeline itself
@@ -1601,6 +1653,7 @@ QUERIES = {
     # as a literal VALUES oracle (captured from the deterministic run)
     "cdc_packet_framing": lambda s, d: cdc_packet_framing(s, d),
     "cdc_replay_final_state": lambda s, d: cdc_replay_state_digest(s, d),
+    "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_replay_lineage": lambda s, d: cdc_replay_lineage(s, d),
 }
 
@@ -1709,5 +1762,7 @@ ORACLES = {
     "mm_frame_sample": multimodal.frame_sample_sql(),
     "cdc_packet_framing": CDC_PACKET_FRAMING_ORACLE,
     "cdc_replay_final_state": CDC_REPLAY_STATE_ORACLE,
+    # bootstrap + overlapped catch-up must converge to the SAME state
+    "cdc_bootstrap_catchup": CDC_REPLAY_STATE_ORACLE,
     "cdc_replay_lineage": CDC_REPLAY_LINEAGE_ORACLE,
 }
