@@ -156,24 +156,31 @@ def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
 
     coeffs = _minhash_coeffs(num_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    @pandas_udf(ArrayType(LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
-        res = [None] * len(texts)
-        doc_idx, grams = [], []
-        for i, t in enumerate(texts):
-            tt = (t or "").split()
-            if len(tt) >= n:
-                g = [" ".join(tt[j:j + n]) for j in range(len(tt) - n + 1)]
-                doc_idx.append(np.full(len(g), i, dtype=np.int64))
-                grams.extend(g)
-        if grams:
+    # mapInPandas (not a pandas_udf + isNotNull filter): a filter on a
+    # python-UDF column splits into TWO ArrowEvalPython stages — Catalyst
+    # evaluates the kernel once for the predicate and AGAIN for the
+    # projection, doubling the most expensive stage of every minhash
+    # path (measured: two `_sig(text)` nodes in the physical plan). The
+    # kernel instead drops empty docs itself and emits each signature
+    # exactly once.
+    def _sig_map(batches):
+        for pdf in batches:
+            texts = pdf[col]
+            doc_idx, grams = [], []
+            for i, t in enumerate(texts):
+                tt = (t or "").split()
+                if len(tt) >= n:
+                    g = [" ".join(tt[j:j + n])
+                         for j in range(len(tt) - n + 1)]
+                    doc_idx.append(np.full(len(g), i, dtype=np.int64))
+                    grams.extend(g)
+            if not grams:
+                continue
             doc_idx = np.concatenate(doc_idx)
             codes, uniq = pd.factorize(pd.Series(grams, dtype=object))
             uh = np.fromiter(
@@ -184,12 +191,11 @@ def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
             rows = mat[codes]
             starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
             mins = np.minimum.reduceat(rows, starts, axis=0)
-            for d, row in zip(doc_idx[starts].tolist(), mins.tolist()):
-                res[d] = row
-        return pd.Series(res)
+            ids = pdf["doc_id"].to_numpy()[doc_idx[starts]]
+            yield pd.DataFrame({"doc_id": ids, "sig": list(mins)})
 
-    sig = df.select("doc_id", _sig(F.col(col)).alias("sig"))
-    return sig.where(F.col("sig").isNotNull())
+    return (df.select("doc_id", col)
+            .mapInPandas(_sig_map, "doc_id long, sig array<long>"))
 
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

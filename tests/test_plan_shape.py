@@ -106,7 +106,11 @@ def test_minhash_signature_is_shuffle_free(spark, sf_dir):
     sig = minhash_signature(docs, n=3, num_hashes=8)
     plan = plans.physical_plan(sig)
     assert plans.count_shuffles(sig) == 0, plan
-    assert "ArrowEvalPython" in plan, plan
+    assert "MapInPandas" in plan, plan
+    # exactly ONE kernel stage: a filter on a UDF column would split into
+    # two Arrow stages and compute every signature twice
+    assert _n_nodes(plan, "MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
 
 
 def test_ngram_jaccard_registered_with_hot_shingle_cut(spark, sf_dir):
@@ -288,3 +292,84 @@ def test_bounded_sample_sketches_single_shuffle(spark, sf_dir):
         assert "MapInPandas" in plan, plan
         assert plans.count_shuffles(df) == 1, plan
         assert "Window" not in plan, plan
+
+
+def _n_nodes(plan: str, name: str) -> int:
+    """Count physical operators by their tree lines ('+- Op' / ':- Op' /
+    leading 'Op'), robust to formatted-explain printing each node a
+    second time in the details section."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("("):  # details-section header, not a tree line
+            continue
+        if s.lstrip(":+-* ").startswith(name):
+            n += 1
+    return n
+
+
+def test_semdedup_no_pair_fanout(spark, sf_dir):
+    """SemDeDup's in-cluster scoring must be the per-cluster Gram kernel
+    (one output row per vector), NOT a B²-row pair join through the
+    per-pair kernel: one FlatMapGroupsInPandas over the cluster key, and
+    no join after it."""
+    from binlog_spark.queries import sim_semdedup_q
+
+    df = sim_semdedup_q(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # the kernel is the TOP of the plan (children print below it): no
+    # operator consumes its output but the final projection — in
+    # particular no join over B² pair rows
+    head = plan[:plan.index("FlatMapGroupsInPandas")]
+    assert "Join" not in head, plan
+
+    # the bounded-block guard fails fast instead of launching a
+    # quadratic stage on an oversized cluster
+    from binlog_spark.operators.similarity import semdedup_prune
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with pytest.raises(ValueError, match="max_block"):
+        semdedup_prune(emb.select("vec_id", "embedding"), k=2, max_block=5)
+
+
+def test_interval_join_broadcasts_and_prunes(spark, sf_dir):
+    """The batch plan of the stream-stream interval join: filters pushed
+    to both scans, columns pruned, small side broadcast with the time
+    range as the residual condition."""
+    from binlog_spark.queries import join_stream_interval_attrib
+
+    df = join_stream_interval_attrib(spark, sf_dir)
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
+    assert plans.has_pushed_filter(df, "event_type")
+    rs = plans.scan_read_schema(df)
+    assert "props" not in rs, rs  # untouched wide column never read
+
+
+def test_incremental_lsh_signatures_only_new_batch(spark, sf_dir):
+    """Incremental dedup must run the expensive shingle→md5→minhash
+    kernel ONCE (over the new batch only); the stored index is banded
+    as-is. Exactly one ArrowEvalPython stage in the whole plan."""
+    from binlog_spark.operators.dedup import (incremental_lsh_candidates,
+                                              minhash_signature)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    index = minhash_signature(docs.where(F.col("doc_id") % 5 != 0))
+    # materialize the index as storage would hold it (plain columns)
+    stored = spark.createDataFrame(index.collect(), index.schema)
+    out = incremental_lsh_candidates(docs.where(F.col("doc_id") % 5 == 0),
+                                     stored)
+    plan = plans.physical_plan(out)
+    assert _n_nodes(plan, "MapInPandas") == 1, plan
+
+
+def test_bpe_pair_count_is_bounded_fold(spark, sf_dir):
+    """The BPE count plan: one shuffle-free MapInPandas fold emitting
+    per-batch distinct-pair partials, then the tiny groupBy — the
+    KMV/simhash bounded-state idiom."""
+    from binlog_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts = bpe_pair_counts(docs)
+    plan = plans.physical_plan(counts)
+    assert "MapInPandas" in plan, plan
+    assert plans.count_shuffles(counts) == 1, plan  # only the final agg
