@@ -1031,6 +1031,45 @@ def cdc_bootstrap_catchup(spark, sf_dir=None, n_txns: int = 120):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cdc_replay_raw_files(spark, sf_dir=None, n_txns: int = 120):
+    """The offline mysqlbinlog-style entry path: the SAME deterministic
+    world as ``cdc_replay_final_state``, serialized to REAL binlog files
+    (magic + wire events at their recorded offsets), split back into
+    frames by ``sources/binlog_file.py`` from ``binaryFile`` blobs, then
+    replayed — must converge to the same pinned state digest as the
+    parquet-frame path (byte-exact round trip is separately pytest-gated
+    in tests/test_binlog_file_source.py)."""
+    from .sources import binlog_file
+
+    work = tempfile.mkdtemp(prefix="binlog_spark_rawfiles_")
+    try:
+        gen = genlog.CdcWorldGenerator(seed=42, n_repos=20,
+                                       paths_per_repo=30, txns_per_file=50)
+        result = gen.generate(n_txns=n_txns)
+        raw_dir = os.path.join(work, "rawlogs")
+        binlog_file.write_binlog_files(result, raw_dir)
+        lake = LakeTable.create(spark, os.path.join(work, "lake"),
+                                columns=genlog.table_spec().col_names,
+                                key_cols=list(genlog.KEY_COLS), n_buckets=8)
+        frames = binlog_file.read_binlog_files(spark, raw_dir)
+        pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
+                              batch_id=0, record_lineage=False)
+        state = (lake.to_df()
+                 .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+                 .orderBy("repo", "path"))
+        row_str = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in state.columns])
+        out = (state.select(row_str.alias("r"))
+               .agg(F.count("*").alias("n_rows"),
+                    F.sha2(F.concat_ws(
+                        "\n", F.array_sort(F.collect_list("r"))), 256)
+                    .alias("state_sha256")))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def cdc_replay_state_digest(spark, sf_dir=None):
     """Deterministic digest of the replayed final state: row count + one
     sha256 over the sorted canonical row strings. The wire pipeline itself
@@ -1654,6 +1693,7 @@ QUERIES = {
     "cdc_packet_framing": lambda s, d: cdc_packet_framing(s, d),
     "cdc_replay_final_state": lambda s, d: cdc_replay_state_digest(s, d),
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
+    "cdc_replay_raw_files": cdc_replay_raw_files,
     "cdc_replay_lineage": lambda s, d: cdc_replay_lineage(s, d),
 }
 
@@ -1764,5 +1804,7 @@ ORACLES = {
     "cdc_replay_final_state": CDC_REPLAY_STATE_ORACLE,
     # bootstrap + overlapped catch-up must converge to the SAME state
     "cdc_bootstrap_catchup": CDC_REPLAY_STATE_ORACLE,
+    # ...and so must the raw-binlog-file entry path
+    "cdc_replay_raw_files": CDC_REPLAY_STATE_ORACLE,
     "cdc_replay_lineage": CDC_REPLAY_LINEAGE_ORACLE,
 }
