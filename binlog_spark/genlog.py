@@ -165,7 +165,10 @@ class CdcWorldGenerator:
             next_pos = pos + len(frame)
             frame = bytearray(frame)
             struct.pack_into("<I", frame, 13, next_pos & 0xFFFFFFFF)
-            frames.append((file_name, pos, etype, bytes(frame)))
+            # real CRC32 last (it covers the patched header) — generated
+            # streams are integrity-checkable like a server's
+            frames.append((file_name, pos, etype,
+                           E.apply_crc32(bytes(frame))))
             start = pos
             pos = next_pos
             return start, next_pos

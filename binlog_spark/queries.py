@@ -956,6 +956,23 @@ def cdc_packet_framing(spark, sf_dir=None):
             .count().orderBy("blob_id", "status"))
 
 
+def cdc_checksum_audit(spark, sf_dir=None):
+    """Distributed CRC32 integrity scan over a deterministic generated
+    stream (operators/integrity.py) — the generator writes real
+    server-style checksums, so every frame verifies; the corruption-
+    detection half is pytest-gated (tests/test_integrity.py flips bytes
+    in header, payload, and the CRC itself)."""
+    from .operators.integrity import checksum_audit
+
+    gen = genlog.CdcWorldGenerator(seed=7, n_repos=8, paths_per_repo=10,
+                                   txns_per_file=30)
+    result = gen.generate(n_txns=60)
+    df = spark.createDataFrame(
+        [(f, p, et, fr) for f, p, et, fr in result.frames],
+        "file string, pos long, etype int, frame binary")
+    return checksum_audit(df).orderBy("file")
+
+
 def cdc_replay_final_state(spark, sf_dir=None, n_txns: int = 120):
     """Full wire pipeline: generate deterministic binlog frames, decode,
     assemble, fold, MERGE into a fresh lake table; return the final
@@ -1694,6 +1711,7 @@ QUERIES = {
     "cdc_replay_final_state": lambda s, d: cdc_replay_state_digest(s, d),
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_replay_raw_files": cdc_replay_raw_files,
+    "cdc_checksum_audit": cdc_checksum_audit,
     "cdc_replay_lineage": lambda s, d: cdc_replay_lineage(s, d),
 }
 
@@ -1806,5 +1824,11 @@ ORACLES = {
     "cdc_bootstrap_catchup": CDC_REPLAY_STATE_ORACLE,
     # ...and so must the raw-binlog-file entry path
     "cdc_replay_raw_files": CDC_REPLAY_STATE_ORACLE,
+    # generator writes real CRC32s -> pinned all-valid per-file counts
+    "cdc_checksum_audit": """
+SELECT file, CAST(n AS BIGINT) AS n_frames, CAST(n AS BIGINT) AS n_valid,
+       CAST(0 AS BIGINT) AS n_corrupt
+FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
+""",
     "cdc_replay_lineage": CDC_REPLAY_LINEAGE_ORACLE,
 }

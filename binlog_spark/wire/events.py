@@ -93,9 +93,22 @@ def bitmap_get(data, idx: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def apply_crc32(buf: bytes) -> bytes:
+    """Fill the trailing 4-byte checksum slot with the real
+    BINLOG_CHECKSUM_ALG_CRC32 value: ISO-3309 CRC-32 (zlib's polynomial —
+    what the server writes) over everything before the slot. Callers
+    patch header fields (next_position) AFTER ``packetize``, so the CRC
+    is applied last."""
+    import zlib
+    out = bytearray(buf)
+    struct.pack_into("<I", out, len(out) - 4,
+                     zlib.crc32(bytes(out[:-4])) & 0xFFFFFFFF)
+    return bytes(out)
+
+
 def packetize(fmt: BinlogFormat, typ: int, flags: int, data: bytes,
               timestamp: int, server_id: int, log_position: int) -> bytes:
-    """v4 header + payload [+ zeroed CRC32 slot]."""
+    """v4 header + payload [+ zeroed CRC32 slot — see ``apply_crc32``]."""
     length = fmt.header_length + len(data)
     if typ == C.E_FORMAT_DESCRIPTION or fmt.checksum_algorithm == C.CHECKSUM_ALG_CRC32:
         length += 4
