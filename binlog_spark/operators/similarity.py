@@ -559,21 +559,24 @@ def semdedup_prune(df: DataFrame, k: int = 8, threshold: float = 0.99,
     of an O(N²) all-pairs cosine pass, cluster the corpus with k-means and
     compare pairs ONLY within a cluster (semantic duplicates are, by
     definition, near each other, so cross-cluster pairs cannot exceed a
-    high threshold). Keep rule: within each pair above ``threshold`` the
-    larger id is dropped — equivalent to greedy keep-first in id order,
-    deterministic and engine-independent.
+    high threshold). Drop rule: a vector is dropped iff ANY smaller-id
+    vector in its cluster is similar above ``threshold`` (including one
+    that is itself dropped — NOT greedy keep-first, whose kept set can
+    differ on similarity chains). Deterministic and engine-independent;
+    the SQL oracle implements the identical rule.
 
     Physical shape (the 100 TB story):
 
     1. ``kmeans_assign`` — shuffle-free Arrow assignment against broadcast
        centroids (bounded k×dim partial-sum state, see its docstring);
-    2. block-diagonal pair generation shuffled once on ``cluster``
-       (``embedding_near_dup_pairs`` with the cluster as the block) —
-       per-cluster cost is O(B²), and the paper's recipe holds k ∝ N so B
-       stays bounded (they use ~50k clusters for LAION); the ``max_block``
-       guard fails fast instead of silently launching a quadratic stage;
-    3. the dropped-id set joins back to the assignment — it is at most
-       the duplicate count, so AQE broadcasts it.
+    2. ONE shuffle on ``cluster`` into a per-cluster chunked-Gram kernel
+       (``applyInPandas``) emitting exactly one row per vector — compute
+       is O(B²·dim) BLAS per cluster but the data volume never fans out
+       to pair rows; the paper's recipe holds k ∝ N so B stays bounded
+       (they use ~50k clusters for LAION), and the ``max_block`` guard
+       fails fast inside the kernel's own task instead of silently
+       allocating quadratic blocks (a driver-side pre-count would run
+       the whole assignment twice).
 
     Returns one row per input vector: ``(id_col, cluster, dropped)`` with
     ``dropped`` ∈ {0,1}. Exactness: cluster ids replay bit-identically in
@@ -585,16 +588,6 @@ def semdedup_prune(df: DataFrame, k: int = 8, threshold: float = 0.99,
     base = df.select(id_col, vec_col)
     assign = kmeans_assign(base, k=k, col=vec_col).select(id_col, "cluster")
     blocked = base.join(assign, id_col)
-    if max_block is not None:
-        over = (blocked.groupBy("cluster").count()
-                .where(F.col("count") > max_block)
-                .select("cluster", "count").limit(1).collect())
-        if over:
-            raise ValueError(
-                f"semdedup_prune: cluster {over[0][0]} has {over[0][1]} "
-                f"vectors (> max_block={max_block}); raise k so clusters "
-                "stay bounded (the paper holds k ∝ N), or pass "
-                "max_block=None to force the quadratic pass")
 
     # In-cluster scoring as ONE chunked Gram matmul per cluster instead of
     # a B² pair-row fan-out through the per-pair kernel: the kernel emits
@@ -607,6 +600,16 @@ def semdedup_prune(df: DataFrame, k: int = 8, threshold: float = 0.99,
     chunk = 256  # bounds kernel memory at chunk x B doubles per block
 
     def _cluster_prune(pdf):
+        # guard INSIDE the kernel: a driver-side pre-count would execute
+        # the whole kmeans assignment + join a second time (the guard job
+        # is not cached) — here the oversized cluster fails fast in its
+        # own task before allocating the Gram blocks, at zero extra jobs
+        if max_block is not None and len(pdf) > max_block:
+            raise ValueError(
+                f"semdedup_prune: cluster {int(pdf['cluster'].iloc[0])} "
+                f"has {len(pdf)} vectors (> max_block={max_block}); raise "
+                "k so clusters stay bounded (the paper holds k ∝ N), or "
+                "pass max_block=None to force the quadratic pass")
         pdf = pdf.sort_values(id_col, kind="mergesort")
         X = np.vstack([np.asarray(v, dtype=np.float64)
                        for v in pdf[vec_col]])

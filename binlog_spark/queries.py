@@ -1032,17 +1032,7 @@ def cdc_bootstrap_catchup(spark, sf_dir=None, n_txns: int = 120):
         pipeline.replay_batch(spark, frames, lake, registry,
                               batch_id=1, record_lineage=False)
 
-        state = (lake.to_df()
-                 .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-                 .orderBy("repo", "path"))
-        row_str = F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in state.columns])
-        out = (state.select(row_str.alias("r"))
-               .agg(F.count("*").alias("n_rows"),
-                    F.sha2(F.concat_ws(
-                        "\n", F.array_sort(F.collect_list("r"))), 256)
-                    .alias("state_sha256")))
+        out = _lake_state_digest(lake)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1071,20 +1061,34 @@ def cdc_replay_raw_files(spark, sf_dir=None, n_txns: int = 120):
         frames = binlog_file.read_binlog_files(spark, raw_dir)
         pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
                               batch_id=0, record_lineage=False)
-        state = (lake.to_df()
-                 .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-                 .orderBy("repo", "path"))
-        row_str = F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in state.columns])
-        out = (state.select(row_str.alias("r"))
-               .agg(F.count("*").alias("n_rows"),
-                    F.sha2(F.concat_ws(
-                        "\n", F.array_sort(F.collect_list("r"))), 256)
-                    .alias("state_sha256")))
+        out = _lake_state_digest(lake)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _lake_state_digest(lake):
+    """The canonical state digest the three pinned-oracle CDC queries
+    share: per-row content sha256 parity column, rows serialized with
+    the \\x1f/\\x00 separators, count + one sha256 over the sorted set.
+    All three (straight replay, bootstrap+catch-up, raw-file replay)
+    must keep computing EXACTLY this to stay equal to the same pinned
+    literal."""
+    state = (lake.to_df()
+             .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+             .orderBy("repo", "path"))
+    return _state_digest(state)
+
+
+def _state_digest(state):
+    row_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in state.columns])
+    return (state.select(row_str.alias("r"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sha2(F.concat_ws(
+                     "\n", F.array_sort(F.collect_list("r"))), 256)
+                 .alias("state_sha256")))
 
 
 def cdc_replay_state_digest(spark, sf_dir=None):
@@ -1095,15 +1099,7 @@ def cdc_replay_state_digest(spark, sf_dir=None):
     of a rows-only check. (``collect_list`` into one reduce is fine here:
     this is a fixed-size verification query, not a scale path — at scale
     the same digest would be computed per-bucket then combined.)"""
-    state = cdc_replay_final_state(spark, sf_dir)
-    row_str = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                  for c in state.columns])
-    return (state.select(row_str.alias("r"))
-            .agg(F.count("*").alias("n_rows"),
-                 F.sha2(F.concat_ws(
-                     "\n", F.array_sort(F.collect_list("r"))), 256)
-                 .alias("state_sha256")))
+    return _state_digest(cdc_replay_final_state(spark, sf_dir))
 
 
 def cdc_replay_lineage(spark, sf_dir=None, n_txns: int = 80):

@@ -5,22 +5,24 @@ The engine already covers the two classic state mechanisms — built-in
 watermarked windows (`windows.py`, incl. ``session_window``) and
 ``applyInPandasWithState`` (`stateful.py`). This module exercises the
 third, modern surface (Spark 4's ``transformWithStateInPandas``): typed
-value state plus EVENT-TIME TIMERS, which the older API cannot express —
-a session here closes exactly when the watermark passes its last event
+state plus EVENT-TIME TIMERS, which the older API cannot express — a
+session here closes exactly when the watermark passes its last event
 plus the gap, with no per-batch polling of every key.
 
-Operator: per-key activity sessions over a change/event feed (e.g. "a
-repo's burst of commits") — each closed session emits one summary row.
+Because data may arrive out of order (anything newer than the watermark
+is admissible), a key holds a LIST of open candidate sessions: an event
+landing between two of them can merge them, and only the watermark —
+via the timer — proves a session can never grow again and may close.
+The merge/expiry logic is pure (``merge_sessions`` / ``split_expired``)
+and unit-tested without Spark; the processor is a thin shell around it
+(the end-to-end streaming run additionally needs ``google.protobuf``,
+which this sandbox does not ship — tests/test_streaming_sessions.py
+skips the e2e case there and always runs the pure-logic cases).
 
-ENVIRONMENT NOTE: executing a transformWithState query requires
-``google.protobuf`` (PySpark's state-server protocol), which this
-sandbox does not ship — tests/test_streaming_sessions.py skips itself
-when the import is missing and runs the full timer/close contract when
-it is present. The module itself imports and builds plans without it.
 At scale state is sharded by key across the state store; per-key state
-is O(1) (start, last, count) and each key holds at most ONE registered
-timer, so state ∝ distinct ACTIVE keys, and idle keys are evicted by
-their own timer rather than by a scan.
+is O(open sessions) — bounded by the watermark horizon over the gap —
+and each key holds ONE registered timer (earliest candidate close), so
+idle keys are evicted by their own timer rather than by a scan.
 """
 
 from __future__ import annotations
@@ -37,45 +39,80 @@ OUT_SCHEMA = ("k string, session_start_ms long, session_end_ms long, "
               "n_events long")
 
 
-class _SessionProcessor(StatefulProcessor):
-    """State: (start_ms, last_ms, n). One event-time timer per key at
-    last_ms + gap; firing closes and emits the session."""
+def merge_sessions(sessions: list, event_ms: list, gap_ms: int) -> list:
+    """Fold event timestamps into a sorted list of disjoint sessions
+    ``(start_ms, last_ms, n)`` where any two sessions are separated by
+    MORE than ``gap_ms``; an event within ``gap_ms`` of two neighbors
+    bridges them into one. Pure function — unit-tested directly."""
+    out = list(sessions)
+    for t in sorted(event_ms):
+        t = int(t)
+        merged = (t, t, 1)
+        keep = []
+        for s in out:
+            if s[0] - gap_ms <= merged[1] and merged[0] - gap_ms <= s[1]:
+                merged = (min(merged[0], s[0]), max(merged[1], s[1]),
+                          merged[2] + s[2])
+            else:
+                keep.append(s)
+        keep.append(merged)
+        out = sorted(keep)
+    return out
 
+
+def split_expired(sessions: list, watermark_ms: int, gap_ms: int):
+    """(closed, still_open): a session is provably complete once the
+    watermark passed STRICTLY beyond ``last + gap`` — an event at
+    exactly ``last + gap`` still merges (see ``merge_sessions``) and an
+    event at exactly the watermark is still admissible. Pure function —
+    unit-tested directly."""
+    closed = [s for s in sessions if s[1] + gap_ms < watermark_ms]
+    return closed, [s for s in sessions if s[1] + gap_ms >= watermark_ms]
+
+
+class _SessionProcessor(StatefulProcessor):
     def __init__(self, gap_ms: int):
         self._gap_ms = gap_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        self._state = handle.getValueState(
-            "sess", "start_ms long, last_ms long, n long")
+        self._state = handle.getListState(
+            "sessions", "start_ms long, last_ms long, n long")
+
+    def _load(self):
+        return sorted(tuple(r) for r in self._state.get())
+
+    def _store(self, sessions):
+        self._state.clear()
+        if sessions:
+            self._state.appendList([tuple(s) for s in sessions])
 
     def handleInputRows(self, key, rows, timerValues):
-        lo, hi, n = None, None, 0
+        events = []
         for pdf in rows:
-            ms = (pdf["ts"].astype("int64") // 1_000_000)
-            lo = min(lo, int(ms.min())) if lo is not None else int(ms.min())
-            hi = max(hi, int(ms.max())) if hi is not None else int(ms.max())
-            n += len(pdf)
-        if n == 0:
+            events.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        if not events:
             return iter(())
-        if self._state.exists():
-            start, last, prev_n = self._state.get()
-            self._handle.deleteTimer(last + self._gap_ms)
-            start, last, n = min(start, lo), max(last, hi), prev_n + n
-        else:
-            start, last = lo, hi
-        self._state.update((start, last, n))
-        self._handle.registerTimer(last + self._gap_ms)
+        sessions = merge_sessions(self._load(), events, self._gap_ms)
+        self._store(sessions)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        # +1: the close test is strict (an event AT last+gap still merges)
+        self._handle.registerTimer(sessions[0][1] + self._gap_ms + 1)
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if not self._state.exists():
-            return iter(())
-        start, last, n = self._state.get()
-        self._state.clear()
-        yield pd.DataFrame(
-            {"k": [key[0]], "session_start_ms": [start],
-             "session_end_ms": [last], "n_events": [n]})
+        closed, open_ = split_expired(
+            self._load(), expiredTimerInfo.getExpiryTimeInMs(), self._gap_ms)
+        self._store(open_)
+        if open_:
+            self._handle.registerTimer(open_[0][1] + self._gap_ms + 1)
+        if closed:
+            yield pd.DataFrame(
+                {"k": [key[0]] * len(closed),
+                 "session_start_ms": [s[0] for s in closed],
+                 "session_end_ms": [s[1] for s in closed],
+                 "n_events": [s[2] for s in closed]})
 
     def close(self) -> None:
         pass
@@ -84,10 +121,10 @@ class _SessionProcessor(StatefulProcessor):
 def activity_sessions(stream: DataFrame, key_col: str = "k",
                       ts_col: str = "ts", gap: str = "30 minutes",
                       watermark: str = "0 seconds") -> DataFrame:
-    """Per-key event-time sessions: a session is a run of events where
-    consecutive gaps stay under ``gap``; it closes (and emits its summary
-    row) when the watermark passes ``last_event + gap``."""
-    gap_ms = _duration_ms(gap)
+    """Per-key event-time sessions: a session is a maximal run of events
+    where consecutive gaps stay at or under ``gap``; it closes (and emits
+    its summary row) when the watermark passes ``last_event + gap``."""
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
     src = (stream
            .select(F.col(key_col).alias("k"), F.col(ts_col).alias("ts"))
            .withWatermark("ts", watermark))
@@ -95,11 +132,3 @@ def activity_sessions(stream: DataFrame, key_col: str = "k",
             .transformWithStateInPandas(
                 _SessionProcessor(gap_ms), OUT_SCHEMA,
                 "append", "eventTime"))
-
-
-def _duration_ms(s: str) -> int:
-    n, unit = s.split()
-    mult = {"second": 1_000, "seconds": 1_000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000}[unit]
-    return int(n) * mult

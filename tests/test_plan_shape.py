@@ -324,12 +324,15 @@ def test_semdedup_no_pair_fanout(spark, sf_dir):
     head = plan[:plan.index("FlatMapGroupsInPandas")]
     assert "Join" not in head, plan
 
-    # the bounded-block guard fails fast instead of launching a
-    # quadratic stage on an oversized cluster
+    # the bounded-block guard fails fast in the kernel's own task (a
+    # driver-side pre-count would execute the assignment twice) instead
+    # of allocating quadratic Gram blocks on an oversized cluster
     from binlog_spark.operators.similarity import semdedup_prune
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    with pytest.raises(ValueError, match="max_block"):
-        semdedup_prune(emb.select("vec_id", "embedding"), k=2, max_block=5)
+    guarded = semdedup_prune(emb.select("vec_id", "embedding"),
+                             k=2, max_block=5)
+    with pytest.raises(Exception, match="max_block"):
+        guarded.count()
 
 
 def test_interval_join_broadcasts_and_prunes(spark, sf_dir):

@@ -1,7 +1,11 @@
-"""transformWithStateInPandas sessions (streaming/sessions.py): sessions
-accumulate across microbatches, close via their EVENT-TIME TIMER when the
-watermark passes last_event + gap, and a still-open session emits
-nothing — the Spark 4 arbitrary-state surface."""
+"""transformWithStateInPandas sessions (streaming/sessions.py).
+
+The merge/expiry core is pure and tested directly (runs everywhere);
+the end-to-end streaming run — state carried across microbatches,
+timer-driven close, open sessions emitting nothing — additionally needs
+``google.protobuf`` (PySpark's state-server protocol), which this
+sandbox does not ship, so that case skips itself here and runs where
+the dependency exists."""
 
 import os
 import sys
@@ -13,18 +17,67 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the transformWithState state-server protocol needs protobuf, which this
-# sandbox does not ship; the contract test runs wherever it is present
-pytest.importorskip(
-    "google.protobuf.descriptor",
-    reason="transformWithStateInPandas needs google.protobuf at runtime")
-
-from binlog_spark.streaming.sessions import activity_sessions  # noqa: E402
+from binlog_spark.streaming.sessions import (  # noqa: E402
+    activity_sessions,
+    merge_sessions,
+    split_expired,
+)
 
 T0 = 1_700_000_000_000_000  # us
 MIN = 60 * 1_000_000
+GAP = 30 * 60 * 1000  # 30 min in ms
 
 
+def ms(us):
+    return us // 1000
+
+
+# ---------------------------------------------------------------- pure logic
+def test_merge_splits_on_gap():
+    # two events farther apart than the gap stay two sessions — even when
+    # they arrive in the same batch (the bug a naive min/max merge has)
+    got = merge_sessions([], [ms(T0), ms(T0 + 100 * MIN)], GAP)
+    assert got == [(ms(T0), ms(T0), 1),
+                   (ms(T0 + 100 * MIN), ms(T0 + 100 * MIN), 1)]
+
+
+def test_merge_within_gap_and_against_state():
+    st = merge_sessions([], [ms(T0)], GAP)
+    st = merge_sessions(st, [ms(T0 + 10 * MIN)], GAP)
+    assert st == [(ms(T0), ms(T0 + 10 * MIN), 2)]
+    # exactly at the gap boundary still merges (<=)
+    st2 = merge_sessions(st, [ms(T0 + 40 * MIN)], GAP)
+    assert st2 == [(ms(T0), ms(T0 + 40 * MIN), 3)]
+
+
+def test_late_event_bridges_two_sessions():
+    # out-of-order arrival between two open sessions fuses them when it
+    # is within the gap of BOTH (25min to each side, gap 30min)...
+    st = merge_sessions([], [ms(T0), ms(T0 + 50 * MIN)], GAP)
+    assert len(st) == 2
+    st = merge_sessions(st, [ms(T0 + 25 * MIN)], GAP)
+    assert st == [(ms(T0), ms(T0 + 50 * MIN), 3)]
+    # ...but an event farther than the gap from both bridges nothing
+    st2 = merge_sessions([], [ms(T0), ms(T0 + 100 * MIN)], GAP)
+    st2 = merge_sessions(st2, [ms(T0 + 50 * MIN)], GAP)
+    assert len(st2) == 3
+
+
+def test_split_expired_closes_only_provably_complete():
+    st = merge_sessions([], [ms(T0), ms(T0 + 100 * MIN)], GAP)
+    closed, open_ = split_expired(st, ms(T0 + 100 * MIN), GAP)
+    assert closed == [(ms(T0), ms(T0), 1)]
+    assert open_ == [(ms(T0 + 100 * MIN), ms(T0 + 100 * MIN), 1)]
+    closed2, open2 = split_expired(open_, ms(T0 + 131 * MIN), GAP)
+    assert closed2 == open_ and open2 == []
+
+
+def test_multiplicity_preserved():
+    st = merge_sessions([], [ms(T0)] * 5, GAP)
+    assert st == [(ms(T0), ms(T0), 5)]
+
+
+# ----------------------------------------------------------------- streaming
 def _write(d, name, rows, mtime):
     table = pa.table(
         {"k": [r[0] for r in rows],
@@ -35,6 +88,9 @@ def _write(d, name, rows, mtime):
 
 
 def test_sessions_close_on_event_time_timer(spark, tmp_path):
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs google.protobuf at runtime")
     watch = str(tmp_path / "in")
     os.makedirs(watch)
     now = time.time()
