@@ -75,7 +75,14 @@ def read_binlog_files(spark: SparkSession, path: str) -> DataFrame:
     """Directory (or glob) of raw binlog files → FRAME rows, ready for
     ``pipeline.replay_batch`` / the streaming source — the offline
     equivalent of the dump-protocol client."""
-    raw = spark.read.format("binaryFile").load(path)
+    return frames_from_binary_df(spark.read.format("binaryFile").load(path))
+
+
+def frames_from_binary_df(raw: DataFrame) -> DataFrame:
+    """``binaryFile``-shaped rows (path, content) → FRAME rows. Shared by
+    the batch reader and the streaming archive tail (each microbatch of
+    ``readStream.format("binaryFile")`` passes through here inside
+    ``foreachBatch``)."""
 
     def _split(batches):
         for pdf in batches:

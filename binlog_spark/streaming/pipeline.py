@@ -238,3 +238,50 @@ def run_stream_multi(spark: SparkSession, frames_dir: str, lake_paths: dict,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_raw(spark: SparkSession, raw_dir: str, lake_path: str,
+                   registry: dict, checkpoint_dir: str,
+                   max_files_per_trigger: int = 1):
+    """Live ingestion of a GROWING raw-binlog archive directory — the
+    deployment where the server (or a copy job) keeps dropping completed
+    ``binlog.NNNNNN`` files into object storage and the engine tails the
+    directory: ``readStream.format("binaryFile")`` discovers new files
+    via the checkpointed file index, each microbatch's blobs split into
+    frames by the shared header-chain kernel
+    (``sources/binlog_file.frames_from_binary_df``), then the exact
+    batch apply. Resume contract is identical to ``run_stream``:
+    checkpointed source offsets + the lake's batch-id / GTID guards make
+    a re-delivered microbatch a no-op.
+
+    One binlog file is bounded by ``max_binlog_size`` (1 GiB default),
+    so whole-file blobs are a safe executor-memory unit; keep
+    ``max_files_per_trigger`` small to bound microbatch memory."""
+    from ..sources.binlog_file import frames_from_binary_df
+
+    store = _MetaStore(os.path.join(checkpoint_dir, "table_map_cache.json"))
+
+    def apply_batch(batch_df, batch_id: int):
+        frames = frames_from_binary_df(batch_df)
+        lake = LakeTable(spark, lake_path)
+        meta = _merge_meta(store.load(), discover_stream_meta(frames))
+        store.save(meta)
+        replay_batch(spark, frames, lake, registry,
+                     batch_id=f"raw-{batch_id}", record_lineage=True,
+                     stream_meta=meta)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # the file streaming source requires an explicit schema; this is
+        # binaryFile's fixed one
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

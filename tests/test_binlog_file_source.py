@@ -60,3 +60,50 @@ def test_replay_from_raw_files_matches_generator(spark, world, tmp_path):
             hashlib.sha256(row["content"].encode()).hexdigest()
             for (repo, path), row in result.final_state.items()}
     assert got == want
+
+
+def test_streaming_tail_of_growing_archive(spark, tmp_path):
+    """run_stream_raw: tail a growing raw-binlog directory across two
+    availableNow passes sharing one checkpoint — the second pass applies
+    ONLY the newly arrived file, and the final state matches the
+    generator's."""
+    from binlog_spark.streaming.pipeline import run_stream_raw
+
+    gen = genlog.CdcWorldGenerator(seed=37, n_repos=10, paths_per_repo=12,
+                                   txns_per_file=40)
+    result = gen.generate(n_txns=80)
+    staged = str(tmp_path / "staged")
+    binlog_file.write_binlog_files(result, staged)
+    names = sorted(os.listdir(staged))
+    assert len(names) >= 2
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    lake = LakeTable.create(spark, str(tmp_path / "lake_tail"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+
+    # first file arrives; pass 1 consumes it
+    os.link(os.path.join(staged, names[0]), os.path.join(live, names[0]))
+    run_stream_raw(spark, live, lake.path, genlog.table_registry(),
+                   ckpt).awaitTermination()
+    lake = LakeTable(spark, lake.path)  # reload manifest committed by the stream
+    applied_after_first = list(lake.meta["applied_batches"])
+    assert applied_after_first
+
+    # the rest arrive; pass 2 (same checkpoint) applies only the new ones
+    for n in names[1:]:
+        os.link(os.path.join(staged, n), os.path.join(live, n))
+    run_stream_raw(spark, live, lake.path, genlog.table_registry(),
+                   ckpt).awaitTermination()
+    lake = LakeTable(spark, lake.path)
+    assert len(lake.meta["applied_batches"]) > len(applied_after_first)
+
+    got = {(r["repo"], r["path"]):
+           hashlib.sha256(r["content"].encode()).hexdigest()
+           for r in lake.to_df().collect()}
+    want = {(repo, path):
+            hashlib.sha256(row["content"].encode()).hexdigest()
+            for (repo, path), row in result.final_state.items()}
+    assert got == want
