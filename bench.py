@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_scrub",
     "text_decontaminate",
+    "text_char_entropy",
     "tok_bpe_top_pairs",
     "sim_kmeans_assign",
     "sim_semdedup",

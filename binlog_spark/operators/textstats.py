@@ -421,3 +421,96 @@ SELECT doc_id,
        CAST(length(sc) AS INT) AS n_chars_scrubbed
 FROM scrubbed
 """
+
+
+# --------------------------------------------------------------- entropy
+_QLOG_SCALE = 1 << 20
+
+
+def _qlog(max_len: int):
+    """floor(log2(c) * 2^20) for c in 1..max_len — the shared quantized
+    log table that makes character entropy INTEGER-EXACT across engines.
+    A float sum of p·log2 p would drift between numpy's and DuckDB's
+    libm in the last ulp and can flip a 6-dp rounding; with the shared
+    table the per-doc statistic is pure int64 arithmetic on both sides
+    and only ONE final division happens (same two ints → same double)."""
+    import numpy as np
+    return np.floor(
+        np.log2(np.arange(1, max_len + 1, dtype=np.float64))
+        * _QLOG_SCALE).astype(np.int64)
+
+
+def char_entropy(df: DataFrame, col: str = "text",
+                 max_len: int = 4096) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    gibberish / repetition / encoding-junk signal (low entropy = repeated
+    characters or tiny alphabets; high = random bytes). Quantized:
+    H ≈ (n·Q(n) − Σ m·Q(m)) / (n·2^20), Q = ``_qlog`` — exact int64 on
+    both engines. Per-batch Arrow kernel (np.unique over the UTF-32
+    codepoint array, no per-char Python); docs longer than ``max_len``
+    extend the table locally with the identical formula (the SQL oracle
+    is generated at a table size covering the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    Q = _qlog(max_len)
+
+    def fold(batches):
+        q = Q
+        for pdf in batches:
+            ids, ns, ks, qsums = [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[col]):
+                codes = np.frombuffer((t or "").encode("utf-32-le"),
+                                      dtype=np.uint32)
+                n = len(codes)
+                if n > len(q):
+                    q = _qlog(n)
+                if n == 0:
+                    row = (0, 0, 0)
+                else:
+                    _, m = np.unique(codes, return_counts=True)
+                    m = m.astype(np.int64)
+                    row = (n, len(m),
+                           int(n * q[n - 1] - int((m * q[m - 1]).sum())))
+                ids.append(doc_id)
+                ns.append(row[0])
+                ks.append(row[1])
+                qsums.append(row[2])
+            yield pd.DataFrame({"doc_id": ids, "n_chars": ns,
+                                "n_distinct": ks, "qsum": qsums})
+
+    part = df.select("doc_id", col).mapInPandas(
+        fold, "doc_id long, n_chars long, n_distinct long, qsum long")
+    # one JVM-side division + round (HALF_UP, same as DuckDB for
+    # non-negative values) — never Python round (banker's)
+    return part.select(
+        "doc_id", "n_chars", "n_distinct",
+        F.when(F.col("n_chars") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("qsum")
+                           / (F.col("n_chars") * float(_QLOG_SCALE)), 6))
+        .alias("entropy_bits"))
+
+
+def char_entropy_sql(table: str = "documents", max_len: int = 4096) -> str:
+    lits = ", ".join(str(int(v)) for v in _qlog(max_len))
+    return f"""
+WITH qlog(t) AS (SELECT [{lits}]),
+ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM {table} WHERE len(text) > 0
+), cnt AS (SELECT doc_id, c, count(*) AS m FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt.m) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(cnt.m * q.t[cnt.m]) AS BIGINT) AS sq
+  FROM cnt, qlog q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.k, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+            ELSE round((a.n * q.t[a.n] - a.sq)
+                       / (a.n * {float(_QLOG_SCALE)}), 6) END
+           AS entropy_bits
+FROM {table} d LEFT JOIN agg a USING (doc_id), qlog q
+"""

@@ -1691,6 +1691,8 @@ QUERIES = {
         _t(s, d, "documents")),
     "text_decontaminate": lambda s, d: dedup.decontaminate(
         _t(s, d, "documents")),
+    "text_char_entropy": lambda s, d: textstats.char_entropy(
+        _t(s, d, "documents")),
     "dedup_exact_substr_spans": lambda s, d: dedup.dup_spans(
         _t(s, d, "documents")),
     "tok_bpe_top_pairs": lambda s, d: tokenizer.bpe_top_pairs(
@@ -1806,6 +1808,7 @@ ORACLES = {
     "text_repetition": textstats.repetition_sql(),
     "text_pii_scrub": textstats.pii_scrub_sql(),
     "text_decontaminate": dedup.decontaminate_sql(),
+    "text_char_entropy": textstats.char_entropy_sql(),
     "dedup_exact_substr_spans": dedup.dup_spans_sql(),
     "tok_bpe_top_pairs": tokenizer.bpe_top_pairs_sql(),
     "dedup_incremental_lsh": (
