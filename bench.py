@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "join_range_value_bands",
     "sample_stratified_docs",
     "sample_weighted_docs",
+    "sample_source_cap",
     "mix_source_weights",
     "pack_sequences_docs",
     "rollup_incremental_events",

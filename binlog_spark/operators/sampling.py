@@ -185,3 +185,46 @@ SELECT {group_col}, CAST(sample_rank AS BIGINT) AS sample_rank,
        {id_col}, {weight_col}
 FROM ranked WHERE sample_rank <= {k}
 """
+
+
+def source_cap(df: DataFrame, cap: int = 10, group_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Domain-balanced capping: keep at most ``cap`` documents per
+    source, chosen DETERMINISTICALLY by md5(id) order — the standard
+    web-corpus balancing step ("no domain contributes more than N"),
+    immune to input order and parallelism.
+
+    Same scale shape as ``weighted_sample``: the bounded per-partition
+    fold keeps ≤ cap candidates per domain (state = domains × cap), so a
+    hot domain never funnels its full posting into one task the way a
+    row_number window would — the shuffle carries n_partitions × cap
+    rows per domain and the final merge re-sorts that bounded set."""
+    from .folds import bounded_group_topk
+
+    slim = df.select(F.col(group_col).alias("g"),
+                     F.md5(F.col(id_col).cast("string")).alias("h"),
+                     F.col(id_col).alias("i"))
+    partial = bounded_group_topk(slim, "g", ["h", "i"], cap,
+                                 "g string, h string, i long")
+    merged = partial.groupBy("g").agg(
+        F.slice(F.sort_array(F.collect_list(F.struct("h", "i"))),
+                1, cap).alias("top"))
+    ex = merged.select("g", F.posexplode("top").alias("pos", "r"))
+    return ex.select(F.col("g").alias(group_col),
+                     (F.col("pos") + 1).cast("long").alias("cap_rank"),
+                     F.col("r.i").alias(id_col))
+
+
+def source_cap_sql(cap: int = 10, table: str = "documents",
+                   group_col: str = "source",
+                   id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {group_col}, CAST(rn AS BIGINT) AS cap_rank, {id_col}
+FROM (
+  SELECT {group_col}, {id_col},
+         row_number() OVER (
+             PARTITION BY {group_col}
+             ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn
+  FROM {table})
+WHERE rn <= {cap}
+"""

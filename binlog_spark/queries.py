@@ -1670,6 +1670,8 @@ QUERIES = {
     "mix_source_weights": mix_source_weights,
     "pack_sequences_docs": pack_sequences_docs,
     "sample_weighted_docs": sample_weighted_docs,
+    "sample_source_cap": lambda s, d: sampling.source_cap(
+        _t(s, d, "documents")),
     # similarity search
     "sim_cosine_topk": sim_cosine_topk_q,
     "sim_embedding_near_dup": sim_embedding_near_dup_q,
@@ -1792,6 +1794,7 @@ ORACLES = {
     "mix_source_weights": sampling.mixture_weights_sql(),
     "pack_sequences_docs": sampling.pack_sequences_sql(),
     "sample_weighted_docs": sampling.weighted_sample_sql(),
+    "sample_source_cap": sampling.source_cap_sql(),
     "sim_cosine_topk": similarity.cosine_topk_sql(n_queries=5, k=10),
     "sim_embedding_near_dup": similarity.embedding_near_dup_pairs_sql(
         threshold=0.4),

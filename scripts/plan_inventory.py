@@ -7,7 +7,7 @@ This is the machine-readable counterpart of tests/test_plan_shape.py:
 the test suite pins the load-bearing plan properties; this inventory
 shows the whole surface at a glance so a reviewer can spot a regression
 (an unexpected exchange, a Python stage in a JVM-only query) without
-re-deriving 73 plans by hand.
+re-deriving 74 plans by hand.
 """
 
 import os
