@@ -309,6 +309,11 @@ def decode_group(group: _Group, buf, mv, pos_np, next_np, ts_np, file_col,
         ident_vals = []
         if ip is not None and sel.size:
             ident_vals, scur = _wave_cells(buf, scur + ip.null_nb, ip)
+            # bounds sanity: a cursor past body_end means the frame was
+            # mis-sized or corrupt — divert the WHOLE group to the scalar
+            # kernel (caller catches) instead of emitting garbage rows
+            if np.any(scur > end[sel]):
+                raise ValueError("wave overran rows-event body")
 
         # ---- data image
         if dp is not None and sel.size:
@@ -325,6 +330,8 @@ def decode_group(group: _Group, buf, mv, pos_np, next_np, ts_np, file_col,
             data_vals = []
             if sel.size:
                 data_vals, scur = _wave_cells(buf, scur + dp.null_nb, dp)
+                if np.any(scur > end[sel]):
+                    raise ValueError("wave overran rows-event body")
         else:
             ok2 = None
             div2 = np.empty(0, np.int64)
@@ -435,7 +442,6 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
         ts_np[hdr_ok] |= buf[hs + b].astype(np.int64) << sh
     valid = hdr_ok & (evlen == flen)
 
-    crc = 4 if fmt.checksum_algorithm == C.CHECKSUM_ALG_CRC32 else 0
     rows_mask = valid & np.isin(etype_np, list(C.ROWS_EVENT_TYPES))
 
     scalar_idx = []   # batch rows for the scalar sub-decode
@@ -456,6 +462,15 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
     # re-parsed; overlay-added keys track their own version evolution.
     overlay_keys = caches.setdefault("overlay_keys", set())
     interned = caches.setdefault("interned", {})
+    # per-frame checksum width: a FORMAT_DESCRIPTION inside this batch
+    # switches the algorithm for every frame AFTER it (frames arrive
+    # partition-ordered by (file, pos) and FD is the first event of its
+    # file), so the width used to size each ROWS body must track the
+    # switch points — a single batch-entry value mis-sizes every rows
+    # frame between the batch start and a mid-batch FD (r3 ADVICE:
+    # stale crc under INLINE_DISCOVERY dropped/invented tail rows)
+    fd_switches: list[tuple[int, int]] = []
+    alg_at_entry = fmt.checksum_algorithm
     tm_mask = valid & ((etype_np == C.E_TABLE_MAP)
                        | (etype_np == C.E_FORMAT_DESCRIPTION))
     for i in np.nonzero(tm_mask)[0].tolist():
@@ -463,6 +478,7 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
         frame = bytes(mv[fs : fs + int(flen[i])])
         if int(etype_np[i]) == C.E_FORMAT_DESCRIPTION:
             alg = E.parse_format_description(frame).checksum_algorithm
+            fd_switches.append((i, alg))
             if alg != fmt.checksum_algorithm:
                 fmt.checksum_algorithm = alg
             continue
@@ -493,6 +509,13 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
             vers.sort(key=lambda v: v[0])
             tmap_keys[key] = [v[0] for v in vers]
         overlay_keys.add(key)
+
+    def _crc_w(alg):
+        return 4 if alg == C.CHECKSUM_ALG_CRC32 else 0
+
+    crc_np = np.full(n, _crc_w(alg_at_entry), np.int64)
+    for i, alg in fd_switches:
+        crc_np[i:] = _crc_w(alg)
 
     for i in np.nonzero(rows_mask)[0].tolist():
         etype = int(etype_np[i])
@@ -568,7 +591,7 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
             continue
         group.bidx.append(i)
         group.row_start.append(p)
-        group.body_end.append(fs + int(flen[i]) - crc)
+        group.body_end.append(fs + int(flen[i]) - int(crc_np[i]))
         group.frame_off.append(fs)
 
     # ---- markers, vectorized: GTID (both flavors) and XID rows have a

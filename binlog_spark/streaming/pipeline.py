@@ -260,8 +260,17 @@ def run_stream_raw(spark: SparkSession, raw_dir: str, lake_path: str,
     from ..sources.binlog_file import frames_from_binary_df
 
     store = _MetaStore(os.path.join(checkpoint_dir, "table_map_cache.json"))
+    # binaryFile lists new files by MODIFICATION TIME, same as the parquet
+    # source — an mtime-scrambled archive (copies/restores/parallel
+    # writers) must fail loudly before the lake GTID watermark advances
+    # past an unapplied earlier file (see _FileOrderGuard)
+    guard = _FileOrderGuard(
+        os.path.join(checkpoint_dir, "file_order_hwm.json"))
 
     def apply_batch(batch_df, batch_id: int):
+        names = [os.path.basename(r["path"]) for r in
+                 batch_df.select("path").collect()]
+        guard.check_and_advance(names, batch_id)
         frames = frames_from_binary_df(batch_df)
         lake = LakeTable(spark, lake_path)
         meta = _merge_meta(store.load(), discover_stream_meta(frames))

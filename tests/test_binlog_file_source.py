@@ -62,6 +62,49 @@ def test_replay_from_raw_files_matches_generator(spark, world, tmp_path):
     assert got == want
 
 
+def test_raw_tail_rejects_mtime_scrambled_archive(spark, tmp_path):
+    """r3 ADVICE regression: binaryFile orders new files by mtime, so a
+    scrambled archive (copies/restores/parallel writers) would apply a
+    later-named binlog first and silently drop the earlier file's changes
+    past the advanced GTID watermark. run_stream_raw must fail the batch
+    LOUDLY (offsets uncommitted) via the same _FileOrderGuard as
+    run_stream."""
+    import time
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from binlog_spark.streaming.pipeline import run_stream_raw
+
+    gen = genlog.CdcWorldGenerator(seed=41, n_repos=8, paths_per_repo=10,
+                                   txns_per_file=30)
+    result = gen.generate(n_txns=70)
+    live = str(tmp_path / "live_scrambled")
+    binlog_file.write_binlog_files(result, live)
+    names = sorted(os.listdir(live))
+    assert len(names) >= 2
+    # newest names get the OLDEST mtimes → the mtime-ordered source
+    # delivers the later-named file in an earlier microbatch
+    now = time.time()
+    for i, n in enumerate(reversed(names)):
+        ts = now - 3600 + i
+        os.utime(os.path.join(live, n), (ts, ts))
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_scrambled"),
+                            columns=genlog.table_spec().col_names,
+                            key_cols=list(genlog.KEY_COLS), n_buckets=4)
+    q = run_stream_raw(spark, live, lake.path, genlog.table_registry(),
+                       str(tmp_path / "ckpt_scrambled"))
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="file order violation"):
+        q.awaitTermination()
+    # the guard fired on the out-of-order batch BEFORE its lake state
+    # moved: only the first (clean) microbatch is recorded, the stream
+    # halts loudly instead of silently dropping the earlier file
+    lake = LakeTable(spark, lake.path)
+    assert lake.meta["applied_batches"] == ["raw-0"]
+
+
 def test_streaming_tail_of_growing_archive(spark, tmp_path):
     """run_stream_raw: tail a growing raw-binlog directory across two
     availableNow passes sharing one checkpoint — the second pass applies

@@ -25,6 +25,7 @@ def make_meta(frames):
     for f, p, et, fr in frames:
         if et == C.E_FORMAT_DESCRIPTION:
             checksum = E.parse_format_description(fr).checksum_algorithm
+            fmt.checksum_algorithm = checksum
         elif et == C.E_TABLE_MAP:
             tm = E.parse_table_map(fmt, E.strip_checksum(fmt, et, fr))
             key = (f, tm.table_id)
@@ -123,10 +124,11 @@ def test_small_batches_match_scalar_kernel():
     assert norm(ref) == norm(got)
 
 
-def _custom_world(columns, rows_events, table="t1", db="d1"):
+def _custom_world(columns, rows_events, table="t1", db="d1",
+                  checksum_alg=C.CHECKSUM_ALG_CRC32):
     """Hand-built frame stream: FORMAT_DESCRIPTION + per-event
     TABLE_MAP/GTID/ROWS for a custom schema."""
-    fmt = E.BinlogFormat()
+    fmt = E.BinlogFormat(checksum_algorithm=checksum_alg)
     spec = E.TableMapSpec(database=db, name=table, columns=columns)
     frames = []
     pos = 4
@@ -222,6 +224,37 @@ def test_exotic_types_fall_back_to_scalar_kernel():
     ref, got = cross_check(frames, registry)
     ch = ref[ref["kind"] == "change"]
     assert dict(ch["after"].iloc[0])["price"] == "-1234.5678"
+
+
+def test_inline_discovery_checksumless_stream_sizes_bodies_right():
+    """r3 ADVICE regression: the per-batch checksum width must follow the
+    FORMAT_DESCRIPTION overlay, not the batch-entry value. A checksum-less
+    stream decoded under INLINE_DISCOVERY (whose meta hardcodes
+    checksum_alg=1 until the FD frame corrects it) used to mis-size every
+    ROWS body by 4 bytes — silently dropping a tiny final row or
+    wave-decoding garbage from the missing-CRC slot."""
+    cols = [("id", C.TYPE_LONG, 0, False)]  # 5-byte row images (nb=1 + 4)
+    rows = [(None, {"id": str(v)}) for v in (11, 22, 33)]
+    frames, registry = _custom_world(
+        cols, [(C.E_WRITE_ROWS_V2, rows)], checksum_alg=0)
+    # INLINE_DISCOVERY contract: empty table_maps + assumed CRC32 until
+    # the stream's own FORMAT_DESCRIPTION says otherwise
+    ctx = D.build_decode_context(
+        {"checksum_alg": C.CHECKSUM_ALG_CRC32, "table_maps": {}}, registry)
+    outs = list(CS.decode_batch_arrow(to_batch(frames), ctx))
+    got = pd.concat([rb.to_pandas() for rb in outs], ignore_index=True)
+    ch = got[got["kind"] == "change"]
+    assert sorted(dict(m)["id"] for m in ch["after"]) == ["11", "22", "33"]
+    assert sorted(ch["seq_in_event"].tolist()) == [0, 1, 2]
+    # and the full stream matches the scalar kernel run with correct meta
+    pdf = pd.DataFrame(
+        {"file": [f for f, _, _, _ in frames],
+         "pos": [p for _, p, _, _ in frames],
+         "etype": [et for _, _, et, _ in frames],
+         "frame": [fr for _, _, _, fr in frames]})
+    ref = D.decode_batch(pdf, D.build_decode_context(make_meta(frames),
+                                                     registry))
+    assert norm(ref) == norm(got)
 
 
 def test_wide_table_int_matrix():
