@@ -27,6 +27,8 @@ worst-case join fanout, the standard trick at 10^9-document scale.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textnorm import WS_REGEX, ws_tokens
+
 # deterministic affine-permutation constants (public textbook MinHash):
 # h_i(x) = (A_i * x + B_i) mod P over a 28-bit md5-derived shingle hash.
 # P = 2^31 - 1 keeps every intermediate product < 2^60, exact in BIGINT on
@@ -77,7 +79,7 @@ def shingles(df: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
         out = []
         ap = out.append
         for t in texts:
-            tt = (t or "").split()
+            tt = ws_tokens(t)
             if len(tt) >= n:
                 ap([" ".join(tt[i:i + n]) for i in range(len(tt) - n + 1)])
             else:
@@ -173,7 +175,7 @@ def minhash_signature(df: DataFrame, n: int = 3, num_hashes: int = 16,
             texts = pdf[col]
             doc_idx, grams = [], []
             for i, t in enumerate(texts):
-                tt = (t or "").split()
+                tt = ws_tokens(t)
                 if len(tt) >= n:
                     g = [" ".join(tt[j:j + n])
                          for j in range(len(tt) - n + 1)]
@@ -313,7 +315,7 @@ def simhash64(df: DataFrame, col: str = "text") -> DataFrame:
         out = np.zeros(len(texts), dtype=np.int64)
         doc_idx, toks = [], []
         for i, t in enumerate(texts):
-            tt = (t or "").split()
+            tt = ws_tokens(t)
             if tt:
                 doc_idx.append(np.full(len(tt), i, dtype=np.int64))
                 toks.extend(tt)
@@ -377,7 +379,7 @@ def simhash_near_pairs(df: DataFrame, col: str = "text",
 
 _SHINGLE_CTE = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {table}
+  SELECT doc_id, list_filter(string_split_regex(text, '{ws}'), x -> x <> '') AS t FROM {table}
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
       range(1, greatest(len(t) - {nm1}, 0) + 1),
@@ -388,7 +390,7 @@ WITH toks AS (
 
 
 def shingle_cte(table: str = "documents", n: int = 3) -> str:
-    return _SHINGLE_CTE.format(table=table, nm1=n - 1)
+    return _SHINGLE_CTE.format(table=table, nm1=n - 1, ws=WS_REGEX)
 
 
 def exact_dedup_sql(table: str = "documents") -> str:
@@ -476,9 +478,10 @@ def simhash_sql(table: str = "documents") -> str:
     (first 16 hex chars, big-endian), same per-bit weighted majority vote.
     Two's-complement int64 is rebuilt arithmetically (bit 63 subtracts 2^62
     twice — a single ``(1<<62)*2`` would overflow BIGINT before negation)."""
+    ws = WS_REGEX
     return rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '{ws}')) AS tok
   FROM {table}
 ), h AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
@@ -633,9 +636,10 @@ def dup_spans_sql(table: str = "documents", n: int = 8) -> str:
     # span statistic is positional — a gram repeated inside one document
     # counts every occurrence (and makes the doc self-duplicated only if
     # another doc shares the gram, same as the Spark side's count(*))
+    ws = WS_REGEX
     return rf"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {table}
+  SELECT doc_id, list_filter(string_split_regex(text, '{ws}'), x -> x <> '') AS t FROM {table}
 ), sh AS (
   SELECT doc_id, unnest(list_transform(
       range(1, greatest(len(t) - {n - 1}, 0) + 1),

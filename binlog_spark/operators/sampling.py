@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textnorm import WS_REGEX, ws_token_count, ws_token_count_sql
+
 # per-language keep rates: downsample the dominant language, keep the
 # tails — the classic pretraining rebalance
 DEFAULT_RATES = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
@@ -99,7 +101,7 @@ def pack_sequences(df: DataFrame, budget: int = 512,
     partition column get pack_id = floor(exclusive-prefix-tokens /
     budget) — the vectorizable approximation of greedy packing (a doc
     may straddle a boundary; no pack starves)."""
-    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    tokens = ws_token_count(F.col("text"))
     w = (Window.partitionBy(part_col).orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
@@ -118,7 +120,7 @@ SELECT doc_id, {part_col}, n_tokens,
             / {budget}) AS BIGINT) AS pack_id
 FROM (
   SELECT doc_id, {part_col},
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         {ws_token_count_sql('text')} AS n_tokens
   FROM {table}
 )
 """

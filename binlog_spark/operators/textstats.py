@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textnorm import (WS_REGEX, ws_token_count,
+                       ws_token_count_sql, ws_tokens)
+
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "is", "to"],
@@ -22,7 +25,9 @@ _LANG_ORDER = ["en", "es", "de", "fr"]
 
 PUNCT_RE = r"[.,;:!?]"
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# \s spelled out: Java includes VT in \s, RE2 excludes it — the negated
+# class would then disagree on vertical tab (textnorm.WS_CLASS contract)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 STOPWORDS_EN = ["the", "a", "and", "of", "to", "is", "in", "it"]
 
 
@@ -34,7 +39,7 @@ def token_count(df: DataFrame, col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
     return df.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col(col)), r"\s+")).alias("ws_tokens"),
+        ws_token_count(F.col(col)).alias("ws_tokens"),
         F.regexp_count(F.col(col), F.lit(BPE_RE)).alias("bpe_tokens"),
     )
 
@@ -45,7 +50,7 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     Ratios are rounded to 6 dp so they are bit-comparable across engines.
     """
     length = F.length(F.col(col))
-    n_tokens = F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    n_tokens = ws_token_count(F.col(col))
     n_punct = F.regexp_count(F.col(col), F.lit(PUNCT_RE))
     n_stop = F.regexp_count(F.lower(F.col(col)),
                             F.lit(_word_pattern(STOPWORDS_EN)))
@@ -53,8 +58,10 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
         "doc_id",
         length.alias("n_chars_text"),
         n_tokens.alias("n_tokens"),
-        F.round(n_punct / length, 6).alias("punct_ratio"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        # try_divide: an empty document must yield NULL (the oracle's
+        # x/0 semantics), not an ANSI divide-by-zero failure
+        F.round(F.try_divide(n_punct, length), 6).alias("punct_ratio"),
+        F.round(F.try_divide(n_stop, n_tokens), 6).alias("stopword_ratio"),
         # simple composite quality gate (C4-style heuristics)
         ((length >= 50) & (n_tokens >= 10)).cast("int").alias("passes_quality"),
     )
@@ -81,7 +88,8 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lowercase, whitespace-collapsed
     text (document identity for exact dedup across formatting)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(col)), WS_REGEX, " "), "^ | $", "")
     return df.select("doc_id", F.md5(norm).alias("fp"))
 
 
@@ -90,7 +98,7 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
 def token_count_sql(table: str = "documents") -> str:
     return f"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       {ws_token_count_sql('text')} AS ws_tokens,
        len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
 FROM {table}
 """
@@ -101,14 +109,14 @@ def quality_score_sql(table: str = "documents") -> str:
     return f"""
 SELECT doc_id,
        length(text) AS n_chars_text,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       {ws_token_count_sql('text')} AS n_tokens,
        round(len(regexp_extract_all(text, '{PUNCT_RE}'))
              / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
        round(len(regexp_extract_all(lower(text), '{stop}'))
-             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+             / CAST({ws_token_count_sql('text')} AS DOUBLE), 6)
            AS stopword_ratio,
        CAST(length(text) >= 50
-            AND len(string_split_regex(trim(text), '\\s+')) >= 10 AS INT)
+            AND {ws_token_count_sql('text')} >= 10 AS INT)
            AS passes_quality
 FROM {table}
 """
@@ -130,7 +138,7 @@ def lang_id_sql(table: str = "documents") -> str:
 
 
 def fingerprint_sql(table: str = "documents") -> str:
-    return (f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return (f"SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text), '{WS_REGEX}', ' ', 'g'), '^ | $', '', 'g'))"
             f" AS fp FROM {table}")
 
 
@@ -218,7 +226,7 @@ def repetition_counters(texts):
                      "n_bigrams", "n_distinct_bigrams")}
     doc_idx, toks = [], []
     for i, t in enumerate(texts):
-        tt = (t or "").split()
+        tt = ws_tokens(t)
         out["n_tokens"][i] = len(tt)
         out["n_bigrams"][i] = max(len(tt) - 1, 0)
         if tt:
@@ -308,10 +316,11 @@ def repetition_stats(df: DataFrame, col: str = "text",
 
 def repetition_sql(table: str = "documents", col: str = "text",
                    id_col: str = "doc_id") -> str:
+    ws = WS_REGEX
     return rf"""
 WITH toks AS (
   SELECT {id_col},
-         list_filter(string_split_regex(trim({col}), '\s+'),
+         list_filter(string_split_regex({col}, '{ws}'),
                      x -> x != '') AS t
   FROM {table}
 ), tok AS (

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textnorm import WS_REGEX, ws_tokens
+
 
 def bpe_pair_counts(df: DataFrame, col: str = "text") -> DataFrame:
     """Corpus-wide adjacent character-pair counts, word-boundary
@@ -37,7 +39,7 @@ def bpe_pair_counts(df: DataFrame, col: str = "text") -> DataFrame:
             # corpus convention (str.split, parity-proven vs the SQL
             # oracles); the pair scan itself is vectorized
             joined = " ".join(
-                " ".join((t or "").split()) for t in pdf[col])
+                " ".join(ws_tokens(t)) for t in pdf[col])
             if len(joined) < 2:
                 continue
             codes = np.frombuffer(joined.encode("utf-32-le"),
@@ -70,9 +72,10 @@ def bpe_top_pairs(df: DataFrame, col: str = "text",
 
 
 def bpe_top_pairs_sql(table: str = "documents", top: int = 20) -> str:
+    ws = WS_REGEX
     return rf"""
 WITH words AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM {table}
+  SELECT unnest(string_split_regex(text, '{ws}')) AS w FROM {table}
 ), pos AS (
   SELECT w, unnest(range(1, len(w))) AS i FROM words WHERE len(w) >= 2
 ), pairs AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b

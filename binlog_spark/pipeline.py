@@ -50,26 +50,67 @@ def decode_to_changes(spark: SparkSession, frames: DataFrame,
     return assemble_transactions(decoded)
 
 
+# above this many discovered files the (file → segment) mapping rides a
+# broadcast join instead of a map literal: a many-thousand-entry literal
+# inflates plan compile/serialize time on every batch
+SEGMENT_LITERAL_MAX = 1000
+
+
+def _segment_runs(spark: SparkSession, meta: dict):
+    """Discovered file list → ``[(file, segment_id)]``: contiguous runs of
+    binlog files, one run per shuffle partition. Returns None when the
+    meta carries no file index (inline discovery)."""
+    files = sorted({f for (f, _tid) in meta["table_maps"]})
+    if not files:
+        return None
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "16"))
+    per_seg = max(1, -(-len(files) // max(p, 1)))
+    return [(f, f"s:{i // per_seg}") for i, f in enumerate(files)]
+
+
+def _segment_fallback():
+    # a file absent from the TABLE_MAP index (e.g. pure markers) gets its
+    # OWN segment: collapsing unmapped files into one NULL partition
+    # would let last(gtid) carry-forward cross a file gap and stamp rows
+    # with a gtid from a non-adjacent file (r3 ADVICE)
+    return F.concat(F.lit("f:"), F.col("file"))
+
+
 def segment_expr(spark: SparkSession, meta: dict):
-    """File → segment-id Column: contiguous runs of binlog files, one
-    run per shuffle partition.
+    """File → segment-id Column (map-literal form, small file sets).
 
     Segments give the transaction windows and the map-side pre-fold
     their physical contract (a partition = whole gtid-contiguous slices
     of the stream) while keeping partition count at the cluster's
     parallelism even when the batch spans thousands of small files. The
     file list comes from the already-collected stream meta — no extra
-    job. Very large file sets (beyond a sane map-literal) degrade to
-    per-file segments: same correctness, finer runs."""
-    files = sorted({f for (f, _tid) in meta["table_maps"]})
-    if not files or len(files) > 10_000:
+    job. Returns None above ``SEGMENT_LITERAL_MAX`` files — callers
+    attach the broadcast segment table instead (``attach_segments``)."""
+    runs = _segment_runs(spark, meta)
+    if runs is None:
         return F.col("file")
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "16"))
-    per_seg = max(1, -(-len(files) // max(p, 1)))
+    if len(runs) > SEGMENT_LITERAL_MAX:
+        return None
     pairs = []
-    for i, f in enumerate(files):
-        pairs += [F.lit(f), F.lit(i // per_seg)]
-    return F.element_at(F.create_map(*pairs), F.col("file"))
+    for f, seg in runs:
+        pairs += [F.lit(f), F.lit(seg)]
+    return F.coalesce(F.element_at(F.create_map(*pairs), F.col("file")),
+                      _segment_fallback())
+
+
+def attach_segments(spark: SparkSession, decoded: DataFrame,
+                    meta: dict) -> DataFrame:
+    """``decoded`` + ``_seg`` via a BROADCAST join against the tiny
+    (file → segment) table — constant plan size at any file count (the
+    scale path for batches spanning thousands of binlog files)."""
+    runs = _segment_runs(spark, meta)
+    if runs is None:
+        return decoded.withColumn("_seg", F.col("file"))
+    segs = spark.createDataFrame(runs, "file string, _seg_map string")
+    return (decoded.join(F.broadcast(segs), "file", "left")
+            .withColumn("_seg", F.coalesce(F.col("_seg_map"),
+                                           _segment_fallback()))
+            .drop("_seg_map"))
 
 
 def apply_ddls(lake: LakeTable, ddls: list):
@@ -154,8 +195,13 @@ def replay_batch(spark: SparkSession, frames: DataFrame, lake: LakeTable,
     try:
         prefold = fold_engine == "prefold" and not chunk_size
         if prefold:
-            changes = assemble_transactions(decoded,
-                                            segment=segment_expr(spark, meta))
+            seg = segment_expr(spark, meta)
+            if seg is None:  # >SEGMENT_LITERAL_MAX files: broadcast join
+                changes = assemble_transactions(
+                    attach_segments(spark, decoded, meta),
+                    segment=F.col("_seg"))
+            else:
+                changes = assemble_transactions(decoded, segment=seg)
         else:
             changes = assemble_transactions(decoded)
         target = target_table or lake.meta.get("table")
