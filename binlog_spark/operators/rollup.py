@@ -10,16 +10,24 @@ lake-side half, built like the LWW lake table (operators/merge.py):
   max_value)`` — whose merge is associative/commutative, so each batch
   contributes one tiny pre-aggregated delta (map-side partial combine is
   free: it's a plain groupBy);
-* hash-bucketed copy-on-write storage with an atomic JSON manifest: a
-  batch only rewrites buckets whose groups it touched;
+* **merge-on-read** storage (the Iceberg/Hudi MOR shape): a batch
+  appends ONE hash-bucketed delta layer — a single Spark action — and
+  readers fold base + deltas with a result-sized groupBy; every
+  ``compact_every`` batches a compaction folds the layers back into the
+  copy-on-write base so read cost stays bounded. (The r3 copy-on-write
+  form paid two actions per batch — a distinct-collect plus the merged
+  rewrite — which dominated the wall clock of small incremental
+  batches.)
 * exactly-once by batch id: addition is NOT idempotent, so re-applying
-  a crashed batch must be (and is) a manifest-level no-op — the same
-  ``applied_batches`` guard as the lake table.
+  a crashed batch must be (and is) a manifest-level no-op; the delta
+  directory name derives from the manifest version, so a crash between
+  write and commit makes re-delivery overwrite the same uncommitted
+  layer.
 
-At 100 TB: the delta per batch is O(groups touched), buckets scale like
-the lake's, and the combine join touches only changed buckets — the
-standard continuous-aggregate cost model (work ∝ new data, not table
-size).
+At 100 TB: the delta per batch is O(groups touched), reads prune to the
+requested buckets across base + ≤``compact_every`` delta layers, and
+compaction touches only buckets any layer changed — the standard
+continuous-aggregate cost model (work ∝ new data, not table size).
 """
 
 from __future__ import annotations
@@ -57,10 +65,11 @@ class RollupTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, group_cols: list,
-               n_buckets: int = 16) -> "RollupTable":
+               n_buckets: int = 16, compact_every: int = 8) -> "RollupTable":
         os.makedirs(path, exist_ok=True)
         meta = {"group_cols": list(group_cols), "n_buckets": n_buckets,
-                "buckets": {}, "version": 0, "applied_batches": []}
+                "buckets": {}, "version": 0, "applied_batches": [],
+                "deltas": [], "compact_every": compact_every}
         tmp = os.path.join(path, "_meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -83,21 +92,49 @@ class RollupTable:
                    T.StructField("max_value", T.DoubleType(), True)]
         return T.StructType(fields)
 
+    def _layer_paths(self, buckets=None) -> list:
+        """Parquet partition dirs for the requested buckets across the
+        compacted base + every live delta layer (bucket-pruned)."""
+        want = ({str(b) for b in buckets} if buckets is not None else None)
+        paths = []
+        base = self.meta["buckets"]
+        for b, v in base.items():
+            if want is None or b in want:
+                paths.append(os.path.join(self.path, "data", f"v{v:06d}",
+                                          f"_bucket={b}"))
+        for layer in self.meta["deltas"]:
+            for b in layer["buckets"]:
+                if want is None or b in want:
+                    paths.append(os.path.join(self.path, "data",
+                                              layer["dir"], f"_bucket={b}"))
+        return paths
+
     def read(self, buckets=None) -> DataFrame:
-        live = self.meta["buckets"]
-        want = [str(b) for b in buckets] if buckets is not None else list(live)
-        paths = [os.path.join(self.path, "data", f"v{live[b]:06d}",
-                              f"_bucket={b}") for b in want if b in live]
+        """Merged view of the requested buckets (merge-on-read: one
+        result-sized groupBy over base + delta layers; a fully compacted
+        table reads the base with no fold at all)."""
+        paths = self._layer_paths(buckets)
         if not paths:
             return self.spark.createDataFrame([], self._schema())
-        return self.spark.read.schema(self._schema()).parquet(*paths)
+        df = self.spark.read.schema(self._schema()).parquet(*paths)
+        if not self.meta["deltas"]:
+            return df
+        gcols = self.meta["group_cols"]
+        return (df.groupBy(*gcols)
+                .agg(F.sum("n_rows").alias("n_rows"),
+                     F.sum("sum_value").cast("decimal(38,6)")
+                     .alias("sum_value"),
+                     F.min("min_value").alias("min_value"),
+                     F.max("max_value").alias("max_value")))
 
     def to_df(self) -> DataFrame:
         return self.read().select(*self.meta["group_cols"], *AGG_COLS)
 
     def apply_batch(self, rows: DataFrame, value_col: str,
                     batch_id=None) -> dict:
-        """Fold one batch of raw rows into the rollup.
+        """Fold one batch of raw rows into the rollup — ONE Spark action
+        (the bucketed delta write; changed buckets come from the written
+        partition directories, not a separate collect).
 
         ``rows`` must carry the group columns (as strings) + ``value_col``.
         Exactly-once: an already-applied ``batch_id`` is a no-op (additive
@@ -110,49 +147,56 @@ class RollupTable:
         v = F.col(value_col)
         delta = (rows.groupBy(*gcols)
                  .agg(F.count("*").alias("n_rows"),
-                      F.sum(v.cast("decimal(28,6)")).alias("sum_value"),
+                      F.sum(v.cast("decimal(28,6)")).cast("decimal(38,6)")
+                      .alias("sum_value"),
                       F.min(v.cast("double")).alias("min_value"),
                       F.max(v.cast("double")).alias("max_value"))
                  .withColumn("_bucket", _bucket_expr(gcols, n_buckets)))
-        delta.persist()
-        try:
-            changed = [r["_bucket"] for r in
-                       delta.select("_bucket").distinct().collect()]
-            if not changed:
-                return self._commit(batch_id, [], None)
-            base = self.read(changed).withColumn(
-                "_bucket", _bucket_expr(gcols, n_buckets))
-            merged = (
-                base.unionByName(delta)
-                .groupBy(*gcols)
-                .agg(F.sum("n_rows").alias("n_rows"),
-                     F.sum("sum_value").cast("decimal(38,6)")
-                     .alias("sum_value"),
-                     F.min("min_value").alias("min_value"),
-                     F.max("max_value").alias("max_value"))
-                .withColumn("_bucket", _bucket_expr(gcols, n_buckets)))
-            new_version = self.meta["version"] + 1
-            out_dir = os.path.join(self.path, "data", f"v{new_version:06d}")
-            (merged.repartition(max(len(changed), 1), F.col("_bucket"))
-             .write.mode("overwrite").partitionBy("_bucket")
-             .parquet(out_dir))
-            written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
-                       if d.startswith("_bucket=")}
-            return self._commit(batch_id,
-                                [b for b in changed if str(b) in written],
-                                new_version)
-        finally:
-            delta.unpersist()
-
-    def _commit(self, batch_id, changed, new_version):
+        new_version = self.meta["version"] + 1
+        dname = f"d{new_version:06d}"
+        out_dir = os.path.join(self.path, "data", dname)
+        (delta.repartition(1)  # delta is O(groups touched) — tiny files
+         .write.mode("overwrite").partitionBy("_bucket").parquet(out_dir))
+        changed = sorted(d.split("=", 1)[1] for d in os.listdir(out_dir)
+                         if d.startswith("_bucket="))
         meta = dict(self.meta)
-        meta["buckets"] = dict(meta["buckets"])
-        for b in changed:
-            meta["buckets"][str(b)] = new_version
-        if new_version is not None:
-            meta["version"] = new_version
+        meta["version"] = new_version
+        meta["deltas"] = meta["deltas"] + [
+            {"dir": dname, "buckets": changed}]
         if batch_id is not None:
             meta["applied_batches"] = meta["applied_batches"] + [batch_id]
         self._commit_meta(meta)
+        if len(self.meta["deltas"]) >= self.meta["compact_every"]:
+            self.compact()
         return {"skipped": False, "batch_id": batch_id,
                 "buckets_rewritten": len(changed)}
+
+    def compact(self) -> dict:
+        """Fold every delta layer back into the copy-on-write base: one
+        merged write of the buckets any layer touched; untouched base
+        buckets keep their existing files."""
+        touched = sorted({b for layer in self.meta["deltas"]
+                          for b in layer["buckets"]})
+        if not touched:
+            meta = dict(self.meta)
+            meta["deltas"] = []
+            self._commit_meta(meta)
+            return {"buckets_compacted": 0}
+        gcols = self.meta["group_cols"]
+        merged = self.read(touched).withColumn(
+            "_bucket", _bucket_expr(gcols, self.meta["n_buckets"]))
+        new_version = self.meta["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"v{new_version:06d}")
+        (merged.repartition(max(len(touched), 1), F.col("_bucket"))
+         .write.mode("overwrite").partitionBy("_bucket").parquet(out_dir))
+        written = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+                   if d.startswith("_bucket=")}
+        meta = dict(self.meta)
+        meta["buckets"] = dict(meta["buckets"])
+        for b in touched:
+            if b in written:
+                meta["buckets"][b] = new_version
+        meta["version"] = new_version
+        meta["deltas"] = []
+        self._commit_meta(meta)
+        return {"buckets_compacted": len(written)}

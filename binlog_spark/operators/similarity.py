@@ -434,8 +434,25 @@ WHERE rank <= {k}
 KMEANS_SCALE = 65536  # quantization: floor(x * 2^16) — exact in float64
 
 
+def _exact_sqdist(x, cent, rows, j):
+    """Fixed-dimension-order squared distance of ``x[rows]`` to centroid
+    ``j`` — EXACTLY the loop kernel's arithmetic (acc += t*t in dim
+    order; never np.sum, whose pairwise reassociation drifts from the
+    oracle's left-to-right list_aggregate fold)."""
+    import numpy as np
+
+    xb = x[rows]
+    cj = cent[j]
+    acc = np.zeros(len(xb), dtype=np.float64)
+    for d in range(x.shape[1]):
+        t = xb[:, d] - cj[d]
+        acc += t * t
+    return acc
+
+
 def kmeans_assign(df: DataFrame, k: int = 8,
-                  col: str = "embedding") -> DataFrame:
+                  col: str = "embedding",
+                  method: str = "auto") -> DataFrame:
     """One Lloyd iteration of distributed k-means over the embedding
     corpus (the clustering step of embedding-based data curation, e.g.
     cluster-balanced sampling / SemDeDup-style pruning).
@@ -451,6 +468,20 @@ def kmeans_assign(df: DataFrame, k: int = 8,
     2. **assignment** — one shuffle-free Arrow kernel pass computes all
        k distances per vector and the argmin.
 
+    ``method`` picks the assignment kernel:
+
+    * ``"loop"`` — per-centroid fixed-order fold, O(k·dim) numpy ops per
+      batch; the oracle-exact reference arithmetic.
+    * ``"blocked"`` — chunked BLAS ``|x|² − 2X·Cᵀ + |c|²`` over centroid
+      blocks (the SemDeDup regime holds k ∝ N — ~50k clusters for
+      LAION — where the loop's per-centroid Python dispatch is the
+      bottleneck), then an EXACT refine: every centroid whose BLAS
+      distance sits within a rounding-error band of the minimum is
+      re-scored with the loop's fixed-order fold, so the returned
+      (cluster, dist) — including tie-breaks — is IDENTICAL to
+      ``"loop"`` (property-tested at k=256).
+    * ``"auto"`` — blocked above 64 centroids, loop otherwise.
+
     Cross-engine exactness: embeddings are quantized to integers
     (``floor(x · 2^16)`` — exact in float64 for float32 inputs), so the
     centroid component sums are ORDER-FREE integer arithmetic (a float
@@ -462,6 +493,10 @@ def kmeans_assign(df: DataFrame, k: int = 8,
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if method not in ("auto", "loop", "blocked"):
+        raise ValueError(f"unknown kmeans_assign method {method!r}")
+    use_blocked = method == "blocked" or (method == "auto" and k > 64)
 
     spark = df.sparkSession
     dim = len(df.select(col).first()[0])
@@ -491,11 +526,7 @@ def kmeans_assign(df: DataFrame, k: int = 8,
     for r in comp:
         cent[r["j"], r["dim"]] = np.float64(r["s"]) / np.float64(r["c"])
 
-    @pandas_udf("array<double>")
-    def _assign(vecs: pd.Series) -> pd.Series:
-        x = np.floor(np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in vecs])
-            * KMEANS_SCALE) / KMEANS_SCALE
+    def _assign_loop(x):
         n = len(x)
         best_d = np.full(n, np.inf)
         best_j = np.zeros(n, dtype=np.int64)
@@ -510,6 +541,47 @@ def kmeans_assign(df: DataFrame, k: int = 8,
             better = acc < best_d  # strict: ties keep the smaller j
             best_d[better] = acc[better]
             best_j[better] = j
+        return best_j, best_d
+
+    def _assign_blocked(x):
+        n = len(x)
+        c2 = np.einsum("ij,ij->i", cent, cent)
+        # one conservative rounding band for the whole batch: BLAS
+        # |x|²−2xc+|c|² cancels catastrophically only near zero distance,
+        # with absolute error bounded by ~dim·eps·(|x|²+|c|²); ×1e3
+        # safety costs only extra refine candidates, never correctness
+        best_j = np.zeros(n, dtype=np.int64)
+        best_d = np.full(n, np.inf)
+        rows_per = max(1, (1 << 21) // max(k, 1))  # ≤16 MiB distance block
+        for rs in range(0, n, rows_per):
+            xb = x[rs:rs + rows_per]
+            x2 = np.einsum("ij,ij->i", xb, xb)
+            D = x2[:, None] - 2.0 * (xb @ cent.T) + c2[None, :]
+            dmin = D.min(axis=1)
+            tol = 1e-12 + 1e-13 * dim * (x2 + c2.max() + 1.0)
+            ri, js = np.nonzero(D <= (dmin + tol)[:, None])
+            # exact re-score of the candidate set, grouped by centroid
+            bd = np.full(len(xb), np.inf)
+            bj = np.zeros(len(xb), dtype=np.int64)
+            for j in np.unique(js):
+                sel = ri[js == j]
+                d_exact = _exact_sqdist(xb, cent, sel, int(j))
+                better = (d_exact < bd[sel]) | (
+                    (d_exact == bd[sel]) & (j < bj[sel]))
+                upd = sel[better]
+                bd[upd] = d_exact[better]
+                bj[upd] = j
+            best_d[rs:rs + rows_per] = bd
+            best_j[rs:rs + rows_per] = bj
+        return best_j, best_d
+
+    @pandas_udf("array<double>")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.floor(np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vecs])
+            * KMEANS_SCALE) / KMEANS_SCALE
+        best_j, best_d = (_assign_blocked(x) if use_blocked
+                          else _assign_loop(x))
         return pd.Series(list(np.column_stack(
             [best_j.astype(np.float64), best_d])))
 

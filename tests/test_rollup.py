@@ -63,3 +63,29 @@ def test_rollup_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
     for k, n in before.items():  # untouched groups byte-identical
         if k != key:
             assert after[k] == n
+
+
+def test_compaction_folds_deltas_and_preserves_values(spark, sf_dir,
+                                                      tmp_path):
+    """Merge-on-read layers fold back into the base at compact_every;
+    values identical before/after, reads stop paying the merge groupBy."""
+    ev = _events(spark, sf_dir)
+    rt = RollupTable.create(spark, str(tmp_path / "ru3"),
+                            ["hour", "event_type"], n_buckets=4,
+                            compact_every=3)
+    batches = [ev.where(F.pmod("event_id", F.lit(4)) == i)
+               .select("hour", "event_type", "value") for i in range(4)]
+    rt.apply_batch(batches[0], "value", batch_id=0)
+    rt.apply_batch(batches[1], "value", batch_id=1)
+    assert len(rt.meta["deltas"]) == 2
+    rt.apply_batch(batches[2], "value", batch_id=2)  # triggers compaction
+    assert rt.meta["deltas"] == []
+    assert rt.meta["buckets"]  # base now holds the folded layers
+    rt.apply_batch(batches[3], "value", batch_id=3)  # one fresh delta
+    assert len(rt.meta["deltas"]) == 1
+    got = {tuple(r) for r in rt.to_df().collect()}
+    assert got == _oneshot(ev)
+    # explicit compaction of the remaining layer: same values, no deltas
+    rt.compact()
+    assert rt.meta["deltas"] == []
+    assert {tuple(r) for r in rt.to_df().collect()} == _oneshot(ev)
