@@ -84,6 +84,26 @@ BENCH_QUERIES = [
     "lake_compaction_plan",
     "lake_zorder_cells",
     "mm_blob_metadata",
+    # round 4: the previously-unbenched remainder — every registered
+    # query now has a bench row so regressions are visible surface-wide
+    "cdc_snapshot_diff",
+    "sql_q5_region_revenue",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signature",
+    "dedup_simhash_pairs",
+    "dedup_cc_clusters",
+    "sketch_hll_registers",
+    "sim_embedding_near_dup",
+    "sim_lsh_near_dup",
+    "text_token_count",
+    "mm_features",
+    "mm_frame_sample",
+    "cdc_packet_framing",
+    "cdc_replay_final_state",
+    "cdc_replay_lineage",
+    "cdc_checksum_audit",
+    "cdc_replay_raw_files",
+    "cdc_bootstrap_catchup",
 ]
 
 
@@ -208,6 +228,11 @@ def main():
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        # cache hygiene between queries: a no-op RPC when nothing is
+        # cached, but keeps one query's leaked storage memory from
+        # inflating its neighbors' GC time in the shared JVM (the r3
+        # sim-family drift suspect)
+        spark.catalog.clearCache()
         best = None
         for _ in range(2):  # best-of-2: shared-host interference is bursty
             t0 = time.perf_counter()

@@ -23,13 +23,30 @@ def test_latin1_stays_cp1252(spark):
     assert _one(spark, b"caf\xe9 \x80", 8) == "café €"
 
 
-def test_utf8_collation_jvm_path(spark):
-    raw = "héllo".encode("utf-8")
-    df = spark.createDataFrame([(raw.decode("latin-1"),)], "c string")
+def test_utf8_collation_is_identity(spark):
+    # the decode path (codec.to_text) already tried UTF-8 first, so a
+    # UTF-8 collation cell IS proper text — identity, no Python stage.
+    # (The r3 JVM round-trip encode('ISO-8859-1') mangled any real
+    # UTF-8 text with >U+FF code points into '?'.)
+    df = spark.createDataFrame([("héllo",), ("привет",)], "c string")
     out = df.select(charset_decode_column(F.col("c"), 45).alias("c"))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan  # utf8 stays a JVM encode/decode pair
-    assert out.collect()[0].c == "héllo"
+    assert "Python" not in plan
+    assert [r.c for r in out.collect()] == ["héllo", "привет"]
+
+
+def test_cp1251_bytes_that_form_valid_utf8_recover_exactly(spark):
+    # r3 ADVICE regression: cp1251 Cyrillic pairs are VALID UTF-8, so the
+    # engine's to_text decoded them as UTF-8 (>U+FF chars); recovery must
+    # re-encode via UTF-8 — the old encode('latin-1','replace') gave '?'
+    raw = "да".encode("cp1251")          # 0xE4 0xE0 — invalid UTF-8
+    assert _one(spark, raw, 51) == "да"
+    utf8ish = b"\xd0\xb0\xd0\xb1"        # valid UTF-8 "аб"; to_text arm
+    cell = utf8ish.decode("utf-8")       # what to_text actually yields
+    df = spark.createDataFrame([(cell,)], "c string")
+    out = df.select(charset_decode_column(F.col("c"), 51).alias("c"))
+    # cp1251 re-interpretation of the recovered wire bytes 0xD0B0D0B1
+    assert out.collect()[0].c == utf8ish.decode("cp1251")
 
 
 def test_binary_collation_is_identity(spark):
