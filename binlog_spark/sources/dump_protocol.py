@@ -89,6 +89,74 @@ class DsnConfig:
         return int(parts[1]) if len(parts) == 2 else 3306
 
 
+# ---- named TLS configs + SQL escaping (reference dump/utils.go:41-61,
+# 603-731) -------------------------------------------------------------------
+
+_TLS_CONFIGS: dict = {}
+
+
+def _read_bool(v: str):
+    """(value, valid) bool parse — `dump/utils.go readBool` table."""
+    if v in ("1", "true", "TRUE", "True"):
+        return True, True
+    if v in ("0", "false", "FALSE", "False"):
+        return False, True
+    return False, False
+
+
+def register_tls_config(key: str, ctx) -> None:
+    """Register an ``ssl.SSLContext`` under ``key`` for DSNs using
+    ``?tls=<key>`` — the reference's per-DSN named-config registry
+    (`dump/utils.go:41-52 RegisterTLSConfig`): bool-ish keys and
+    ``skip-verify`` are reserved for the built-in modes."""
+    _, is_bool = _read_bool(key)
+    if is_bool or key.lower() == "skip-verify":
+        raise ValueError(f"key {key!r} is reserved")
+    _TLS_CONFIGS[key] = ctx
+
+
+def deregister_tls_config(key: str) -> None:
+    _TLS_CONFIGS.pop(key, None)
+
+
+def escape_string_backslash(v: str) -> str:
+    """Backslash-escape a SQL string literal body — byte-for-byte the
+    reference table (`dump/utils.go:603-668`: NUL, \\n, \\r, ^Z, quotes,
+    backslash)."""
+    out = []
+    for c in v:
+        if c == "\x00":
+            out.append("\\0")
+        elif c == "\n":
+            out.append("\\n")
+        elif c == "\r":
+            out.append("\\r")
+        elif c == "\x1a":
+            out.append("\\Z")
+        elif c == "'":
+            out.append("\\'")
+        elif c == '"':
+            out.append('\\"')
+        elif c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def escape_string_quotes(v: str) -> str:
+    """Quote-doubling escape for NO_BACKSLASH_ESCAPES servers
+    (`dump/utils.go:693-731`)."""
+    return v.replace("'", "''")
+
+
+def quote_identifier(name: str) -> str:
+    """Backtick-quote a schema object name; embedded backticks double
+    (MySQL quoted-identifier rule — the reference interpolates
+    ``desc `db`.`tbl``` for its table mapper)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def parse_dsn(dsn: str) -> DsnConfig:
     """P1: ``user:pass@tcp(host:port)/db?param=value`` → config."""
     m = _DSN_RE.match(dsn)
@@ -421,8 +489,19 @@ class DumpClient:
         self._wf = self._sock.makefile("wb")
         _, payload = _read_packet(self._rf)
         hs = parse_handshake(payload)
-        tls_mode = self.cfg.params.get("tls", "").lower()
-        if tls_mode in ("1", "true", "skip-verify"):
+        tls_param = self.cfg.params.get("tls", "")
+        tls_mode = tls_param.lower()
+        if tls_param in _TLS_CONFIGS:
+            use_tls = True
+        elif tls_mode in ("1", "true", "skip-verify"):
+            use_tls = True
+        elif tls_mode in ("", "0", "false"):
+            use_tls = False
+        else:
+            raise ValueError(
+                f"unregistered TLS config {tls_param!r}; call "
+                "register_tls_config() first (reference RegisterTLSConfig)")
+        if use_tls:
             # TLS upgrade (reference `dump/connection.go` ErrNoTLS check +
             # SSLRequest flow, public protocol): SSLRequest, wrap socket,
             # then the full HandshakeResponse rides the TLS channel
@@ -432,7 +511,9 @@ class DumpClient:
                 raise ConnectionError(
                     "TLS requested but server lacks CLIENT_SSL")
             _write_packet(self._wf, 1, make_ssl_request(self.cfg))
-            if tls_mode == "skip-verify":
+            if tls_param in _TLS_CONFIGS:  # per-DSN named config
+                ctx = _TLS_CONFIGS[tls_param]
+            elif tls_mode == "skip-verify":
                 ctx = ssl._create_unverified_context()
             else:
                 ctx = ssl.create_default_context()
@@ -614,7 +695,8 @@ class DescTableMapper:
         key = (db, tbl)
         if key not in self._cache:
             try:
-                rs = self._conn().exec(f"desc `{db}`.`{tbl}`")
+                rs = self._conn().exec(
+                    f"desc {quote_identifier(db)}.{quote_identifier(tbl)}")
                 self._cache[key] = (
                     [(r["Field"], "unsigned" in (r["Type"] or ""))
                      for r in rs.dicts()] if rs is not None else None)

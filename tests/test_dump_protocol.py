@@ -412,7 +412,8 @@ def test_old_password_scramble_shape():
 
 @pytest.fixture(scope="module")
 def ssl_pair(tmp_path_factory):
-    """Self-signed server cert + contexts for both sides."""
+    """Self-signed server cert (with SAN, so full hostname verification
+    works) + the server-side context and the cert path for pinning."""
     import ssl
     import subprocess
 
@@ -421,17 +422,18 @@ def ssl_pair(tmp_path_factory):
     subprocess.run(
         ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
          "-keyout", key, "-out", crt, "-days", "1", "-subj",
-         "/CN=127.0.0.1"], check=True, capture_output=True)
+         "/CN=127.0.0.1", "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
     server = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
     server.load_cert_chain(crt, key)
-    return server
+    return server, crt
 
 
 def test_tls_upgrade_end_to_end(ssl_pair, dump_world):
     """DSN tls=skip-verify: SSLRequest → TLS handshake → auth + dump over
     the encrypted channel; frames identical to the plaintext path."""
     raw = [fr for _, _, _, fr in dump_world.frames][:50]
-    server = FakeDumpServer(raw, ssl_ctx=ssl_pair)
+    server = FakeDumpServer(raw, ssl_ctx=ssl_pair[0])
     server.start()
     client = D.DumpClient(D.parse_dsn(
         f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/?tls=skip-verify"))
@@ -443,6 +445,64 @@ def test_tls_upgrade_end_to_end(ssl_pair, dump_world):
     assert server.tls_used is True
     assert server.auth_ok is True
     assert got == raw
+
+
+def test_named_tls_config_pinned_cert(ssl_pair, dump_world):
+    """Per-DSN named TLS config (reference dump/utils.go:41-52
+    RegisterTLSConfig): ?tls=<key> resolves a registered SSLContext —
+    here with FULL verification pinned to the fake server's self-signed
+    cert (CA + hostname via SAN), the strictest mode the built-ins
+    cannot express."""
+    import ssl
+
+    server_ctx, crt = ssl_pair
+    raw = [fr for _, _, _, fr in dump_world.frames][:20]
+    server = FakeDumpServer(raw, ssl_ctx=server_ctx)
+    server.start()
+    pinned = ssl.create_default_context(cafile=crt)
+    D.register_tls_config("pinned-ci", pinned)
+    try:
+        client = D.DumpClient(D.parse_dsn(
+            f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
+            "?tls=pinned-ci"))
+        client.connect()
+        got = list(client.start_dump(1, "binlog.000000", 4))
+        client.close()
+    finally:
+        D.deregister_tls_config("pinned-ci")
+    server.join(timeout=10)
+    assert server.tls_used is True and got == raw
+
+
+def test_tls_config_registry_contract():
+    import ssl
+
+    ctx = ssl.create_default_context()
+    # bool-ish keys and skip-verify are reserved (reference parity)
+    for key in ("true", "false", "1", "0", "TRUE", "skip-verify",
+                "SKIP-VERIFY"):
+        with pytest.raises(ValueError, match="reserved"):
+            D.register_tls_config(key, ctx)
+    # an unregistered key fails loudly instead of silently plaintext
+    server = FakeDumpServer([])
+    server.start()
+    client = D.DumpClient(D.parse_dsn(
+        f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/?tls=nosuch"))
+    with pytest.raises(ValueError, match="unregistered"):
+        client.connect()
+    client.close()
+
+
+def test_escaping_parity_with_reference_tables():
+    """dump/utils.go:603-731 byte-for-byte: backslash table, quote
+    doubling, and backtick identifier quoting used by DescTableMapper."""
+    assert (D.escape_string_backslash("a\x00b\nc\rd\x1ae'f\"g\\h")
+            == "a\\0b\\nc\\rd\\Ze\\'f\\\"g\\\\h")
+    assert D.escape_string_backslash("plain") == "plain"
+    assert D.escape_string_quotes("it's o'clock") == "it''s o''clock"
+    assert D.escape_string_quotes('say "hi"\\') == 'say "hi"\\'
+    assert D.quote_identifier("repo_content") == "`repo_content`"
+    assert D.quote_identifier("we`ird") == "`we``ird`"
 
 
 def test_tls_refused_when_server_lacks_capability():
