@@ -464,7 +464,7 @@ def test_named_tls_config_pinned_cert(ssl_pair, dump_world):
     try:
         client = D.DumpClient(D.parse_dsn(
             f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
-            "?tls=pinned-ci"))
+            "?tls=pinned-ci"), timeout=120)  # survives saturated-host CI
         client.connect()
         got = list(client.start_dump(1, "binlog.000000", 4))
         client.close()
