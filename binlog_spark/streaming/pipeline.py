@@ -105,7 +105,12 @@ class _FileOrderGuard:
         if prev is not None:
             if prev["batch_id"] == batch_id:
                 return  # crash re-delivery of the same microbatch: fine
-            if lo <= prev["max_file"]:
+            # equality is a CONTINUATION, not a violation: one logical
+            # binlog file legitimately spans several source chunks /
+            # microbatches, and a re-delivered equal-name batch is a
+            # no-op at the lake (GTID watermark + batch-id guards); only
+            # a strictly EARLIER name proves out-of-order delivery
+            if lo < prev["max_file"]:
                 raise ValueError(
                     f"binlog file order violation: batch contains {lo!r} "
                     f"but {prev['max_file']!r} was already applied — the "
@@ -216,10 +221,17 @@ def run_stream_multi(spark: SparkSession, frames_dir: str, lake_paths: dict,
     microbatch, each table's changes applied to its own lake
     (``lake_paths``: ``{(db, tbl): lake_path}``). Same resume contract
     as ``run_stream`` — checkpointed offsets plus each lake's own
-    batch-id/GTID guards make a replayed microbatch a per-table no-op."""
+    batch-id/GTID guards make a replayed microbatch a per-table no-op;
+    the same ``_FileOrderGuard`` fails an mtime-scrambled source loudly
+    before ANY table's watermark advances."""
     store = _MetaStore(os.path.join(checkpoint_dir, "table_map_cache.json"))
+    guard = _FileOrderGuard(
+        os.path.join(checkpoint_dir, "file_order_hwm.json"))
 
     def apply_batch(batch_df, batch_id: int):
+        names = [r["file"] for r in
+                 batch_df.select("file").distinct().collect()]
+        guard.check_and_advance(names, batch_id)
         lakes = {key: LakeTable(spark, path)
                  for key, path in lake_paths.items()}
         meta = _merge_meta(store.load(), discover_stream_meta(batch_df))

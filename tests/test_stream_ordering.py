@@ -109,12 +109,17 @@ def test_guard_rejects_out_of_order_batches(tmp_path):
     g.check_and_advance(["binlog.000000", "binlog.000001"], batch_id=0)
     # crash re-delivery of the SAME microbatch is tolerated
     g.check_and_advance(["binlog.000000", "binlog.000001"], batch_id=0)
-    # a later batch going backwards (mtime-ordered source) fails loudly
+    # an equal-name batch is a CONTINUATION (one binlog file spanning
+    # several source chunks) — allowed; the lake's GTID watermark makes
+    # genuinely re-delivered rows a no-op
+    g.check_and_advance(["binlog.000001"], batch_id=1)
+    # a later batch going strictly backwards (mtime-ordered source)
+    # fails loudly
     with pytest.raises(ValueError, match="order violation"):
-        g.check_and_advance(["binlog.000001"], batch_id=1)
+        g.check_and_advance(["binlog.000000"], batch_id=2)
     # forward progress is fine
-    g.check_and_advance(["binlog.000002"], batch_id=1)
-    g.check_and_advance(["binlog.000003", "binlog.000004"], batch_id=2)
+    g.check_and_advance(["binlog.000002"], batch_id=2)
+    g.check_and_advance(["binlog.000003", "binlog.000004"], batch_id=3)
 
 
 def test_structured_stream_guard_stays_silent_in_order(spark, tmp_path):
