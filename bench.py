@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "tok_bpe_top_pairs",
     "sim_kmeans_assign",
+    "sim_kmeans_blocked",
     "sim_semdedup",
     "cdc_gtid_gaps",
     "lake_compaction_plan",

@@ -586,10 +586,15 @@ def kmeans_assign(df: DataFrame, k: int = 8,
             [best_j.astype(np.float64), best_d])))
 
     a = df.select("vec_id", _assign(F.col(col)).alias("a"))
+    # dist is NOT rounded: the fixed-order fold is bit-identical across
+    # engines, and round(x, 6) itself DIVERGES between them at ~1e8
+    # magnitudes (DuckDB scales by 1e6 in float64; Spark/Python round
+    # decimal-correct on the shortest repr) — rounding would introduce
+    # the very drift it was meant to absorb
     return a.select(
         "vec_id",
         F.element_at("a", 1).cast("long").alias("cluster"),
-        F.round(F.element_at("a", 2), 6).alias("dist"))
+        F.element_at("a", 2).alias("dist"))
 
 
 def kmeans_assign_sql(table: str = "embeddings", k: int = 8) -> str:
@@ -614,7 +619,7 @@ WITH q AS (
                 * (q.qe[i] / {KMEANS_SCALE}.0 - c.ce[i])), 'sum') AS d
   FROM q, cent c
 )
-SELECT vec_id, j AS cluster, round(d, 6) AS dist
+SELECT vec_id, j AS cluster, d AS dist
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY d ASC, j ASC) AS rn FROM dist)
 WHERE rn = 1

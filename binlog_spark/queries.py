@@ -1644,9 +1644,11 @@ QUERIES = {
     "tok_bpe_top_pairs": lambda s, d: tokenizer.bpe_top_pairs(
         _t(s, d, "documents")),
     "dedup_incremental_lsh": dedup_incremental_lsh_q,
-    # similarity (round-3 additions)
+    # similarity (round-3 additions; blocked kernel new in round 4)
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
+    "sim_kmeans_blocked": lambda s, d: similarity.kmeans_assign(
+        _t(s, d, "embeddings"), k=96, method="blocked"),
     "sim_semdedup": sim_semdedup_q,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
@@ -1808,6 +1810,9 @@ ORACLES = {
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
+    # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
+    # the loop kernel (exact refine) — k=96 exercises the fast path
+    "sim_kmeans_blocked": similarity.kmeans_assign_sql(k=96),
     "sim_semdedup": similarity.semdedup_sql(),
     "text_token_count": textstats.token_count_sql(),
     "text_quality": textstats.quality_score_sql(),
