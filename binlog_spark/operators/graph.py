@@ -59,20 +59,63 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def _local_finish(spark, rows) -> DataFrame:
+    """Union-find finisher over a collected (small) edge set → the same
+    (node, cluster=component-min) labels the remaining star rounds would
+    converge to. Deterministic and exact: the star transformations
+    preserve connectivity and the node set, so component minima are
+    invariant under where the handoff happens."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by MIN root: the root is always the component min,
+            # matching the star algorithm's labels with zero extra pass
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    labels = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels, "node long, cluster long")
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50,
+                         local_finish_threshold: int = 1 << 17) -> DataFrame:
     """Edge list (``src``, ``dst``) → star labels (``node``, ``cluster``).
 
     ``cluster`` is the component's minimum node id; every node that
     appears in any edge gets exactly one output row (roots label
     themselves). Isolated nodes never enter the edge list — callers give
     them their own id via a left join (see ``queries.dedup_cc_clusters``).
+
+    ``local_finish_threshold``: once a round's edge set is at most this
+    many edges (the star graph shrinks geometrically), the tail rounds
+    finish on the driver with union-find instead of paying ~9 shuffle
+    stages + an action per remaining round — the standard hybrid on real
+    clusters (a 2 MB collect replaces O(log n) scheduling floors). Labels
+    are identical either way; pass 0 to stay fully distributed.
     """
+    spark = edges.sparkSession
     cur = (edges.where(F.col("src") != F.col("dst"))
            .select(F.greatest("src", "dst").alias("src"),
                    F.least("src", "dst").alias("dst"))
            .distinct().localCheckpoint(eager=False))
-    n_cur = -1  # unknown until round 0 runs; counts carry across rounds
+    # one count up front (it materializes the checkpoint that round 0
+    # would anyway); counts then carry across rounds — one action each
+    n_cur = cur.count()
     for _ in range(max_rounds):
+        if 0 <= n_cur <= local_finish_threshold:
+            return _local_finish(
+                spark, [(r["src"], r["dst"]) for r in cur.collect()])
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # converged when the oriented edge sets are identical: equal
         # cardinality (count cached from last round — one action) + empty

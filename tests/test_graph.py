@@ -42,4 +42,24 @@ def test_max_rounds_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)],
                                "src long, dst long")
     with pytest.raises(RuntimeError, match="no convergence"):
-        graph.connected_components(df, max_rounds=1)
+        graph.connected_components(df, max_rounds=1,
+                                   local_finish_threshold=0)
+
+
+def test_local_finisher_matches_distributed(spark):
+    """The size-gated union-find finisher must produce EXACTLY the
+    distributed rounds' labels, wherever the handoff happens."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def labels(th):
+        return {(r["node"], r["cluster"]) for r in
+                graph.connected_components(
+                    df, local_finish_threshold=th).collect()}
+
+    want = labels(0)                      # fully distributed
+    assert labels(1 << 17) == want        # finisher takes over at once
+    assert labels(40) == want             # handoff after >=1 star round
