@@ -60,8 +60,13 @@ CLIENT_CONNECT_WITH_DB = 0x00000008
 
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12  # dump/const.go:75
+COM_STMT_PREPARE = 0x16  # dump/const.go:79
+COM_STMT_EXECUTE = 0x17  # dump/const.go:80
+COM_STMT_CLOSE = 0x19
 
 BINLOG_DUMP_NON_BLOCK = 0x01
+
+FLAG_UNSIGNED = 0x20  # column-definition field flag (dump/const.go fieldFlag)
 
 
 _DSN_RE = re.compile(
@@ -408,6 +413,207 @@ class ResultSet:
         return len(self.rows)
 
 
+# ---------------------------------------------------------------------------
+# binary-protocol result sets (prepared statements)
+#
+# The reference vendors the go-sql-driver binary row reader
+# (`dump/packets.go:806-985` readRow on binaryRows, column definitions at
+# `:599-688`, temporal formatting `dump/utils.go:269-420`) but never
+# exercises it from its own dump path — it only defines the
+# comStmtPrepare/comStmtExecute opcodes (`dump/const.go:79-80`). Here the
+# reader is live: DumpClient.exec_prepared drives COM_STMT_PREPARE /
+# COM_STMT_EXECUTE end-to-end, so schema probes can run through server-side
+# prepared statements when a deployment disables the text protocol for the
+# replication user.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    """Full ColumnDefinition41 (name + the three fields the binary row
+    reader needs: wire type, flags for signedness, decimals for temporal
+    fractional width) — the same subset the reference keeps in
+    ``mysqlField`` (`dump/packets.go:668-681`)."""
+
+    name: str
+    field_type: int
+    flags: int = 0
+    decimals: int = 0
+
+    @property
+    def unsigned(self) -> bool:
+        return bool(self.flags & FLAG_UNSIGNED)
+
+
+def parse_column_def(payload: bytes) -> ColumnDef:
+    """ColumnDefinition41 → :class:`ColumnDef` (catalog, schema, table,
+    org_table skipped; after org_name: lenenc filler length 0x0C, charset
+    u16, column length u32, then type u8, flags u16, decimals u8 —
+    `dump/packets.go:599-688`)."""
+    pos = 0
+    for _ in range(4):  # catalog, schema, table, org_table
+        _s, pos = read_lenenc_str(payload, pos)
+    name, pos = read_lenenc_str(payload, pos)
+    _org, pos = read_lenenc_str(payload, pos)  # org_name
+    pos += 1 + 2 + 4  # filler byte (0x0C lenenc), charset u16, length u32
+    ftype = payload[pos]
+    flags = struct.unpack_from("<H", payload, pos + 1)[0]
+    decimals = payload[pos + 3]
+    return ColumnDef((name or b"").decode(), ftype, flags, decimals)
+
+
+_ZERO_DATETIME = "0000-00-00 00:00:00.000000"
+
+# binary temporal wire types → text formatting route (packets.go:923-926)
+_BINARY_TEMPORAL = (C.TYPE_DATE, C.TYPE_NEWDATE, C.TYPE_TIME,
+                    C.TYPE_TIMESTAMP, C.TYPE_DATETIME)
+
+# lenenc-string-coded binary cell types (packets.go:911-915)
+_BINARY_LENENC = (C.TYPE_DECIMAL, C.TYPE_NEWDECIMAL, C.TYPE_VARCHAR,
+                  C.TYPE_BIT, C.TYPE_ENUM, C.TYPE_SET, C.TYPE_TINYBLOB,
+                  C.TYPE_MEDIUMBLOB, C.TYPE_LONGBLOB, C.TYPE_BLOB,
+                  C.TYPE_VARSTRING, C.TYPE_STRING, C.TYPE_GEOMETRY,
+                  C.TYPE_JSON)
+
+
+def format_binary_datetime(src: bytes, length: int, just_time: bool) -> str:
+    """Binary DATE/DATETIME/TIME payload → display text, matching the
+    reference's ``formatBinaryDateTime`` (`dump/utils.go:316-420`,
+    goldens `utils_test.go:116-144`): ``length`` is the width of the zero
+    value (10 date, 19 datetime, 8 time, +1+decimals with fraction);
+    an empty payload renders the zero value; negative times and 100+
+    hours widen past ``length``."""
+    if not src:
+        return _ZERO_DATETIME[11 : 11 + length] if just_time \
+            else _ZERO_DATETIME[:length]
+    out = []
+    if just_time:
+        if length not in (8, 10, 11, 12, 13, 14, 15):
+            raise ValueError(f"illegal TIME length {length}")
+        if len(src) not in (8, 12):
+            raise ValueError(f"invalid TIME packet length {len(src)}")
+        if src[0] == 1:
+            out.append("-")
+        days = src[1] | src[2] << 8 | src[3] << 16 | src[4] << 24
+        hour = days * 24 + src[5]
+        out.append(f"{hour:02d}:{src[6]:02d}:{src[7]:02d}")
+        frac_width = length - 9  # zero-value "HH:MM:SS" is 8 + '.'
+        rest = src[8:]
+    else:
+        if length not in (10, 19, 21, 22, 23, 24, 25, 26):
+            kind = "DATETIME" if length > 10 else "DATE"
+            raise ValueError(f"illegal {kind} length {length}")
+        if len(src) not in (4, 7, 11):
+            kind = "DATETIME" if length > 10 else "DATE"
+            raise ValueError(f"illegal {kind} packet length {len(src)}")
+        year = src[0] | src[1] << 8
+        out.append(f"{year:04d}-{src[2]:02d}-{src[3]:02d}")
+        if length == 10:
+            return "".join(out)
+        if len(src) == 4:
+            return "".join(out) + _ZERO_DATETIME[10:length]
+        out.append(f" {src[4]:02d}:{src[5]:02d}:{src[6]:02d}")
+        frac_width = length - 20  # zero value "...:SS" is 19 + '.'
+        rest = src[7:]
+    if frac_width <= 0:
+        return "".join(out)
+    if not rest:
+        return "".join(out) + _ZERO_DATETIME[19 : 20 + frac_width]
+    micros = struct.unpack("<I", rest[:4])[0]
+    return "".join(out) + "." + f"{micros:06d}"[:frac_width]
+
+
+def parse_binary_row(payload: bytes, cols: list) -> tuple:
+    """One binary-protocol row → tuple of decoded cells, one per
+    :class:`ColumnDef` (`dump/packets.go:806-985`): 0x00 header, NULL
+    bitmap of ``(ncols + 7 + 2) // 8`` bytes with a 2-bit offset, then
+    type-directed fixed-width numerics, lenenc strings (decoded utf-8 to
+    match the text-row API), and length-prefixed temporals formatted per
+    the column's ``decimals``."""
+    if payload[0] != PKT_OK:
+        raise ValueError(f"not a binary row packet (header {payload[0]})")
+    ncols = len(cols)
+    pos = 1 + (ncols + 7 + 2) // 8
+    null_mask = payload[1:pos]
+    out = []
+    for i, col in enumerate(cols):
+        if (null_mask[(i + 2) >> 3] >> ((i + 2) & 7)) & 1:
+            out.append(None)
+            continue
+        t = col.field_type
+        if t == C.TYPE_NULL:
+            out.append(None)
+        elif t == C.TYPE_TINY:
+            v = payload[pos]
+            out.append(v if col.unsigned else struct.unpack_from(
+                "<b", payload, pos)[0])
+            pos += 1
+        elif t in (C.TYPE_SHORT, C.TYPE_YEAR):
+            out.append(struct.unpack_from(
+                "<H" if col.unsigned else "<h", payload, pos)[0])
+            pos += 2
+        elif t in (C.TYPE_INT24, C.TYPE_LONG):
+            out.append(struct.unpack_from(
+                "<I" if col.unsigned else "<i", payload, pos)[0])
+            pos += 4
+        elif t == C.TYPE_LONGLONG:
+            out.append(struct.unpack_from(
+                "<Q" if col.unsigned else "<q", payload, pos)[0])
+            pos += 8
+        elif t == C.TYPE_FLOAT:
+            out.append(struct.unpack_from("<f", payload, pos)[0])
+            pos += 4
+        elif t == C.TYPE_DOUBLE:
+            out.append(struct.unpack_from("<d", payload, pos)[0])
+            pos += 8
+        elif t in _BINARY_LENENC:
+            cell, pos = read_lenenc_str(payload, pos)
+            out.append(None if cell is None else cell.decode())
+        elif t in _BINARY_TEMPORAL:
+            n, pos = read_lenenc(payload, pos)
+            src = payload[pos : pos + n]
+            pos += n
+            if t == C.TYPE_TIME:
+                width = 8 if col.decimals in (0x00, 0x1F) \
+                    else 8 + 1 + col.decimals
+                out.append(format_binary_datetime(src, width, True))
+            elif t in (C.TYPE_DATE, C.TYPE_NEWDATE):
+                out.append(format_binary_datetime(src, 10, False))
+            else:
+                width = 19 if col.decimals in (0x00, 0x1F) \
+                    else 19 + 1 + col.decimals
+                out.append(format_binary_datetime(src, width, False))
+        else:
+            raise ValueError(f"unknown binary field type {t}")
+    return tuple(out)
+
+
+def encode_stmt_params(params: tuple) -> bytes:
+    """COM_STMT_EXECUTE parameter block: NULL bitmap (no offset),
+    new-params-bound flag, per-param wire types, then values. Supported
+    Python types: None, bool/int (LONGLONG), float (DOUBLE), str/bytes
+    (VAR_STRING lenenc) — the set a schema probe needs."""
+    n = len(params)
+    null_mask = bytearray((n + 7) // 8)
+    types = bytearray()
+    values = bytearray()
+    for i, p in enumerate(params):
+        if p is None:
+            null_mask[i >> 3] |= 1 << (i & 7)
+            types += bytes([C.TYPE_NULL, 0])
+        elif isinstance(p, bool) or isinstance(p, int):
+            types += bytes([C.TYPE_LONGLONG, 0])
+            values += struct.pack("<q", int(p))
+        elif isinstance(p, float):
+            types += bytes([C.TYPE_DOUBLE, 0])
+            values += struct.pack("<d", p)
+        else:
+            raw = p if isinstance(p, bytes) else str(p).encode()
+            types += bytes([C.TYPE_VARSTRING, 0])
+            values += write_lenenc_str(raw)
+    return bytes(null_mask) + b"\x01" + bytes(types) + bytes(values)
+
+
 def make_com_binlog_dump(server_id: int, offset: int, filename: str,
                          flags: int = 0) -> bytes:
     """P5: COM_BINLOG_DUMP — opcode + pos(4 LE) + flags(2) + server_id(4)
@@ -620,6 +826,68 @@ class DumpClient:
             raise ValueError(
                 f"column count mismatch: {ncols} vs {len(columns)}")
         return ResultSet(columns, rows)
+
+    def exec_prepared(self, sql: str, params: tuple = ()):
+        """Prepared-statement round trip: COM_STMT_PREPARE → COM_STMT_EXECUTE
+        → binary result set → COM_STMT_CLOSE. Returns ``None`` for an OK
+        (no-result) reply or a :class:`ResultSet` whose rows were decoded
+        by :func:`parse_binary_row` — the binary-protocol reader the
+        reference vendors but never drives (`dump/packets.go:806-985`).
+
+        ``?`` placeholders in ``sql`` bind ``params`` positionally
+        (None/int/float/str/bytes — :func:`encode_stmt_params`)."""
+        _write_packet(self._wf, 0, bytes([COM_STMT_PREPARE]) + sql.encode())
+        _, reply = _read_packet(self._rf)
+        if reply and reply[0] == PKT_ERR:
+            code = struct.unpack_from("<H", reply, 1)[0]
+            raise RuntimeError(f"prepare failed: error {code}")
+        # COM_STMT_PREPARE_OK: 00, stmt_id u32, num_columns u16,
+        # num_params u16, filler, warning_count u16
+        stmt_id, n_cols, n_params = struct.unpack_from("<IHH", reply, 1)
+        for _ in range(n_params):  # param definitions
+            _read_packet(self._rf)
+        if n_params:
+            _read_packet(self._rf)  # EOF after param defs
+        for _ in range(n_cols):  # column definitions (repeated at execute)
+            _read_packet(self._rf)
+        if n_cols:
+            _read_packet(self._rf)  # EOF after column defs
+        if n_params != len(params):
+            raise ValueError(
+                f"statement wants {n_params} params, got {len(params)}")
+        exe = bytearray([COM_STMT_EXECUTE])
+        exe += struct.pack("<IBI", stmt_id, 0, 1)  # flags=0, iterations=1
+        if n_params:
+            exe += encode_stmt_params(tuple(params))
+        _write_packet(self._wf, 0, bytes(exe))
+        _, reply = _read_packet(self._rf)
+        try:
+            if reply and reply[0] == PKT_ERR:
+                code = struct.unpack_from("<H", reply, 1)[0]
+                raise RuntimeError(f"execute failed: error {code}")
+            if reply and reply[0] == PKT_OK:
+                return None
+            ncols, _ = read_lenenc(reply, 0)
+            cols = []
+            while True:  # column definitions until EOF
+                _, p = _read_packet(self._rf)
+                if p and p[0] == PKT_EOF and len(p) < 9:
+                    break
+                cols.append(parse_column_def(p))
+            if len(cols) != ncols:
+                raise ValueError(
+                    f"column count mismatch: {ncols} vs {len(cols)}")
+            rows = []
+            while True:  # binary rows until EOF
+                _, p = _read_packet(self._rf)
+                if p and p[0] == PKT_EOF and len(p) < 9:
+                    break
+                rows.append(parse_binary_row(p, cols))
+            return ResultSet([c.name for c in cols], rows)
+        finally:
+            # COM_STMT_CLOSE: fire-and-forget, no server reply
+            _write_packet(self._wf, 0,
+                          bytes([COM_STMT_CLOSE]) + struct.pack("<I", stmt_id))
 
     def start_dump(self, server_id: int, filename: str, offset: int,
                    flags: int = 0):

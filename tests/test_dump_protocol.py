@@ -123,10 +123,13 @@ class FakeDumpServer(threading.Thread):
     (each in a thread) — DescTableMapper opens one per executor."""
 
     def __init__(self, frames, results=None, max_conns=1, auth_switch=None,
-                 ssl_ctx=None, refuse_queries=()):
+                 ssl_ctx=None, refuse_queries=(), prepared=None):
         super().__init__(daemon=True)
         self.frames = frames
         self.results = results or {}
+        # sql → (n_params, [execute-response packet payloads])
+        self.prepared = prepared or {}
+        self.seen_execute_params = []
         self.refuse_queries = set(refuse_queries)
         self.client_collation = None
         self.max_conns = max_conns
@@ -244,6 +247,55 @@ class FakeDumpServer(threading.Thread):
                     D._write_packet(wf, 1, b"\xff\x7a\x04#42S02no such table")
                 else:
                     D._write_packet(wf, 1, b"\x00\x00\x00\x02\x00\x00\x00")
+            elif cmd[0] == D.COM_STMT_PREPARE:
+                sql = cmd[1:].decode()
+                with self._lock:
+                    self.seen_queries.append(sql)
+                if sql not in self.prepared:
+                    D._write_packet(wf, 1, b"\xff\x64\x04#42000no prep")
+                    continue
+                n_params, packets = self.prepared[sql]
+                stmt_id = 1 + sorted(self.prepared).index(sql)
+                self._stmts = getattr(self, "_stmts", {})
+                self._stmts[stmt_id] = sql
+                # header packet starts with the resultset column count
+                ncols = packets[0][0] if packets else 0
+                ok = b"\x00" + struct.pack("<IHH", stmt_id, ncols,
+                                           n_params) + b"\x00\x00\x00"
+                seq = 1
+                D._write_packet(wf, seq, ok)
+                for _ in range(n_params):
+                    seq += 1
+                    D._write_packet(wf, seq, _coldef("?"))
+                if n_params:
+                    seq += 1
+                    D._write_packet(wf, seq, b"\xfe\x00\x00\x02\x00")
+                for p in packets[1 : 1 + ncols]:  # column definitions
+                    seq += 1
+                    D._write_packet(wf, seq, p)
+                if ncols:
+                    seq += 1
+                    D._write_packet(wf, seq, b"\xfe\x00\x00\x02\x00")
+            elif cmd[0] == D.COM_STMT_EXECUTE:
+                stmt_id = struct.unpack_from("<I", cmd, 1)[0]
+                sql = getattr(self, "_stmts", {}).get(stmt_id)
+                with self._lock:
+                    self.seen_execute_params.append(cmd[10:])
+                if sql is None:
+                    D._write_packet(wf, 1, b"\xff\x64\x04#42000bad stmt")
+                    continue
+                _n, packets = self.prepared[sql]
+                if not packets:
+                    D._write_packet(wf, 1,
+                                    b"\x00\x00\x00\x02\x00\x00\x00")
+                    continue
+                for i, p in enumerate(packets):
+                    D._write_packet(wf, i + 1, p)
+            elif cmd[0] == D.COM_STMT_CLOSE:
+                with self._lock:
+                    self.seen_queries.append(
+                        f"<close stmt {struct.unpack_from('<I', cmd, 1)[0]}>")
+                # no reply, per protocol
             elif cmd[0] == D.COM_BINLOG_DUMP:
                 pos, flags, sid = struct.unpack_from("<IHI", cmd, 1)
                 self.dump_request = (pos, flags, sid, cmd[11:].decode())
@@ -639,3 +691,214 @@ def test_packet_split_reassembly_over_socket_io():
         seq, got = D._read_packet(buf)
         assert got == payload, size
         assert buf.read() == b""  # nothing trailing
+
+
+# ---------------------------------------------------------------------------
+# binary-protocol result sets (prepared statements)
+# ---------------------------------------------------------------------------
+
+
+def _bin_coldef(name, ftype, flags=0, decimals=0):
+    """ColumnDefinition41 with an explicit type/flags/decimals tail."""
+    out = b""
+    for s in (b"def", b"", b"", b"", name.encode(), name.encode()):
+        out += D.write_lenenc_str(s)
+    out += bytes([0x0C]) + b"\x21\x00" + b"\x00" * 4
+    out += bytes([ftype]) + struct.pack("<H", flags) + bytes([decimals])
+    out += b"\x00\x00"
+    return out
+
+
+def _bin_row(specs, values):
+    """Server-side binary row encoder (inverse of parse_binary_row):
+    ``specs`` = [(ftype, flags)], temporal/lenenc cells given pre-encoded
+    as bytes for temporals, str for strings."""
+    n = len(specs)
+    mask = bytearray((n + 7 + 2) // 8)
+    body = bytearray()
+    for i, ((ftype, flags), v) in enumerate(zip(specs, values)):
+        if v is None:
+            mask[(i + 2) >> 3] |= 1 << ((i + 2) & 7)
+            continue
+        unsigned = bool(flags & D.FLAG_UNSIGNED)
+        if ftype == C.TYPE_TINY:
+            body += struct.pack("<B" if unsigned else "<b", v)
+        elif ftype in (C.TYPE_SHORT, C.TYPE_YEAR):
+            body += struct.pack("<H" if unsigned else "<h", v)
+        elif ftype in (C.TYPE_INT24, C.TYPE_LONG):
+            body += struct.pack("<I" if unsigned else "<i", v)
+        elif ftype == C.TYPE_LONGLONG:
+            body += struct.pack("<Q" if unsigned else "<q", v)
+        elif ftype == C.TYPE_FLOAT:
+            body += struct.pack("<f", v)
+        elif ftype == C.TYPE_DOUBLE:
+            body += struct.pack("<d", v)
+        elif isinstance(v, bytes):  # pre-encoded temporal payload
+            body += D.write_lenenc(len(v)) + v
+        else:
+            body += D.write_lenenc_str(str(v).encode())
+    return b"\x00" + bytes(mask) + bytes(body)
+
+
+def _bin_result_packets(cols, rows):
+    """cols = [(name, ftype, flags, decimals)], rows = value tuples →
+    full binary result set as packet payloads."""
+    pkts = [D.write_lenenc(len(cols))]
+    pkts += [_bin_coldef(*c) for c in cols]
+    pkts.append(b"\xfe\x00\x00\x02\x00")
+    specs = [(c[1], c[2] if len(c) > 2 else 0) for c in cols]
+    for r in rows:
+        pkts.append(_bin_row(specs, r))
+    pkts.append(b"\xfe\x00\x00\x02\x00")
+    return pkts
+
+
+def test_format_binary_datetime_reference_goldens():
+    """The exact table from the reference's TestFormatBinaryDateTime
+    (`dump/utils_test.go:116-144`)."""
+    raw = bytearray(11)
+    struct.pack_into("<H", raw, 0, 1978)
+    raw[2], raw[3], raw[4], raw[5], raw[6] = 12, 30, 15, 46, 23
+    struct.pack_into("<I", raw, 7, 987654)
+    f = D.format_binary_datetime
+    assert f(b"", 10, False) == "0000-00-00"
+    assert f(b"", 19, False) == "0000-00-00 00:00:00"
+    assert f(bytes(raw[:4]), 10, False) == "1978-12-30"
+    assert f(bytes(raw[:7]), 19, False) == "1978-12-30 15:46:23"
+    assert f(bytes(raw[:11]), 26, False) == "1978-12-30 15:46:23.987654"
+    # datetime with fraction truncated to the column's decimals
+    assert f(bytes(raw[:11]), 23, False) == "1978-12-30 15:46:23.987"
+    # date-only payload padded to a datetime width
+    assert f(bytes(raw[:4]), 19, False) == "1978-12-30 00:00:00"
+
+
+def test_format_binary_datetime_time_variants():
+    f = D.format_binary_datetime
+    assert f(b"", 8, True) == "00:00:00"
+    assert f(b"", 12, True) == "00:00:00.000"
+    plain = bytes([0, 0, 0, 0, 0, 9, 30, 12])
+    assert f(plain, 8, True) == "09:30:12"
+    neg_day = bytes([1, 1, 0, 0, 0, 5, 30, 12])  # -(1d 5h) = -29h
+    assert f(neg_day, 8, True) == "-29:30:12"
+    frac = plain + struct.pack("<I", 987654)
+    assert f(frac, 12, True) == "09:30:12.987"
+    assert f(frac, 15, True) == "09:30:12.987654"
+    with pytest.raises(ValueError):
+        f(plain, 9, True)  # illegal TIME display length
+    with pytest.raises(ValueError):
+        f(plain[:5], 8, True)  # illegal packet length
+
+
+def test_parse_column_def_full():
+    payload = _bin_coldef("qty", C.TYPE_LONGLONG, D.FLAG_UNSIGNED, 3)
+    col = D.parse_column_def(payload)
+    assert col.name == "qty"
+    assert col.field_type == C.TYPE_LONGLONG
+    assert col.unsigned
+    assert col.decimals == 3
+
+
+def test_parse_binary_row_type_coverage():
+    """Every decode branch of `dump/packets.go:806-985`: signed/unsigned
+    fixed-width numerics, float/double, lenenc strings, NULL-bitmap bits
+    (2-bit offset), and the three temporal routes."""
+    dt7 = struct.pack("<H", 2024) + bytes([2, 29, 13, 5, 59])
+    date4 = struct.pack("<H", 1999) + bytes([12, 31])
+    time8 = bytes([0, 0, 0, 0, 0, 8, 15, 30])
+    cols = [
+        ("i8", C.TYPE_TINY, 0, 0), ("u16", C.TYPE_SHORT, D.FLAG_UNSIGNED, 0),
+        ("i32", C.TYPE_LONG, 0, 0),
+        ("u64", C.TYPE_LONGLONG, D.FLAG_UNSIGNED, 0),
+        ("f", C.TYPE_FLOAT, 0, 0), ("d", C.TYPE_DOUBLE, 0, 0),
+        ("s", C.TYPE_VARSTRING, 0, 0), ("nul", C.TYPE_LONG, 0, 0),
+        ("ts", C.TYPE_DATETIME, 0, 0), ("dt", C.TYPE_DATE, 0, 0),
+        ("t", C.TYPE_TIME, 0, 2), ("yr", C.TYPE_YEAR, D.FLAG_UNSIGNED, 0),
+    ]
+    specs = [(c[1], c[2]) for c in cols]
+    values = (-7, 65535, -2_000_000_000, (1 << 63) + 5, 1.5, -2.25,
+              "héllo", None, dt7, date4, time8, 2024)
+    payload = _bin_row(specs, values)
+    coldefs = [D.parse_column_def(_bin_coldef(*c)) for c in cols]
+    row = D.parse_binary_row(payload, coldefs)
+    assert row == (-7, 65535, -2_000_000_000, (1 << 63) + 5, 1.5, -2.25,
+                   "héllo", None, "2024-02-29 13:05:59", "1999-12-31",
+                   "08:15:30.00", 2024)
+    # a non-0x00 header is not a row packet
+    with pytest.raises(ValueError):
+        D.parse_binary_row(b"\xfb" + payload[1:], coldefs)
+
+
+def test_parse_binary_row_null_bitmap_many_columns():
+    """Bit offsets past the first mask byte (column 7+ with the 2-bit
+    shift lands in mask[1])."""
+    cols = [(f"c{i}", C.TYPE_LONG, 0, 0) for i in range(12)]
+    specs = [(c[1], c[2]) for c in cols]
+    values = tuple(None if i % 3 == 0 else i * 11 for i in range(12))
+    payload = _bin_row(specs, values)
+    coldefs = [D.parse_column_def(_bin_coldef(*c)) for c in cols]
+    assert D.parse_binary_row(payload, coldefs) == values
+
+
+def test_exec_prepared_end_to_end():
+    """COM_STMT_PREPARE → EXECUTE(params) → binary result set → CLOSE
+    against the fake server: the reader the reference vendors as dead
+    code (`dump/packets.go:806`) driven live."""
+    sql = "SELECT id, name, score FROM t WHERE id > ? AND name != ?"
+    cols = [("id", C.TYPE_LONGLONG, 0, 0),
+            ("name", C.TYPE_VARSTRING, 0, 0),
+            ("score", C.TYPE_DOUBLE, 0, 0)]
+    rows = [(1, "alpha", 0.5), (2, None, -1.25)]
+    server = FakeDumpServer(
+        [], prepared={sql: (2, _bin_result_packets(cols, rows))})
+    server.start()
+    dsn = f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
+    client = D.DumpClient(D.parse_dsn(dsn))
+    client.connect()
+    try:
+        rs = client.exec_prepared(sql, (0, "x"))
+    finally:
+        client.close()
+        server.stop()
+    assert rs.columns == ["id", "name", "score"]
+    assert rs.rows == rows
+    # the execute packet carried both params: NULL bitmap (1 byte, clear),
+    # rebound flag, 2 type pairs, then an int64 and a lenenc string
+    params = server.seen_execute_params[-1]
+    assert params[0] == 0 and params[1] == 1
+    assert params[2:6] == bytes([C.TYPE_LONGLONG, 0, C.TYPE_VARSTRING, 0])
+    assert struct.unpack_from("<q", params, 6)[0] == 0
+    assert params[14:] == D.write_lenenc_str(b"x")
+    assert any(q.startswith("<close stmt") for q in server.seen_queries)
+
+
+def test_exec_prepared_param_count_and_errors():
+    sql = "SELECT 1 FROM t WHERE a = ?"
+    cols = [("one", C.TYPE_LONG, 0, 0)]
+    server = FakeDumpServer(
+        [], prepared={sql: (1, _bin_result_packets(cols, [(1,)]))})
+    server.start()
+    dsn = f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
+    client = D.DumpClient(D.parse_dsn(dsn))
+    client.connect()
+    try:
+        with pytest.raises(ValueError, match="wants 1 params"):
+            client.exec_prepared(sql, ())
+        with pytest.raises(RuntimeError, match="prepare failed"):
+            client.exec_prepared("SELECT nope", ())
+    finally:
+        client.close()
+        server.stop()
+
+
+def test_encode_stmt_params_null_bitmap_and_types():
+    blob = D.encode_stmt_params((None, 42, 2.5, "ab", b"c"))
+    assert blob[0] == 0b00000001  # param 0 NULL
+    assert blob[1] == 1  # new-params-bound flag
+    types = blob[2:12]
+    assert types == bytes([C.TYPE_NULL, 0, C.TYPE_LONGLONG, 0,
+                           C.TYPE_DOUBLE, 0, C.TYPE_VARSTRING, 0,
+                           C.TYPE_VARSTRING, 0])
+    vals = blob[12:]
+    assert struct.unpack_from("<q", vals, 0)[0] == 42
+    assert struct.unpack_from("<d", vals, 8)[0] == 2.5
+    assert vals[16:] == D.write_lenenc_str(b"ab") + D.write_lenenc_str(b"c")
