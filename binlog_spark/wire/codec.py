@@ -159,7 +159,7 @@ def cell_length(data, pos: int, typ: int, metadata: int) -> int:
     if typ in (C.TYPE_ENUM, C.TYPE_SET):
         return metadata & 0xFF
     if typ in (C.TYPE_TINYBLOB, C.TYPE_MEDIUMBLOB, C.TYPE_LONGBLOB, C.TYPE_BLOB,
-               C.TYPE_GEOMETRY):
+               C.TYPE_GEOMETRY, C.TYPE_JSON):
         if not 1 <= metadata <= 4:
             raise ValueError(f"unsupported blob/geometry metadata {metadata}")
         return metadata + int.from_bytes(data[pos : pos + metadata], "little")
@@ -368,6 +368,17 @@ def cell_bytes(data, pos: int, typ: int, metadata: int, unsigned: bool):
         l = int.from_bytes(data[pos : pos + metadata], "little")
         start = pos + metadata
         return bytes(data[start : start + l]), l + metadata
+
+    if typ == C.TYPE_JSON:
+        # binary JSON document → canonical text (a superset of the
+        # reference, which dead-letters JSON columns — see wire/jsonb.py)
+        if not 1 <= metadata <= 4:
+            raise ValueError(f"unsupported json metadata {metadata}")
+        l = int.from_bytes(data[pos : pos + metadata], "little")
+        start = pos + metadata
+        from . import jsonb
+
+        return jsonb.to_text(data[start : start + l]).encode(), l + metadata
 
     if typ == C.TYPE_STRING:
         t = metadata >> 8

@@ -255,6 +255,14 @@ def encode_cell(typ: int, metadata: int, unsigned: bool, value: str) -> bytes:
                C.TYPE_GEOMETRY):
         raw = value.encode() if isinstance(value, str) else bytes(value)
         return len(raw).to_bytes(metadata, "little") + raw
+    if typ == C.TYPE_JSON:
+        # canonical JSON text -> binary JSONB document (wire/jsonb.py)
+        import json as _json
+
+        from . import jsonb as _jsonb
+
+        raw = _jsonb.encode_value(_json.loads(value))
+        return len(raw).to_bytes(metadata, "little") + raw
     if typ == C.TYPE_TIMESTAMP2:
         # "<epoch secs>[.frac]" -> BE secs + packed fractional (fsp=metadata)
         secs, frac = _split_frac(value, metadata)
