@@ -999,6 +999,87 @@ def _pinned_frames(n_txns, seed=42, n_repos=20, paths_per_repo=30,
     return _WORLD_CACHE[key]
 
 
+# (id, canonical JSON text) pairs for the JSONB wire query: key order is
+# the server's storage order (length, then bytes), doubles in shortest
+# round-trip form — exactly what wire/jsonb.py renders after decode
+_JSON_DOCS = [
+    (1, '{"a": 1, "b": [true, null, "x"], "c": {"d": 2.5}}'),
+    (2, '[1, "two", 3.5, null, false]'),
+    (3, '"plain ünïcode ✓"'),
+    (4, '{"u": 18446744073709551615, "big": 9223372036854775807, '
+        '"neg": -32768}'),
+    (5, '{}'),
+    (6, '[]'),
+    (7, 'null'),
+    (8, 'true'),
+    (9, '0.125'),
+]
+
+
+def _jsonb_frames():
+    """Deterministic one-txn WRITE_ROWS stream with a JSON column
+    (memoized like the other pinned worlds)."""
+    key = ("jsonb-cells",)
+    hit = _WORLD_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[1]):
+        return hit
+    import struct
+    from types import SimpleNamespace
+
+    from .wire import constants as C
+    from .wire import events as E
+
+    cols = [("id", C.TYPE_LONG, 0, False), ("doc", C.TYPE_JSON, 4, False)]
+    spec = E.TableMapSpec(database="jdb", name="jdoc", columns=cols,
+                          key_cols=("id",))
+    registry = {("jdb", "jdoc"): [[(n, u) for n, _t, _m, u in cols]]}
+    fmt = E.BinlogFormat()
+    frames, pos = [], 4
+
+    def emit(etype, payload):
+        nonlocal pos
+        fr = bytearray(E.packetize(fmt, etype, 0, payload,
+                                   timestamp=1700000000, server_id=1,
+                                   log_position=pos))
+        nxt = pos + len(fr)
+        struct.pack_into("<I", fr, 13, nxt & 0xFFFFFFFF)
+        frames.append(("binlog.000000", pos, etype, bytes(fr)))
+        pos = nxt
+
+    emit(C.E_FORMAT_DESCRIPTION, E.make_format_description(fmt))
+    emit(C.E_GTID, E.make_gtid(1))
+    emit(C.E_QUERY, E.make_query("jdb", "BEGIN"))
+    emit(C.E_TABLE_MAP, E.make_table_map(spec, 777))
+    emit(C.E_WRITE_ROWS_V2,
+         E.make_rows_event(spec, 777, C.E_WRITE_ROWS_V2,
+                           [(None, {"id": str(i), "doc": doc})
+                            for i, doc in _JSON_DOCS]))
+    emit(C.E_XID, E.make_xid(1))
+    frames_dir = os.path.join(tempfile.mkdtemp(prefix="binlog_spark_json_"),
+                              "frames")
+    genlog.write_frames_parquet(SimpleNamespace(frames=frames), frames_dir)
+    _WORLD_CACHE[key] = (registry, frames_dir)
+    return _WORLD_CACHE[key]
+
+
+def cdc_json_cells(spark, sf_dir=None):
+    """JSON column type through the full wire pipeline — a deliberate
+    superset of the reference, which dead-letters JSON columns
+    (`replication/binlog_event.go:4-5`): encode deterministic JSONB
+    documents (objects/arrays, inlined ints, 64-bit extremes, unicode
+    strings, doubles, empty containers, scalar roots) into WRITE_ROWS
+    frames, decode distributed (scalar-kernel route in the columnar
+    splitter), return the canonical text per row. Oracle: the pinned
+    literals in ``_JSON_DOCS``."""
+    registry, frames_dir = _jsonb_frames()
+    changes = pipeline.decode_to_changes(
+        spark, pipeline.read_frames(spark, frames_dir), registry)
+    return (changes
+            .select(F.col("after")["id"].cast("int").alias("id"),
+                    F.col("after")["doc"].alias("doc"))
+            .orderBy("id"))
+
+
 def _pinned_rawlogs(n_txns, seed=42, n_repos=20, paths_per_repo=30,
                     txns_per_file=50):
     from .sources import binlog_file
@@ -1674,6 +1755,8 @@ QUERIES = {
         _t(s, d, "documents")),
     "text_char_entropy": lambda s, d: textstats.char_entropy(
         _t(s, d, "documents")),
+    # JSON column decode (round-4 superset; never driver-sampled)
+    "cdc_json_cells": cdc_json_cells,
     # dedup / tokenizer (round-3 additions)
     "dedup_exact_substr_spans": lambda s, d: dedup.dup_spans(
         _t(s, d, "documents")),
@@ -1758,6 +1841,14 @@ QUERIES = {
     "sim_lsh_near_dup": sim_lsh_near_dup_q,
     "sim_lsh_ann_topk": sim_lsh_ann_q,
 }
+
+# the JSONB query's oracle IS its pinned input: decode must reproduce
+# the canonical text of every document byte-for-byte
+CDC_JSON_CELLS_ORACLE = (
+    "SELECT CAST(id AS INTEGER) AS id, doc FROM (VALUES\n"
+    + ",\n".join(f"  ({i}, '{doc}')" for i, doc in _JSON_DOCS)
+    + "\n) AS t(id, doc) ORDER BY id")
+
 
 # literal oracles for the seeded wire-pipeline queries (values captured from
 # the deterministic generator; any generator change must re-pin these)
@@ -1868,6 +1959,7 @@ ORACLES = {
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
     "cdc_packet_framing": CDC_PACKET_FRAMING_ORACLE,
+    "cdc_json_cells": CDC_JSON_CELLS_ORACLE,
     "cdc_replay_final_state": CDC_REPLAY_STATE_ORACLE,
     # bootstrap + overlapped catch-up must converge to the SAME state
     "cdc_bootstrap_catchup": CDC_REPLAY_STATE_ORACLE,
