@@ -23,11 +23,13 @@ Layout (all integers little-endian):
 * 0x05-0x0a int16/uint16/int32/uint32/int64/uint64; 0x0b double.
 * 0x0c string: varint length (base-128, low 7 bits first, high bit =
   continuation) + utf8mb4 bytes.
-* 0x0f opaque (DECIMAL/DATE/TIME/... stored verbatim with a field-type
-  byte): not decoded here — raised as ValueError so the row takes the
-  engine's dead-letter path, the same contract as other unsupported
-  constructs. The scalar/array/object kernel above covers everything
-  JSON itself can express.
+* 0x0f opaque: SQL scalars stored verbatim with a field-type byte +
+  varint length. DECIMAL decodes through the engine's packed-decimal
+  reader to an exact unquoted number; DATE/TIME/DATETIME/TIMESTAMP
+  unpack the public in-memory packed longlong (my_time.h) and render as
+  quoted text with 6-digit microseconds, matching the server's JSON
+  output. Other opaque field types raise ValueError (dead-letter
+  upstream).
 
 Text rendering matches MySQL's (``", "`` / ``": "`` separators, keys in
 stored order, shortest-round-trip doubles via Python repr).
@@ -130,9 +132,56 @@ def _value(t: int, data, pos: int):
         ln, p = _read_varint(data, pos)
         return bytes(data[p : p + ln]).decode("utf-8")
     if t == T_OPAQUE:
-        raise ValueError(
-            f"jsonb: opaque scalar (field type {data[pos]:#x}) unsupported")
+        return _opaque(data, pos)
     raise ValueError(f"jsonb: unknown type byte {t:#x}")
+
+
+def _opaque(data, pos: int):
+    """Opaque scalar: SQL values stored verbatim inside a JSON document
+    (field-type byte + varint length + the value's packed bytes). The
+    server renders DECIMAL as an exact unquoted number and DATE/TIME/
+    DATETIME/TIMESTAMP as quoted text with 6-digit microseconds; the
+    packed layouts are the public in-memory forms (my_time.h
+    TIME_to_longlong_*_packed, the same 17/5/12/6/24-bit fields as the
+    DATETIME2 wire format)."""
+    from decimal import Decimal
+
+    from . import constants as C
+
+    ftype = data[pos]
+    ln, p = _read_varint(data, pos + 1)
+    if ftype in (C.TYPE_DECIMAL, C.TYPE_NEWDECIMAL):
+        from . import codec
+
+        precision, scale = data[p], data[p + 1]
+        digits, _ = codec._decode_new_decimal(
+            data, p + 2, (precision << 8) | scale)
+        return Decimal(digits.decode())
+    if ln != 8:
+        raise ValueError(f"jsonb: opaque field {ftype:#x} length {ln}")
+    packed = _int(data, p, 8, True)
+    if ftype == C.TYPE_TIME:
+        neg = packed < 0
+        if neg:
+            packed = -packed
+        frac = packed & 0xFFFFFF
+        hms = packed >> 24
+        h, m, s = hms >> 12, (hms >> 6) & 63, hms & 63
+        return f"{'-' if neg else ''}{h:02d}:{m:02d}:{s:02d}.{frac:06d}"
+    if ftype in (C.TYPE_DATE, C.TYPE_NEWDATE, C.TYPE_DATETIME,
+                 C.TYPE_TIMESTAMP):
+        frac = packed & 0xFFFFFF
+        ymdhms = packed >> 24
+        hms = ymdhms & 0x1FFFF
+        ymd = ymdhms >> 17
+        day = ymd & 31
+        year, month = divmod(ymd >> 5, 13)
+        if ftype in (C.TYPE_DATE, C.TYPE_NEWDATE):
+            return f"{year:04d}-{month:02d}-{day:02d}"
+        h, m, s = hms >> 12, (hms >> 6) & 63, hms & 63
+        return (f"{year:04d}-{month:02d}-{day:02d} "
+                f"{h:02d}:{m:02d}:{s:02d}.{frac:06d}")
+    raise ValueError(f"jsonb: opaque field type {ftype:#x} unsupported")
 
 
 def _container(data, base: int, large: bool, is_object: bool):
@@ -174,11 +223,30 @@ def decode_value(payload: bytes):
     return _value(payload[0], payload, 1)
 
 
+def _dump(v) -> str:
+    """MySQL-style JSON text: ``", "``/``": "`` separators, stored key
+    order, repr doubles, and exact unquoted Decimals (opaque DECIMAL
+    scalars keep their scale — json.dumps cannot express that)."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_dump(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{json.dumps(k, ensure_ascii=False)}: {_dump(x)}"
+            for k, x in v.items()) + "}"
+    return str(v)  # int, float (repr == shortest round trip), Decimal
+
+
 def to_text(payload: bytes) -> str:
-    """JSONB document → canonical JSON text (MySQL rendering: ``", "``
-    and ``": "`` separators, stored key order, repr doubles)."""
-    return json.dumps(decode_value(payload), ensure_ascii=False,
-                      separators=(", ", ": "))
+    """JSONB document → canonical JSON text (MySQL rendering)."""
+    return _dump(decode_value(payload))
 
 
 # ---------------------------------------------------------------------------

@@ -88,15 +88,67 @@ def test_empty_payload_is_sql_json_null():
     assert jsonb.to_text(b"") == "null"
 
 
-def test_opaque_and_corrupt_raise():
+def test_unsupported_and_corrupt_raise():
+    # opaque BIT (not a JSON-castable SQL scalar) dead-letters
     with pytest.raises(ValueError, match="opaque"):
-        jsonb.decode_value(bytes([0x0F, 0x0A, 0x01, 0x00]))
+        jsonb.decode_value(bytes([0x0F, C.TYPE_BIT, 0x01, 0x00]))
     with pytest.raises(ValueError):
         jsonb.decode_value(bytes([0x77, 0x00]))  # unknown type byte
     # container whose declared size overruns the document
     with pytest.raises(ValueError):
         jsonb.decode_value(bytes([0x02, 0x01, 0x00, 0xFF, 0x7F, 0x05,
                                   0x01, 0x00]))
+
+
+def _opaque_doc(ftype: int, payload: bytes) -> bytes:
+    return bytes([0x0F, ftype]) + jsonb._write_varint(len(payload)) + payload
+
+
+def test_opaque_decimal_exact():
+    """Opaque DECIMAL: precision/scale header + the same packed bytes as
+    a NEWDECIMAL cell — must reproduce the exact digit string including
+    trailing scale zeros (a float cannot)."""
+    from decimal import Decimal
+
+    from binlog_spark.wire import events as E
+
+    packed = E.encode_cell(C.TYPE_NEWDECIMAL, (12 << 8) | 4, False,
+                           "-12345678.9012")
+    doc = _opaque_doc(C.TYPE_NEWDECIMAL, bytes([12, 4]) + packed)
+    assert jsonb.decode_value(doc) == Decimal("-12345678.9012")
+    assert jsonb.to_text(doc) == "-12345678.9012"
+    packed0 = E.encode_cell(C.TYPE_NEWDECIMAL, (6 << 8) | 3, False, "1.300")
+    doc0 = _opaque_doc(C.TYPE_NEWDECIMAL, bytes([6, 3]) + packed0)
+    assert jsonb.to_text(doc0) == "1.300"  # scale preserved, unquoted
+
+
+def test_opaque_temporals():
+    """Packed longlong temporals (my_time.h layouts) render as quoted
+    text with 6-digit microseconds, like the server's JSON output."""
+    def dt_packed(y, mo, d, h=0, mi=0, s=0, frac=0):
+        ymd = ((y * 13 + mo) << 5) | d
+        hms = (h << 12) | (mi << 6) | s
+        return ((((ymd << 17) | hms) << 24) | frac).to_bytes(
+            8, "little", signed=True)
+
+    def time_packed(h, m, s, frac=0, neg=False):
+        v = ((((h << 12) | (m << 6) | s) << 24) | frac)
+        return (-v if neg else v).to_bytes(8, "little", signed=True)
+
+    d = _opaque_doc(C.TYPE_DATE, dt_packed(2015, 1, 15))
+    assert jsonb.decode_value(d) == "2015-01-15"
+    ts = _opaque_doc(C.TYPE_DATETIME,
+                     dt_packed(2015, 1, 15, 23, 24, 25, 62500))
+    assert jsonb.decode_value(ts) == "2015-01-15 23:24:25.062500"
+    t = _opaque_doc(C.TYPE_TIME, time_packed(23, 24, 25))
+    assert jsonb.decode_value(t) == "23:24:25.000000"
+    tneg = _opaque_doc(C.TYPE_TIME, time_packed(1, 2, 3, neg=True))
+    assert jsonb.decode_value(tneg) == "-01:02:03.000000"
+    # rendering inside a document: temporals quote, decimals don't
+    from decimal import Decimal
+
+    assert jsonb._dump(["2015-01-15", Decimal("1.30")]) == \
+        '["2015-01-15", 1.30]'
 
 
 _scalars = st.one_of(
