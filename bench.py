@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "cdc_checksum_audit",
     "cdc_replay_raw_files",
     "cdc_bootstrap_catchup",
+    "cdc_json_cells",
 ]
 
 

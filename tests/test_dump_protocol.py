@@ -859,6 +859,9 @@ def test_exec_prepared_end_to_end():
     finally:
         client.close()
         server.stop()
+        # STMT_CLOSE is fire-and-forget: wait for the serving thread to
+        # drain it (it exits on the client's EOF) before asserting
+        server.join(timeout=10)
     assert rs.columns == ["id", "name", "score"]
     assert rs.rows == rows
     # the execute packet carried both params: NULL bitmap (1 byte, clear),
