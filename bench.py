@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "cdc_replay_raw_files",
     "cdc_bootstrap_catchup",
     "cdc_json_cells",
+    "text_gopher_rules",
 ]
 
 

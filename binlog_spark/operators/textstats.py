@@ -523,3 +523,105 @@ SELECT d.doc_id,
            AS entropy_bits
 FROM {table} d LEFT JOIN agg a USING (doc_id), qlog q
 """
+
+
+# ------------------------------------------------------- Gopher rule filter
+# Gopher's document-level quality rules (Rae et al. 2021, Appendix A):
+# word-count bounds, mean-word-length band, symbol-to-word ratio,
+# fraction of words with an alphabetic character, and a minimum number
+# of DISTINCT stop words present. The reference has no analogue — this
+# is lake-side corpus curation the CDC-fed repo-content table feeds.
+GOPHER_SYMBOLS = "[#…]"  # '#' and ellipsis, per the paper
+
+
+def gopher_rules(df: DataFrame, col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_distinct: int = 2) -> DataFrame:
+    """Per-document Gopher rule flags + the conjunctive ``keep`` gate.
+
+    Map-only, pure JVM (``split`` + higher-order ``filter`` + ``rlike``):
+    no shuffle, no Python — at 10^9 documents this is one codegen pass.
+    Ratios divide two identically-derived ints, so the doubles (and the
+    keep flag built from them) are bit-equal across engines; displayed
+    ratios are rounded to 6 dp for the cross-engine hash. Zero-word
+    documents report 0.0 ratios (and keep=0) rather than NULL.
+    """
+    c = F.col(col)
+    words = F.filter(F.split(c, WS_REGEX), lambda w: F.length(w) > 0)
+    n_words = ws_token_count(c)
+    # sum of word lengths == length with every delimiter removed
+    word_chars = F.length(F.regexp_replace(c, WS_REGEX, ""))
+    mean_wl = F.try_divide(word_chars, n_words)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_sym = F.size(F.filter(words, lambda w: w.rlike(GOPHER_SYMBOLS)))
+    alpha_ratio = F.try_divide(n_alpha, n_words)
+    sym_ratio = F.try_divide(n_sym, n_words)
+    stop_hits = [
+        (F.regexp_count(F.lower(c), F.lit(rf"\b{w}\b")) > 0).cast("int")
+        for w in STOPWORDS_EN
+    ]
+    n_stop = sum(stop_hits[1:], stop_hits[0])
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (sym_ratio <= max_symbol_ratio)
+            & (alpha_ratio >= min_alpha_ratio)
+            & (n_stop >= min_stop_distinct))
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.coalesce(F.round(mean_wl, 6), F.lit(0.0)).alias("mean_word_len"),
+        F.coalesce(F.round(sym_ratio, 6), F.lit(0.0)).alias("symbol_ratio"),
+        F.coalesce(F.round(alpha_ratio, 6), F.lit(0.0)).alias("alpha_ratio"),
+        n_stop.alias("n_stop_distinct"),
+        F.coalesce(keep.cast("int"), F.lit(0)).alias("keep"),
+    )
+
+
+def gopher_rules_sql(table: str = "documents",
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_word_len: float = 3.0,
+                     max_mean_word_len: float = 10.0,
+                     max_symbol_ratio: float = 0.1,
+                     min_alpha_ratio: float = 0.8,
+                     min_stop_distinct: int = 2) -> str:
+    nw = ws_token_count_sql("text")
+    words = f"list_filter(string_split_regex(text, '{WS_REGEX}'), x -> x <> '')"
+    stop_sum = " + ".join(
+        rf"CAST(regexp_matches(lower(text), '\b{w}\b') AS INT)"
+        for w in STOPWORDS_EN)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {nw} AS n_words,
+         length(regexp_replace(text, '{WS_REGEX}', '', 'g')) AS word_chars,
+         len(list_filter({words}, x -> regexp_matches(x, '[A-Za-z]')))
+             AS n_alpha,
+         len(list_filter({words}, x -> regexp_matches(x, '{GOPHER_SYMBOLS}')))
+             AS n_sym,
+         {stop_sum} AS n_stop
+  FROM {table}
+), r AS (
+  SELECT doc_id, n_words, n_stop,
+         word_chars / CAST(NULLIF(n_words, 0) AS DOUBLE) AS mean_wl,
+         n_sym / CAST(NULLIF(n_words, 0) AS DOUBLE) AS sym_r,
+         n_alpha / CAST(NULLIF(n_words, 0) AS DOUBLE) AS alpha_r
+  FROM m
+)
+SELECT doc_id,
+       n_words,
+       coalesce(round(mean_wl, 6), 0.0) AS mean_word_len,
+       coalesce(round(sym_r, 6), 0.0) AS symbol_ratio,
+       coalesce(round(alpha_r, 6), 0.0) AS alpha_ratio,
+       n_stop AS n_stop_distinct,
+       coalesce(CAST(n_words BETWEEN {min_words} AND {max_words}
+                AND mean_wl BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+                AND sym_r <= {max_symbol_ratio}
+                AND alpha_r >= {min_alpha_ratio}
+                AND n_stop >= {min_stop_distinct} AS INT), 0) AS keep
+FROM r
+"""

@@ -1755,6 +1755,11 @@ QUERIES = {
         _t(s, d, "documents")),
     "text_char_entropy": lambda s, d: textstats.char_entropy(
         _t(s, d, "documents")),
+    # Gopher-style document-quality rule gate (round-4 addition;
+    # min_words lowered from the paper's 50 so the synthetic corpus
+    # splits instead of failing wholesale)
+    "text_gopher_rules": lambda s, d: textstats.gopher_rules(
+        _t(s, d, "documents"), min_words=20),
     # JSON column decode (round-4 superset; never driver-sampled)
     "cdc_json_cells": cdc_json_cells,
     # dedup / tokenizer (round-3 additions)
@@ -1950,6 +1955,7 @@ ORACLES = {
     "text_pii_scrub": textstats.pii_scrub_sql(),
     "text_decontaminate": dedup.decontaminate_sql(),
     "text_char_entropy": textstats.char_entropy_sql(),
+    "text_gopher_rules": textstats.gopher_rules_sql(min_words=20),
     "dedup_exact_substr_spans": dedup.dup_spans_sql(),
     "tok_bpe_top_pairs": tokenizer.bpe_top_pairs_sql(),
     "dedup_incremental_lsh": (
