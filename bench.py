@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "cdc_bootstrap_catchup",
     "cdc_json_cells",
     "text_gopher_rules",
+    "cdc_scd2_history",
+    "cdc_time_travel",
 ]
 
 

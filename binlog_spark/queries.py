@@ -88,6 +88,84 @@ WHERE rn = 1 AND op != 'D'
 """
 
 
+def cdc_scd2_history(spark, sf_dir):
+    """SCD type-2 history from the changelog: every insert/update opens a
+    key version valid from its event until the key's next change (of any
+    kind); a delete closes the open version without opening a new one.
+    This is the "history table" a CDC lake sink materializes alongside
+    the current-state table (reference parity: the same I/U/D stream
+    `replication/binlog_event.go` emits, folded to intervals).
+
+    Scalable shape: ONE key shuffle + one per-key window (lead) — the
+    same partitioning the merge-apply stage already uses, so at 10^10
+    events the history write co-locates with the state write. The open
+    version's valid_to is pinned to Long.Max (not NULL) so the row is
+    hash-stable across engines."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    versioned = ev.withColumn("next_id", F.lead("event_id").over(w))
+    open_end = F.lit(9223372036854775807)
+    return (versioned.where(F.col("op") != "D")
+            .select("user_id",
+                    F.col("event_id").alias("valid_from"),
+                    F.coalesce("next_id", open_end).alias("valid_to"),
+                    "op", "value",
+                    F.col("next_id").isNull().cast("int")
+                        .alias("is_current")))
+
+
+def cdc_scd2_history_sql():
+    return f"""
+SELECT user_id, valid_from,
+       coalesce(next_id, 9223372036854775807) AS valid_to,
+       op, value,
+       CAST(next_id IS NULL AS INT) AS is_current
+FROM (SELECT user_id, event_id AS valid_from, {_OP_EXPR} AS op, value,
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS next_id
+      FROM events)
+WHERE op != 'D'
+"""
+
+
+def cdc_time_travel(spark, sf_dir):
+    """Time travel: table state as of three historical watermarks in one
+    pass — "what did the table look like at checkpoint T?" for T at the
+    1/4, 2/4, 3/4 points of the replayed id space.
+
+    Scalable shape: the events scan happens ONCE; the snapshot dimension
+    (3 rows, derived map-side from max(event_id) with exact `div`) is
+    broadcast, then a single (as_of, key) shuffle folds all three states
+    via max_by. No per-snapshot replay, no driver collect."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    snaps = (ev.agg(F.max("event_id").alias("m"))
+             .selectExpr("explode(array(m*1 div 4, m*2 div 4, m*3 div 4))"
+                         " AS as_of"))
+    j = ev.join(F.broadcast(snaps), F.col("event_id") <= F.col("as_of"))
+    payload = F.struct("event_id", "op", "value")
+    latest = (j.groupBy("as_of", "user_id")
+              .agg(F.max_by(payload, F.col("event_id")).alias("r")))
+    return (latest.where(F.col("r.op") != "D")
+            .select("as_of", "user_id",
+                    F.col("r.event_id").alias("last_event_id"),
+                    F.col("r.value").alias("last_value")))
+
+
+def cdc_time_travel_sql():
+    return f"""
+WITH snaps AS (
+  SELECT (max(event_id) * q) // 4 AS as_of
+  FROM events, (SELECT unnest([1, 2, 3]) AS q) GROUP BY q
+)
+SELECT as_of, user_id, event_id AS last_event_id, value AS last_value
+FROM (SELECT s.as_of, e.user_id, e.event_id, {_OP_EXPR} AS op, e.value,
+             row_number() OVER (PARTITION BY s.as_of, e.user_id
+                                ORDER BY e.event_id DESC) AS rn
+      FROM events e JOIN snaps s ON e.event_id <= s.as_of)
+WHERE rn = 1 AND op != 'D'
+"""
+
+
 def cdc_txn_assembly(spark, sf_dir):
     """Commit-marker transaction grouping (P28 as a window): a 'purchase'
     commits the open transaction; every event gets the txn it belongs to.
@@ -1762,6 +1840,9 @@ QUERIES = {
         _t(s, d, "documents"), min_words=20),
     # JSON column decode (round-4 superset; never driver-sampled)
     "cdc_json_cells": cdc_json_cells,
+    # SCD2 history + snapshot time travel (round-4 additions)
+    "cdc_scd2_history": cdc_scd2_history,
+    "cdc_time_travel": cdc_time_travel,
     # dedup / tokenizer (round-3 additions)
     "dedup_exact_substr_spans": lambda s, d: dedup.dup_spans(
         _t(s, d, "documents")),
@@ -1892,6 +1973,8 @@ ORACLES = {
     "cdc_txn_assembly": cdc_txn_assembly_sql(),
     "cdc_lineage_by_op": cdc_lineage_by_op_sql(),
     "cdc_snapshot_diff": cdc_snapshot_diff_sql(),
+    "cdc_scd2_history": cdc_scd2_history_sql(),
+    "cdc_time_travel": cdc_time_travel_sql(),
     "cdc_gtid_gaps": cdc_gtid_gaps_sql(),
     "lake_compaction_plan": lake_layout.compaction_plan_sql(),
     "lake_zorder_cells": lake_layout.zorder_cells_sql(),

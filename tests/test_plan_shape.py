@@ -376,3 +376,29 @@ def test_bpe_pair_count_is_bounded_fold(spark, sf_dir):
     plan = plans.physical_plan(counts)
     assert "MapInPandas" in plan, plan
     assert plans.count_shuffles(counts) == 1, plan  # only the final agg
+
+
+def test_scd2_history_one_key_shuffle_jvm_only(spark, sf_dir):
+    """The SCD2 interval fold must be ONE key shuffle + a per-key window
+    (same partitioning the merge-apply stage uses) — no join, no Python."""
+    from binlog_spark.queries import cdc_scd2_history
+
+    df = cdc_scd2_history(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.count_shuffles(df) == 1, plan
+    assert "Join" not in plan and "Python" not in plan, plan
+
+
+def test_time_travel_single_scan_broadcast_snapshots(spark, sf_dir):
+    """All three as-of states fold from ONE events pass: the 3-row
+    snapshot dim is broadcast (never a shuffled join), and the only big
+    exchange is the (as_of, key) fold; no per-snapshot replay."""
+    from binlog_spark.queries import cdc_time_travel
+
+    df = cdc_time_travel(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+    assert "SortMergeJoin" not in plan and "Python" not in plan, plan
+    # key fold + O(1)-row max agg + broadcast — nothing else
+    assert plans.count_shuffles(df) <= 3, plan
