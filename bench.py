@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "cdc_scd2_history",
     "cdc_time_travel",
 ]
+# auto-append anything newly registered so no query is ever silently
+# unbenched (the r3 verdict found 16 missing rows; this closes the class)
+BENCH_QUERIES += [n for n in QUERIES if n not in BENCH_QUERIES]
 
 
 def _cpu_burn() -> float:

@@ -625,3 +625,102 @@ SELECT doc_id,
                 AND n_stop >= {min_stop_distinct} AS INT), 0) AS keep
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2): line-level retention rules followed by
+# page-level drop rules. The reference engine has no document operators at
+# all (it stops at CDC delivery); this is part of the training-data
+# pipeline family layered on the same lake tables.
+
+# terminal punctuation per C4: period, exclamation, question, end quote
+C4_TERMINAL_RE = '[.!?"]$'
+# stand-in for C4's external "dirty words" list: the operator takes the
+# real list as a parameter; tests and the registered config use small
+# deterministic lists
+C4_BANNED_DEFAULT = ("badword",)
+
+
+def c4_rules(df: DataFrame, col: str = "text",
+             min_words_per_line: int = 5,
+             min_kept_lines: int = 3,
+             banned_words=C4_BANNED_DEFAULT) -> DataFrame:
+    """C4 cleaning rules per document: keep lines ending in terminal
+    punctuation with >= ``min_words_per_line`` words and no
+    "javascript"; drop pages with < ``min_kept_lines`` surviving lines,
+    any banned word, the phrase "lorem ipsum", or a curly brace.
+
+    Map-only JVM expressions (``split`` + higher-order ``filter`` +
+    ``rlike``): no shuffle, no Python — one codegen pass per document at
+    any corpus size. Lines are literal ``\\n`` splits of ``col`` and are
+    ASCII-space ``trim``-med before the rules (both engines trim only
+    U+0020); word counts use the shared ``WS_CLASS`` contract
+    (textnorm). Returns one row per input row with the line/page flags
+    and the cleaned page (kept lines re-joined with ``\\n``).
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    lines = F.transform(F.split(c, "\n"), lambda l: F.trim(l))
+
+    def _line_ok(l):
+        n_words = F.size(F.filter(F.split(l, WS_REGEX),
+                                  lambda w: F.length(w) > 0))
+        return (l.rlike(C4_TERMINAL_RE)
+                & (n_words >= F.lit(min_words_per_line))
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.filter(lines, _line_ok)
+    low = F.lower(c)
+    has_banned = low.rlike(_word_pattern(banned_words)).cast("int")
+    has_lorem = low.contains("lorem ipsum").cast("int")
+    has_brace = c.contains("{").cast("int")
+    n_kept = F.size(kept)
+    keep = ((n_kept >= F.lit(min_kept_lines))
+            & (has_banned == 0) & (has_lorem == 0) & (has_brace == 0))
+    return df.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        has_banned.alias("has_banned"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.cast("int").alias("keep"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
+def c4_rules_sql(table: str = "documents",
+                 min_words_per_line: int = 5,
+                 min_kept_lines: int = 3,
+                 banned_words=C4_BANNED_DEFAULT) -> str:
+    """DuckDB equivalent of :func:`c4_rules` (same output columns)."""
+    wc = ("len(list_filter(string_split_regex(l, '" + WS_REGEX + "'), "
+          "x -> x <> ''))")
+    banned_re = _word_pattern(banned_words)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         list_transform(string_split(coalesce(text, ''), chr(10)),
+                        l -> trim(l)) AS lines
+  FROM {table}
+), k AS (
+  SELECT doc_id, t, len(lines) AS n_lines,
+         list_filter(lines, l -> regexp_matches(l, '{C4_TERMINAL_RE}')
+             AND {wc} >= {min_words_per_line}
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM m
+)
+SELECT doc_id,
+       n_lines,
+       len(kept) AS n_kept_lines,
+       CAST(regexp_matches(lower(t), '{banned_re}') AS INT) AS has_banned,
+       CAST(contains(lower(t), 'lorem ipsum') AS INT) AS has_lorem,
+       CAST(contains(t, '{{') AS INT) AS has_brace,
+       CAST(len(kept) >= {min_kept_lines}
+            AND NOT regexp_matches(lower(t), '{banned_re}')
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{{') AS INT) AS keep,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+FROM k
+"""

@@ -1838,6 +1838,16 @@ QUERIES = {
     # splits instead of failing wholesale)
     "text_gopher_rules": lambda s, d: textstats.gopher_rules(
         _t(s, d, "documents"), min_words=20),
+    # C4-style page cleaning (round-4 addition). The synthetic corpus
+    # has no newlines or sentence punctuation, so the registered config
+    # derives deterministic pseudo-lines first: every occurrence of the
+    # vocabulary word "line" becomes ".\n" (identical \b semantics in
+    # java.util.regex and RE2 for ASCII). The operator itself is
+    # general; pytest exercises it on real multi-line pages.
+    "text_c4_rules": lambda s, d: textstats.c4_rules(
+        _t(s, d, "documents").withColumn(
+            "text", F.regexp_replace("text", r"\bline\b", ".\n")),
+        min_words_per_line=5, min_kept_lines=2, banned_words=("slow",)),
     # JSON column decode (round-4 superset; never driver-sampled)
     "cdc_json_cells": cdc_json_cells,
     # SCD2 history + snapshot time travel (round-4 additions)
@@ -2039,6 +2049,10 @@ ORACLES = {
     "text_decontaminate": dedup.decontaminate_sql(),
     "text_char_entropy": textstats.char_entropy_sql(),
     "text_gopher_rules": textstats.gopher_rules_sql(min_words=20),
+    "text_c4_rules": textstats.c4_rules_sql(
+        table="(SELECT doc_id, regexp_replace(text, '\\bline\\b', "
+              "'.' || chr(10), 'g') AS text FROM documents) c4_in",
+        min_words_per_line=5, min_kept_lines=2, banned_words=("slow",)),
     "dedup_exact_substr_spans": dedup.dup_spans_sql(),
     "tok_bpe_top_pairs": tokenizer.bpe_top_pairs_sql(),
     "dedup_incremental_lsh": (

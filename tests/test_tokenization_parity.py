@@ -40,7 +40,7 @@ AFFECTED = [
     "text_repetition", "tok_bpe_top_pairs", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_minhash_signature",
     "dedup_exact_substr_spans", "text_decontaminate",
-    "text_gopher_rules",
+    "text_gopher_rules", "text_c4_rules",
 ]
 
 
