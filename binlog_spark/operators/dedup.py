@@ -660,3 +660,111 @@ SELECT t.doc_id,
            AS dup_frac
 FROM {table} t LEFT JOIN stats s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 sentence-span dedup (Raffel et al. 2020 §2.2): "we discarded all but
+# one of any three-sentence span occurring more than once in the data set".
+# Companion to dup_spans (word-n-gram ExactSubstr statistics) at sentence
+# granularity WITH the keep-one semantics: every duplicated occurrence is
+# removed EXCEPT the canonical keeper, deterministically the occurrence
+# with the lexicographically smallest (doc_id, pos).
+
+C4_SENT_RE = "[.!?]+"
+
+
+def c4_span_dedup(df: DataFrame, span: int = 3, col: str = "text",
+                  sent_re: str = C4_SENT_RE) -> DataFrame:
+    """Per-document C4 span-dedup statistics: ``(doc_id, n_sents,
+    n_spans, n_removed_spans, dup_frac)``.
+
+    Sentences are non-empty ASCII-trimmed fragments between terminal-
+    punctuation runs; spans are every sliding window of ``span``
+    consecutive sentences (positions 1-based). An occurrence is removed
+    iff its span text occurs more than once corpus-wide and it is not
+    the global minimum (doc_id, pos) occurrence.
+
+    Scale shape: sentence segmentation and span construction are
+    map-only JVM expressions (split/transform/slice — one codegen pass,
+    no Python); then ONE shuffle groups occurrences by span text with a
+    map-side partial (count and min-struct both fold before the
+    exchange, so a boilerplate span occurring 10^6 times ships one
+    partial row per input partition, not 10^6 rows), the span-frequency
+    table joins back on the span key, and a second key shuffle folds
+    per-document counts. No cross-document pair set is ever
+    materialized.
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    sents = F.filter(
+        F.transform(F.split(c, sent_re), lambda s: F.trim(s)),
+        lambda s: s != "")
+    base = df.select("doc_id", sents.alias("sents"))
+    n_spans = F.size("sents") - F.lit(span - 1)
+    spans = (F.when(F.size("sents") >= span,
+                    F.transform(
+                        F.sequence(F.lit(1), n_spans),
+                        lambda i: F.array_join(
+                            F.slice(F.col("sents"), i, span), " ")))
+             .otherwise(F.array().cast("array<string>")))
+    occ = (base.select("doc_id", F.posexplode(spans).alias("pos0", "sp"))
+           .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sp"))
+    freq = (occ.groupBy("sp")
+            .agg(F.count("*").alias("cnt"),
+                 F.min(F.struct("doc_id", "pos")).alias("keeper")))
+    removed = (occ.join(freq, "sp")
+               .select("doc_id",
+                       ((F.col("cnt") > 1)
+                        & ~((F.col("keeper.doc_id") == F.col("doc_id"))
+                            & (F.col("keeper.pos") == F.col("pos"))))
+                       .cast("long").alias("rm")))
+    stats = removed.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("rm").alias("n_removed_spans"))
+    return (base.select("doc_id", F.size("sents").alias("n_sents"))
+            .join(stats, "doc_id", "left")
+            .select("doc_id", "n_sents",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_removed_spans", F.lit(0))
+                    .alias("n_removed_spans"),
+                    F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+                    .otherwise(F.round(F.col("n_removed_spans")
+                                       / F.col("n_spans"), 6))
+                    .alias("dup_frac")))
+
+
+def c4_span_dedup_sql(table: str = "documents", span: int = 3,
+                      sent_re: str = C4_SENT_RE) -> str:
+    """DuckDB equivalent of :func:`c4_span_dedup` (same columns)."""
+    return rf"""
+WITH s AS (
+  SELECT doc_id, list_filter(list_transform(
+      string_split_regex(coalesce(text, ''), '{sent_re}'),
+      x -> trim(x)), x -> x <> '') AS sents
+  FROM {table}
+), occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(sents[i:i+{span - 1}], ' ') AS sp
+  FROM s, unnest(range(1, greatest(len(sents) - {span - 1}, 0) + 1))
+       AS t(i)
+), freq AS (
+  SELECT sp, count(*) AS cnt,
+         min({{'d': doc_id, 'p': pos}}) AS keeper
+  FROM occ GROUP BY sp
+), rm AS (
+  SELECT o.doc_id,
+         CAST(f.cnt > 1 AND NOT (f.keeper.d = o.doc_id
+                                 AND f.keeper.p = o.pos) AS BIGINT)
+             AS rm
+  FROM occ o JOIN freq f USING (sp)
+), stats AS (
+  SELECT doc_id, count(*) AS n_spans, sum(rm) AS n_removed_spans
+  FROM rm GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.sents) AS BIGINT) AS n_sents,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.n_removed_spans, 0) AS BIGINT) AS n_removed_spans,
+       round(CASE WHEN coalesce(st.n_spans, 0) = 0 THEN 0.0
+             ELSE st.n_removed_spans / CAST(st.n_spans AS DOUBLE) END, 6)
+           AS dup_frac
+FROM s LEFT JOIN stats st USING (doc_id)
+"""

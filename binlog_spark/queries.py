@@ -1848,6 +1848,13 @@ QUERIES = {
         _t(s, d, "documents").withColumn(
             "text", F.regexp_replace("text", r"\bline\b", ".\n")),
         min_words_per_line=5, min_kept_lines=2, banned_words=("slow",)),
+    # C4 duplicated-span removal stats (same pseudo-sentence derivation;
+    # span=2 instead of the paper's 3 so the 300-char synthetic docs
+    # produce a non-degenerate removal distribution)
+    "dedup_c4_spans": lambda s, d: dedup.c4_span_dedup(
+        _t(s, d, "documents").withColumn(
+            "text", F.regexp_replace("text", r"\bline\b", ".")),
+        span=2),
     # JSON column decode (round-4 superset; never driver-sampled)
     "cdc_json_cells": cdc_json_cells,
     # SCD2 history + snapshot time travel (round-4 additions)
@@ -2053,6 +2060,10 @@ ORACLES = {
         table="(SELECT doc_id, regexp_replace(text, '\\bline\\b', "
               "'.' || chr(10), 'g') AS text FROM documents) c4_in",
         min_words_per_line=5, min_kept_lines=2, banned_words=("slow",)),
+    "dedup_c4_spans": dedup.c4_span_dedup_sql(
+        table="(SELECT doc_id, regexp_replace(text, '\\bline\\b', "
+              "'.', 'g') AS text FROM documents) c4s",
+        span=2),
     "dedup_exact_substr_spans": dedup.dup_spans_sql(),
     "tok_bpe_top_pairs": tokenizer.bpe_top_pairs_sql(),
     "dedup_incremental_lsh": (

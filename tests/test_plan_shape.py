@@ -402,3 +402,30 @@ def test_time_travel_single_scan_broadcast_snapshots(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "Python" not in plan, plan
     # key fold + O(1)-row max agg + broadcast — nothing else
     assert plans.count_shuffles(df) <= 3, plan
+
+
+def test_c4_rules_is_map_only(spark, sf_dir):
+    """C4 page cleaning: pure JVM codegen — no shuffle, no Python."""
+    from binlog_spark.operators.textstats import c4_rules
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = c4_rules(docs)
+    plan = plans.physical_plan(df)
+    assert plans.count_shuffles(df) == 0, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_c4_span_dedup_no_pair_fanout(spark, sf_dir):
+    """C4 span dedup: span construction map-only JVM, one span-key fold
+    with a map-side partial (count + min-struct), the frequency table
+    joined back on the span key, one doc-key fold — and never a
+    cross-document pair set or Python stage."""
+    from binlog_spark.operators.dedup import c4_span_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = c4_span_dedup(docs)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+    # partial aggregation folds hot spans before the exchange
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
