@@ -379,6 +379,113 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def agg_cube_pricing(spark, sf_dir):
+    """CUBE over (l_returnflag, l_linestatus): all four grouping sets,
+    including the per-column marginal rows ROLLUP omits — completes the
+    grouping-sets category of SURVEY §2.2 next to ``agg_rollup_pricing``.
+    Pure built-in (one shuffle; Spark expands grouping sets map-side),
+    decimal sums for engine-exact money arithmetic, subtotal NULLs
+    become sentinels so the result is totally ordered for the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cubed = (li.cube("l_returnflag", "l_linestatus")
+             .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 2)
+                  .alias("sum_qty"),
+                  F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+                  .alias("sum_price"),
+                  F.count("*").alias("n_rows")))
+    return cubed.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+        "sum_qty", "sum_price", "n_rows")
+
+
+def agg_cube_pricing_sql():
+    return """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def window_cumulative_revenue(spark, sf_dir):
+    """Running-frame window aggregation (ROWS UNBOUNDED PRECEDING →
+    CURRENT ROW): per-customer cumulative order revenue in
+    (o_orderdate, o_orderkey) order plus the order sequence number —
+    the cumulative-frame shape the window category of SURVEY §2.2 was
+    missing next to rank/top-k. One shuffle on o_custkey serves both
+    window functions; decimal running sums are association-free so the
+    prefix is engine-exact at any parallelism (o_orderkey is unique, so
+    the order is total and the result deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(ws).alias("order_seq"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wf)
+                .cast("double"), 2).alias("cum_revenue"))
+
+
+def window_cumulative_revenue_sql():
+    return """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS cum_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def split_train_holdout(spark, sf_dir):
+    """Deterministic hash-based train/validation/holdout corpus split
+    (90/5/5): bucket = md5(doc_id) mod 1000 — no RNG state, no sampling
+    shuffle, reproducible across engines, runs and cluster sizes, and
+    stable under corpus growth (a document never changes split when new
+    documents arrive — the property an iterated 100 TB training corpus
+    needs; cf. ``sample_stratified_docs`` which targets per-stratum
+    rates instead). Reports per-split document count, char volume and an
+    order-free bit_xor content digest that proves the partition is
+    identical, not merely identically sized."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    bucket = h % 1000
+    split = (F.when(bucket < 900, "train")
+             .when(bucket < 950, "validation").otherwise("holdout"))
+    return (d.select(split.alias("split"), h.alias("h"), "n_chars")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.bit_xor("h").alias("membership_digest")))
+
+
+def split_train_holdout_sql():
+    return """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         n_chars
+  FROM documents
+), tagged AS (
+  SELECT CASE WHEN h % 1000 < 900 THEN 'train'
+              WHEN h % 1000 < 950 THEN 'validation'
+              ELSE 'holdout' END AS split, h, n_chars
+  FROM h
+)
+SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       bit_xor(h) AS membership_digest
+FROM tagged GROUP BY split
+"""
+
+
 def agg_percentiles_events(spark, sf_dir):
     """Ordered-set aggregates: exact interpolated percentiles per group
     (Spark ``percentile`` == DuckDB ``quantile_cont``, both exact linear
@@ -1872,6 +1979,10 @@ QUERIES = {
     "sim_kmeans_blocked": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings"), k=96, method="blocked"),
     "sim_semdedup": sim_semdedup_q,
+    # round-4 additions: grouping-set/window-frame gaps + hash split
+    "agg_cube_pricing": agg_cube_pricing,
+    "window_cumulative_revenue": window_cumulative_revenue,
+    "split_train_holdout": split_train_holdout,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -1996,6 +2107,9 @@ ORACLES = {
     "lake_compaction_plan": lake_layout.compaction_plan_sql(),
     "lake_zorder_cells": lake_layout.zorder_cells_sql(),
     "agg_rollup_pricing": agg_rollup_pricing_sql(),
+    "agg_cube_pricing": agg_cube_pricing_sql(),
+    "window_cumulative_revenue": window_cumulative_revenue_sql(),
+    "split_train_holdout": split_train_holdout_sql(),
     "agg_percentiles_events": agg_percentiles_events_sql(),
     "sketch_kmv_distinct": sketch_kmv_distinct_sql(),
     "rollup_incremental_events": rollup_incremental_events_sql(),
