@@ -1168,14 +1168,16 @@ _WORLD_CACHE: dict = {}
 
 
 def _pinned_frames(n_txns, seed=42, n_repos=20, paths_per_repo=30,
-                   txns_per_file=50):
-    key = ("frames", seed, n_repos, paths_per_repo, txns_per_file, n_txns)
+                   txns_per_file=50, evolve_at_txn=None):
+    key = ("frames", seed, n_repos, paths_per_repo, txns_per_file, n_txns,
+           evolve_at_txn)
     hit = _WORLD_CACHE.get(key)
     if hit is not None and os.path.isdir(hit[1]):
         return hit
     gen = genlog.CdcWorldGenerator(seed=seed, n_repos=n_repos,
                                    paths_per_repo=paths_per_repo,
-                                   txns_per_file=txns_per_file)
+                                   txns_per_file=txns_per_file,
+                                   evolve_at_txn=evolve_at_txn)
     result = gen.generate(n_txns=n_txns)
     d = tempfile.mkdtemp(prefix="binlog_spark_world_")
     frames_dir = os.path.join(d, "frames")
@@ -1341,6 +1343,46 @@ def cdc_bootstrap_catchup(spark, sf_dir=None, n_txns: int = 120):
                               stream_meta=pipeline.INLINE_DISCOVERY)
 
         out = _lake_state_digest(lake)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def cdc_schema_evolution(spark, sf_dir=None, n_txns: int = 100):
+    """DDL-driven schema evolution through the full wire pipeline (north
+    rule: ALTER-induced column add, the reference's MysqlTableMapper
+    versioned-schema contract, `row_streamer.go:19-21,236-241`): a
+    deterministic world whose txn #40 is ``ALTER TABLE .. ADD COLUMN
+    stars INT``. Pre-ALTER ROWS events decode against the 5-column
+    version, post-ALTER against 6; the QUERY event rides the DDL
+    accumulator side channel and widens the lake schema IN-FLIGHT
+    (Iceberg add-column semantics) in the same batch, so post-ALTER rows
+    land with ``stars`` populated and pre-ALTER survivors read back NULL.
+    Oracle: pinned digest over the final state INCLUDING the evolved
+    column + the evolved column count — pre-computed from the seeded
+    generator's logical state, so a mis-versioned decode (columns
+    shifted), a dropped ALTER, or a miscarried NULL all flip the sha."""
+    work = tempfile.mkdtemp(prefix="binlog_spark_evo_")
+    try:
+        _result, frames_dir = _pinned_frames(n_txns, seed=11, n_repos=10,
+                                             paths_per_repo=15,
+                                             txns_per_file=30,
+                                             evolve_at_txn=40)
+        lake = LakeTable.create(spark, os.path.join(work, "lake"),
+                                columns=genlog.table_spec(False).col_names,
+                                key_cols=list(genlog.KEY_COLS), n_buckets=8)
+        frames = pipeline.read_frames(spark, frames_dir)
+        stats = pipeline.replay_batch(spark, frames, lake,
+                                      genlog.table_registry(), batch_id=0,
+                                      record_lineage=False)
+        state = (lake.to_df()
+                 .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+                 .orderBy("repo", "path"))
+        dig = _state_digest(state)
+        out = dig.select(
+            F.lit(len(lake.meta["columns"])).cast("int").alias("n_cols"),
+            F.lit(int(stats["n_ddls"])).cast("int").alias("n_ddls"),
+            "n_rows", "state_sha256")
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1928,6 +1970,7 @@ QUERIES = {
     # --- never driver-sampled before round 4: surface these first ---
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
+    "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_replay_raw_files": cdc_replay_raw_files,
     "cdc_checksum_audit": cdc_checksum_audit,
     # text analysis (round-3 additions)
@@ -2095,6 +2138,18 @@ SELECT CAST(1145 AS BIGINT) AS n_rows,
            AS state_sha256
 """
 
+# pinned digest for the evolved world (seed=11, evolve_at_txn=40,
+# n_txns=100): derived INDEPENDENTLY from the generator's logical
+# final_state (same canonical row serialization, python hashlib) — not
+# from the Spark pipeline's own output — so it is a real oracle for the
+# versioned decode + in-flight ALTER path
+CDC_SCHEMA_EVOLUTION_ORACLE = """
+SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
+       CAST(786 AS BIGINT) AS n_rows,
+       '4b2948d9cf2e828e93b9e048f2517e05329a757d11903c5b62df2f44a81b1505'
+           AS state_sha256
+"""
+
 ORACLES = {
     "cdc_lww_latest": cdc_lww_latest_sql(),
     "cdc_apply_changelog": cdc_apply_changelog_sql(),
@@ -2191,6 +2246,7 @@ ORACLES = {
     "cdc_replay_final_state": CDC_REPLAY_STATE_ORACLE,
     # bootstrap + overlapped catch-up must converge to the SAME state
     "cdc_bootstrap_catchup": CDC_REPLAY_STATE_ORACLE,
+    "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_ORACLE,
     # ...and so must the raw-binlog-file entry path
     "cdc_replay_raw_files": CDC_REPLAY_STATE_ORACLE,
     # generator writes real CRC32s -> pinned all-valid per-file counts
