@@ -430,6 +430,153 @@ WHERE rank <= {k}
 """
 
 
+# ----------------------------------------------------------------- PQ / ADC
+def pq_ann_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
+                n_codebook: int = 16, m_subspaces: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN with an ADC (asymmetric distance
+    computation) scan — the compressed-domain scale path of the
+    similarity family (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search"): each vector is encoded as ``m_subspaces`` small
+    codes (nearest codebook entry per dimension slice), and a query is
+    scored against a code word by summing per-subspace lookup-table
+    entries instead of touching the raw vector.
+
+    Codebooks are deterministic — subvectors of the first ``n_codebook``
+    corpus vectors, the module's IVF convention — so there is no
+    iterative training and the SQL oracle replays encode + scan exactly.
+
+    Scale shape: the codebook (K×dim) and the per-query ADC tables
+    (n_queries × m × K doubles) come from two O(small) collects and are
+    broadcast into ONE shuffle-free Arrow kernel that encodes each
+    corpus vector and scores it against every query by table lookup; the
+    corpus is read once and never shuffled, and only the bounded
+    per-partition top-k survivors (n_partitions × n_queries × k rows)
+    reach the final rank window. At 10^9+ vectors the scan stays a
+    map-only pass over 8-byte codes per vector, the regime PQ exists
+    for; memory per task is the candidate state plus the tiny tables.
+
+    Exactness contract (shared with the DuckDB oracle): per-subspace
+    terms fold over their dimensions left-to-right, and the final score
+    sums the m terms left-to-right — subspace-major association, NOT the
+    flat dim-order fold, whose different association drifts in the last
+    ulp. Distance argmins tie to the smallest code id in both engines."""
+    import pandas as pd
+
+    rows = (df.where(F.col(id_col) < n_codebook)
+            .select(id_col, vec_col).collect())
+    cb = np.vstack([np.asarray(r[1], dtype=np.float64)
+                    for r in sorted(rows, key=lambda r: r[0])])
+    qrows = (df.where(F.col(id_col) < n_queries)
+             .select(id_col, vec_col).collect())
+    qids = np.array([r[0] for r in sorted(qrows, key=lambda r: r[0])],
+                    dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64)
+                   for r in sorted(qrows, key=lambda r: r[0])])
+    dim = cb.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    nq, K = len(qids), n_codebook
+
+    # ADC tables[qi, m, c] = dot(q slice m, codebook c slice m), the
+    # left-to-right fold per slice (== list_aggregate 'sum')
+    tables = np.zeros((nq, m_subspaces, K), dtype=np.float64)
+    for m in range(m_subspaces):
+        off = m * sub
+        acc = np.zeros((nq, K), dtype=np.float64)
+        for d in range(sub):
+            acc += Q[:, off + d, None] * cb[None, :, off + d]
+        tables[:, m, :] = acc
+
+    def score(batches):
+        for pdf in batches:
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            vid = pdf[id_col].to_numpy(dtype=np.int64)
+            n = len(x)
+            codes = np.zeros((n, m_subspaces), dtype=np.int64)
+            for m in range(m_subspaces):
+                off = m * sub
+                best_d = np.full(n, np.inf)
+                best_c = np.zeros(n, dtype=np.int64)
+                for c in range(K):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(sub):
+                        t = x[:, off + d] - cb[c, off + d]
+                        acc += t * t
+                    better = acc < best_d  # strict: ties keep smaller c
+                    best_d[better] = acc[better]
+                    best_c[better] = c
+                codes[:, m] = best_c
+            out_q, out_v, out_s = [], [], []
+            for qi in range(nq):
+                s = tables[qi, 0][codes[:, 0]]
+                for m in range(1, m_subspaces):  # subspace-major order
+                    s = s + tables[qi, m][codes[:, m]]
+                keep = vid != qids[qi]
+                out_q.append(np.full(int(keep.sum()), qids[qi], np.int64))
+                out_v.append(vid[keep])
+                out_s.append(s[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q) if out_q else
+                np.array([], dtype=np.int64),
+                "vec_id": np.concatenate(out_v) if out_v else
+                np.array([], dtype=np.int64),
+                "sim": np.concatenate(out_s) if out_s else
+                np.array([], dtype=np.float64)})
+
+    scored = (df.select(id_col, vec_col)
+              .mapInPandas(score, "query_id long, vec_id long, sim double"))
+    return _partial_topk(scored, k)
+
+
+def pq_ann_topk_sql(table: str = "embeddings", n_queries: int = 5,
+                    k: int = 10, n_codebook: int = 16,
+                    m_subspaces: int = 8, dim: int = 64) -> str:
+    """DuckDB replay of ``pq_ann_topk``: same deterministic codebooks,
+    same per-slice left-to-right folds, same subspace-major score sum
+    (``list_aggregate(list(t ORDER BY m), 'sum')``), same tie rules."""
+    sub = dim // m_subspaces
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+), cb AS (
+  SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < {n_codebook}
+), dists AS (
+  SELECT v.vec_id, m.m, c.cent_id,
+         list_aggregate(list_transform(range(1, {sub} + 1),
+             i -> (v.e[m.m * {sub} + i] - c.ce[m.m * {sub} + i])
+                * (v.e[m.m * {sub} + i] - c.ce[m.m * {sub} + i])),
+             'sum') AS d
+  FROM v, (SELECT unnest(range({m_subspaces})) AS m) m, cb c
+), codes AS (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d ASC, cent_id ASC) AS rn FROM dists)
+  WHERE rn = 1
+), terms AS (
+  SELECT q.vec_id AS query_id, x.vec_id, x.m,
+         list_aggregate(list_transform(range(1, {sub} + 1),
+             i -> q.e[x.m * {sub} + i] * c.ce[x.m * {sub} + i]),
+             'sum') AS t
+  FROM codes x
+  JOIN cb c ON c.cent_id = x.code
+  JOIN v q ON q.vec_id < {n_queries} AND q.vec_id != x.vec_id
+), sims AS (
+  SELECT query_id, vec_id,
+         list_aggregate(list(t ORDER BY m), 'sum') AS sim
+  FROM terms GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------------------------------ k-means
 KMEANS_SCALE = 65536  # quantization: floor(x * 2^16) — exact in float64
 

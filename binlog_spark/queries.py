@@ -937,6 +937,11 @@ def sim_ivf_ann_q(spark, sf_dir):
                                    n_queries=5, k=10)
 
 
+def sim_pq_ann_q(spark, sf_dir):
+    return similarity.pq_ann_topk(_t(spark, sf_dir, "embeddings"),
+                                  n_queries=5, k=10)
+
+
 # -------------------------------------------------------------------- text
 def text_token_count_q(spark, sf_dir):
     return textstats.token_count(_t(spark, sf_dir, "documents"))
@@ -2028,6 +2033,7 @@ QUERIES = {
     "split_train_holdout": split_train_holdout,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
+    "sim_pq_ann_topk": sim_pq_ann_q,
     "text_token_count": text_token_count_q,
     "text_quality": text_quality_q,
     "text_lang_id": text_lang_id_q,
@@ -2210,6 +2216,7 @@ ORACLES = {
     "sim_lsh_near_dup": similarity.lsh_near_dup_pairs_sql(threshold=0.35),
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
+    "sim_pq_ann_topk": similarity.pq_ann_topk_sql(n_queries=5, k=10),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path
