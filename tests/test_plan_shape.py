@@ -429,3 +429,21 @@ def test_c4_span_dedup_no_pair_fanout(spark, sf_dir):
     assert "Python" not in plan and "MapInPandas" not in plan, plan
     # partial aggregation folds hot spans before the exchange
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_pq_ann_scan_shuffle_free_until_topk(spark, sf_dir):
+    """PQ-ADC ANN: encode + table-lookup scoring is ONE shuffle-free
+    Arrow kernel over the corpus (codebooks and ADC tables ride the
+    closure), and the only exchange after it carries the bounded
+    per-partition top-k candidates — never the full scored corpus and
+    never a join against codebook or query tables."""
+    from binlog_spark.operators.similarity import pq_ann_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = pq_ann_topk(emb, n_queries=5, k=10)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert _n_nodes(plan, "MapInPandas") == 2, plan  # score + partial fold
+    assert "Join" not in plan, plan  # tables broadcast via closure, not join
+    # one exchange total: the tiny candidate set into the rank window
+    assert plans.count_shuffles(df) == 1, plan
