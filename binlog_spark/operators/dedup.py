@@ -768,3 +768,94 @@ SELECT s.doc_id,
            AS dup_frac
 FROM s LEFT JOIN stats st USING (doc_id)
 """
+
+
+# --------------------------------------------------------------- URL dedup
+# Tracking parameters stripped during canonicalization — the CommonCrawl/
+# C4-style crawl-frontier rule set (utm_* campaign tags, Facebook/Google
+# click ids). Kept params are sorted so parameter order never splits a
+# canonical group.
+URL_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def url_canonicalize(url_col):
+    """Column expression: canonical form of an URL — lowercase, scheme
+    and leading ``www.`` stripped, default ports dropped, trailing
+    path slash removed, tracking query params removed, surviving params
+    sorted. Pure JVM string/array expressions (map-only, codegen): at
+    crawl scale this runs inside the scan with zero extra stages."""
+    u = F.regexp_replace(F.lower(url_col), r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    hostport = F.split_part(u, F.lit("/"), F.lit(1))
+    host = F.regexp_replace(hostport, ":(80|443)$", "")
+    rest = F.substring(u, F.length(hostport) + 2, 1 << 30)
+    path = F.regexp_replace(F.split_part(rest, F.lit("?"), F.lit(1)),
+                            "/$", "")
+    qs = F.when(rest.contains("?"),
+                F.split_part(rest, F.lit("?"), F.lit(2))).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE))
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host, F.lit("/"), path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                            canon_q)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by canonical URL — the first dedup pass of every web
+    corpus pipeline (C4 §2.2 / CCNet run URL-level dedup before any
+    content hashing; at 100 TB it removes the bulk of re-crawls for the
+    price of ONE key shuffle on a short string).
+
+    Returns one row per canonical URL: duplicate count, the kept doc
+    (smallest id — deterministic), and an order-free ``bit_xor``
+    membership digest proving the groups are identical, not merely
+    identically sized."""
+    return (df.select(url_canonicalize(F.col(url_col)).alias("canonical_url"),
+                      F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keeper_doc_id"),
+                 F.bit_xor(id_col).alias("member_digest")))
+
+
+def url_dedup_sql(urls_cte: str) -> str:
+    """DuckDB replay of :func:`url_dedup` over ``urls_cte`` — a CTE body
+    producing (doc_id, url)."""
+    return f"""
+WITH urls AS ({urls_cte}),
+base AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(url), '^https?://', ''),
+                        '^www\\.', '') AS u
+  FROM urls
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(split_part(u, '/', 1), ':(80|443)$', '') AS host,
+         CASE WHEN u LIKE '%/%'
+              THEN u[len(split_part(u, '/', 1)) + 2:] ELSE '' END AS rest
+  FROM base
+), pq AS (
+  SELECT doc_id, host,
+         regexp_replace(split_part(rest, '?', 1), '/$', '') AS path,
+         CASE WHEN rest LIKE '%?%' THEN split_part(rest, '?', 2)
+              ELSE '' END AS qs
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         host || '/' || path ||
+         CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+  FROM (SELECT doc_id, host, path,
+               array_to_string(list_sort(list_filter(
+                   string_split(qs, '&'),
+                   p -> p <> '' AND NOT regexp_matches(
+                       p, '{URL_TRACKING_RE}'))), '&') AS cq
+        FROM pq)
+)
+SELECT canonical_url, count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id, bit_xor(doc_id) AS member_digest
+FROM canon GROUP BY canonical_url
+"""

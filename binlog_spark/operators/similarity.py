@@ -233,6 +233,54 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def hard_negatives_topk(df: DataFrame, n_queries: int = 5, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the top-k most
+    similar vectors whose LABEL DIFFERS — the negatives that sit closest
+    to the decision boundary, the standard pick for contrastive /
+    triplet training batches (and the step after `sim_cosine_topk` in an
+    embedding-curation pipeline).
+
+    Same scale shape as ``cosine_topk``: broadcast query set, Arrow dot
+    kernel, bounded per-partition partial top-k; the label filter is a
+    map-side predicate, so mining cost is identical to plain top-k."""
+    queries = (df.where(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       F.col(label_col).alias("qlabel")))
+    corpus = df.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("cvec"),
+                       F.col(label_col).alias("clabel"))
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    (F.col("vec_id") != F.col("query_id"))
+                    & (F.col("clabel") != F.col("qlabel")))
+        .withColumn("sim", F.round(_dot(F.col("qvec"), F.col("cvec")), 6))
+    )
+    return _partial_topk(scored, k)
+
+
+def hard_negatives_topk_sql(table: str = "embeddings", n_queries: int = 5,
+                            k: int = 10) -> str:
+    dot = _DOT.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({dot}, 6) AS sim
+  FROM {table} q JOIN {table} c
+    ON c.vec_id != q.vec_id AND c.label != q.label
+  WHERE q.vec_id < {n_queries}
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup_pairs_sql(table: str = "embeddings",
                                  threshold: float = 0.9) -> str:
     dot = _DOT.format(a="a.embedding", b="b.embedding")

@@ -847,6 +847,58 @@ def dedup_exact_q(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+# deterministic synthetic URLs for the URL-dedup query: scheme casing,
+# leading www, default port, trailing slash, tracking params and param
+# ORDER all vary with doc_id so canonicalization has real work to do;
+# the canonical key collapses to (source, doc_id%40, doc_id%7), giving
+# genuine cross-doc duplicate groups. Spark and the oracle construct the
+# SAME raw strings, so the only thing under test is canonicalization.
+def _synth_url_col():
+    did = F.col("doc_id")
+    m = lambda k: (did % k).cast("string")  # noqa: E731
+    scheme = (F.when(did % 3 == 0, F.lit("https://www."))
+              .when(did % 3 == 1, F.lit("http://"))
+              .otherwise(F.lit("HTTPS://WWW.")))
+    q = (F.when(did % 2 == 1,
+                F.concat(F.lit("?id="), m(7), F.lit("&utm_source=feed")))
+         .otherwise(F.concat(F.lit("?utm_source=feed&id="), m(7))))
+    return F.concat(
+        scheme, F.col("source"), F.lit(".example.org"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"), m(40),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        q,
+        F.when(did % 4 == 0,
+               F.concat(F.lit("&fbclid=abc"), did.cast("string")))
+        .otherwise(F.lit("")))
+
+
+_SYNTH_URL_CTE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'https://www.'
+            WHEN 1 THEN 'http://' ELSE 'HTTPS://WWW.' END
+       || source || '.example.org'
+       || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+       || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+       || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 2 = 1
+               THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                    || '&utm_source=feed'
+               ELSE '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+          END
+       || CASE WHEN doc_id % 4 = 0
+               THEN '&fbclid=abc' || CAST(doc_id AS VARCHAR) ELSE '' END
+           AS url
+FROM documents
+"""
+
+
+def dedup_url_canonical_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select("doc_id", _synth_url_col().alias("url"))
+    return dedup.url_dedup(urls)
+
+
 def dedup_ngram_jaccard_q(spark, sf_dir):
     # max_df ON in the registered (driver-checked) configuration: the
     # hot-shingle fanout cut is the part that keeps the inverted-index
@@ -940,6 +992,11 @@ def sim_ivf_ann_q(spark, sf_dir):
 def sim_pq_ann_q(spark, sf_dir):
     return similarity.pq_ann_topk(_t(spark, sf_dir, "embeddings"),
                                   n_queries=5, k=10)
+
+
+def sim_hard_negatives_q(spark, sf_dir):
+    return similarity.hard_negatives_topk(_t(spark, sf_dir, "embeddings"),
+                                          n_queries=5, k=10)
 
 
 # -------------------------------------------------------------------- text
@@ -2034,6 +2091,7 @@ QUERIES = {
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "sim_pq_ann_topk": sim_pq_ann_q,
+    "sim_hard_negatives": sim_hard_negatives_q,
     "text_token_count": text_token_count_q,
     "text_quality": text_quality_q,
     "text_lang_id": text_lang_id_q,
@@ -2075,6 +2133,7 @@ QUERIES = {
     "json_props_events": json_props_events,
     # dedup family
     "dedup_exact": dedup_exact_q,
+    "dedup_url_canonical": dedup_url_canonical_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_signature": dedup_minhash_signature_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
@@ -2188,6 +2247,7 @@ ORACLES = {
     "set_ops_users": set_ops_users_sql(),
     "json_props_events": json_props_events_sql(),
     "dedup_exact": dedup.exact_dedup_sql(),
+    "dedup_url_canonical": dedup.url_dedup_sql(_SYNTH_URL_CTE),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.4,
                                                          max_df=64),
     "dedup_minhash_signature": dedup_minhash_signature_sql(),
@@ -2217,6 +2277,8 @@ ORACLES = {
     "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(n_queries=5, k=10),
     "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(n_queries=5, k=10),
     "sim_pq_ann_topk": similarity.pq_ann_topk_sql(n_queries=5, k=10),
+    "sim_hard_negatives": similarity.hard_negatives_topk_sql(n_queries=5,
+                                                             k=10),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path
