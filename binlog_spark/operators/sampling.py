@@ -230,3 +230,150 @@ FROM (
   FROM {table})
 WHERE rn <= {cap}
 """
+
+
+# ------------------------------------------------- DSIR importance weights
+DSIR_BUCKETS = 256   # hashed-gram feature space (the paper hashes to 10k;
+                     # 256 keeps the oracle's inline score table small)
+DSIR_CLIP = 4096     # count clip: QL is evaluated on min(count, CLIP)+1,
+                     # so the shared quantized-log table stays bounded and
+                     # corpus-size-independent (a documented deviation from
+                     # the paper's unclipped counts — hot buckets saturate)
+
+
+def dsir_importance(df: DataFrame, target_lang: str = "en",
+                    col: str = "text", lang_col: str = "lang",
+                    n_buckets: int = DSIR_BUCKETS,
+                    clip: int = DSIR_CLIP) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    features are hashed unigram+bigram counts; a document's weight is the
+    log-likelihood ratio of a target distribution (here: the
+    ``target_lang`` slice standing in for the target domain) against the
+    raw corpus, summed over the document's grams.
+
+    Cross-engine exactness: per-bucket counts are clipped at ``clip`` and
+    looked up in the shared ``floor(log2(n)·2^20)`` table
+    (``textstats._qlog`` — the char-entropy trick), so the per-bucket
+    log-ratio and every per-doc sum are pure int64 arithmetic; the only
+    float is ONE final division of two exact integers. The true DSIR
+    weight differs by the constant ``log2((N_raw+B)/(N_target+B))`` per
+    gram — affine in ``n_grams``, identical for every bucket, irrelevant
+    to ranking within equal-length docs and left to the consumer (it
+    needs a log of two corpus-sized integers, which the quantized table
+    deliberately does not cover).
+
+    Scale shape (two map-only Arrow passes, no gram explosion ever hits
+    a shuffle): pass 1 folds per-partition (bucket → target/raw count)
+    partials — state is 2×``n_buckets`` int64 per partition, the shuffle
+    carries partitions × buckets tiny rows; the 256-entry score table is
+    then closed over (broadcast) by pass 2, which emits one row per doc.
+    At 10^9 docs both passes stream; nothing is ever wider than the
+    corpus itself."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .textnorm import ws_tokens
+    from .textstats import _QLOG_SCALE, _qlog
+
+    def _buckets(text):
+        toks = ws_tokens(text)
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return np.array(
+            [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % n_buckets
+             for g in grams], dtype=np.int64)
+
+    def count_partials(batches):
+        ct = np.zeros(n_buckets, np.int64)
+        cr = np.zeros(n_buckets, np.int64)
+        for pdf in batches:
+            for text, lang in zip(pdf[col], pdf[lang_col]):
+                b = _buckets(text)
+                if len(b):
+                    add = np.bincount(b, minlength=n_buckets)
+                    cr += add
+                    if lang == target_lang:
+                        ct += add
+        yield pd.DataFrame({"bkt": np.arange(n_buckets), "ct": ct, "cr": cr})
+
+    part = df.select(col, lang_col).mapInPandas(
+        count_partials, "bkt long, ct long, cr long")
+    rows = (part.groupBy("bkt")
+            .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+            .collect())
+    ql = _qlog(clip + 1)
+    score = np.zeros(n_buckets, np.int64)
+    for r in rows:
+        score[r["bkt"]] = (ql[min(r["ct"], clip)]      # QL(min(ct,C)+1):
+                           - ql[min(r["cr"], clip)])   # ql[i] = QL(i+1)
+
+    def per_doc(batches):
+        for pdf in batches:
+            ids, ngs, sqs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                b = _buckets(text)
+                ids.append(doc_id)
+                ngs.append(len(b))
+                sqs.append(int(score[b].sum()) if len(b) else 0)
+            yield pd.DataFrame({"doc_id": ids, "n_grams": ngs,
+                                "score_q": sqs})
+
+    out = df.select("doc_id", col).mapInPandas(
+        per_doc, "doc_id long, n_grams long, score_q long")
+    return out.select(
+        "doc_id", "n_grams", "score_q",
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(F.col("score_q")
+                   / (F.col("n_grams") * float(_QLOG_SCALE)))
+        .alias("avg_bits"))
+
+
+def dsir_importance_sql(table: str = "documents", target_lang: str = "en",
+                        n_buckets: int = DSIR_BUCKETS,
+                        clip: int = DSIR_CLIP) -> str:
+    """DuckDB replay of :func:`dsir_importance` — same gram extraction
+    (textnorm WS contract), md5 buckets, clipped counts, shared
+    quantized-log table (inlined literals), integer score sums."""
+    from .textnorm import WS_REGEX
+    from .textstats import _QLOG_SCALE, _qlog
+
+    lits = ", ".join(str(int(v)) for v in _qlog(clip + 1))
+    return f"""
+WITH ql(t) AS (SELECT [{lits}]),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(coalesce(text, ''), '{WS_REGEX}'),
+                     x -> x <> '') AS w
+  FROM {table}
+), grams AS (
+  SELECT doc_id, lang, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+  FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+), b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 12))::BIGINT % {n_buckets} AS bkt
+  FROM grams
+), cnt AS (
+  SELECT bkt, sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM b GROUP BY bkt
+), sc AS (
+  SELECT bkt,
+         q.t[CAST(least(ct, {clip}) AS BIGINT) + 1]
+         - q.t[CAST(least(cr, {clip}) AS BIGINT) + 1] AS s
+  FROM cnt, ql q
+), perdoc AS (
+  SELECT doc_id, count(*) AS n_grams, CAST(sum(s) AS BIGINT) AS score_q
+  FROM b JOIN sc USING (bkt) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.score_q, 0) AS BIGINT) AS score_q,
+       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+            ELSE p.score_q / (p.n_grams * {float(_QLOG_SCALE)}) END
+           AS avg_bits
+FROM {table} d LEFT JOIN perdoc p USING (doc_id)
+"""

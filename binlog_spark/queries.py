@@ -2152,6 +2152,8 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     # training-data sampling / packing
     "sample_stratified_docs": sample_stratified_docs,
+    "sample_dsir_weights": lambda s, d: sampling.dsir_importance(
+        _t(s, d, "documents")),
     "mix_source_weights": mix_source_weights,
     "pack_sequences_docs": pack_sequences_docs,
     "sample_weighted_docs": sample_weighted_docs,
@@ -2266,6 +2268,7 @@ ORACLES = {
     "join_range_value_bands": join_range_value_bands_sql(),
     "join_salted_skew": join_salted_skew_sql(),
     "sample_stratified_docs": sampling.stratified_sample_sql(),
+    "sample_dsir_weights": sampling.dsir_importance_sql(),
     "mix_source_weights": sampling.mixture_weights_sql(),
     "pack_sequences_docs": sampling.pack_sequences_sql(),
     "sample_weighted_docs": sampling.weighted_sample_sql(),
