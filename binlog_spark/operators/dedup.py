@@ -859,3 +859,139 @@ SELECT canonical_url, count(*) AS n_docs,
        min(doc_id) AS keeper_doc_id, bit_xor(doc_id) AS member_digest
 FROM canon GROUP BY canonical_url
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC-the-storage-kind) dedup: LBFS (Muthitacharoen
+# et al., SOSP'01) / FastCDC (Xia et al., ATC'16) boundary selection at word
+# granularity. Boundaries are chosen by a rolling gear over the token stream
+# itself, so an insertion or deletion only perturbs the chunks around the
+# edit — unlike fixed-size blocks, where one shifted byte re-writes every
+# downstream block. This is the chunk-store dedup a lake of source-code
+# repository revisions (the flagship table's domain) would run: successive
+# commits of a file share almost all chunks.
+
+CDC_GEAR_MODULUS = 8     # ~1/8 boundary probability → mean chunk ≈ 8 tokens
+CDC_MIN_REPORT_LEN = 2   # single-token chunks are noise in the dup inventory
+
+
+def cdc_chunk_dedup(df: DataFrame, modulus: int = CDC_GEAR_MODULUS,
+                    min_report_len: int = CDC_MIN_REPORT_LEN,
+                    col: str = "text") -> DataFrame:
+    """Duplicated-chunk inventory under content-defined chunking:
+    one row per chunk content that occurs more than once in the corpus —
+    ``(chunk_hash, tok_len, n_docs, n_copies)``.
+
+    Boundary rule (the "gear"): token *i* closes a chunk iff
+    ``(h_i + 31 * h_{i-1}) % modulus == 0`` over the 28-bit md5 token
+    hashes (``h_0``'s predecessor is 0). The window is the raw token
+    STREAM, not reset per chunk, so boundaries are a pure function of a
+    2-token neighbourhood — the shift-invariance that makes the scheme
+    content-defined. Production CDC adds min/max chunk bounds; those make
+    boundaries depend on chunk start and are left as a policy knob here
+    (the inventory filters reported chunks to ``min_report_len`` instead).
+
+    Scale shape: chunking is strictly per-document, so it runs as ONE
+    shuffle-free Arrow kernel emitting (doc_id, chunk_hash, tok_len)
+    — no token-level explode, no window functions, no per-doc shuffle.
+    The only exchanges are the two phases of the exact
+    ``countDistinct(doc_id)`` aggregation, both keyed on the chunk hash
+    (map-side partials apply; no doc-level or pairwise shuffle ever).
+    Token hashes are vocabulary-cached per batch, so hot tokens cost one
+    md5 each.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+    from hashlib import md5 as _md5
+
+    out_t = ArrayType(StructType([
+        StructField("chunk_hash", StringType()),
+        StructField("tok_len", IntegerType()),
+    ]))
+
+    @pandas_udf(out_t)
+    def _chunks(texts: pd.Series) -> pd.Series:
+        hcache: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            h = hcache.get(tok)
+            if h is None:
+                h = int(_md5(tok.encode()).hexdigest()[:7], 16)
+                hcache[tok] = h
+            return h
+
+        out = []
+        for t in texts:
+            tt = ws_tokens(t)
+            chunks = []
+            cur = []
+            prev = 0
+            for tok in tt:
+                h = th(tok)
+                cur.append(tok)
+                if (h + 31 * prev) % modulus == 0:
+                    chunks.append(cur)
+                    cur = []
+                prev = h
+            if cur:
+                chunks.append(cur)
+            out.append([
+                (_md5(" ".join(c).encode()).hexdigest(), len(c))
+                for c in chunks
+            ])
+        return pd.Series(out)
+
+    ch = (df.select("doc_id", F.explode(_chunks(F.col(col))).alias("c"))
+          .select("doc_id", F.col("c.chunk_hash").alias("chunk_hash"),
+                  F.col("c.tok_len").alias("tok_len")))
+    return (ch.groupBy("chunk_hash")
+            .agg(F.min("tok_len").cast("long").alias("tok_len"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_copies"))
+            .where((F.col("n_copies") > 1)
+                   & (F.col("tok_len") >= min_report_len)))
+
+
+def cdc_chunk_dedup_sql(table: str = "documents",
+                        modulus: int = CDC_GEAR_MODULUS,
+                        min_report_len: int = CDC_MIN_REPORT_LEN) -> str:
+    """DuckDB replay of :func:`cdc_chunk_dedup` — list-space rolling gear
+    (the exclusive prefix-sum chunk index is O(n²) in list_sum-over-slice
+    form; fine for an oracle, the Spark kernel is the linear path)."""
+    ws = WS_REGEX
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '{ws}'), x -> x <> '') AS t FROM {table}
+), hs AS (
+  SELECT doc_id, t, list_transform(t, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS h FROM toks
+), bnd AS (
+  SELECT doc_id, t, h,
+         list_transform(range(1, len(t) + 1),
+           i -> CASE WHEN (h[i] + 31 * (CASE WHEN i = 1 THEN 0 ELSE h[i-1] END)) % {modulus} = 0
+                THEN 1 ELSE 0 END) AS b
+  FROM hs
+), cidx AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t) + 1),
+           i -> CASE WHEN i = 1 THEN 0
+                ELSE CAST(coalesce(list_sum(b[1:i-1]), 0) AS BIGINT) END) AS c
+  FROM bnd
+), tok_rows AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS pos,
+         unnest(c) AS ci
+  FROM cidx
+), chunks AS (
+  SELECT doc_id, ci, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+         count(*) AS tok_len
+  FROM tok_rows GROUP BY 1, 2
+)
+SELECT chunk_hash,
+       CAST(min(tok_len) AS BIGINT) AS tok_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM chunks GROUP BY 1
+HAVING count(*) > 1 AND min(tok_len) >= {min_report_len}
+"""

@@ -2078,6 +2078,9 @@ QUERIES = {
     "tok_bpe_top_pairs": lambda s, d: tokenizer.bpe_top_pairs(
         _t(s, d, "documents")),
     "dedup_incremental_lsh": dedup_incremental_lsh_q,
+    # content-defined chunking dedup (round-4 addition)
+    "dedup_cdc_chunks": lambda s, d: dedup.cdc_chunk_dedup(
+        _t(s, d, "documents")),
     # similarity (round-3 additions; blocked kernel new in round 4)
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
@@ -2310,6 +2313,7 @@ ORACLES = {
     "dedup_incremental_lsh": (
         "SELECT * FROM (" + dedup.minhash_lsh_candidates_sql()
         + ") p WHERE p.doc_a % 5 = 0 OR p.doc_b % 5 = 0"),
+    "dedup_cdc_chunks": dedup.cdc_chunk_dedup_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),

@@ -447,3 +447,18 @@ def test_pq_ann_scan_shuffle_free_until_topk(spark, sf_dir):
     assert "Join" not in plan, plan  # tables broadcast via closure, not join
     # one exchange total: the tiny candidate set into the rank window
     assert plans.count_shuffles(df) == 1, plan
+
+
+def test_cdc_chunk_dedup_plan(spark, sf_dir):
+    """Content-defined chunking: the chunker is one shuffle-free Arrow
+    kernel (no token explode, no per-doc window shuffle); the only
+    exchanges are the two phases of the exact n_docs distinct aggregate,
+    both keyed on the chunk hash."""
+    from binlog_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = cdc_chunk_dedup(docs)
+    plan = plans.physical_plan(out)
+    assert _n_nodes(plan, "ArrowEvalPython") == 1, plan
+    assert "Window" not in plan, plan
+    assert plans.count_shuffles(out) == 2, plan
