@@ -1541,6 +1541,55 @@ def dedup_cc_clusters(spark, sf_dir):
     return graph.cluster_sizes(out, cluster_col="cluster_id")
 
 
+def dedup_keep_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup manifest — the artifact a production
+    pipeline ships to its writers: MinHash-LSH candidate pairs →
+    distributed connected components → keep-one-per-cluster decision.
+    One row per document: ``(doc_id, cluster_id, keep)`` with keeper =
+    component-min (deterministic). Each stage is individually verified
+    elsewhere; the oracle re-derives the WHOLE chain independently
+    (shingles → signatures → bands → transitive closure → keep), so this
+    row checks the end-to-end wiring. Scale shape: the LSH stage is the
+    bucketed candidate generator (no all-pairs), CC is O(log n) star
+    rounds over a shrinking edge list, and the keep decision is a
+    map-only comparison — nothing new shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, n=3, num_hashes=8, bands=4)
+    edges = cand.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+    labels = graph.connected_components(edges)
+    return (docs.select("doc_id")
+            .join(labels, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id",
+                    F.coalesce("cluster", "doc_id").alias("cluster_id"))
+            .withColumn("keep",
+                        (F.col("doc_id") == F.col("cluster_id"))
+                        .cast("int")))
+
+
+def dedup_keep_canonical_sql():
+    cand = dedup.minhash_lsh_candidates_sql(n=3, num_hashes=8, bands=4)
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+       CAST(d.doc_id = least(d.doc_id, coalesce(m.mn, d.doc_id))
+            AS INTEGER) AS keep
+FROM documents d
+LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+  ON d.doc_id = m.src
+"""
+
+
 def dedup_cc_clusters_sql():
     # transitive closure once in DuckDB (fine at oracle scale; the Spark
     # side is the O(log n)-round star algorithm instead)
@@ -1937,6 +1986,83 @@ GROUP BY o_orderpriority, l_returnflag
 """
 
 
+_BLOOMJ_M = 1 << 12   # 4096 bits = 64 bigint words
+_BLOOMJ_K = 3
+
+
+def _bloomj_positions(key_col):
+    """k bit positions from disjoint md5 slices of the join key —
+    identical arithmetic to the sketch_bloom_filter registers."""
+    h = F.md5(key_col.cast("string"))
+    return [F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % _BLOOMJ_M for i in range(_BLOOMJ_K)]
+
+
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join reduction: a Bloom filter built from the dimension
+    side's surviving join keys prunes the fact side BEFORE its shuffle,
+    so the big exchange carries only rows that can match. False
+    positives are eliminated by the exact join that follows — the result
+    is provably identical to the plain join, which is exactly what the
+    oracle checks (same contract as ``join_salted_skew``: the oracle IS
+    the unoptimized join).
+
+    Build: urgent orders' keys fold into 64 ``bit_or`` words (ONE
+    bounded aggregation; the collect is ≤64 rows). Probe: the word array
+    is inlined as a literal — a map-only JVM filter on lineitem, no
+    extra join or shuffle for the filter itself. The MERGE hint keeps
+    the big-big shuffle-join regime this pattern exists for (AQE would
+    broadcast the dimension at test SF and erase the demonstrated plan).
+
+    At 10^9+ distinct keys the bitset is sized at ~10 bits/key and no
+    longer inlines as a literal — the same build aggregation writes the
+    words to a broadcast variable / lake side-table instead (or Spark's
+    own ``bloom_filter_agg`` runtime filter takes over); the plan shape
+    (map-only probe filter ahead of the fact shuffle) is unchanged."""
+    orders = _t(spark, sf_dir, "orders")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    words_rows = (dim.select(F.explode(F.array(
+        *_bloomj_positions(F.col("o_orderkey")))).alias("pos"))
+        .select(F.shiftright("pos", 6).alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT),"
+                       " CAST(pos & 63 AS INT))").alias("m"))
+        .groupBy("w").agg(F.bit_or("m").alias("bits"))
+        .collect())
+    words = {r["w"]: r["bits"] for r in words_rows}
+    arr = F.array(*[F.lit(words.get(w, 0)).cast("long")
+                    for w in range(_BLOOMJ_M // 64)])
+
+    li = _t(spark, sf_dir, "lineitem")
+    probe = li.withColumn("_bloom", arr)
+    for i, p in enumerate(_bloomj_positions(F.col("l_orderkey"))):
+        probe = probe.withColumn(f"_p{i}", p)
+        probe = probe.where(
+            F.element_at("_bloom", F.shiftright(f"_p{i}", 6)
+                         .cast("int") + 1)
+            .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                               f" CAST(_p{i} & 63 AS INT))")) != 0)
+    j = probe.hint("merge").join(
+        dim, probe.l_orderkey == dim.o_orderkey)
+    return (j.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum((F.col("l_extendedprice")
+                                * (F.lit(1) - F.col("l_discount")))
+                               .cast("decimal(18,4)")).cast("double"), 2)
+                 .alias("urgent_revenue")))
+
+
+def join_bloom_prefilter_sql():
+    return """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2)
+           AS urgent_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 # ----------------------------------------------- sampling / packing
 def sample_stratified_docs(spark, sf_dir):
     """Deterministic language-rebalance sampling (operators/sampling.py):
@@ -2081,6 +2207,10 @@ QUERIES = {
     # content-defined chunking dedup (round-4 addition)
     "dedup_cdc_chunks": lambda s, d: dedup.cdc_chunk_dedup(
         _t(s, d, "documents")),
+    # end-to-end LSH -> connected-components -> keep-one manifest
+    "dedup_keep_canonical": dedup_keep_canonical,
+    # bloom semi-join reduction (fact shuffle pruned before the join)
+    "join_bloom_prefilter": join_bloom_prefilter,
     # similarity (round-3 additions; blocked kernel new in round 4)
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
@@ -2314,6 +2444,8 @@ ORACLES = {
         "SELECT * FROM (" + dedup.minhash_lsh_candidates_sql()
         + ") p WHERE p.doc_a % 5 = 0 OR p.doc_b % 5 = 0"),
     "dedup_cdc_chunks": dedup.cdc_chunk_dedup_sql(),
+    "dedup_keep_canonical": dedup_keep_canonical_sql(),
+    "join_bloom_prefilter": join_bloom_prefilter_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),

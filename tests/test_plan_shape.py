@@ -462,3 +462,20 @@ def test_cdc_chunk_dedup_plan(spark, sf_dir):
     assert _n_nodes(plan, "ArrowEvalPython") == 1, plan
     assert "Window" not in plan, plan
     assert plans.count_shuffles(out) == 2, plan
+
+
+def test_bloom_prefilter_prunes_before_the_fact_shuffle(spark, sf_dir):
+    """The bloom probe must be a map-only filter on the fact scan (no
+    extra join/shuffle to apply it), and the join itself stays in the
+    big-big sort-merge regime the pattern exists for."""
+    from binlog_spark.queries import join_bloom_prefilter
+
+    df = join_bloom_prefilter(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the literal-array probe shows up as element_at(...) in a Filter
+    assert "element_at" in plan, plan
+    # exactly the join's two exchanges + the final agg — the filter adds none
+    # (agg partials collapse into the join's output partitioning)
+    assert plans.count_shuffles(df) <= 3, plan
