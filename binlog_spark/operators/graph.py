@@ -138,3 +138,61 @@ def cluster_sizes(labels: DataFrame,
     """Label frame → + ``cluster_size`` (window count per cluster)."""
     w = Window.partitionBy(cluster_col)
     return labels.withColumn("cluster_size", F.count("*").over(w))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration) — the link-graph quality signal web-corpus
+# pipelines attach to crawled documents (Common Crawl publishes exactly
+# this per host; CCNet/RefinedWeb-style curation consumes it as a
+# quality feature). Integer-quantized arithmetic (the kmeans_assign
+# idiom): every iteration's ranks are int64 in units of 1e-12, all
+# updates are integer multiply/divide, so the result is bit-identical
+# across engines and across summation orders — no floating-point
+# reassociation hazard between a distributed fold and the SQL oracle.
+
+PAGERANK_SCALE = 10 ** 12
+PAGERANK_D_NUM = 85          # damping d = 0.85 as a ratio
+PAGERANK_D_DEN = 100
+
+
+def pagerank_quantized(edges: DataFrame, nodes: DataFrame,
+                       n_nodes: int, iters: int = 5) -> DataFrame:
+    """``iters`` rounds of quantized power iteration.
+
+    ``edges``: (src, dst) with multiplicity (parallel edges each carry
+    mass); ``nodes``: (node) — every rankable node, including ones with
+    no in-links (they keep the teleport floor). Dangling nodes (no
+    out-edges) simply radiate no mass — the standard simplification,
+    applied identically in the oracle.
+
+    Update: r'(v) = (15·S)//(100·N) + Σ_{u→v} (85·r(u)) // (100·deg(u))
+    over int64 in units of S = 1e-12. Every quantity stays < 2^63 for
+    any N (total mass ≤ S · N only shrinks under flooring).
+
+    Scale shape per iteration: one join of the edge list against the
+    rank table on ``src`` (both shuffle-partitioned on their key — at
+    10^9 edges this is THE big exchange and it is unavoidable), one
+    groupBy ``dst`` with map-side partial sums, one broadcast-free left
+    join back to the node set. ``localCheckpoint`` after each round
+    truncates lineage so round k does not replay rounds 1..k-1 (the
+    connected-components idiom above).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    tele = (15 * PAGERANK_SCALE) // (100 * n_nodes)
+    ranks = nodes.withColumn(
+        "r", F.lit(PAGERANK_SCALE // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr(f"(CAST({PAGERANK_D_NUM} AS BIGINT) * r)"
+                                  f" div (CAST({PAGERANK_D_DEN} AS BIGINT)"
+                                  f" * deg)").alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(tele).cast("long")
+                          + F.coalesce(F.col("s"), F.lit(0)))
+                         .alias("r"))
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", F.col("r").alias("pr_q"))

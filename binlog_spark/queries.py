@@ -1541,6 +1541,55 @@ def dedup_cc_clusters(spark, sf_dir):
     return graph.cluster_sizes(out, cluster_col="cluster_id")
 
 
+def graph_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (3 md5-derived
+    out-links per document): 5 rounds of integer-quantized power
+    iteration (``operators/graph.py:pagerank_quantized``) — ranks in
+    int64 units of 1e-12, so the distributed fold and the SQL oracle
+    agree bit-exactly regardless of summation order. The ``count()`` is
+    one O(1) metadata action to size the teleport term."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    edges = docs.select(F.col("doc_id").alias("src"),
+                        F.explode(F.array(*dsts)).alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (graph.pagerank_quantized(edges, nodes, n_nodes=n, iters=5)
+            .select(F.col("node").alias("doc_id"), "pr_q"))
+
+
+def graph_pagerank_sql(iters: int = 5) -> str:
+    s = graph.PAGERANK_SCALE
+    parts = [f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS dst
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT node, CAST((SELECT {s} // n FROM nn) AS BIGINT) AS r
+        FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+it{k} AS (
+  SELECT nd.node,
+         CAST((SELECT (15 * {s}) // (100 * n) FROM nn)
+              + coalesce(sm.c, 0) AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS c
+    FROM edges e JOIN deg d USING (src) JOIN it{k - 1} r ON r.node = e.src
+    GROUP BY e.dst) sm ON sm.node = nd.node
+)""")
+    parts.append(f"\nSELECT node AS doc_id, r AS pr_q FROM it{iters}")
+    return "".join(parts)
+
+
 def dedup_keep_canonical(spark, sf_dir):
     """End-to-end near-dup dedup manifest — the artifact a production
     pipeline ships to its writers: MinHash-LSH candidate pairs →
@@ -2211,6 +2260,8 @@ QUERIES = {
     "dedup_keep_canonical": dedup_keep_canonical,
     # bloom semi-join reduction (fact shuffle pruned before the join)
     "join_bloom_prefilter": join_bloom_prefilter,
+    # link-graph quality signal (quantized power iteration)
+    "graph_pagerank": graph_pagerank,
     # similarity (round-3 additions; blocked kernel new in round 4)
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
@@ -2446,6 +2497,7 @@ ORACLES = {
     "dedup_cdc_chunks": dedup.cdc_chunk_dedup_sql(),
     "dedup_keep_canonical": dedup_keep_canonical_sql(),
     "join_bloom_prefilter": join_bloom_prefilter_sql(),
+    "graph_pagerank": graph_pagerank_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
