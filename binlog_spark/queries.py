@@ -729,6 +729,37 @@ def sql_q5_region_revenue(spark, sf_dir):
     return spark.sql(_Q5_SQL)
 
 
+def _recursive_hierarchy_sql(intdiv: str) -> str:
+    """Recursive-CTE hierarchy descent over the deterministic binary
+    tree parent(doc) = (doc-1) div 2 — per-depth node counts and char
+    mass. The same text modulo the integer-division spelling runs on
+    both engines (``div`` in Spark SQL, ``//`` in DuckDB); UNION ALL
+    recursion is safe because every node has exactly one parent (no
+    path multiplicity, no cycles), terminating in ~log2(N) rounds."""
+    return f"""
+WITH RECURSIVE tree AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT d.doc_id, t.depth + 1
+  FROM documents d JOIN tree t
+    ON (d.doc_id - 1) {intdiv} 2 = t.node AND d.doc_id > 0
+)
+SELECT t.depth, count(*) AS n_nodes,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM tree t JOIN documents d ON d.doc_id = t.node
+GROUP BY t.depth
+"""
+
+
+def sql_recursive_hierarchy(spark, sf_dir):
+    """Spark 4 ``WITH RECURSIVE``: iterative hierarchy expansion inside
+    the SQL surface itself (each round is one join of the frontier
+    against the child table — at scale the frontier is tiny relative to
+    the fact side and the child lookup is index/bucket-prunable)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_recursive_hierarchy_sql("div"))
+
+
 def join_broadcast_part_counts(spark, sf_dir):
     """Broadcast dimension join (the frames⋈table_map shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2262,6 +2293,8 @@ QUERIES = {
     "join_bloom_prefilter": join_bloom_prefilter,
     # link-graph quality signal (quantized power iteration)
     "graph_pagerank": graph_pagerank,
+    # Spark 4 recursive CTE (hierarchy descent)
+    "sql_recursive_hierarchy": sql_recursive_hierarchy,
     # similarity (round-3 additions; blocked kernel new in round 4)
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
@@ -2498,6 +2531,7 @@ ORACLES = {
     "dedup_keep_canonical": dedup_keep_canonical_sql(),
     "join_bloom_prefilter": join_bloom_prefilter_sql(),
     "graph_pagerank": graph_pagerank_sql(),
+    "sql_recursive_hierarchy": _recursive_hierarchy_sql("//"),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
