@@ -932,3 +932,70 @@ SELECT a.vec_id, a.cluster,
        CAST(a.vec_id IN (SELECT vec_id FROM dropped) AS INT) AS dropped
 FROM assign a
 """
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Johnson–Lindenstrauss; Achlioptas 2003's
+# database-friendly {+1, 0, -1} matrix at density 1/3): the standard
+# cheap dimensionality reduction ahead of ANN indexing / clustering at
+# 10^9-vector scale — 8 signed sums replace a 64-float vector, no
+# training pass, distances preserved within (1±ε). Deterministic: the
+# matrix entries derive from md5("i,j"), and inputs are quantized to
+# int64 (units of 1e-6, truncated toward zero) so the projection is
+# pure integer addition — bit-identical across engines.
+
+RP_SCALE = 1_000_000
+
+
+def rp_matrix(d_in: int, d_out: int):
+    """{+1,-1,0} at P = 1/6, 1/6, 2/3 from md5 — reproducible anywhere."""
+    from hashlib import md5 as _md5
+    cols = []
+    for j in range(d_out):
+        col = []
+        for i in range(d_in):
+            v = int(_md5(f"{i},{j}".encode()).hexdigest()[:1], 16) % 6
+            col.append(1 if v == 0 else (-1 if v == 1 else 0))
+        cols.append(col)
+    return cols
+
+
+def random_projection(df: DataFrame, d_in: int = 64, d_out: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, p0..p{d_out-1}) int64 projections. Map-only JVM expressions
+    (each output is a signed sum of ≤ d_in/3 quantized elements): zero
+    shuffles, zero Python stages — the projection fuses into whatever
+    scan precedes the ANN build that consumes it."""
+    R = rp_matrix(d_in, d_out)
+
+    def q(i):  # quantized element, truncation matches DuckDB trunc()
+        return (F.element_at(F.col(vec_col), i + 1).cast("double")
+                * RP_SCALE).cast("long")
+
+    outs = []
+    for j, col in enumerate(R):
+        terms = [q(i) if s == 1 else -q(i)
+                 for i, s in enumerate(col) if s != 0]
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        outs.append(e.alias(f"p{j}"))
+    return df.select(F.col(id_col), *outs)
+
+
+def random_projection_sql(table: str = "embeddings", d_in: int = 64,
+                          d_out: int = 8) -> str:
+    R = rp_matrix(d_in, d_out)
+    exprs = []
+    for j, col in enumerate(R):
+        terms = [("-" if s < 0 else "+")
+                 + f" CAST(trunc(CAST(embedding[{i + 1}] AS DOUBLE)"
+                   f" * {RP_SCALE}) AS BIGINT)"
+                 for i, s in enumerate(col) if s != 0]
+        body = " ".join(terms).lstrip("+ ")
+        if terms[0].startswith("-"):
+            body = terms[0] + " " + " ".join(terms[1:])
+        exprs.append(f"({body}) AS p{j}")
+    cols = ",\n       ".join(exprs)
+    return f"SELECT vec_id,\n       {cols}\nFROM {table}"

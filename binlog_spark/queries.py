@@ -2295,6 +2295,9 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     # Spark 4 recursive CTE (hierarchy descent)
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
+    # JL sparse random projection (dimensionality reduction)
+    "sim_random_projection": lambda s, d: similarity.random_projection(
+        _t(s, d, "embeddings")),
     # similarity (round-3 additions; blocked kernel new in round 4)
     "sim_kmeans_assign": lambda s, d: similarity.kmeans_assign(
         _t(s, d, "embeddings")),
@@ -2532,6 +2535,7 @@ ORACLES = {
     "join_bloom_prefilter": join_bloom_prefilter_sql(),
     "graph_pagerank": graph_pagerank_sql(),
     "sql_recursive_hierarchy": _recursive_hierarchy_sql("//"),
+    "sim_random_projection": similarity.random_projection_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),

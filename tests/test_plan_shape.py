@@ -479,3 +479,16 @@ def test_bloom_prefilter_prunes_before_the_fact_shuffle(spark, sf_dir):
     # exactly the join's two exchanges + the final agg — the filter adds none
     # (agg partials collapse into the join's output partitioning)
     assert plans.count_shuffles(df) <= 3, plan
+
+
+def test_random_projection_is_map_only_jvm(spark, sf_dir):
+    """The JL projection must fuse into the scan: zero exchanges, zero
+    Python stages — signed integer sums in codegen."""
+    from binlog_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = random_projection(emb)
+    plan = plans.physical_plan(out)
+    assert plans.count_shuffles(out) == 0, plan
+    for py in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py not in plan, plan
