@@ -88,6 +88,63 @@ WHERE rn = 1 AND op != 'D'
 """
 
 
+def cdc_retract_agg(spark, sf_dir):
+    """Retraction-stream aggregation (Flink changelog semantics): a
+    grouped SUM/COUNT maintained directly from the I/U/D stream — every
+    change row retracts the key's previous live version (−value from its
+    OLD group) and asserts the new one (+value into its NEW group), so
+    the aggregate stays correct under in-place updates, deletes, and
+    group migration without ever touching the materialized state table.
+
+    The oracle computes the same aggregate the state-based way (final
+    LWW state, then GROUP BY) — equality proves the retraction algebra.
+    Values ride as DECIMAL(18,6) so both summation orders are exact.
+
+    Scale shape: ONE key shuffle for the per-key lag window (the same
+    (user_id) partitioning the merge-apply stage uses), a map-side
+    array_compact+explode emitting ≤2 delta rows per change, then the
+    tiny grouped sum. At 10^10 events this is the standard way to keep
+    downstream aggregates fresh without re-scanning state."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # window expressions materialize first (generators can't host them)
+    ev = (ev.withColumn("pv", F.lag(F.col("value")).over(w)
+                        .cast("decimal(18,6)"))
+          .withColumn("pt", F.lag("event_type").over(w))
+          .withColumn("palive", F.lag("op").over(w) != "D"))
+    v = F.col("value").cast("decimal(18,6)")
+    cur = F.when(F.col("op") != "D",
+                 F.struct(F.col("event_type").alias("grp"),
+                          v.alias("dv"), F.lit(1).alias("dn")))
+    ret = F.when(F.col("palive"),
+                 F.struct(F.col("pt").alias("grp"),
+                          (-F.col("pv")).alias("dv"),
+                          F.lit(-1).alias("dn")))
+    deltas = (ev.select(F.explode(F.array_compact(F.array(cur, ret)))
+                        .alias("d"))
+              .select(F.col("d.grp").alias("event_type"),
+                      F.col("d.dv").alias("dv"), F.col("d.dn").alias("dn")))
+    return (deltas.groupBy("event_type")
+            .agg(F.round(F.sum("dv").cast("double"), 6).alias("net_sum"),
+                 F.sum("dn").cast("long").alias("n_live"))
+            .where(F.col("n_live") > 0))
+
+
+def cdc_retract_agg_sql():
+    return f"""
+WITH final AS (
+  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
+  FROM (SELECT user_id, event_id, event_type, value, {_OP_EXPR} AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1 AND op != 'D')
+SELECT event_type, round(CAST(sum(v) AS DOUBLE), 6) AS net_sum,
+       CAST(count(*) AS BIGINT) AS n_live
+FROM final GROUP BY event_type
+"""
+
+
 def cdc_scd2_history(spark, sf_dir):
     """SCD type-2 history from the changelog: every insert/update opens a
     key version valid from its event until the key's next change (of any
@@ -2295,6 +2352,8 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     # Spark 4 recursive CTE (hierarchy descent)
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
+    # Flink-style retraction aggregation from the changelog
+    "cdc_retract_agg": cdc_retract_agg,
     # JL sparse random projection (dimensionality reduction)
     "sim_random_projection": lambda s, d: similarity.random_projection(
         _t(s, d, "embeddings")),
@@ -2536,6 +2595,7 @@ ORACLES = {
     "graph_pagerank": graph_pagerank_sql(),
     "sql_recursive_hierarchy": _recursive_hierarchy_sql("//"),
     "sim_random_projection": similarity.random_projection_sql(),
+    "cdc_retract_agg": cdc_retract_agg_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),

@@ -492,3 +492,14 @@ def test_random_projection_is_map_only_jvm(spark, sf_dir):
     assert plans.count_shuffles(out) == 0, plan
     for py in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert py not in plan, plan
+
+
+def test_retract_agg_two_exchanges(spark, sf_dir):
+    """Retraction aggregation: one key shuffle for the lag window, one
+    grouped-sum exchange — the delta generator is map-side."""
+    from binlog_spark.queries import cdc_retract_agg
+
+    df = cdc_retract_agg(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Generate") >= 1, plan
+    assert plans.count_shuffles(df) <= 4, plan  # 2 in-tree (+2 detail echoes)
