@@ -646,6 +646,115 @@ GROUP BY event_type, n
 """
 
 
+def sketch_kmv_set_ops(spark, sf_dir, k: int = _KMV_K,
+                       type_a: str = "view", type_b: str = "purchase"):
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07): union and
+    intersection cardinalities and Jaccard between two audiences,
+    computed from the two min-k sketches ALONE — never from the raw
+    sets. Union sketch = min-k of the merged hash lists; intersection
+    via ρ = |S ∩ A_k ∩ B_k| / |S| scaled by the union estimate. When the
+    sketches hold fewer than k hashes they are exact and the estimators
+    degrade to exact counts — the same formula both ways, replayed
+    verbatim by the oracle.
+
+    Scale shape: the sketches come from the same bounded mapInPandas
+    fold as ``sketch_kmv_distinct`` (state ≤ groups × k per partition);
+    the algebra itself is a single-row JVM array computation — this is
+    the whole point of mergeable sketches at 100 TB: audience overlap
+    from two k-value summaries, no re-scan, no join."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin(type_a, type_b))
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+
+    def fold(batches):
+        state: dict = {}
+        for pdf in batches:
+            for et, grp in pdf.groupby("event_type", sort=False):
+                vals = grp["h"].to_numpy(dtype=np.int64)
+                prev = state.get(et)
+                if prev is not None:
+                    vals = np.concatenate([prev, vals])
+                state[et] = np.unique(vals)[:k]
+        yield pd.DataFrame({
+            "event_type": np.repeat(
+                np.array(list(state.keys()), dtype=object),
+                [len(v) for v in state.values()]) if state else
+            np.array([], dtype=object),
+            "h": (np.concatenate(list(state.values())) if state else
+                  np.array([], dtype=np.int64)),
+        })
+
+    partial = (ev.select("event_type", h.alias("h"))
+               .mapInPandas(fold, "event_type string, h long"))
+    sk = (partial.groupBy("event_type")
+          .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
+               .alias("mins")))
+    row = sk.groupBy().agg(
+        F.min(F.when(F.col("event_type") == type_a,
+                     F.col("mins"))).alias("a"),
+        F.min(F.when(F.col("event_type") == type_b,
+                     F.col("mins"))).alias("b"))
+    u = F.slice(F.array_sort(F.array_union("a", "b")), 1, k)
+    row = row.withColumn("u", u)
+    n_u = F.size("u")
+    kth = F.element_at("u", n_u)
+    est_u = F.when(n_u < k, n_u.cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(1 << 48))) / kth.cast("double"))
+    inter = F.size(F.array_intersect(
+        F.array_intersect("u", "a"), F.col("b")))
+    est_i = (inter.cast("double") / n_u.cast("double")) * est_u
+    return row.select(
+        F.size("a").alias("sketch_a"), F.size("b").alias("sketch_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(est_i, 4).alias("est_intersection"),
+        F.round(inter.cast("double") / n_u.cast("double"), 4)
+        .alias("est_jaccard"))
+
+
+def sketch_kmv_set_ops_sql(k: int = _KMV_K, type_a: str = "view",
+                           type_b: str = "purchase"):
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+), sk AS (
+  SELECT event_type, (list_sort(list(h)))[1:{k}] AS mins
+  FROM h GROUP BY event_type
+), ab AS (
+  SELECT min(CASE WHEN event_type = '{type_a}' THEN mins END) AS a,
+         min(CASE WHEN event_type = '{type_b}' THEN mins END) AS b
+  FROM sk
+), uu AS (
+  SELECT a, b,
+         (list_sort(list_distinct(a || b)))[1:{k}] AS u
+  FROM ab
+), calc AS (
+  SELECT len(a) AS sketch_a, len(b) AS sketch_b, len(u) AS n_u,
+         u[len(u)] AS kth,
+         len(list_filter(u, x -> list_contains(a, x)
+                             AND list_contains(b, x))) AS inter
+  FROM uu
+)
+SELECT CAST(sketch_a AS INTEGER) AS sketch_a,
+       CAST(sketch_b AS INTEGER) AS sketch_b,
+       round(CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE)
+             ELSE {float(k - 1)} * {float(1 << 48)} / CAST(kth AS DOUBLE)
+             END, 4) AS est_union,
+       round((CAST(inter AS DOUBLE) / CAST(n_u AS DOUBLE))
+             * CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE)
+               ELSE {float(k - 1)} * {float(1 << 48)} / CAST(kth AS DOUBLE)
+               END, 4) AS est_intersection,
+       round(CAST(inter AS DOUBLE) / CAST(n_u AS DOUBLE), 4)
+           AS est_jaccard
+FROM calc
+"""
+
+
 def rollup_incremental_events(spark, sf_dir):
     """Hypertable-style continuous aggregate: an hourly rollup maintained
     INCREMENTALLY over three deterministic batches (plus a re-delivered
@@ -2354,6 +2463,8 @@ QUERIES = {
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
     # Flink-style retraction aggregation from the changelog
     "cdc_retract_agg": cdc_retract_agg,
+    # mergeable-sketch set algebra (audience overlap from summaries)
+    "sketch_kmv_set_ops": sketch_kmv_set_ops,
     # JL sparse random projection (dimensionality reduction)
     "sim_random_projection": lambda s, d: similarity.random_projection(
         _t(s, d, "embeddings")),
@@ -2596,6 +2707,7 @@ ORACLES = {
     "sql_recursive_hierarchy": _recursive_hierarchy_sql("//"),
     "sim_random_projection": similarity.random_projection_sql(),
     "cdc_retract_agg": cdc_retract_agg_sql(),
+    "sketch_kmv_set_ops": sketch_kmv_set_ops_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
