@@ -926,6 +926,29 @@ def sql_recursive_hierarchy(spark, sf_dir):
     return spark.sql(_recursive_hierarchy_sql("div"))
 
 
+_CORRELATED_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE (SELECT CASE WHEN max(CAST(o_totalprice AS DECIMAL(18,2)))
+                        * count(*)
+                      > 3 * sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              THEN 1 ELSE 0 END
+       FROM orders o WHERE o.o_custkey = c.c_custkey) = 1
+"""
+
+
+def sql_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery with aggregation — "bursty buyers"
+    whose single largest order exceeds 3x their average (stated as the
+    integer-exact cross-multiplication max·count > 3·sum over DECIMAL,
+    so no float average can flip a boundary row between engines).
+    Catalyst decorrelates this into an aggregate + join; the identical
+    ANSI text runs on both engines."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORRELATED_SQL)
+
+
 def join_broadcast_part_counts(spark, sf_dir):
     """Broadcast dimension join (the frames⋈table_map shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2465,6 +2488,8 @@ QUERIES = {
     "cdc_retract_agg": cdc_retract_agg,
     # mergeable-sketch set algebra (audience overlap from summaries)
     "sketch_kmv_set_ops": sketch_kmv_set_ops,
+    # correlated scalar subquery (Catalyst decorrelation)
+    "sql_correlated_subquery": sql_correlated_subquery,
     # JL sparse random projection (dimensionality reduction)
     "sim_random_projection": lambda s, d: similarity.random_projection(
         _t(s, d, "embeddings")),
@@ -2708,6 +2733,7 @@ ORACLES = {
     "sim_random_projection": similarity.random_projection_sql(),
     "cdc_retract_agg": cdc_retract_agg_sql(),
     "sketch_kmv_set_ops": sketch_kmv_set_ops_sql(),
+    "sql_correlated_subquery": _CORRELATED_SQL,
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
