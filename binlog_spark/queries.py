@@ -223,6 +223,70 @@ WHERE rn = 1 AND op != 'D'
 """
 
 
+def lake_mor_deletes(spark, sf_dir):
+    """Merge-on-read deletes (Iceberg v2 equality-delete / deletion-
+    vector semantics): base data files hold the LWW state as of the last
+    compaction watermark W; every later change lands in delta files — a
+    delete vector covering every TOUCHED key (an update is
+    delete+insert) plus the live overlay rows. The reader reconstructs
+    the current state WITHOUT rewriting base files:
+
+        read = (base ANTI-JOIN touched-keys) UNION overlay-live
+
+    The oracle replays the full changelog the copy-on-write way; equality
+    proves the MoR read path reconstructs the same state. ``src`` labels
+    which rows were served untouched from base files vs from the delta —
+    the physically meaningful split.
+
+    Scale shape: maintaining the table costs ∝ delta (no base rewrite);
+    the read is one broadcast-able anti join on the touched-key set
+    (bounded by delta size) plus the tiny overlay union. W derives from
+    max(event_id) map-side and joins as a broadcast scalar — no collect."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    # W at 9/10 of the id space: the last tenth of the stream is the
+    # uncompacted delta. Row key = (user_id, event_type) — the finer key
+    # keeps a healthy untouched-base population at every SF.
+    w = ev.agg(F.expr("max(event_id) * 9 div 10").alias("w"))
+    ev = ev.join(F.broadcast(w))
+    payload = F.struct("event_id", "op", "value")
+    key = ["user_id", "event_type"]
+
+    def lww(df):
+        return (df.groupBy(*key)
+                .agg(F.max_by(payload, F.col("event_id")).alias("r"))
+                .where(F.col("r.op") != "D")
+                .select(*key, F.col("r.event_id").alias("last_event_id"),
+                        F.col("r.value").alias("last_value")))
+
+    base = lww(ev.where(F.col("event_id") <= F.col("w")))
+    delta = ev.where(F.col("event_id") > F.col("w"))
+    touched = delta.select(*key).distinct()
+    overlay = lww(delta)
+    return (base.join(touched, key, "left_anti")
+            .withColumn("src", F.lit("base"))
+            .unionByName(overlay.withColumn("src", F.lit("delta"))))
+
+
+def lake_mor_deletes_sql():
+    return f"""
+WITH w AS (SELECT max(event_id) * 9 // 10 AS w FROM events),
+cur AS (
+  SELECT user_id, event_type, event_id AS last_event_id,
+         value AS last_value
+  FROM (SELECT user_id, event_type, event_id, value, {_OP_EXPR} AS op,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1 AND op != 'D')
+SELECT c.user_id, c.event_type, c.last_event_id, c.last_value,
+       -- a key with ANY delta row has its overall latest event in the
+       -- delta, so last_event_id <= W already implies "untouched"
+       CASE WHEN c.last_event_id <= (SELECT w FROM w)
+            THEN 'base' ELSE 'delta' END AS src
+FROM cur c
+"""
+
+
 def cdc_txn_assembly(spark, sf_dir):
     """Commit-marker transaction grouping (P28 as a window): a 'purchase'
     commits the open transaction; every event gets the txn it belongs to.
@@ -2490,6 +2554,8 @@ QUERIES = {
     "sketch_kmv_set_ops": sketch_kmv_set_ops,
     # correlated scalar subquery (Catalyst decorrelation)
     "sql_correlated_subquery": sql_correlated_subquery,
+    # merge-on-read deletion-vector read path
+    "lake_mor_deletes": lake_mor_deletes,
     # JL sparse random projection (dimensionality reduction)
     "sim_random_projection": lambda s, d: similarity.random_projection(
         _t(s, d, "embeddings")),
@@ -2734,6 +2800,7 @@ ORACLES = {
     "cdc_retract_agg": cdc_retract_agg_sql(),
     "sketch_kmv_set_ops": sketch_kmv_set_ops_sql(),
     "sql_correlated_subquery": _CORRELATED_SQL,
+    "lake_mor_deletes": lake_mor_deletes_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
