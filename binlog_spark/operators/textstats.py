@@ -724,3 +724,152 @@ SELECT doc_id,
        coalesce(array_to_string(kept, chr(10)), '') AS cleaned
 FROM k
 """
+
+
+# --------------------------------------------------- hashed bigram LM score
+# CCNet-style LM quality filter (Wenzek et al. 2020 §3.3 score documents
+# by LM perplexity; production pipelines bucket the model to bound its
+# size). Here the model is a HASHED bigram LM trained on the corpus
+# itself: context and bigram counts live in md5-derived buckets (bounded
+# state — the DSIR trick), probabilities are add-one smoothed, and all
+# log2 values come from the shared quantized table so the per-document
+# score is exact int64 arithmetic on both engines.
+
+LM_BUCKETS = 256
+LM_CLIP = 4096
+
+
+def bigram_lm_score(df: DataFrame, col: str = "text",
+                    n_buckets: int = LM_BUCKETS,
+                    clip: int = LM_CLIP) -> DataFrame:
+    """Per-document average negative-log2-likelihood under the hashed
+    bigram model: ``(doc_id, n_bigrams, avg_nll_bits)`` where
+    bits(w|u) = QL(min(C_ctx[h(u)], clip) + 1) − QL(min(C_bg[h(u,w)],
+    clip) + 1) — the bucketed, clipped, quantized form of
+    −log2 (C(u,w)+1)/(C(u)+1). Low score = predictable boilerplate,
+    high = unusual token transitions; the filter thresholds both tails.
+
+    Scale shape (two map-only Arrow passes, the DSIR pipeline shape):
+    pass 1 folds per-partition bucket-count partials — state is
+    2×``n_buckets`` int64 per partition and the shuffle carries
+    partitions × buckets tiny rows; the two ``n_buckets``-sized count
+    tables are then closed over (broadcast) by pass 2, which emits one
+    row per document. Gram extraction never reaches a shuffle."""
+    import hashlib
+    import numpy as np
+    import pandas as pd
+
+    def _bkt(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16) % n_buckets
+
+    def count_fold(batches):
+        ctx = np.zeros(n_buckets, np.int64)
+        bg = np.zeros(n_buckets, np.int64)
+        cache: dict = {}
+        for pdf in batches:
+            for t in pdf[col]:
+                toks = ws_tokens(t)
+                for i in range(len(toks) - 1):
+                    u, w = toks[i], toks[i + 1]
+                    k = (u, w)
+                    hit = cache.get(k)
+                    if hit is None:
+                        hit = (_bkt(u), _bkt(u + " " + w))
+                        cache[k] = hit
+                    ctx[hit[0]] += 1
+                    bg[hit[1]] += 1
+        yield pd.DataFrame({
+            "kind": ["c"] * n_buckets + ["b"] * n_buckets,
+            "bkt": np.concatenate([np.arange(n_buckets)] * 2),
+            "ct": np.concatenate([ctx, bg]),
+        })
+
+    partial = df.select(col).mapInPandas(
+        count_fold, "kind string, bkt int, ct long")
+    totals = (partial.groupBy("kind", "bkt").agg(F.sum("ct").alias("ct"))
+              .collect())  # bounded: 2 × n_buckets rows
+    ctx_ct = np.zeros(n_buckets, dtype="int64")
+    bg_ct = np.zeros(n_buckets, dtype="int64")
+    for r in totals:
+        (ctx_ct if r["kind"] == "c" else bg_ct)[r["bkt"]] = r["ct"]
+    ql = _qlog(clip + 1)
+    ctx_q = ql[np.minimum(ctx_ct, clip)]   # QL(min(ct, clip) + 1)
+    bg_q = ql[np.minimum(bg_ct, clip)]
+
+    def score_fold(batches):
+        import pandas as pd
+        cache: dict = {}
+        for pdf in batches:
+            ids, ns, qs = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[col]):
+                toks = ws_tokens(t)
+                q = 0
+                n = max(len(toks) - 1, 0)
+                for i in range(n):
+                    u, w = toks[i], toks[i + 1]
+                    k = (u, w)
+                    hit = cache.get(k)
+                    if hit is None:
+                        hit = (_bkt(u), _bkt(u + " " + w))
+                        cache[k] = hit
+                    q += int(ctx_q[hit[0]]) - int(bg_q[hit[1]])
+                ids.append(doc_id)
+                ns.append(n)
+                qs.append(q)
+            yield pd.DataFrame({"doc_id": ids, "n_bigrams": ns,
+                                "qsum": qs})
+
+    part = df.select("doc_id", col).mapInPandas(
+        score_fold, "doc_id long, n_bigrams long, qsum long")
+    return part.select(
+        "doc_id", "n_bigrams",
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("qsum")
+                           / (F.col("n_bigrams") * float(_QLOG_SCALE)), 6))
+        .alias("avg_nll_bits"))
+
+
+def bigram_lm_score_sql(table: str = "documents",
+                        n_buckets: int = LM_BUCKETS,
+                        clip: int = LM_CLIP) -> str:
+    lits = ", ".join(str(int(v)) for v in _qlog(clip + 1))
+    ws = WS_REGEX
+    return rf"""
+WITH ql(t) AS (SELECT [{lits}]),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '{ws}'), x -> x <> '') AS tk
+  FROM {table}
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                               i -> tk[i])) AS u,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                               i -> tk[i + 1])) AS w
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(u), 1, 7))::BIGINT % {n_buckets} AS hc,
+         ('0x' || substr(md5(u || ' ' || w), 1, 7))::BIGINT
+             % {n_buckets} AS hb
+  FROM grams
+), ctx AS (SELECT hc, count(*) AS ct FROM hashed GROUP BY hc),
+bg AS (SELECT hb, count(*) AS ct FROM hashed GROUP BY hb),
+scored AS (
+  SELECT h.doc_id,
+         q.t[least(coalesce(c.ct, 0), {clip}) + 1]
+         - q.t[least(coalesce(b.ct, 0), {clip}) + 1] AS bits_q
+  FROM hashed h
+  LEFT JOIN ctx c ON c.hc = h.hc
+  LEFT JOIN bg b ON b.hb = h.hb, ql q
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits_q) AS BIGINT) AS qsum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0.0
+            ELSE round(a.qsum / (a.n_bigrams * {float(_QLOG_SCALE)}), 6)
+       END AS avg_nll_bits
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""

@@ -2556,6 +2556,9 @@ QUERIES = {
     "sql_correlated_subquery": sql_correlated_subquery,
     # merge-on-read deletion-vector read path
     "lake_mor_deletes": lake_mor_deletes,
+    # CCNet-style hashed bigram LM perplexity filter
+    "text_bigram_lm_score": lambda s, d: textstats.bigram_lm_score(
+        _t(s, d, "documents")),
     # JL sparse random projection (dimensionality reduction)
     "sim_random_projection": lambda s, d: similarity.random_projection(
         _t(s, d, "embeddings")),
@@ -2801,6 +2804,7 @@ ORACLES = {
     "sketch_kmv_set_ops": sketch_kmv_set_ops_sql(),
     "sql_correlated_subquery": _CORRELATED_SQL,
     "lake_mor_deletes": lake_mor_deletes_sql(),
+    "text_bigram_lm_score": textstats.bigram_lm_score_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
