@@ -2556,6 +2556,10 @@ QUERIES = {
     "sql_correlated_subquery": sql_correlated_subquery,
     # merge-on-read deletion-vector read path
     "lake_mor_deletes": lake_mor_deletes,
+    # late round-4 registrations the driver has never sampled
+    "dedup_url_canonical": dedup_url_canonical_q,
+    "sample_dsir_weights": lambda s, d: sampling.dsir_importance(
+        _t(s, d, "documents")),
     # CCNet-style hashed bigram LM perplexity filter
     "text_bigram_lm_score": lambda s, d: textstats.bigram_lm_score(
         _t(s, d, "documents")),
@@ -2572,10 +2576,11 @@ QUERIES = {
     "agg_cube_pricing": agg_cube_pricing,
     "window_cumulative_revenue": window_cumulative_revenue,
     "split_train_holdout": split_train_holdout,
-    # --- green in r1/r2 but not re-sampled in r3: refresh next ---
-    "sim_ivf_ann_topk": sim_ivf_ann_q,
+    # PQ-ADC ANN + hard negatives: registered round 4, never sampled
     "sim_pq_ann_topk": sim_pq_ann_q,
     "sim_hard_negatives": sim_hard_negatives_q,
+    # --- green in r1/r2 but not re-sampled in r3: refresh next ---
+    "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
     "text_quality": text_quality_q,
     "text_lang_id": text_lang_id_q,
@@ -2617,7 +2622,6 @@ QUERIES = {
     "json_props_events": json_props_events,
     # dedup family
     "dedup_exact": dedup_exact_q,
-    "dedup_url_canonical": dedup_url_canonical_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_signature": dedup_minhash_signature_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
@@ -2636,8 +2640,6 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     # training-data sampling / packing
     "sample_stratified_docs": sample_stratified_docs,
-    "sample_dsir_weights": lambda s, d: sampling.dsir_importance(
-        _t(s, d, "documents")),
     "mix_source_weights": mix_source_weights,
     "pack_sequences_docs": pack_sequences_docs,
     "sample_weighted_docs": sample_weighted_docs,
