@@ -1955,11 +1955,8 @@ _HLL_W = 4503599627370496  # 2^52: the sub-bucket hash width
 _HLL_ALPHA = 0.7182725932495458  # 0.7213 / (1 + 1.079/256)
 
 
-def _hll_registers_df(spark, sf_dir):
-    """(event_type, bucket, max_rho): md5-derived 60-bit hash, top 8 bits
-    pick the register, rho = leading-zero count of the low 52 bits + 1 —
-    all JVM built-ins (md5/conv/bin), deterministic, DuckDB-replayable."""
-    ev = _t(spark, sf_dir, "events")
+def _hll_regs_from(ev):
+    """Register fold over an arbitrary events frame (see below)."""
     h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
                16, 10).cast("long")
     bucket = F.shiftright(h, 52)
@@ -1970,6 +1967,13 @@ def _hll_registers_df(spark, sf_dir):
                       rho.alias("rho"))
             .groupBy("event_type", "bucket")
             .agg(F.max("rho").alias("max_rho")))
+
+
+def _hll_registers_df(spark, sf_dir):
+    """(event_type, bucket, max_rho): md5-derived 60-bit hash, top 8 bits
+    pick the register, rho = leading-zero count of the low 52 bits + 1 —
+    all JVM built-ins (md5/conv/bin), deterministic, DuckDB-replayable."""
+    return _hll_regs_from(_t(spark, sf_dir, "events"))
 
 
 _HLL_HASH_CTE = """
@@ -1995,6 +1999,75 @@ def sketch_hll_registers(spark, sf_dir):
 
 def sketch_hll_registers_sql():
     return _HLL_HASH_CTE + "SELECT event_type, bucket, max_rho FROM regs"
+
+
+def sketch_hll_merge(spark, sf_dir):
+    """HLL MERGEABILITY — the property that makes register sketches the
+    at-scale distinct counter: the registers of two disjoint shards
+    (here: even/odd event ids, standing in for two executors' partials
+    or two days' partitions) merge by register-wise MAX into exactly the
+    whole-stream sketch. The query materializes both paths — shard, then
+    merge via full-outer join + greatest — and emits merged next to
+    whole; the oracle replays both paths, so the driver checks the merge
+    algebra itself, not just the final numbers."""
+    ev = _t(spark, sf_dir, "events")
+    a = _hll_regs_from(ev.where(F.col("event_id") % 2 == 0))
+    b = _hll_regs_from(ev.where(F.col("event_id") % 2 == 1))
+    merged = (a.withColumnRenamed("max_rho", "ra")
+              .join(b.withColumnRenamed("max_rho", "rb"),
+                    ["event_type", "bucket"], "full_outer")
+              .select("event_type", "bucket",
+                      F.greatest(F.coalesce("ra", F.lit(0)),
+                                 F.coalesce("rb", F.lit(0)))
+                      .alias("merged_rho")))
+    whole = _hll_regs_from(ev)
+    return (merged.join(whole, ["event_type", "bucket"], "full_outer")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("registers"),
+                 F.sum("merged_rho").cast("long").alias("sum_rho_merged"),
+                 F.sum("max_rho").cast("long").alias("sum_rho_whole"),
+                 F.sum(F.when(F.col("merged_rho") == F.col("max_rho"), 1)
+                       .otherwise(0)).cast("long").alias("n_equal")))
+
+
+def sketch_hll_merge_sql():
+    shard = """
+  SELECT event_type, h >> 52 AS bucket,
+         CAST(max(CASE WHEN h & {mask} = 0 THEN 53
+                       ELSE 53 - length(bin(h & {mask})) END) AS INTEGER)
+             AS max_rho
+  FROM h WHERE event_id % 2 = {par} GROUP BY event_type, h >> 52
+""".format(mask=_HLL_W - 1, par="{par}")
+    return f"""
+WITH h AS (
+  SELECT event_id, event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), a AS ({shard.format(par=0)}), b AS ({shard.format(par=1)}),
+merged AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.bucket, b.bucket) AS bucket,
+         greatest(coalesce(a.max_rho, 0), coalesce(b.max_rho, 0))
+             AS merged_rho
+  FROM a FULL OUTER JOIN b
+    ON a.event_type = b.event_type AND a.bucket = b.bucket
+), whole AS (
+  SELECT event_type, h >> 52 AS bucket,
+         CAST(max(CASE WHEN h & {_HLL_W - 1} = 0 THEN 53
+                       ELSE 53 - length(bin(h & {_HLL_W - 1})) END)
+              AS INTEGER) AS max_rho
+  FROM h GROUP BY event_type, h >> 52
+)
+SELECT coalesce(m.event_type, w.event_type) AS event_type,
+       CAST(count(*) AS BIGINT) AS registers,
+       CAST(sum(m.merged_rho) AS BIGINT) AS sum_rho_merged,
+       CAST(sum(w.max_rho) AS BIGINT) AS sum_rho_whole,
+       CAST(sum(CASE WHEN m.merged_rho = w.max_rho THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_equal
+FROM merged m FULL OUTER JOIN whole w
+  ON m.event_type = w.event_type AND m.bucket = w.bucket
+GROUP BY 1
+"""
 
 
 def sketch_hll_estimate(spark, sf_dir):
@@ -2560,6 +2633,8 @@ QUERIES = {
     "dedup_url_canonical": dedup_url_canonical_q,
     "sample_dsir_weights": lambda s, d: sampling.dsir_importance(
         _t(s, d, "documents")),
+    # HLL register mergeability (shard -> max-merge == whole)
+    "sketch_hll_merge": sketch_hll_merge,
     # CCNet-style hashed bigram LM perplexity filter
     "text_bigram_lm_score": lambda s, d: textstats.bigram_lm_score(
         _t(s, d, "documents")),
@@ -2807,6 +2882,7 @@ ORACLES = {
     "sql_correlated_subquery": _CORRELATED_SQL,
     "lake_mor_deletes": lake_mor_deletes_sql(),
     "text_bigram_lm_score": textstats.bigram_lm_score_sql(),
+    "sketch_hll_merge": sketch_hll_merge_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
