@@ -995,3 +995,80 @@ SELECT chunk_hash,
 FROM chunks GROUP BY 1
 HAVING count(*) > 1 AND min(tok_len) >= {min_report_len}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95) — the
+# entity-resolution companion to hash blocking (LSH): sort the corpus by
+# a semantic key that collates likely duplicates, then emit candidate
+# pairs only within a sliding window of the sort order. Catches
+# prefix-similar records that hash blocking can miss, at cost linear in
+# corpus size × window.
+
+SNM_WINDOW = 4
+SNM_KEY_LEN = 24
+
+
+def sorted_neighborhood_pairs(df: DataFrame, w: int = SNM_WINDOW,
+                              key_len: int = SNM_KEY_LEN,
+                              col: str = "text") -> DataFrame:
+    """Candidate pairs within ``w`` positions of the key sort order:
+    ``(doc_a, doc_b, same_key)`` (``same_key`` = identical blocking key —
+    the collision label a downstream matcher scores first; the window
+    additionally surfaces near-key neighbours no hash block would pair).
+
+    Global rank WITHOUT a global window (the repo's two-level idiom):
+    ``repartitionByRange`` on the key gives order-aligned, quantile-
+    balanced ranges (equal keys never split across ranges); a per-range
+    ``row_number`` runs in parallel, and a broadcast prefix over the
+    one-row-per-range counts lifts local ranks to global ones. The
+    window join is then an EQUI-join on rank (each row exploded to its
+    w−1 forward offsets) — no range self-join, no single-partition sort.
+    Output is invariant to where the sampled range boundaries land."""
+    from pyspark.sql import Window
+
+    k = F.substring(
+        F.regexp_replace(F.lower(F.col(col)), WS_REGEX, " "), 1, key_len)
+    base = df.select("doc_id", k.alias("k"))
+    ranged = (base.repartitionByRange(32, "k", "doc_id")
+              .withColumn("seg", F.spark_partition_id()))
+    w_in = Window.partitionBy("seg").orderBy("k", "doc_id")
+    local = ranged.withColumn("lr", F.row_number().over(w_in))
+    seg_tot = local.groupBy("seg").agg(F.count("*").alias("n"))
+    w_seg = (Window.orderBy("seg")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = seg_tot.select(
+        "seg", F.coalesce(F.sum("n").over(w_seg), F.lit(0)).alias("prior"))
+    rn = (local.join(F.broadcast(prefix), "seg")
+          .select("doc_id", "k", (F.col("prior") + F.col("lr"))
+                  .alias("rn")))
+    a = rn.select(F.col("doc_id").alias("doc_a"),
+                  F.col("k").alias("k_a"),
+                  F.explode(F.sequence(F.col("rn") + 1,
+                                       F.col("rn") + (w - 1)))
+                  .alias("rn_b"))
+    return (a.join(rn.withColumnRenamed("rn", "rn_b"), "rn_b")
+            .select("doc_a", F.col("doc_id").alias("doc_b"),
+                    (F.col("k_a") == F.col("k")).cast("int")
+                    .alias("same_key")))
+
+
+def sorted_neighborhood_pairs_sql(table: str = "documents",
+                                  w: int = SNM_WINDOW,
+                                  key_len: int = SNM_KEY_LEN) -> str:
+    ws = WS_REGEX
+    return rf"""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '{ws}', ' ', 'g'),
+                1, {key_len}) AS k
+  FROM {table}
+), r AS (
+  SELECT doc_id, k,
+         row_number() OVER (ORDER BY k, doc_id) AS rn
+  FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.k = b.k AS INTEGER) AS same_key
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {w - 1}
+"""

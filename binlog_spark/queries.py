@@ -2635,6 +2635,9 @@ QUERIES = {
         _t(s, d, "documents")),
     # HLL register mergeability (shard -> max-merge == whole)
     "sketch_hll_merge": sketch_hll_merge,
+    # entity-resolution sorted-neighborhood blocking
+    "dedup_sorted_neighborhood": lambda s, d:
+        dedup.sorted_neighborhood_pairs(_t(s, d, "documents")),
     # CCNet-style hashed bigram LM perplexity filter
     "text_bigram_lm_score": lambda s, d: textstats.bigram_lm_score(
         _t(s, d, "documents")),
@@ -2883,6 +2886,7 @@ ORACLES = {
     "lake_mor_deletes": lake_mor_deletes_sql(),
     "text_bigram_lm_score": textstats.bigram_lm_score_sql(),
     "sketch_hll_merge": sketch_hll_merge_sql(),
+    "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
