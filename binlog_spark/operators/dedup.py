@@ -1025,23 +1025,12 @@ def sorted_neighborhood_pairs(df: DataFrame, w: int = SNM_WINDOW,
     window join is then an EQUI-join on rank (each row exploded to its
     w−1 forward offsets) — no range self-join, no single-partition sort.
     Output is invariant to where the sampled range boundaries land."""
-    from pyspark.sql import Window
+    from .ranking import global_rank
 
     k = F.substring(
         F.regexp_replace(F.lower(F.col(col)), WS_REGEX, " "), 1, key_len)
     base = df.select("doc_id", k.alias("k"))
-    ranged = (base.repartitionByRange(32, "k", "doc_id")
-              .withColumn("seg", F.spark_partition_id()))
-    w_in = Window.partitionBy("seg").orderBy("k", "doc_id")
-    local = ranged.withColumn("lr", F.row_number().over(w_in))
-    seg_tot = local.groupBy("seg").agg(F.count("*").alias("n"))
-    w_seg = (Window.orderBy("seg")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    prefix = seg_tot.select(
-        "seg", F.coalesce(F.sum("n").over(w_seg), F.lit(0)).alias("prior"))
-    rn = (local.join(F.broadcast(prefix), "seg")
-          .select("doc_id", "k", (F.col("prior") + F.col("lr"))
-                  .alias("rn")))
+    rn = global_rank(base, ["k", "doc_id"])
     a = rn.select(F.col("doc_id").alias("doc_a"),
                   F.col("k").alias("k_a"),
                   F.explode(F.sequence(F.col("rn") + 1,

@@ -949,6 +949,78 @@ GROUP BY n_name
 """
 
 
+def window_equidepth_deciles(spark, sf_dir):
+    """Equi-depth decile histogram of order totals — global order
+    statistics WITHOUT a single-partition window: the shared two-level
+    rank (``operators/ranking.global_rank``: range repartition +
+    per-range row_number + broadcast prefix), then
+    decile = (rn−1)·10 div N (the explicit equi-depth rule, stated
+    identically in the oracle — NTILE's front-loaded remainder rule
+    differs, so the formula is pinned, not the function name). DECIMAL
+    prices keep every per-decile sum exact."""
+    from .operators.ranking import global_rank
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+    r = global_rank(o, ["p", "o_orderkey"])
+    n = o.agg(F.count("*").alias("n"))
+    r = r.join(F.broadcast(n))
+    return (r.withColumn("decile",
+                         F.expr("CAST((rn - 1) * 10 div n AS INT)"))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n_orders"),
+                 F.min("p").cast("double").alias("lo"),
+                 F.max("p").cast("double").alias("hi"),
+                 F.round(F.sum("p").cast("double"), 2).alias("sum_price")))
+
+
+def window_equidepth_deciles_sql():
+    return """
+WITH r AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                            o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST((rn - 1) * 10 // n AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(p) AS DOUBLE) AS lo,
+       CAST(max(p) AS DOUBLE) AS hi,
+       round(CAST(sum(p) AS DOUBLE), 2) AS sum_price
+FROM r GROUP BY 1
+"""
+
+
+def agg_ohlc_candles(spark, sf_dir):
+    """OHLC downsampling (the Timescale/financial candle shape): per
+    (event_type, hour) the first/highest/lowest/last value, ordered by
+    event id. Selection aggregates only (min_by/max_by/min/max) — no
+    float summation, so raw doubles hash-match across engines. One
+    grouped aggregation; at 10^10 events the partials fold map-side like
+    any other agg."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (ev.groupBy("event_type", hour.alias("hour"))
+            .agg(F.min_by("value", "event_id").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "event_id").alias("close"),
+                 F.count("*").alias("n_events")))
+
+
+def agg_ohlc_candles_sql():
+    return """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       arg_min(value, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, event_id) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def sql_q5_region_revenue(spark, sf_dir):
     """The engine's SQL surface: the same ANSI text runs verbatim through
     ``spark.sql`` (temp views over the parquet tables, Catalyst plans the
@@ -2635,6 +2707,9 @@ QUERIES = {
         _t(s, d, "documents")),
     # HLL register mergeability (shard -> max-merge == whole)
     "sketch_hll_merge": sketch_hll_merge,
+    # equi-depth deciles + OHLC candles (round-4 additions)
+    "window_equidepth_deciles": window_equidepth_deciles,
+    "agg_ohlc_candles": agg_ohlc_candles,
     # entity-resolution sorted-neighborhood blocking
     "dedup_sorted_neighborhood": lambda s, d:
         dedup.sorted_neighborhood_pairs(_t(s, d, "documents")),
@@ -2887,6 +2962,8 @@ ORACLES = {
     "text_bigram_lm_score": textstats.bigram_lm_score_sql(),
     "sketch_hll_merge": sketch_hll_merge_sql(),
     "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
+    "window_equidepth_deciles": window_equidepth_deciles_sql(),
+    "agg_ohlc_candles": agg_ohlc_candles_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
     "mm_frame_sample": multimodal.frame_sample_sql(),
