@@ -377,3 +377,54 @@ SELECT d.doc_id,
            AS avg_bits
 FROM {table} d LEFT JOIN perdoc p USING (doc_id)
 """
+
+
+# ------------------------------------------------- temperature mixing
+# Temperature-scaled source mixture (multilingual-T5 / ROOTS / the Pile
+# all sample sources ∝ p^(1/T) to flatten the head without drowning the
+# tail). T = 2 is the common setting and makes the weight an integer
+# square root — exact on both engines: w_q = floor(sqrt((n_s·10^12) div
+# N)), every derived share/upsample factor is ONE division of two exact
+# int64 products.
+
+TEMP_SCALE = 10 ** 12
+
+
+def temperature_mix(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source T=2 mixture: ``(source, n_docs, t2_weight_q, t2_share,
+    upsample)`` where upsample > 1 means the source is drawn more often
+    than its natural share (tail boost). One grouped count, then pure
+    arithmetic over the tiny one-row-per-source frame (the window is
+    over ≤ #sources rows)."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()  # tiny: one row per source
+    t = (counts.withColumn("tot", F.sum("n").over(w))
+         .withColumn("wq", F.expr(
+             f"CAST(floor(sqrt(CAST((n * {TEMP_SCALE}) div tot AS DOUBLE)))"
+             f" AS BIGINT)"))
+         .withColumn("sumq", F.sum("wq").over(w)))
+    return t.select(
+        group_col, F.col("n").alias("n_docs"),
+        F.col("wq").alias("t2_weight_q"),
+        F.round(F.col("wq") / F.col("sumq"), 6).alias("t2_share"),
+        F.round((F.col("wq") * F.col("tot"))
+                / (F.col("sumq") * F.col("n")), 6).alias("upsample"))
+
+
+def temperature_mix_sql(table: str = "documents",
+                        group_col: str = "source") -> str:
+    return f"""
+WITH c AS (SELECT {group_col}, count(*) AS n FROM {table} GROUP BY 1),
+t AS (
+  SELECT {group_col}, n,
+         CAST(floor(sqrt(CAST((n * {TEMP_SCALE})
+             // (SELECT CAST(sum(n) AS BIGINT) FROM c) AS DOUBLE)))
+             AS BIGINT) AS wq
+  FROM c
+)
+SELECT {group_col}, CAST(n AS BIGINT) AS n_docs, wq AS t2_weight_q,
+       round(wq / CAST(sum(wq) OVER () AS DOUBLE), 6) AS t2_share,
+       round((wq * (SELECT CAST(sum(n) AS BIGINT) FROM c))
+             / CAST(sum(wq) OVER () * n AS DOUBLE), 6) AS upsample
+FROM t
+"""

@@ -2707,6 +2707,12 @@ QUERIES = {
         _t(s, d, "documents")),
     # HLL register mergeability (shard -> max-merge == whole)
     "sketch_hll_merge": sketch_hll_merge,
+    # temperature-scaled source mixture (T=2, integer-exact sqrt)
+    # grouped on lang: the synthetic language mix is skewed (en-heavy),
+    # so the T=2 flattening is non-degenerate (upsample <1 for en, >1
+    # for the tail)
+    "sample_temperature_mix": lambda s, d: sampling.temperature_mix(
+        _t(s, d, "documents"), group_col="lang"),
     # equi-depth deciles + OHLC candles (round-4 additions)
     "window_equidepth_deciles": window_equidepth_deciles,
     "agg_ohlc_candles": agg_ohlc_candles,
@@ -2963,6 +2969,7 @@ ORACLES = {
     "sketch_hll_merge": sketch_hll_merge_sql(),
     "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
     "window_equidepth_deciles": window_equidepth_deciles_sql(),
+    "sample_temperature_mix": sampling.temperature_mix_sql(group_col="lang"),
     "agg_ohlc_candles": agg_ohlc_candles_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
