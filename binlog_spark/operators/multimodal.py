@@ -135,3 +135,76 @@ SELECT doc_id, n AS n_bytes,
   END AS f15
 FROM b
 """.replace("{table}", table)
+
+
+PATCH = 4  # ViT patch side
+
+
+def patchify(df: DataFrame, patch: int = PATCH,
+             col: str = "text") -> DataFrame:
+    """ViT-style patch grid over a payload treated as a square H×H
+    "image" (H = isqrt(len), trailing elements truncated — the resize
+    crop): one output row per full P×P patch with its element sum and
+    quantized mean — ``(doc_id, pr, pc, sum_px, mean_q)``. The kernel is
+    the real Spark-side plumbing a patch-embedding stage needs (binary →
+    batched Arrow → per-patch reduction → exploded patch rows); only the
+    pixel decode is the stand-in (codepoints as pixel values — see the
+    module docstring's codec stub contract).
+
+    Vectorized per batch: reshape to (H, H), crop to (G·P, G·P), block-
+    sum via a (G, P, G, P) reshape — no per-pixel Python. Map-only until
+    whatever consumes the patches."""
+    from typing import Iterator
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs, sums = [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[col]):
+                codes = np.frombuffer((t or "").encode("utf-32-le"),
+                                      dtype=np.uint32)
+                h = int(np.sqrt(len(codes)))
+                g = h // patch
+                if g == 0:
+                    continue
+                img = codes[:h * h].reshape(h, h)[:g * patch, :g * patch]
+                blocks = (img.reshape(g, patch, g, patch)
+                          .sum(axis=(1, 3), dtype=np.int64))
+                for i in range(g):
+                    for j in range(g):
+                        ids.append(doc_id)
+                        prs.append(i)
+                        pcs.append(j)
+                        sums.append(int(blocks[i, j]))
+            yield pd.DataFrame({"doc_id": ids, "pr": prs, "pc": pcs,
+                                "sum_px": sums})
+
+    part = df.select("doc_id", col).mapInPandas(
+        _patches, "doc_id long, pr int, pc int, sum_px long")
+    return part.withColumn(
+        "mean_q", F.round(F.col("sum_px") / (patch * patch), 4))
+
+
+def patchify_sql(table: str = "documents", patch: int = PATCH) -> str:
+    p = patch
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         CAST(floor(sqrt(len(text))) AS BIGINT) AS h
+  FROM {table}
+), px AS (
+  SELECT doc_id, h, text, unnest(range(0, h * h)) AS i FROM g
+), cells AS (
+  SELECT doc_id,
+         (i // h) AS r, (i % h) AS c, h,
+         unicode(substr(text, CAST(i + 1 AS INT), 1)) AS v
+  FROM px
+)
+SELECT doc_id,
+       CAST((r // {p}) AS INTEGER) AS pr,
+       CAST((c // {p}) AS INTEGER) AS pc,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       round(sum(v) / {float(p * p)}, 4) AS mean_q
+FROM cells
+WHERE r < (h // {p}) * {p} AND c < (h // {p}) * {p}
+GROUP BY 1, 2, 3
+"""

@@ -2707,6 +2707,9 @@ QUERIES = {
         _t(s, d, "documents")),
     # HLL register mergeability (shard -> max-merge == whole)
     "sketch_hll_merge": sketch_hll_merge,
+    # ViT patch-grid plumbing over blob payloads
+    "mm_patchify": lambda s, d: multimodal.patchify(
+        _t(s, d, "documents")),
     # temperature-scaled source mixture (T=2, integer-exact sqrt)
     # grouped on lang: the synthetic language mix is skewed (en-heavy),
     # so the T=2 flattening is non-degenerate (upsample <1 for en, >1
@@ -2970,6 +2973,7 @@ ORACLES = {
     "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
     "window_equidepth_deciles": window_equidepth_deciles_sql(),
     "sample_temperature_mix": sampling.temperature_mix_sql(group_col="lang"),
+    "mm_patchify": multimodal.patchify_sql(),
     "agg_ohlc_candles": agg_ohlc_candles_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),
     "mm_features": multimodal.features_sql(),
