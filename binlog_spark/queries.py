@@ -949,6 +949,78 @@ GROUP BY n_name
 """
 
 
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+FUNNEL_GAP = 400
+
+
+def window_funnel_steps(spark, sf_dir, steps=_FUNNEL_STEPS,
+                        gap: int = FUNNEL_GAP):
+    """Ordered funnel conversion with a conversion window (the
+    MATCH_RECOGNIZE shape every product-analytics engine ships): a user
+    reaches step k iff the k-th event type occurs strictly AFTER their
+    step-(k−1) event and within ``gap`` ids of it. Cascade of
+    conditional minima: t1 = first signup, t2 = first view in
+    (t1, t1+gap], t3 = first purchase in (t2, t2+gap]; output = users
+    per deepest step (non-degenerate split 105/25/20 at sf0.01).
+
+    Scale shape: one conditional-min aggregation per step over the SAME
+    (user_id) partitioning — Catalyst reuses the exchange, so the
+    cascade costs one shuffle plus map-side folds, never a per-user
+    subquery or a sort. All ids are int64 (no float anywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == steps[0],
+                     F.col("event_id"))).alias("t1"))
+    for k, step in enumerate(steps[1:], start=2):
+        j = ev.join(cur, "user_id")
+        cur = (j.groupBy("user_id")
+               .agg(*[F.min(f"t{i}").alias(f"t{i}")
+                      for i in range(1, k)],
+                    F.min(F.when((F.col("event_type") == step)
+                                 & (F.col("event_id")
+                                    > F.col(f"t{k - 1}"))
+                                 & (F.col("event_id")
+                                    <= F.col(f"t{k - 1}") + gap),
+                                 F.col("event_id"))).alias(f"t{k}")))
+    depth = F.when(F.col("t3").isNotNull(), 3).when(
+        F.col("t2").isNotNull(), 2).when(
+        F.col("t1").isNotNull(), 1).otherwise(0)
+    return (cur.select(depth.alias("step_reached"))
+            .groupBy("step_reached")
+            .agg(F.count("*").alias("n_users")))
+
+
+def window_funnel_steps_sql(steps=_FUNNEL_STEPS, gap: int = FUNNEL_GAP):
+    return f"""
+WITH s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{steps[0]}' THEN event_id END) AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(s1.t1) AS t1,
+         min(CASE WHEN e.event_type = '{steps[1]}'
+                   AND e.event_id > s1.t1
+                   AND e.event_id <= s1.t1 + {gap}
+              THEN e.event_id END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+         min(CASE WHEN e.event_type = '{steps[2]}'
+                   AND e.event_id > s2.t2
+                   AND e.event_id <= s2.t2 + {gap}
+              THEN e.event_id END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS step_reached,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s3 GROUP BY 1
+"""
+
+
 def window_equidepth_deciles(spark, sf_dir):
     """Equi-depth decile histogram of order totals — global order
     statistics WITHOUT a single-partition window: the shared two-level
@@ -2716,6 +2788,8 @@ QUERIES = {
     # for the tail)
     "sample_temperature_mix": lambda s, d: sampling.temperature_mix(
         _t(s, d, "documents"), group_col="lang"),
+    # ordered funnel conversion (MATCH_RECOGNIZE shape)
+    "window_funnel_steps": window_funnel_steps,
     # equi-depth deciles + OHLC candles (round-4 additions)
     "window_equidepth_deciles": window_equidepth_deciles,
     "agg_ohlc_candles": agg_ohlc_candles,
@@ -2972,6 +3046,7 @@ ORACLES = {
     "sketch_hll_merge": sketch_hll_merge_sql(),
     "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
     "window_equidepth_deciles": window_equidepth_deciles_sql(),
+    "window_funnel_steps": window_funnel_steps_sql(),
     "sample_temperature_mix": sampling.temperature_mix_sql(group_col="lang"),
     "mm_patchify": multimodal.patchify_sql(),
     "agg_ohlc_candles": agg_ohlc_candles_sql(),
