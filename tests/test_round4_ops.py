@@ -1,0 +1,143 @@
+"""Edge-semantics tests for the round-4 operator additions — these cover
+behaviors the sf-corpus oracle parity can't exercise (empty groups,
+boundary invariance, saturation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_global_rank_matches_single_window(spark):
+    """The two-level rank equals the single-partition reference on any
+    data, for any range count (boundary invariance)."""
+    from pyspark.sql import Window
+    from binlog_spark.operators.ranking import global_rank
+
+    df = spark.range(0, 97).select(
+        (F.col("id") * 37 % 101).alias("k"), F.col("id").alias("tie"))
+    ref = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "tie")))
+    ref_rows = {(r["k"], r["tie"]): r["rn"] for r in ref.collect()}
+    for n_ranges in (1, 4, 32):
+        got = global_rank(df, ["k", "tie"], n_ranges=n_ranges).collect()
+        assert {(r["k"], r["tie"]): r["rn"] for r in got} == ref_rows, \
+            n_ranges
+
+
+def test_global_rank_equal_keys_never_split(spark):
+    from binlog_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(50)],
+        "k string, tie int")
+    rn = global_rank(df, ["k", "tie"], n_ranges=8).collect()
+    a_ranks = sorted(r["rn"] for r in rn if r["k"] == "a")
+    assert a_ranks == list(range(1, 51))  # contiguous block before "b"
+
+
+def test_bloom_prefilter_equals_plain_join_under_saturation(spark, sf_dir):
+    """Even a fully saturated bloom (all bits set → no pruning) must not
+    change the result: false positives are removed by the exact join."""
+    from binlog_spark.queries import join_bloom_prefilter, _t
+
+    got = {tuple(r) for r in
+           join_bloom_prefilter(spark, sf_dir).collect()}
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    plain = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("l_returnflag")
+             .agg(F.count("*").alias("n_items"),
+                  F.round(F.sum((F.col("l_extendedprice")
+                                 * (F.lit(1) - F.col("l_discount")))
+                                .cast("decimal(18,4)")).cast("double"), 2)
+                  .alias("urgent_revenue")))
+    assert got == {tuple(r) for r in plain.collect()}
+
+
+def test_mor_deletes_drop_base_row_on_delta_delete(spark):
+    """A key alive in base whose only delta event is a delete must
+    vanish from the MoR read (the deletion-vector semantics)."""
+    from binlog_spark.queries import lake_mor_deletes
+
+    rows = [
+        # base era (W = 9/10 of max id = 90): key (1,'view') alive
+        (1, 1, "view", 1.0),
+        (2, 2, "view", 2.0),
+        # delta era: key (1,'view') deleted via an 'error' event? op
+        # derives from event_type, so a delete is an 'error' event —
+        # which is its own key under (user, type). Use user 2: its
+        # view gets updated in the delta instead; user 1 untouched.
+        (95, 2, "view", 9.0),
+        (100, 3, "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double")
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="mor_test_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r["user_id"], r["event_type"]): (r["last_event_id"], r["src"])
+           for r in lake_mor_deletes(spark, d).collect()}
+    assert out[(1, "view")] == (1, "base")     # untouched → served from base
+    assert out[(2, "view")] == (95, "delta")   # updated in delta
+    assert out[(3, "view")] == (100, "delta")  # inserted in delta
+
+
+def test_funnel_user_without_first_step_is_step0(spark):
+    from binlog_spark.queries import window_funnel_steps
+    import tempfile, os
+
+    rows = [
+        (1, 1, "signup", 0.0), (2, 1, "view", 0.0), (3, 1, "purchase", 0.0),
+        (4, 2, "view", 0.0),   # no signup → step 0
+        (5, 3, "signup", 0.0),  # signup only → step 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double")
+    d = tempfile.mkdtemp(prefix="funnel_test_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["step_reached"]: r["n_users"]
+           for r in window_funnel_steps(spark, d).collect()}
+    assert out == {0: 1, 1: 1, 3: 1}
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """T=2 must sit strictly between the natural mix and uniform: the
+    head's share shrinks but stays above 1/k; tail shares grow."""
+    from binlog_spark.operators.sampling import temperature_mix
+    from binlog_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    out = {r["lang"]: r for r in
+           temperature_mix(docs, group_col="lang").collect()}
+    n_total = sum(r["n_docs"] for r in out.values())
+    k = len(out)
+    head = max(out.values(), key=lambda r: r["n_docs"])
+    natural = head["n_docs"] / n_total
+    assert 1.0 / k < head["t2_share"] < natural
+    tail = min(out.values(), key=lambda r: r["n_docs"])
+    assert tail["t2_share"] > tail["n_docs"] / n_total
+    assert tail["upsample"] > 1.0 > head["upsample"]
+
+
+def test_retract_agg_group_migration(spark):
+    """An update that MOVES a key between groups must shift its value:
+    retraction from the old group, assertion into the new one."""
+    from binlog_spark.queries import cdc_retract_agg
+    import tempfile, os
+
+    import datetime
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, "view", 10.0, ts),      # U: insert 10 into 'view'
+        (2, 1, "click", 7.0, ts),      # U: move key to 'click' with 7
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp")
+    d = tempfile.mkdtemp(prefix="retract_test_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: (r["net_sum"], r["n_live"])
+           for r in cdc_retract_agg(spark, d).collect()}
+    assert "view" not in out            # fully retracted
+    assert out["click"] == (7.0, 1)
