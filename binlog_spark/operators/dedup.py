@@ -1030,7 +1030,10 @@ def sorted_neighborhood_pairs(df: DataFrame, w: int = SNM_WINDOW,
     k = F.substring(
         F.regexp_replace(F.lower(F.col(col)), WS_REGEX, " "), 1, key_len)
     base = df.select("doc_id", k.alias("k"))
-    rn = global_rank(base, ["k", "doc_id"])
+    # the window self-join references the ranked frame twice; checkpoint
+    # it so Catalyst doesn't recompute the whole two-level rank subtree
+    # for each side (10 exchanges -> 3)
+    rn = global_rank(base, ["k", "doc_id"]).localCheckpoint(eager=False)
     a = rn.select(F.col("doc_id").alias("doc_a"),
                   F.col("k").alias("k_a"),
                   F.explode(F.sequence(F.col("rn") + 1,
