@@ -144,3 +144,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 00:00 window NEVER saw the late 00:20 row (would be n=2, sum=11)
     assert per_window["00:00"] == (1, 1.0)
     assert per_window["02:00"] == (3, 7.5)
+
+
+def test_retract_agg_across_microbatches_equals_one_shot(spark):
+    """Incremental view maintenance: folding the changelog in three
+    microbatches through per-batch retraction deltas yields exactly the
+    one-shot batch aggregate — updates, deletes, and group migration
+    crossing batch boundaries included."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from binlog_spark.queries import cdc_retract_agg, _OP_EXPR
+    from binlog_spark.streaming.stateful import maintain_retract_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("op", F.expr(_OP_EXPR))
+    m = ev.agg(F.max("event_id")).first()[0]
+    cuts = [m // 3, 2 * m // 3]
+    batches = [
+        ev.where(F.col("event_id") <= cuts[0]),
+        ev.where((F.col("event_id") > cuts[0])
+                 & (F.col("event_id") <= cuts[1])),
+        ev.where(F.col("event_id") > cuts[1]),
+    ]
+    got = maintain_retract_agg(spark, batches, "user_id", "event_type",
+                               "value", "event_id")
+    want = cdc_retract_agg(spark, "/root/testdata/sf0.001")
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w, (sorted(g), sorted(w))
