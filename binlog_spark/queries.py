@@ -1093,6 +1093,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS rflag,
+       coalesce(l_linestatus, '(all)') AS lstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+"""
+
+
+def sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the irregular-lattice case ROLLUP/CUBE
+    can't express (both marginals, no grand total). Identical ANSI text
+    on both engines; DECIMAL sums stay exact."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_EXISTS_SEMI_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def sql_exists_semi(spark, sf_dir):
+    """Correlated EXISTS — planned as a LEFT SEMI join (the dual of the
+    registered anti join). Identical ANSI text on both engines."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_SEMI_SQL)
+
+
 def sql_q5_region_revenue(spark, sf_dir):
     """The engine's SQL surface: the same ANSI text runs verbatim through
     ``spark.sql`` (temp views over the parquet tables, Catalyst plans the
@@ -2771,6 +2810,8 @@ QUERIES = {
     "sketch_kmv_set_ops": sketch_kmv_set_ops,
     # correlated scalar subquery (Catalyst decorrelation)
     "sql_correlated_subquery": sql_correlated_subquery,
+    "sql_grouping_sets": sql_grouping_sets,
+    "sql_exists_semi": sql_exists_semi,
     # merge-on-read deletion-vector read path
     "lake_mor_deletes": lake_mor_deletes,
     # late round-4 registrations the driver has never sampled
@@ -3041,6 +3082,8 @@ ORACLES = {
     "cdc_retract_agg": cdc_retract_agg_sql(),
     "sketch_kmv_set_ops": sketch_kmv_set_ops_sql(),
     "sql_correlated_subquery": _CORRELATED_SQL,
+    "sql_grouping_sets": _GROUPING_SETS_SQL,
+    "sql_exists_semi": _EXISTS_SEMI_SQL,
     "lake_mor_deletes": lake_mor_deletes_sql(),
     "text_bigram_lm_score": textstats.bigram_lm_score_sql(),
     "sketch_hll_merge": sketch_hll_merge_sql(),
