@@ -1064,3 +1064,81 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(a.k = b.k AS INTEGER) AS same_key
 FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {w - 1}
 """
+
+
+def minhash_estimate_pairs(df: DataFrame, n: int = 3, num_hashes: int = 8,
+                           bands: int = 4, col: str = "text") -> DataFrame:
+    """The post-LSH scoring stage production MinHash pipelines run
+    BEFORE any exact verification: for every banded candidate pair,
+    estimate Jaccard as the fraction of agreeing signature positions —
+    ``(doc_a, doc_b, sig_matches, est_jaccard)``. Downstream policy
+    thresholds ``est_jaccard``; only survivors ever touch the raw text
+    again.
+
+    Plan: the Arrow signature kernel runs ONCE (checkpointed — the
+    banding pass and both join probes read the materialized frame, the
+    sorted-neighborhood idiom), candidates come from the same in-bucket
+    pair generation as ``minhash_lsh_candidates``, and the estimate is
+    a JVM ``zip_with`` over the two signature arrays — no Python after
+    the kernel, no re-shingling."""
+    sig = (minhash_signature(df, n, num_hashes, col)
+           .localCheckpoint(eager=False))
+    banded = _banded(sig, num_hashes, bands)
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    pairs = (buckets.select(F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b)))"
+    ))).alias("p")).select("p.doc_a", "p.doc_b").distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    matches.cast("long").alias("sig_matches"),
+                    F.round(matches / float(num_hashes), 6)
+                    .alias("est_jaccard")))
+
+
+def minhash_estimate_pairs_sql(table: str = "documents", n: int = 3,
+                               num_hashes: int = 8,
+                               bands: int = 4) -> str:
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "(" + str(bi) + ", " + " || ',' || ".join(
+            f"mh{bi * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)) + ")"
+        for bi in range(bands))
+    coeffs = _minhash_coeffs(num_hashes)
+    mins = ",\n       ".join(
+        f"min((hv * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes))
+    return shingle_cte(table, n) + f"""
+, hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv FROM sh
+), mh AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, bb.* FROM mh, LATERAL (VALUES {band_structs}) AS bb(band, bucket)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(({agree}) AS BIGINT) AS sig_matches,
+       round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand c
+JOIN mh a ON a.doc_id = c.doc_a
+JOIN mh b ON b.doc_id = c.doc_b
+"""

@@ -2834,6 +2834,9 @@ QUERIES = {
     # equi-depth deciles + OHLC candles (round-4 additions)
     "window_equidepth_deciles": window_equidepth_deciles,
     "agg_ohlc_candles": agg_ohlc_candles,
+    # post-LSH signature-estimated Jaccard scoring
+    "dedup_minhash_estimate": lambda s, d: dedup.minhash_estimate_pairs(
+        _t(s, d, "documents")),
     # entity-resolution sorted-neighborhood blocking
     "dedup_sorted_neighborhood": lambda s, d:
         dedup.sorted_neighborhood_pairs(_t(s, d, "documents")),
@@ -3088,6 +3091,7 @@ ORACLES = {
     "text_bigram_lm_score": textstats.bigram_lm_score_sql(),
     "sketch_hll_merge": sketch_hll_merge_sql(),
     "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
+    "dedup_minhash_estimate": dedup.minhash_estimate_pairs_sql(),
     "window_equidepth_deciles": window_equidepth_deciles_sql(),
     "window_funnel_steps": window_funnel_steps_sql(),
     "sample_temperature_mix": sampling.temperature_mix_sql(group_col="lang"),
