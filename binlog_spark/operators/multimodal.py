@@ -208,3 +208,114 @@ FROM cells
 WHERE r < (h // {p}) * {p} AND c < (h // {p}) * {p}
 GROUP BY 1, 2, 3
 """
+
+
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 x 16-bit Hamming bands
+
+
+def phash64(df: DataFrame, col: str = "text") -> DataFrame:
+    """64-bit average-hash (aHash) fingerprint of each blob payload —
+    the perceptual-dedup primitive image pipelines (imagededup, the
+    LAION dedup run) compute after decode+resize. The codec stage is
+    the module's documented stub, so the "resize to 8×8" stand-in is a
+    64-point resample of the RAW payload bytes (byte at position
+    ``i·n/64``); the hash algebra — threshold each sample against the
+    global mean, pack bits — is exactly aHash and is what the Spark
+    plumbing has to carry at scale.
+
+    Emitted as ``bands array<int>`` (4 × 16-bit words, little-endian
+    bit order within a word) rather than one int64: the banded form is
+    what Hamming-LSH bucketing consumes, and it sidesteps sign games.
+
+    Whole plan is map-only JVM codegen — ``hex()`` once per payload,
+    then higher-order functions over literal sequences; no Python, no
+    shuffle, fuses into the scan."""
+    pl = F.encode(F.col(col), "utf-8")
+    out = df.select("doc_id", F.hex(pl).alias("hx"),
+                    F.octet_length(pl).alias("n"))
+    # byte_i = payload[(i*n) div 64]  via the hex string (2 chars/byte)
+    out = out.withColumn("bts", F.expr(
+        "transform(sequence(0, 63), i -> cast(conv(substring(hx, "
+        "cast(i * n div 64 as int) * 2 + 1, 2), 16, 10) as int))"))
+    out = out.withColumn("tot", F.expr(
+        "aggregate(bts, 0, (acc, x) -> acc + x)"))
+    return out.select("doc_id", F.expr(
+        "transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0, "
+        "(acc, j) -> acc + if(element_at(bts, b * 16 + j + 1) * 64 > tot, "
+        "shiftleft(1, j), 0)))").alias("bands"))
+
+
+def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 10,
+                         col: str = "text") -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: Hamming-ball LSH over the
+    64-bit aHash — by pigeonhole, two payloads within 3 differing bits
+    ALWAYS collide on at least one of the 4 16-bit bands (guaranteed
+    recall); between 4 and ``max_hamming`` bits the bands are the
+    standard probabilistic recall/cost dial, the same OR-construction
+    as ``dedup_simhash_pairs``. Candidates come from band-equality
+    buckets (ONE shuffle on (band_idx, word)), pairs are generated
+    in-bucket, and the exact 64-bit Hamming distance — popcount of the
+    4 banded XORs — filters to the ball. No all-pairs stage anywhere.
+
+    Returns ``(doc_a, doc_b, hamming)``."""
+    sig = phash64(df, col).localCheckpoint(eager=False)
+    banded = sig.select(
+        "doc_id", F.posexplode("bands").alias("band", "word"))
+    buckets = (banded.groupBy("band", "word")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    pairs = (buckets.select(F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b)))"
+    ))).alias("p")).select("p.doc_a", "p.doc_b").distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("bands").alias("ba"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("bands").alias("bb"))
+    ham = F.expr("aggregate(zip_with(ba, bb, (x, y) -> "
+                 "bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+def phash_near_dup_sql(table: str = "documents",
+                       max_hamming: int = 10) -> str:
+    bys = ",\n         ".join(
+        f"('0x' || substr(hx, ({i} * n) // 64 * 2 + 1, 2))::INT AS by{i}"
+        for i in range(PHASH_BITS))
+    tot = " + ".join(f"by{i}" for i in range(PHASH_BITS))
+    bands = ",\n         ".join(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN by{b * 16 + j} * 64 > tot THEN {1 << j} "
+            "ELSE 0 END)" for j in range(16)) + f" AS INTEGER) AS w{b}"
+        for b in range(PHASH_BANDS))
+    unband = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, w{b} AS word, w0, w1, w2, w3 "
+        "FROM sig" for b in range(PHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(a.w{b}::BIGINT, b.w{b}::BIGINT))"
+                     for b in range(PHASH_BANDS))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM {table}
+), bys AS (
+  SELECT doc_id,
+         {bys}
+  FROM raw
+), tots AS (
+  SELECT *, {tot} AS tot FROM bys
+), sig AS (
+  SELECT doc_id,
+         {bands}
+  FROM tots
+), banded AS ({unband})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(({ham}) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
+WHERE ({ham}) <= {max_hamming}
+"""

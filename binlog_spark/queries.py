@@ -1093,6 +1093,93 @@ FROM events GROUP BY 1, 2
 """
 
 
+def cdc_outbox_route(spark, sf_dir):
+    """Transactional-outbox event router (the Debezium outbox pattern:
+    apps INSERT integration events into an outbox table in the same
+    transaction as the state change; CDC captures the inserts and a
+    router fans them out to per-aggregate-type topics, skipping the
+    app's immediate cleanup DELETEs and their tombstones).
+
+    Modeled on the events changelog: ``error`` rows stand in for the
+    cleanup deletes (dropped), every other row is an outbox insert.
+    Routing emits ``(topic, part, agg_key, seq, payload)`` — topic from
+    the aggregate type, a STABLE md5-derived partition from the
+    aggregate id (so a consumer group sees each aggregate in order
+    regardless of cluster size or engine), the event id as the ordering
+    seq, and the app-written JSON payload untouched.
+
+    Scale shape: map-only JVM expressions — zero shuffles, fuses into
+    the scan; the md5 partitioner is the same engine-portable idiom the
+    samplers use. This is the whole router; at 10^10 events it is scan-
+    bound by construction."""
+    ev = _t(spark, sf_dir, "events")
+    part = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                               1, 4), 16, 10)
+            .cast("long") % 8).cast("int")
+    return (ev.where(F.col("event_type") != "error")
+            .select(F.concat(F.lit("outbox.event."),
+                             F.col("event_type")).alias("topic"),
+                    part.alias("part"),
+                    F.col("user_id").alias("agg_key"),
+                    F.col("event_id").alias("seq"),
+                    F.col("props").alias("payload")))
+
+
+def cdc_outbox_route_sql():
+    return """
+SELECT 'outbox.event.' || event_type AS topic,
+       CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT % 8
+            AS INTEGER) AS part,
+       user_id AS agg_key,
+       event_id AS seq,
+       props AS payload
+FROM events WHERE event_type != 'error'
+"""
+
+
+def window_range_moving_avg(spark, sf_dir):
+    """Time-based RANGE window frame (the SQL:2011 sliding frame a
+    ROWS frame can't express when events are irregularly spaced): per
+    user, the trailing-one-hour average and count at every event,
+    ordered by physical time. The frame key is integer epoch
+    MICROSECONDS on both engines and the average is computed as an
+    exact DECIMAL sum divided by the count, so the result is
+    bit-portable despite float inputs.
+
+    Scale shape: ONE shuffle on user_id + in-partition sort — the same
+    partitioning every per-key CDC stage uses; the RANGE frame is
+    evaluated by Spark's sliding window frame processor in one pass
+    over each sorted partition (no self-join, no explode)."""
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+    # NTZ->LTZ cast is the identity wall-clock mapping DuckDB's naive
+    # epoch_us() applies
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(ts_us)
+         .rangeBetween(-3_600_000_000, 0))
+    dv = F.col("value").cast("decimal(18,6)")
+    return (ev.select(
+        "event_id", "user_id",
+        F.sum(dv).over(w).alias("_s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"))
+        .select("event_id", "user_id",
+                F.round((F.col("_s") / F.col("n_trailing_1h"))
+                        .cast("double"), 6).alias("avg_trailing_1h"),
+                "n_trailing_1h"))
+
+
+def window_range_moving_avg_sql():
+    return """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                  / count(*) OVER w AS DOUBLE), 6) AS avg_trailing_1h,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 _GROUPING_SETS_SQL = """
 SELECT coalesce(l_returnflag, '(all)') AS rflag,
        coalesce(l_linestatus, '(all)') AS lstatus,
@@ -2837,6 +2924,13 @@ QUERIES = {
     # post-LSH signature-estimated Jaccard scoring
     "dedup_minhash_estimate": lambda s, d: dedup.minhash_estimate_pairs(
         _t(s, d, "documents")),
+    # Debezium-style transactional-outbox event router
+    "cdc_outbox_route": cdc_outbox_route,
+    # SQL:2011 time-RANGE sliding frame (trailing-hour moving average)
+    "window_range_moving_avg": window_range_moving_avg,
+    # perceptual-hash (aHash) near-duplicate pairs over blob payloads
+    "mm_phash_dedup": lambda s, d: multimodal.phash_near_dup_pairs(
+        _t(s, d, "documents")),
     # entity-resolution sorted-neighborhood blocking
     "dedup_sorted_neighborhood": lambda s, d:
         dedup.sorted_neighborhood_pairs(_t(s, d, "documents")),
@@ -3092,6 +3186,9 @@ ORACLES = {
     "sketch_hll_merge": sketch_hll_merge_sql(),
     "dedup_sorted_neighborhood": dedup.sorted_neighborhood_pairs_sql(),
     "dedup_minhash_estimate": dedup.minhash_estimate_pairs_sql(),
+    "cdc_outbox_route": cdc_outbox_route_sql(),
+    "window_range_moving_avg": window_range_moving_avg_sql(),
+    "mm_phash_dedup": multimodal.phash_near_dup_sql(),
     "window_equidepth_deciles": window_equidepth_deciles_sql(),
     "window_funnel_steps": window_funnel_steps_sql(),
     "sample_temperature_mix": sampling.temperature_mix_sql(group_col="lang"),

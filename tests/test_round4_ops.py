@@ -141,3 +141,79 @@ def test_retract_agg_group_migration(spark):
            for r in cdc_retract_agg(spark, d).collect()}
     assert "view" not in out            # fully retracted
     assert out["click"] == (7.0, 1)
+
+
+def test_phash_identical_payloads_pair_at_zero(spark):
+    """Exact duplicates must always pair with hamming 0 (pigeonhole:
+    all 4 bands equal), regardless of payload length; near-identical
+    payloads stay within the ball."""
+    from binlog_spark.operators.multimodal import phash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base),                      # exact dup
+         (3, "Z" * 500),                            # far away
+         (4, base.replace("quick", "quack"))],      # near dup
+        "doc_id long, text string")
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in phash_near_dup_pairs(df, max_hamming=10).collect()}
+    assert rows[(1, 2)] == 0
+    assert all(h <= 10 for h in rows.values())
+    assert not any(3 in pair for pair in rows)
+
+
+def test_phash_band_words_are_16bit(spark):
+    from binlog_spark.operators.multimodal import phash64
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some text payload {i*7}")
+         for i in range(20)], "doc_id long, text string")
+    for r in phash64(df).collect():
+        assert len(r["bands"]) == 4
+        assert all(0 <= w <= 0xFFFF for w in r["bands"])
+
+
+def test_outbox_route_skips_deletes_and_partitions_stably(spark):
+    from binlog_spark.queries import cdc_outbox_route
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 7, "signup", 1.0, '{"a":1}'),
+             (2, "2024-01-01 00:00:01", 7, "error", 0.0, '{}'),
+             (3, "2024-01-01 00:00:02", 7, "purchase", 2.0, '{"b":2}')],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .write.parquet(os.path.join(d, "events.parquet"))
+        out = cdc_outbox_route(spark, d).collect()
+    assert sorted(r["seq"] for r in out) == [1, 3]  # delete skipped
+    by_seq = {r["seq"]: r for r in out}
+    assert by_seq[1]["topic"] == "outbox.event.signup"
+    assert by_seq[3]["topic"] == "outbox.event.purchase"
+    # same aggregate id -> same stable partition, in [0, 8)
+    parts = {r["part"] for r in out}
+    assert len(parts) == 1 and 0 <= parts.pop() < 8
+    assert by_seq[1]["payload"] == '{"a":1}'
+
+
+def test_range_frame_excludes_events_older_than_one_hour(spark):
+    from binlog_spark.queries import window_range_moving_avg
+    import os, tempfile
+
+    rows = [(1, "2024-01-01 00:00:00", 1, "t", 10.0, "{}"),
+            (2, "2024-01-01 00:30:00", 1, "t", 20.0, "{}"),
+            (3, "2024-01-01 01:00:00", 1, "t", 30.0, "{}"),   # 1h incl.
+            (4, "2024-01-01 01:00:00.000001", 1, "t", 40.0, "{}")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long,"
+            " event_type string, value double, props string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["event_id"]: (r["avg_trailing_1h"], r["n_trailing_1h"])
+               for r in window_range_moving_avg(spark, d).collect()}
+    assert got[1] == (10.0, 1)
+    assert got[2] == (15.0, 2)
+    assert got[3] == (20.0, 3)            # frame [00:00:00, 01:00:00]
+    assert got[4] == (30.0, 3)            # event 1 now 1h+1us old: out
