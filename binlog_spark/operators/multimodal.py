@@ -232,8 +232,9 @@ def phash64(df: DataFrame, col: str = "text") -> DataFrame:
     then higher-order functions over literal sequences; no Python, no
     shuffle, fuses into the scan."""
     pl = F.encode(F.col(col), "utf-8")
-    out = df.select("doc_id", F.hex(pl).alias("hx"),
-                    F.octet_length(pl).alias("n"))
+    out = (df.select("doc_id", F.hex(pl).alias("hx"),
+                     F.octet_length(pl).alias("n"))
+           .where(F.col("n") > 0))  # empty payloads have no hash
     # byte_i = payload[(i*n) div 64]  via the hex string (2 chars/byte)
     out = out.withColumn("bts", F.expr(
         "transform(sequence(0, 63), i -> cast(conv(substring(hx, "
@@ -301,7 +302,7 @@ def phash_near_dup_sql(table: str = "documents",
     return f"""
 WITH raw AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM {table}
+  FROM {table} WHERE octet_length(encode(text)) > 0
 ), bys AS (
   SELECT doc_id,
          {bys}

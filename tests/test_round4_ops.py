@@ -153,13 +153,14 @@ def test_phash_identical_payloads_pair_at_zero(spark):
     df = spark.createDataFrame(
         [(1, base), (2, base),                      # exact dup
          (3, "Z" * 500),                            # far away
-         (4, base.replace("quick", "quack"))],      # near dup
+         (4, base.replace("quick", "quack")),       # near dup
+         (5, "")],                                  # empty: no hash
         "doc_id long, text string")
     rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
             for r in phash_near_dup_pairs(df, max_hamming=10).collect()}
     assert rows[(1, 2)] == 0
     assert all(h <= 10 for h in rows.values())
-    assert not any(3 in pair for pair in rows)
+    assert not any(3 in pair or 5 in pair for pair in rows)
 
 
 def test_phash_band_words_are_16bit(spark):
