@@ -428,3 +428,69 @@ SELECT {group_col}, CAST(n AS BIGINT) AS n_docs, wq AS t2_weight_q,
              / CAST(sum(wq) OVER () * n AS DOUBLE), 6) AS upsample
 FROM t
 """
+
+
+# ------------------------------------------------- epoch scheduling
+EPOCH_Q = 10 ** 6  # epochs quantized to 1e-6 for cross-engine exactness
+
+
+def epoch_schedule(df: DataFrame, budget: int = 1_000_000,
+                   max_epochs: int = 4,
+                   group_col: str = "source") -> DataFrame:
+    """Training-run epoch schedule under a token budget (the
+    data-constrained planning step from Muennighoff et al. '23, "Scaling
+    Data-Constrained Language Models": repeating a source beyond ~4
+    epochs stops helping, so each source's draw is capped at
+    ``max_epochs`` passes): per source —
+
+    * ``n_tokens`` available (whitespace tokenization, the same
+      contract every other token stat uses),
+    * ``target_draw``: the budget's uniform per-source allocation,
+    * ``sched_draw``: that allocation after the repeat cap
+      ``min(target, max_epochs · available)``,
+    * ``epochs_q``: scheduled passes over the source, quantized to
+      1e-6 (integer arithmetic — bit-identical on any engine),
+    * ``shortfall``: budget tokens the cap left unspent on this source
+      (a planner redistributes these in its next iteration).
+
+    Scale shape: ONE grouped sum over the corpus (map-side partials),
+    then pure arithmetic on the tiny one-row-per-source frame; the
+    window is over ≤ #sources rows."""
+    tokens = ws_token_count(F.col("text"))
+    counts = (df.select(F.col(group_col), tokens.alias("t"))
+              .groupBy(group_col).agg(F.sum("t").alias("n_tokens")))
+    w = Window.partitionBy()  # tiny: one row per source
+    t = (counts.withColumn("g", F.count("*").over(w))
+         .withColumn("target_draw", F.expr(f"{budget} div g"))
+         .withColumn("sched_draw",
+                     F.least(F.col("target_draw"),
+                             F.lit(max_epochs) * F.col("n_tokens"))))
+    return t.select(
+        group_col, "n_tokens", "target_draw", "sched_draw",
+        F.expr(f"(sched_draw * {EPOCH_Q}) div n_tokens")
+        .alias("epochs_q"),
+        (F.col("target_draw") - F.col("sched_draw")).alias("shortfall"))
+
+
+def epoch_schedule_sql(budget: int = 1_000_000, max_epochs: int = 4,
+                       table: str = "documents",
+                       group_col: str = "source") -> str:
+    return f"""
+WITH c AS (
+  SELECT {group_col},
+         CAST(sum({ws_token_count_sql('text')}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+), t AS (
+  SELECT {group_col}, n_tokens,
+         CAST({budget} // (SELECT count(*) FROM c) AS BIGINT)
+             AS target_draw
+  FROM c
+), s AS (
+  SELECT *, least(target_draw, {max_epochs} * n_tokens) AS sched_draw
+  FROM t
+)
+SELECT {group_col}, n_tokens, target_draw, sched_draw,
+       CAST((sched_draw * {EPOCH_Q}) // n_tokens AS BIGINT) AS epochs_q,
+       target_draw - sched_draw AS shortfall
+FROM s
+"""

@@ -2916,6 +2916,9 @@ QUERIES = {
     # for the tail)
     "sample_temperature_mix": lambda s, d: sampling.temperature_mix(
         _t(s, d, "documents"), group_col="lang"),
+    # data-constrained epoch schedule (repeat-capped budget allocation)
+    "sample_epoch_schedule": lambda s, d: sampling.epoch_schedule(
+        _t(s, d, "documents")),
     # ordered funnel conversion (MATCH_RECOGNIZE shape)
     "window_funnel_steps": window_funnel_steps,
     # equi-depth deciles + OHLC candles (round-4 additions)
@@ -3192,6 +3195,7 @@ ORACLES = {
     "window_equidepth_deciles": window_equidepth_deciles_sql(),
     "window_funnel_steps": window_funnel_steps_sql(),
     "sample_temperature_mix": sampling.temperature_mix_sql(group_col="lang"),
+    "sample_epoch_schedule": sampling.epoch_schedule_sql(),
     "mm_patchify": multimodal.patchify_sql(),
     "agg_ohlc_candles": agg_ohlc_candles_sql(),
     "mm_blob_metadata": multimodal.blob_metadata_sql(),

@@ -218,3 +218,25 @@ def test_range_frame_excludes_events_older_than_one_hour(spark):
     assert got[2] == (15.0, 2)
     assert got[3] == (20.0, 3)            # frame [00:00:00, 01:00:00]
     assert got[4] == (30.0, 3)            # event 1 now 1h+1us old: out
+
+
+def test_epoch_schedule_caps_and_shortfall(spark):
+    """A tiny source hits the max_epochs cap (its shortfall is the
+    unspent allocation); an abundant source takes its full uniform
+    draw at < 1 epoch."""
+    from binlog_spark.operators.sampling import epoch_schedule
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 500, "big") for i in range(40)]
+        + [(100, "a b c", "tiny")],
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r for r in
+            epoch_schedule(df, budget=10_000, max_epochs=4).collect()}
+    big, tiny = rows["big"], rows["tiny"]
+    assert big["target_draw"] == tiny["target_draw"] == 5_000
+    assert tiny["n_tokens"] == 3
+    assert tiny["sched_draw"] == 12                    # 4 epochs * 3
+    assert tiny["epochs_q"] == 4_000_000               # exactly at cap
+    assert tiny["shortfall"] == 5_000 - 12
+    assert big["sched_draw"] == 5_000 and big["shortfall"] == 0
+    assert big["epochs_q"] < 1_000_000                 # < 1 pass
