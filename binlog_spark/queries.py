@@ -2826,6 +2826,251 @@ FROM agg
 """
 
 
+WEEK_SECONDS = 604_800  # epoch-anchored weeks: identical in both engines
+
+
+def window_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle — the canonical product-analytics
+    rollup: users are bucketed by first-activity week (their cohort),
+    and each (cohort, week-offset) cell counts how many of them were
+    active that many weeks later. Weeks are epoch-anchored
+    (floor(epoch/604800)) rather than calendar-truncated so both
+    engines share one integer definition — no date_trunc dialect edge.
+
+    Scale shape: one shuffle on user_id for the cohort min, reused by
+    the cohort join (same key, Catalyst-aligned partitioning), then one
+    aggregation on (cohort, offset); the distinct-user count is exact
+    because (cohort, offset, user) is already the post-join grain.
+    No window over a global order, nothing driver-side."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(WEEK_SECONDS))
+         .alias("wk"))
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = ev.join(cohort, "user_id")
+    return (j.groupBy(F.col("cohort_wk"),
+                      (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active_users"),
+                 F.count("*").alias("n_events"))
+            .withColumn("cohort_wk", F.col("cohort_wk").cast("long"))
+            .withColumn("week_offset", F.col("week_offset").cast("long")))
+
+
+def window_retention_cohorts_sql():
+    return f"""
+WITH wk AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {WEEK_SECONDS}) AS BIGINT) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id
+)
+SELECT c.cohort_wk,
+       w.wk - c.cohort_wk AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM wk w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap (the industry default)
+
+
+def window_gap_sessions(spark, sf_dir, gap: int = SESSION_GAP_S):
+    """Batch sessionization by inactivity gap — the lag + conditional
+    cumsum idiom (a new session starts where the gap to the previous
+    event exceeds 30 min), then a histogram of users by session count.
+    The per-user event stream is ordered by (ts, event_id) so ties have
+    a total order; the gap test uses only epoch-second diffs, so the
+    tie-break never changes a boundary. Complements the streaming
+    session windows (``streaming/sessions.py``) with the batch shape.
+
+    Scale shape: a single shuffle on user_id feeds the lag window (per
+    user, never global), the session count folds map-side, and the
+    histogram is a second tiny aggregation. All integers end to end."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    starts = ev.withColumn(
+        "new_s",
+        F.when(F.col("es") - F.lag("es").over(w) > gap, 1)
+         .when(F.lag("es").over(w).isNull(), 1).otherwise(0))
+    per_user = starts.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"),
+        F.count("*").alias("n_ev"))
+    return (per_user.groupBy("n_sessions")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("n_ev").alias("n_events"))
+            .withColumn("n_sessions", F.col("n_sessions").cast("long")))
+
+
+def window_gap_sessions_sql(gap: int = SESSION_GAP_S):
+    return f"""
+WITH lagged AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                  PARTITION BY user_id ORDER BY epoch(ts), event_id)
+                  > {gap} THEN 1
+              WHEN lag(epoch(ts)) OVER (
+                  PARTITION BY user_id ORDER BY epoch(ts), event_id)
+                  IS NULL THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+), per_user AS (
+  SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_ev
+  FROM lagged GROUP BY user_id
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM per_user GROUP BY 1
+"""
+
+
+def sql_gini_revenue(spark, sf_dir):
+    """Gini coefficient of revenue concentration across customers —
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending — the standard
+    inequality summary for "how head-heavy is this corpus/market".
+    Revenue is folded exactly (DECIMAL cents → BIGINT), the global rank
+    comes from the shared two-level range rank (no single-partition
+    window), and both engines evaluate the identical IEEE-double
+    expression over identical exact integer sums, so the 6-dp round is
+    stable by construction.
+
+    Scale shape: one shuffle for the per-customer fold, a range
+    repartition for the rank, then a scalar aggregation; Σ i·x runs in
+    DECIMAL(38,0) so a 10⁸-customer corpus cannot overflow."""
+    from .operators.ranking import global_rank
+    rev = (_t(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 * 100).cast("long").alias("r_c")))
+    ranked = global_rank(rev, ["r_c", "o_custkey"])
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r_c").cast("decimal(38,0)")).alias("t"),
+        F.sum((F.col("rn").cast("decimal(38,0)")
+               * F.col("r_c").cast("decimal(38,0)"))).alias("s"))
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    sd = F.col("s").cast("double")
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.round(td / F.lit(100.0), 2).alias("total_revenue"),
+        F.round((F.lit(2.0) * sd - (nd + F.lit(1.0)) * td)
+                / (nd * td), 6).alias("gini"))
+
+
+def sql_gini_revenue_sql():
+    return """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS r_c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT r_c, row_number() OVER (ORDER BY r_c, o_custkey) AS rn
+  FROM rev
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(r_c AS DECIMAL(38,0))) AS t,
+         sum(CAST(rn AS DECIMAL(38,0)) * CAST(r_c AS DECIMAL(38,0))) AS s
+  FROM ranked
+)
+SELECT n AS n_customers,
+       round(CAST(t AS DOUBLE) / 100.0, 2) AS total_revenue,
+       round((2.0 * CAST(s AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)
+              * CAST(t AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
+FROM sums
+"""
+
+
+ZIPF_Q = 1_000_000  # ln quantization scale: sums become exact integers
+
+
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law slope of the corpus token-frequency distribution —
+    the log-log regression of frequency on rank (natural text ≈ −1;
+    strong deviation flags synthetic/templated corpora, a standard
+    pretraining-data health check). Both logs are quantized to 1e−6
+    before summation so every aggregate is an exact integer — the
+    regression is then order-independent (association-free) on any
+    partitioning, and the two engines compute one identical double
+    expression at the end.
+
+    Scale shape: classic wordcount (map-side combine into one shuffle),
+    the shared two-level range rank for the frequency order (no global
+    window), then a scalar fold in DECIMAL(38,0) — Σ lr·lf on a 10⁹-type
+    vocabulary cannot overflow. The tokenizer is the repo-wide explicit
+    ASCII-whitespace class."""
+    from .operators.ranking import global_rank
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", r"[ \t\n\r\f\v]+"))
+                    .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    ranked = global_rank(freq.withColumn("negf", -F.col("f")),
+                         ["negf", "tok"])
+    q = (ranked.select(
+            F.col("f"),
+            F.round(F.log(F.col("rn").cast("double")) * ZIPF_Q)
+             .cast("decimal(38,0)").alias("lr"),
+            F.round(F.log(F.col("f").cast("double")) * ZIPF_Q)
+             .cast("decimal(38,0)").alias("lf")))
+    sums = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f").cast("long").alias("total_tok"),
+        F.sum("lr").alias("sx"), F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"))
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return sums.select(
+        F.col("n").alias("n_types"),
+        F.col("total_tok").alias("n_tokens"),
+        F.round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+         .alias("zipf_slope"))
+
+
+def text_zipf_slope_sql():
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS f FROM toks WHERE tok <> '' GROUP BY tok
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rn FROM freq
+), q AS (
+  SELECT f,
+         CAST(round(ln(CAST(rn AS DOUBLE)) * {ZIPF_Q}) AS DECIMAL(38,0))
+             AS lr,
+         CAST(round(ln(CAST(f AS DOUBLE)) * {ZIPF_Q}) AS DECIMAL(38,0))
+             AS lf
+  FROM ranked
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f) AS BIGINT) AS total_tok,
+         sum(lr) AS sx, sum(lf) AS sy,
+         sum(lr * lf) AS sxy, sum(lr * lr) AS sxx
+  FROM q
+)
+SELECT n AS n_types, total_tok AS n_tokens,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS zipf_slope
+FROM sums
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -2956,6 +3201,12 @@ QUERIES = {
     # PQ-ADC ANN + hard negatives: registered round 4, never sampled
     "sim_pq_ann_topk": sim_pq_ann_q,
     "sim_hard_negatives": sim_hard_negatives_q,
+    # cohort retention + batch sessionization + concentration + Zipf
+    # (late round-4 registrations; oracle-checked locally)
+    "window_retention_cohorts": window_retention_cohorts,
+    "window_gap_sessions": window_gap_sessions,
+    "sql_gini_revenue": sql_gini_revenue,
+    "text_zipf_slope": text_zipf_slope,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -3145,6 +3396,10 @@ ORACLES = {
     "sim_pq_ann_topk": similarity.pq_ann_topk_sql(n_queries=5, k=10),
     "sim_hard_negatives": similarity.hard_negatives_topk_sql(n_queries=5,
                                                              k=10),
+    "window_retention_cohorts": window_retention_cohorts_sql(),
+    "window_gap_sessions": window_gap_sessions_sql(),
+    "sql_gini_revenue": sql_gini_revenue_sql(),
+    "text_zipf_slope": text_zipf_slope_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path
