@@ -3071,6 +3071,78 @@ FROM sums
 """
 
 
+ZS_W = 8          # trailing-window length (full windows only)
+ZS_T2 = 9         # z² threshold: |z| > 3
+ZS_Q = 1_000_000  # value quantization: window sums become exact ints
+
+
+def window_zscore_outliers(spark, sf_dir, w: int = ZS_W):
+    """Per-entity trailing z-score outlier flags — the streaming-ML
+    baseline anomaly detector, made exactly cross-engine: values are
+    quantized to 1e−6 ints, and |z| > 3 over the trailing-``w`` frame is
+    evaluated as the INTEGER comparison (n·v − Σ)² > 9·(n·Σv² − Σ²)
+    (both sides DECIMAL(38,0)/HUGEINT) — no float, no sqrt, no
+    association order anywhere, so the flag is bit-identical on any
+    partitioning. Warm-up rows (short frames) are excluded.
+
+    Scale shape: one shuffle on user_id (high-cardinality — never a
+    single-partition window), a per-user ROWS frame over the unique
+    event_id order, then an ordinary aggregation by event_type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.round(F.col("value") * ZS_Q).cast("decimal(38,0)").alias("vq"))
+    fr = (Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-w, -1))
+    sc = ev.select(
+        "event_type", "event_id",
+        F.count("vq").over(fr).alias("n"),
+        F.sum("vq").over(fr).alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).over(fr).alias("s2"),
+        "vq").filter(F.col("n") == w)
+    nn = F.col("n").cast("decimal(38,0)")
+    lhs = (nn * F.col("vq") - F.col("s"))
+    rhs = nn * F.col("s2") - F.col("s") * F.col("s")
+    flagged = sc.select(
+        "event_type", "event_id",
+        (lhs * lhs > F.lit(ZS_T2) * rhs).cast("int").alias("is_out"))
+    return (flagged.groupBy("event_type")
+            .agg(F.count("*").alias("n_scored"),
+                 F.sum("is_out").cast("long").alias("n_outliers"),
+                 F.min(F.when(F.col("is_out") == 1, F.col("event_id")))
+                  .alias("min_outlier_id"),
+                 F.max(F.when(F.col("is_out") == 1, F.col("event_id")))
+                  .alias("max_outlier_id")))
+
+
+def window_zscore_outliers_sql(w: int = ZS_W):
+    return f"""
+WITH q AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * {ZS_Q}) AS HUGEINT) AS vq
+  FROM events
+), sc AS (
+  SELECT event_type, event_id, vq,
+         count(vq) OVER fr AS n,
+         sum(vq) OVER fr AS s,
+         sum(vq * vq) OVER fr AS s2
+  FROM q
+  WINDOW fr AS (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+), flagged AS (
+  SELECT event_type, event_id,
+         CASE WHEN (n * vq - s) * (n * vq - s)
+                   > {ZS_T2} * (n * s2 - s * s)
+              THEN 1 ELSE 0 END AS is_out
+  FROM sc WHERE n = {w}
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       min(CASE WHEN is_out = 1 THEN event_id END) AS min_outlier_id,
+       max(CASE WHEN is_out = 1 THEN event_id END) AS max_outlier_id
+FROM flagged GROUP BY event_type
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -3207,6 +3279,7 @@ QUERIES = {
     "window_gap_sessions": window_gap_sessions,
     "sql_gini_revenue": sql_gini_revenue,
     "text_zipf_slope": text_zipf_slope,
+    "window_zscore_outliers": window_zscore_outliers,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -3400,6 +3473,7 @@ ORACLES = {
     "window_gap_sessions": window_gap_sessions_sql(),
     "sql_gini_revenue": sql_gini_revenue_sql(),
     "text_zipf_slope": text_zipf_slope_sql(),
+    "window_zscore_outliers": window_zscore_outliers_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path

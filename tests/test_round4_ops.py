@@ -240,3 +240,90 @@ def test_epoch_schedule_caps_and_shortfall(spark):
     assert tiny["shortfall"] == 5_000 - 12
     assert big["sched_draw"] == 5_000 and big["shortfall"] == 0
     assert big["epochs_q"] < 1_000_000                 # < 1 pass
+
+
+def test_gap_sessions_boundary_inclusive(spark):
+    """A gap of EXACTLY the threshold continues the session (strict >
+    starts a new one); threshold+1 splits. One user with gaps
+    [1800, 1801] has exactly 2 sessions; a single-event user has 1."""
+    import os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import window_gap_sessions
+
+    def ts(e):
+        return datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(1, ts(0), 1), (2, ts(1800), 1), (3, ts(3601), 1),
+            (4, ts(50), 2)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["n_sessions"]: (r["n_users"], r["n_events"])
+               for r in window_gap_sessions(spark, d).collect()}
+    assert got == {2: (1, 3), 1: (1, 1)}
+
+
+def test_retention_cohorts_epoch_weeks(spark):
+    """Cohort = the user's first epoch-week; every cohort has an
+    offset-0 cell; a week-2 return lands at offset 2."""
+    import os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import window_retention_cohorts, WEEK_SECONDS
+
+    def ts(e):
+        return datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(1, ts(100), 10),                       # u10 cohort wk0
+            (2, ts(2 * WEEK_SECONDS + 5), 10),      # u10 returns wk2
+            (3, ts(2 * WEEK_SECONDS + 50), 20)]     # u20 cohort wk2
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {(r["cohort_wk"], r["week_offset"]):
+               (r["n_active_users"], r["n_events"])
+               for r in window_retention_cohorts(spark, d).collect()}
+    assert got == {(0, 0): (1, 1), (0, 2): (1, 1), (2, 0): (1, 1)}
+
+
+def test_gini_known_values(spark):
+    """Equal revenues -> G = 0; two customers at 100/300 -> G = 0.25
+    (the closed form (2*S - (n+1)*T) / (n*T) on exact cent sums)."""
+    import os, tempfile
+    from datetime import datetime
+    from binlog_spark.queries import sql_gini_revenue
+
+    d0 = datetime(1995, 1, 1)
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double, "
+                  "o_orderdate timestamp")
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "orders.parquet"))
+            return sql_gini_revenue(spark, d).collect()[0]
+
+    eq = run([(1, 1, 200.0, d0), (2, 2, 200.0, d0)])
+    assert eq["gini"] == 0.0 and eq["total_revenue"] == 400.0
+    uneq = run([(1, 1, 100.0, d0), (2, 2, 300.0, d0)])
+    assert uneq["gini"] == 0.25
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A corpus with freq(r) = 60/r is exactly Zipf s = -1: the log-log
+    points are collinear, so the quantized regression recovers -1 to
+    within the 1e-6 quantization."""
+    import os, tempfile
+    from binlog_spark.queries import text_zipf_slope
+
+    words = []
+    for r, f in enumerate([60, 30, 20, 15, 12, 10], start=1):
+        words += [f"w{r}"] * f
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        row = text_zipf_slope(spark, d).collect()[0]
+    assert row["n_types"] == 6 and row["n_tokens"] == 147
+    assert abs(row["zipf_slope"] + 1.0) < 1e-4
