@@ -134,6 +134,87 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.4,
     return out
 
 
+def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.6,
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs — the RefinedWeb /
+    "document inside document" detector Jaccard structurally misses: a
+    200-token doc fully quoted inside a 20k-token doc has Jaccard ≈ 0.01
+    but containment 1.0. Score = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)
+    (max-containment), with ``contained_doc`` naming the smaller side.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — shuffle-free
+    Arrow shingling, broadcast hot-shingle cut (``max_df`` bounds
+    per-posting fan-out), inverted-index pair emission JVM-side — only
+    the final scoring expression differs, so the same at-scale bounds
+    hold."""
+    sh = shingles(df, n)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(
+                   F.countDistinct("doc_id").alias("df"))
+               .where(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+                .where(F.size("ids") > 1))
+    common = (
+        postings.select(F.explode(F.flatten(F.expr(
+            "transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b)))"
+        ))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("containment", F.round(
+            F.col("common") / F.least("sz_a", "sz_b"), 6))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b",
+                F.when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+                 .otherwise(F.col("doc_a")).alias("contained_doc"),
+                "containment")
+    )
+
+
+def containment_pairs_sql(table: str = "documents", n: int = 3,
+                          threshold: float = 0.6,
+                          max_df: int | None = None) -> str:
+    src = "sh"
+    cut = ""
+    if max_df is not None:
+        cut = f"""
+, keep AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(DISTINCT doc_id) <= {max_df}
+), shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle))"""
+        src = "shc"
+    return shingle_cte(table, n) + cut + f"""
+, sizes AS (SELECT doc_id, count(*) AS sz FROM {src} GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CASE WHEN sb.sz < sa.sz THEN p.doc_b ELSE p.doc_a END
+           AS contained_doc,
+       round(p.common / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6)
+           AS containment
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE round(p.common / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6)
+      >= {threshold}
+"""
+
+
 def _shingle_hash(col):
     """md5 hex prefix (28 bits) -> bigint; identical in DuckDB via
     ('0x' || substr(md5(x),1,7))::BIGINT, and in the Arrow minhash

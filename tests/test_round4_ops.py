@@ -327,3 +327,108 @@ def test_zipf_slope_exact_power_law(spark):
         row = text_zipf_slope(spark, d).collect()[0]
     assert row["n_types"] == 6 and row["n_tokens"] == 147
     assert abs(row["zipf_slope"] + 1.0) < 1e-4
+
+
+def test_pit_join_states(spark):
+    """One user walking through the full dimension lifecycle: a purchase
+    before any dim change is 'none', after signup 'I', after a click
+    update 'U', after a delete 'deleted' — and the carried dim value is
+    the version in effect, not the latest one."""
+    import os, tempfile
+    from datetime import datetime
+    from binlog_spark.queries import join_scd2_pointintime
+
+    t = datetime(2024, 1, 1)
+    rows = [  # (event_id, ts, user_id, event_type, value)
+        (2, t, 2, "purchase", 8.0),              # no dim yet -> none
+        (1, t, 1, "signup", 10.0),               # opens I v=10
+        (3, t, 1, "purchase", 5.0),              # -> I, dim 10
+        (5, t, 1, "click", 20.0),                # updates to U v=20
+        (7, t, 1, "purchase", 6.0),              # -> U, dim 20
+        (9, t, 1, "error", 0.0),                 # delete closes
+        (11, t, 1, "purchase", 7.0),             # -> deleted
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["dim_state"]: r.asDict()
+               for r in join_scd2_pointintime(spark, d).collect()}
+    assert set(got) == {"none", "I", "U", "deleted"}
+    assert got["none"]["n_facts"] == 1 and got["none"]["sum_dim_vq"] is None
+    assert got["I"]["sum_fact_vq"] == 5_000_000
+    assert got["I"]["sum_dim_vq"] == 10_000_000
+    assert got["U"]["sum_dim_vq"] == 20_000_000
+    assert got["deleted"]["min_fact_id"] == 11
+
+
+def test_minmax_prune_two_files(spark):
+    """128 seconds-spaced events = exactly 2 commit files; every window
+    scans 1 or 2 files, the edge windows scan exactly 1, and the pruned
+    percentage is consistent with the scan counts."""
+    import os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import lake_minmax_prune_stats, ZM_WINDOWS
+
+    def ts(e):
+        return datetime.fromtimestamp(1_700_000_000 + e,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(i, ts(i), 1, "view", 0.0) for i in range(128)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["window_id"]: r.asDict()
+               for r in lake_minmax_prune_stats(spark, d).collect()}
+    assert sorted(out) == list(range(ZM_WINDOWS))
+    for r in out.values():
+        assert r["n_files_total"] == 2
+        assert r["n_files_scanned"] in (1, 2)
+        assert r["n_rows_scanned"] == 64 * r["n_files_scanned"]
+        assert r["pruned_pct_q"] == \
+            (2 - r["n_files_scanned"]) * 1_000_000 // 2
+    assert out[0]["n_files_scanned"] == 1          # fully inside file 0
+    assert out[ZM_WINDOWS - 1]["n_files_scanned"] == 1   # inside file 1
+    # windows tile [gmin, gend) exactly: no gaps, no overlaps
+    bounds = [(out[k]["lo"], out[k]["hi"]) for k in sorted(out)]
+    assert all(bounds[i][1] == bounds[i + 1][0]
+               for i in range(len(bounds) - 1))
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """The degree-oriented wedge enumeration counts exactly the
+    triangles a brute-force pass over the same md5-derived graph finds
+    (each counted once), and the wedge total matches sum(d*(d-1)/2)."""
+    import hashlib, itertools, os, tempfile
+    from binlog_spark.queries import graph_triangle_count
+
+    n = 40
+    edges = set()
+    for a in range(n):
+        h = hashlib.md5(str(a).encode()).hexdigest()
+        for j in range(3):
+            b = int(h[8 * j:8 * j + 7], 16) % n
+            if b != a:
+                edges.add((min(a, b), max(a, b)))
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v); adj[v].add(u)
+    tri = sum(1 for u, v, w in itertools.combinations(range(n), 3)
+              if v in adj[u] and w in adj[u] and w in adj[v])
+    deg = {v: len(a) for v, a in adj.items() if a}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(n)],
+                               "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        row = graph_triangle_count(spark, d).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    if wedges:
+        assert row["gcc_q"] == 3 * tri * 1_000_000_000 // wedges
