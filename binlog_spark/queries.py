@@ -3421,6 +3421,217 @@ FROM tri
 """
 
 
+CHUNK_WORDS = 8  # paragraph analogue: non-overlapping 8-word chunks
+
+
+def dedup_chunk_lines(spark, sf_dir):
+    """Paragraph-level exact dedup with a keep-first policy — the CCNet
+    / RefinedWeb "line dedup" stage that removes boilerplate repeated
+    ACROSS documents (headers, footers, license blurbs) that
+    whole-document hashing can never catch. The corpus has no newlines,
+    so the paragraph unit is a deterministic non-overlapping
+    ``CHUNK_WORDS``-word window; a chunk instance is KEPT iff it is the
+    first occurrence of its text corpus-wide under the total order
+    (doc_id, chunk position).
+
+    Scale shape: one shuffle partitioned by the chunk's md5 (bounded
+    key, uniform by construction — no skew salt needed), keep-first via
+    min_by over that hash group (an all-map-side-combinable aggregate,
+    NOT a row_number sort window), then a broadcast-size join back?
+    no — the winners table is |distinct chunks|-sized, so the kept flag
+    is derived by joining instance→winner on the hash, an equi-join
+    co-partitioned with the aggregate's own output partitioning. The
+    per-source report is metadata-sized.
+
+    Reference parity: the reference has no corpus operators; this is
+    part of the LLM-pipeline surface the brief adds on top
+    (CCNet, Wenzek et al. 2020, §4.1 paragraph dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = (docs.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, (size(split(text, ' ')) - 1) "
+            f"div {CHUNK_WORDS}), "
+            f"k -> array_join(slice(split(text, ' '), "
+            f"k * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' '))"))
+        .alias("chunk_pos", "chunk"))
+        .withColumn("h", F.md5(F.col("chunk"))))
+    winners = (chunks.groupBy("h")
+               .agg(F.min(F.struct("doc_id", "chunk_pos")).alias("w")))
+    kept = (chunks.join(winners, "h")
+            .withColumn("is_kept",
+                        ((F.col("doc_id") == F.col("w.doc_id")) &
+                         (F.col("chunk_pos") == F.col("w.chunk_pos")))
+                        .cast("long")))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("is_kept").alias("n_kept"),
+                 F.countDistinct("h").alias("n_distinct"),
+                 F.expr("sum(1 - is_kept) * 1000000 div count(*)")
+                  .alias("removed_pct_q"))
+            .orderBy("source"))
+
+
+def dedup_chunk_lines_sql():
+    return f"""
+WITH ch AS (
+  SELECT doc_id, source, k AS chunk_pos,
+         md5(array_to_string(
+             words[k * {CHUNK_WORDS} + 1 : (k + 1) * {CHUNK_WORDS}],
+             ' ')) AS h
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents),
+       unnest(range((len(words) - 1) // {CHUNK_WORDS} + 1)) AS t(k)
+), w AS (
+  SELECT h, min(doc_id * 1000000000 + chunk_pos) AS first_key
+  FROM ch GROUP BY h
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c.doc_id * 1000000000 + c.chunk_pos
+                     = w.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT c.h) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c.doc_id * 1000000000 + c.chunk_pos
+                     = w.first_key THEN 0 ELSE 1 END) * 1000000
+            // count(*) AS BIGINT) AS removed_pct_q
+FROM ch c JOIN w USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def cdc_late_arrival_histogram(spark, sf_dir):
+    """Watermark lateness accounting — for every event, how far behind
+    the high-watermark (max event time over all STRICTLY EARLIER
+    arrivals) its own event time is, bucketed by the bit-length of the
+    lateness in microseconds. This is the observability query behind
+    choosing ``withWatermark`` delays: bucket b holds events a watermark
+    of 2^b µs would have admitted but 2^(b-1) µs would have dropped.
+    The synthetic changelog is delivered time-ordered, so arrival order
+    is a deterministic md5 permutation of event_id — the shape of a
+    multi-partition Kafka topic read, where per-partition order survives
+    but cross-partition interleaving scrambles event time.
+
+    Scale shape: a naive running max is a single-partition global
+    window. Here it is the two-phase segmented rewrite: (1) per-segment
+    max, segment = first 2 hex chars of the arrival key (256 segments,
+    segment order IS arrival-key order by construction) — map-side
+    combinable; (2) an EXCLUSIVE prefix max over the 256-row segment
+    table (widening the prefix makes it a tree for 10^10 rows);
+    (3) broadcast-join the segment prefix back and combine with the
+    within-segment exclusive running max (window bounded at |rows|/256).
+    The DuckDB oracle computes the plain global running max over the
+    same arrival order — equality proves the segmented rewrite.
+
+    Reference parity: the reference delivers events in strict binlog
+    order and has no event-time notion; this is the Structured-Streaming
+    side of the same pipeline (SURVEY §2.2 watermarks/late data)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = (_t(spark, sf_dir, "events").select(
+        "event_id", us.alias("e"),
+        F.md5(F.col("event_id").cast("string")).alias("h"))
+        .withColumn("seg", F.substring("h", 1, 2)))
+    seg_max = ev.groupBy("seg").agg(F.max("e").alias("m"))
+    w_seg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = seg_max.select(
+        "seg", F.max("m").over(w_seg).alias("pmax"))
+    w_in = (Window.partitionBy("seg").orderBy("h", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # high-watermark before this arrival = max(exclusive in-segment
+    # running max, prefix max of earlier segments); -1 marks "none"
+    # (event times are positive epoch-µs, so the sentinel never wins)
+    hwm = F.greatest(F.coalesce(F.max("e").over(w_in), F.lit(-1)),
+                     F.coalesce(F.col("pmax"), F.lit(-1)))
+    out = (ev.join(F.broadcast(prefix), "seg")
+           .withColumn("late_us",
+                       F.greatest(F.lit(0).cast("long"),
+                                  hwm - F.col("e")))
+           .withColumn("bucket",
+                       F.when(F.col("late_us") == 0, F.lit(0))
+                       .otherwise(F.length(F.bin(F.col("late_us"))))
+                       .cast("long")))
+    return (out.groupBy("bucket")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("late_us").alias("min_late_us"),
+                 F.max("late_us").alias("max_late_us"))
+            .orderBy("bucket"))
+
+
+def cdc_late_arrival_histogram_sql():
+    return """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS e,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+), lat AS (
+  SELECT greatest(0, coalesce(
+             max(e) OVER (ORDER BY h, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) - e, 0)) AS late_us
+  FROM ev
+)
+SELECT CAST(CASE WHEN late_us = 0 THEN 0
+            ELSE length(bin(late_us)) END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(late_us) AS BIGINT) AS min_late_us,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM lat GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_skyline_orders(spark, sf_dir):
+    """2-D skyline (Pareto frontier) over orders, maximizing
+    (total price, order date): an order is on the frontier iff no other
+    order is ≥ in both dimensions and strictly greater in one. The
+    classic O(n²) dominance test collapses to one sort direction plus a
+    running max: group to one row per distinct price, take each group's
+    max date, and a point survives iff it holds its group's max date
+    AND every strictly-higher-priced group's max date is strictly
+    below it.
+
+    Scale shape: the dominance pass runs on the price-GROUPED table
+    (|distinct price_q| rows — metadata-scale next to the fact table;
+    for an unbounded price domain the same segmented prefix-max used by
+    ``cdc_late_arrival_histogram`` applies). The fact table is touched
+    by exactly one map-side-combinable groupBy and one final
+    co-partitioned join back. The DuckDB oracle states the frontier
+    with a descending RANGE frame (value-offset window) instead —
+    mechanically different arithmetic, same definition."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pq"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("dus"))
+    grp = o.groupBy("pq").agg(F.max("dus").alias("gmax"))
+    w = (Window.orderBy(F.desc("pq"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    dom = grp.withColumn("rm", F.max("gmax").over(w))
+    return (o.join(dom, "pq")
+            .where((F.col("dus") == F.col("gmax")) &
+                   (F.col("rm").isNull() | (F.col("rm") < F.col("dus"))))
+            .select("o_orderkey", "pq", "dus")
+            .orderBy("pq"))
+
+
+def sql_skyline_orders_sql():
+    return """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS pq,
+         epoch_us(o_orderdate) AS dus
+  FROM orders
+), win AS (
+  SELECT o_orderkey, pq, dus,
+         max(dus) OVER (ORDER BY pq DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS rm,
+         max(dus) OVER (PARTITION BY pq) AS gmax
+  FROM base
+)
+SELECT o_orderkey, pq, dus FROM win
+WHERE dus = gmax AND (rm IS NULL OR rm < dus)
+ORDER BY pq
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -3562,6 +3773,9 @@ QUERIES = {
     "lake_minmax_prune_stats": lake_minmax_prune_stats,
     "graph_triangle_count": graph_triangle_count,
     "dedup_containment": dedup_containment_q,
+    "dedup_chunk_lines": dedup_chunk_lines,
+    "cdc_late_arrival_histogram": cdc_late_arrival_histogram,
+    "sql_skyline_orders": sql_skyline_orders,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -3761,6 +3975,9 @@ ORACLES = {
     "graph_triangle_count": graph_triangle_count_sql(),
     "dedup_containment": dedup.containment_pairs_sql(threshold=0.6,
                                                      max_df=64),
+    "dedup_chunk_lines": dedup_chunk_lines_sql(),
+    "cdc_late_arrival_histogram": cdc_late_arrival_histogram_sql(),
+    "sql_skyline_orders": sql_skyline_orders_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path

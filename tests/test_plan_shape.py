@@ -503,3 +503,40 @@ def test_retract_agg_two_exchanges(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert _n_nodes(plan, "Generate") >= 1, plan
     assert plans.count_shuffles(df) <= 4, plan  # 2 in-tree (+2 detail echoes)
+
+
+def test_chunk_dedup_keep_first_has_no_window(spark, sf_dir):
+    """Corpus-wide keep-first is a min_by AGGREGATE on the chunk hash,
+    never a row_number sort window — the plan that survives 10^10
+    chunks has zero Window operators."""
+    from binlog_spark.queries import dedup_chunk_lines
+
+    df = dedup_chunk_lines(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 0, plan
+    assert plans.has_partial_aggregate(df), plan
+
+
+def test_late_histogram_two_bounded_windows(spark, sf_dir):
+    """The running max decomposes into exactly two windows: the
+    per-segment exclusive max (partitioned, bounded at |rows|/256) and
+    the prefix max over the 256-row segment AGGREGATE — no global
+    window ever sees the fact table."""
+    from binlog_spark.queries import cdc_late_arrival_histogram
+
+    df = cdc_late_arrival_histogram(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 2, plan
+    assert plans.has_broadcast_join(df), plan  # 256-row prefix joins back
+
+
+def test_skyline_window_runs_on_grouped_table(spark, sf_dir):
+    """The dominance pass is one window over the price-GROUPED table
+    (metadata-scale), not over the fact table: exactly one Window, fed
+    through a partial aggregate."""
+    from binlog_spark.queries import sql_skyline_orders
+
+    df = sql_skyline_orders(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 1, plan
+    assert plans.has_partial_aggregate(df), plan

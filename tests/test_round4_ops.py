@@ -432,3 +432,115 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row["n_triangles"] == tri
     if wedges:
         assert row["gcc_q"] == 3 * tri * 1_000_000_000 // wedges
+
+
+def test_chunk_dedup_keep_first(spark):
+    """Keep-first at chunk granularity: the first occurrence (by doc_id,
+    position) of each 8-word chunk survives, later copies anywhere in
+    the corpus are removed, and a short trailing chunk is its own unit."""
+    import os, tempfile
+    from binlog_spark.queries import dedup_chunk_lines, CHUNK_WORDS
+
+    def chunk(tag):
+        return [f"{tag}{i}" for i in range(CHUNK_WORDS)]
+
+    A, B, C = chunk("a"), chunk("b"), chunk("c")
+    rows = [
+        (0, " ".join(A + B), "en", "s1", 0),   # A, B both kept
+        (1, " ".join(A + C), "en", "s1", 0),   # A removed, C kept
+        (2, " ".join(B), "en", "s2", 0),       # B removed (dup of doc 0)
+        (3, "x y z", "en", "s3", 0),           # short chunk, kept
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["source"]: r.asDict()
+               for r in dedup_chunk_lines(spark, d).collect()}
+    assert got["s1"] == {"source": "s1", "n_chunks": 4, "n_kept": 3,
+                         "n_distinct": 3, "removed_pct_q": 250000}
+    assert got["s2"] == {"source": "s2", "n_chunks": 1, "n_kept": 0,
+                         "n_distinct": 1, "removed_pct_q": 1000000}
+    assert got["s3"]["n_kept"] == 1 and got["s3"]["removed_pct_q"] == 0
+
+
+def test_late_histogram_matches_bruteforce(spark):
+    """The segmented two-phase running max equals a plain Python running
+    max over the same md5 arrival order, including bucket boundaries
+    (exact powers of two land in the higher bucket via bit-length)."""
+    import hashlib, os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import cdc_late_arrival_histogram
+
+    base = 1_700_000_000
+    # event i carries event time base + ((i * 37) % 101) seconds — a
+    # scrambled event-time sequence independent of the arrival scramble
+    def sec(i):
+        return base + (i * 37) % 101
+
+    def ts(i):
+        return datetime.fromtimestamp(sec(i),
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    n = 60
+    rows = [(i, ts(i), 1, "view", 0.0) for i in range(n)]
+    order = sorted(range(n),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                  i))
+    expect = {}
+    hwm = None
+    for i in order:
+        e = sec(i) * 1_000_000
+        late = max(0, hwm - e) if hwm is not None else 0
+        b = 0 if late == 0 else len(bin(late)) - 2
+        lo, hi, c = expect.get(b, (late, late, 0))
+        expect[b] = (min(lo, late), max(hi, late), c + 1)
+        hwm = e if hwm is None else max(hwm, e)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["bucket"]: (r["min_late_us"], r["max_late_us"],
+                             r["n_events"])
+               for r in cdc_late_arrival_histogram(spark, d).collect()}
+    assert got == expect
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The grouped running-max frontier equals the O(n²) dominance
+    definition, including duplicate points (which all survive) and
+    same-price ties (only the max-date one survives)."""
+    import hashlib, os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import sql_skyline_orders
+
+    pts = []
+    for k in range(200):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        pts.append((k, int(h[:6], 16) % 50, int(h[6:12], 16) % 50))
+    pts.append((200, pts[0][1], pts[0][2]))  # exact duplicate of point 0
+
+    def dominated(b):
+        return any(p[1] >= b[1] and p[2] >= b[2] and
+                   (p[1] > b[1] or p[2] > b[2]) for p in pts)
+
+    expect = {p[0] for p in pts if not dominated(p)}
+
+    def ts(dd):
+        return datetime.fromtimestamp(1_700_000_000 + dd * 86400,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(k, 1, "O", pq / 100.0, ts(dd), "1-URGENT")
+            for k, pq, dd in pts]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {r["o_orderkey"]
+               for r in sql_skyline_orders(spark, d).collect()}
+    assert got == expect
+    assert 200 in got or 0 not in got  # duplicates live or die together
