@@ -3632,6 +3632,154 @@ ORDER BY pq
 """
 
 
+SHARD_CAPACITY = 4096  # bytes per planned shard (tiny for the test corpus)
+
+
+def mm_shard_packing(spark, sf_dir):
+    """WebDataset-style shard planning — pack documents into
+    ~``SHARD_CAPACITY``-byte shards per source, in (size desc, doc_id)
+    order (first-fit-decreasing's deterministic cousin: an item's shard
+    is its start offset div capacity, the policy tar-shard writers
+    actually use with a size tolerance). This is the step between
+    "corpus curated" and "training job reads sequential shards".
+
+    Scale shape: the start offset is an exclusive running SUM per
+    source — the same segmented two-phase rewrite
+    ``cdc_late_arrival_histogram`` uses for a running MAX, proving the
+    decomposition generalizes to any associative fold: segment by
+    ``bit_length(size)`` (monotone in size, so segment order is
+    contiguous under the (size desc, doc_id) sort), (1) per-(source,
+    segment) sums — map-side combinable, (2) an exclusive prefix sum
+    over the ~10-row-per-source segment table, (3) broadcast-join back
+    and add the within-segment exclusive running sum (window bounded at
+    one size-class per source, not the whole source). No window ever
+    orders a full source partition. The DuckDB oracle computes the
+    plain per-source running sum — equality proves the rewrite.
+
+    Reference parity: none (the reference ships no corpus tooling);
+    LLM-pipeline surface per the brief (multimodal/shard plumbing)."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("source", "doc_id", F.col("n_chars").alias("sz"))
+         .withColumn("seg", F.length(F.bin(F.col("sz")))))
+    seg_sum = d.groupBy("source", "seg").agg(F.sum("sz").alias("s"))
+    w_seg = (Window.partitionBy("source").orderBy(F.desc("seg"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = seg_sum.select(
+        "source", "seg",
+        F.coalesce(F.sum("s").over(w_seg), F.lit(0)).alias("seg_base"))
+    w_in = (Window.partitionBy("source", "seg")
+            .orderBy(F.desc("sz"), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = (d.withColumn("within", F.coalesce(F.sum("sz").over(w_in),
+                                             F.lit(0)))
+           .join(F.broadcast(prefix), ["source", "seg"])
+           .withColumn("shard", (F.col("seg_base") + F.col("within"))
+                       .cast("long") / F.lit(SHARD_CAPACITY))
+           .withColumn("shard", F.floor("shard")))
+    return (off.groupBy("source", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("sz").alias("shard_bytes"),
+                 F.max("sz").alias("max_doc_bytes"))
+            .orderBy("source", "shard"))
+
+
+def mm_shard_packing_sql():
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars AS sz FROM documents
+), off AS (
+  SELECT source, sz,
+         coalesce(sum(sz) OVER (PARTITION BY source
+                                ORDER BY sz DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT source,
+       CAST(start // {SHARD_CAPACITY} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS shard_bytes,
+       CAST(max(sz) AS BIGINT) AS max_doc_bytes
+FROM off GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+POSTINGS_MAX_DF = 64  # impact cut: terms above this df keep no postings
+POSTINGS_TOPK = 5
+POSTINGS_NGRAM = 3  # indexed unit: word trigram (decontamination lookups)
+
+
+def text_inverted_postings(spark, sf_dir):
+    """Impact-ordered inverted index over word trigrams — per term:
+    document frequency, total term frequency, and the
+    top-``POSTINGS_TOPK`` postings by (tf desc, doc_id), serialized
+    ``doc:tf,...``. The trigram unit is the one contamination-check
+    indexes use (GPT-3 App. C builds exactly this n-gram → documents
+    map); single words in this corpus are all stopword-frequency.
+
+    Scale shape: hot terms are the classic skew killer — a row_number
+    window over a stopword's partition sorts |corpus| rows. Here the
+    ``POSTINGS_MAX_DF`` cut (an aggregate-derived filter, standard
+    impact-pruning practice) bounds every surviving term's posting
+    state at ``max_df`` rows BEFORE any per-term collection, so the
+    top-k is a bounded ``slice(sort_array(collect_list(...)))`` — an
+    ObjectHashAggregate with partial merge, zero Window operators,
+    per-group state ≤ 64 structs by construction. Two bounded-key
+    shuffles total ((term, doc) tf, then term).
+
+    Reference parity: none; LLM-pipeline text surface per the brief."""
+    n = POSTINGS_NGRAM
+    tok = (_t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+            f"k -> array_join(slice(split(text, ' '), k + 1, {n}), ' '))"))
+        .alias("term")))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = (tf.groupBy("term")
+             .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+             .where(F.col("df") <= POSTINGS_MAX_DF))
+    ranked = tf.join(stats, "term").select(
+        "term", "df", "total_tf",
+        F.struct((-F.col("tf")).alias("k"), "doc_id", "tf").alias("p"))
+    return (ranked.groupBy("term", "df", "total_tf")
+            .agg(F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("p")),
+                            1, POSTINGS_TOPK),
+                    lambda x: F.concat_ws(":", x.doc_id, x.tf)),
+                ",").alias("postings"))
+            .orderBy("term"))
+
+
+def text_inverted_postings_sql():
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         array_to_string(
+             words[k + 1 : k + {POSTINGS_NGRAM}], ' ') AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       unnest(range(len(words) - {POSTINGS_NGRAM} + 1)) AS t(k)
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+), stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY 1 HAVING count(*) <= {POSTINGS_MAX_DF}
+), ranked AS (
+  SELECT t.term, s.df, s.total_tf, t.doc_id, t.tf,
+         row_number() OVER (PARTITION BY t.term
+                            ORDER BY t.tf DESC, t.doc_id) AS rn
+  FROM tf t JOIN stats s USING (term)
+)
+SELECT term, df, total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY tf DESC, doc_id)
+         AS postings
+FROM ranked WHERE rn <= {POSTINGS_TOPK}
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -3776,6 +3924,8 @@ QUERIES = {
     "dedup_chunk_lines": dedup_chunk_lines,
     "cdc_late_arrival_histogram": cdc_late_arrival_histogram,
     "sql_skyline_orders": sql_skyline_orders,
+    "mm_shard_packing": mm_shard_packing,
+    "text_inverted_postings": text_inverted_postings,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -3978,6 +4128,8 @@ ORACLES = {
     "dedup_chunk_lines": dedup_chunk_lines_sql(),
     "cdc_late_arrival_histogram": cdc_late_arrival_histogram_sql(),
     "sql_skyline_orders": sql_skyline_orders_sql(),
+    "mm_shard_packing": mm_shard_packing_sql(),
+    "text_inverted_postings": text_inverted_postings_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path

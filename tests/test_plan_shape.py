@@ -540,3 +540,28 @@ def test_skyline_window_runs_on_grouped_table(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert _n_nodes(plan, "Window") == 1, plan
     assert plans.has_partial_aggregate(df), plan
+
+
+def test_shard_packing_segmented_prefix_sum(spark, sf_dir):
+    """The running start offset decomposes like the late-arrival max:
+    one window per (source, size-class) segment plus one over the
+    segment AGGREGATE, broadcast back — never a whole-source window."""
+    from binlog_spark.queries import mm_shard_packing
+
+    df = mm_shard_packing(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 2, plan
+    assert plans.has_broadcast_join(df), plan
+    assert plans.has_partial_aggregate(df), plan
+
+
+def test_inverted_postings_no_window(spark, sf_dir):
+    """Top-k postings come from a bounded collect_list aggregate gated
+    by the max_df cut — zero Window operators so no stopword partition
+    is ever sorted."""
+    from binlog_spark.queries import text_inverted_postings
+
+    df = text_inverted_postings(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 0, plan
+    assert plans.has_partial_aggregate(df), plan

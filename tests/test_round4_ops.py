@@ -544,3 +544,77 @@ def test_skyline_matches_bruteforce(spark):
                for r in sql_skyline_orders(spark, d).collect()}
     assert got == expect
     assert 200 in got or 0 not in got  # duplicates live or die together
+
+
+def test_shard_packing_matches_running_sum(spark):
+    """The segmented (bit-length bucket) two-phase prefix SUM equals
+    the plain per-source running sum, including a doc bigger than the
+    shard capacity (gets shards to itself) and byte conservation."""
+    import hashlib, os, tempfile
+    from binlog_spark.queries import SHARD_CAPACITY, mm_shard_packing
+
+    docs = []
+    for k in range(300):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        sz = int(h[:6], 16) % 900 + 16
+        if k == 7:
+            sz = SHARD_CAPACITY * 3 + 5  # oversized doc
+        docs.append((k, "x" * 4, "en", f"src{k % 3}", sz))
+
+    expect = {}
+    for s in {d[3] for d in docs}:
+        grp = sorted((d for d in docs if d[3] == s),
+                     key=lambda d: (-d[4], d[0]))
+        start = 0
+        for d in grp:
+            sh = start // SHARD_CAPACITY
+            n, b, m = expect.get((s, sh), (0, 0, 0))
+            expect[(s, sh)] = (n + 1, b + d[4], max(m, d[4]))
+            start += d[4]
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {(r["source"], r["shard"]):
+               (r["n_docs"], r["shard_bytes"], r["max_doc_bytes"])
+               for r in mm_shard_packing(spark, d).collect()}
+    assert got == expect
+    assert sum(v[1] for v in got.values()) == sum(d[4] for d in docs)
+
+
+def test_inverted_postings_topk_and_ties(spark):
+    """Postings keep at most POSTINGS_TOPK entries ordered by
+    (tf desc, doc_id), equal-tf ties break on doc_id, and the df/tf
+    stats count the FULL posting list, not just the kept head."""
+    import os, tempfile
+    from collections import Counter
+    from binlog_spark.queries import (POSTINGS_NGRAM, POSTINGS_TOPK,
+                                      text_inverted_postings)
+
+    texts = {0: "a b c a b c a b c", 1: "a b c d e f",
+             2: "a b c a b c", 3: "z z z z", 4: "d e f d e f"}
+    docs = [(k, t, "en", "s", len(t)) for k, t in texts.items()]
+
+    tf = Counter()
+    for k, t in texts.items():
+        w = t.split(" ")
+        for i in range(len(w) - POSTINGS_NGRAM + 1):
+            tf[(" ".join(w[i:i + POSTINGS_NGRAM]), k)] += 1
+    expect = {}
+    for term in {t for t, _ in tf}:
+        post = sorted(((d, c) for (t, d), c in tf.items() if t == term),
+                      key=lambda p: (-p[1], p[0]))
+        expect[term] = (len(post), sum(c for _, c in post),
+                        ",".join(f"{d}:{c}"
+                                 for d, c in post[:POSTINGS_TOPK]))
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["term"]: (r["df"], r["total_tf"], r["postings"])
+               for r in text_inverted_postings(spark, d).collect()}
+    assert got == expect
