@@ -3780,6 +3780,158 @@ GROUP BY 1, 2, 3 ORDER BY 1
 """
 
 
+TRAILING_DAYS = 7  # rolling DAU-window width
+
+
+def window_trailing_distinct(spark, sf_dir):
+    """Trailing 7-day distinct active users per day (rolling WAU) — the
+    metric SQL states as ``COUNT(DISTINCT user_id) OVER (RANGE 6
+    PRECEDING)``, which Spark's window operator cannot express at all
+    (no DISTINCT aggregates over frames) and which is quadratic if
+    faked with a day×events range self-join.
+
+    Scale shape: the interval-delta rewrite. Each distinct (user, day)
+    activity pair is live for days ``[day, min(day+7, next_activity))``
+    — truncating at the user's next activity makes the per-day interval
+    count EQUAL the distinct-user count (each user contributes exactly
+    one live interval per day they're active in the window). The pair
+    table emits two delta rows (+1 open, −1 close), deltas fold per day
+    (map-side combinable), and the running total is a prefix sum over
+    the DAY-GRAIN table only — metadata-scale, like the skyline's
+    grouped window; the per-user lead() window is bounded by one user's
+    activity. The fact table is never range-joined or re-scanned per
+    day. The DuckDB oracle IS the quadratic definition (days × events
+    range join with a real COUNT(DISTINCT)) — equality proves the
+    rewrite.
+
+    Reference parity: none (the reference has no analytics surface);
+    SURVEY §2.2 window-function family."""
+    w = TRAILING_DAYS
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000)).cast("long").alias("day"),
+        "user_id")
+    pairs = ev.groupBy("user_id", "day").agg(F.count("*").alias("_n"))
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    iv = (pairs.withColumn("nxt", F.lead("day").over(w_u))
+          .withColumn("close", F.least(F.col("day") + w,
+                                       F.coalesce(F.col("nxt"),
+                                                  F.lit(1 << 62)))))
+    deltas = (iv.select(F.col("day").alias("d"), F.lit(1).alias("delta"))
+              .unionAll(iv.select(F.col("close").alias("d"),
+                                  F.lit(-1).alias("delta"))))
+    agg = deltas.groupBy("d").agg(F.sum("delta").alias("dd"))
+    days = (ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+            .select(F.explode(F.sequence("lo", "hi")).alias("day")))
+    w_d = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (days.join(agg, days.day == agg.d, "left")
+            .select("day", F.coalesce("dd", F.lit(0)).alias("dd"))
+            .select("day", F.sum("dd").over(w_d)
+                    .cast("long").alias("trailing_users"))
+            .orderBy("day"))
+
+
+def window_trailing_distinct_sql():
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+), days AS (
+  SELECT unnest(range((SELECT min(day) FROM ev),
+                      (SELECT max(day) FROM ev) + 1)) AS day
+)
+SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS trailing_users
+FROM days d LEFT JOIN ev e
+  ON e.day BETWEEN d.day - {TRAILING_DAYS - 1} AND d.day
+GROUP BY 1 ORDER BY 1
+"""
+
+
+IVM_BATCHES = 3
+
+
+def cdc_ivm_join_deltas(spark, sf_dir):
+    """Incremental view maintenance for a JOIN view — the companion to
+    the aggregate IVM (`streaming/stateful.retract_deltas`): the view
+    V = orders ⋈ lineitem is maintained across ``IVM_BATCHES``
+    insert batches by the standard delta decomposition
+
+        dV_b = dA_b ⋈ B_{<b}  ∪  A_{<b} ⋈ dB_b  ∪  dA_b ⋈ dB_b
+
+    (each new pair appears in exactly one term of exactly one batch:
+    the one where its LATER side arrives). Batches are md5-derived so
+    both engines agree on membership. The registered entry materializes
+    every batch's three delta terms as genuinely FILTERED joins — each
+    join's inputs are the delta (1/IVM_BATCHES of the table) and the
+    prior prefix, with the batch predicate pushed into the scan — then
+    unions all deltas and aggregates per (ba, bb) cell, so the oracle's
+    one-shot join ⋈ GROUP BY proves the decomposition is disjoint AND
+    complete cell-by-cell.
+
+    Scale shape: per-batch cost ∝ |delta| · join selectivity, exactly
+    the foreachBatch IVM contract; the prefix side is read through the
+    same pushed predicate, never materialized to the driver. Updates/
+    deletes extend the same algebra with ±1 weights (z-sets) — the
+    repo's retraction machinery (`cdc_retract_agg`) already carries
+    those through aggregates.
+
+    Reference parity: the reference hands transactions to a callback
+    and leaves downstream views to the consumer; this is that consumer
+    done Spark-first."""
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 12), 16, 10)  # noqa: E731
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (h(F.col("o_orderkey").cast("string")).cast("long") %
+         IVM_BATCHES).alias("ba"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (h(F.concat_ws("-", "l_orderkey", "l_linenumber")).cast("long") %
+         IVM_BATCHES).alias("bb"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qq"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"))
+    deltas = []
+    for b in range(IVM_BATCHES):
+        dA = o.where(F.col("ba") == b)
+        dB = li.where(F.col("bb") == b)
+        if b > 0:
+            deltas.append(dA.join(li.where(F.col("bb") < b),
+                                  o.o_orderkey == li.l_orderkey))
+            deltas.append(o.where(F.col("ba") < b)
+                          .join(dB, o.o_orderkey == li.l_orderkey))
+        deltas.append(dA.join(dB, o.o_orderkey == li.l_orderkey))
+    view = deltas[0]
+    for d in deltas[1:]:
+        view = view.unionByName(d)
+    return (view.groupBy("ba", "bb")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("qq").alias("sum_qty_q"),
+                 F.sum("pc").alias("sum_price_cents"))
+            .orderBy("ba", "bb"))
+
+
+def cdc_ivm_join_deltas_sql():
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+           % {IVM_BATCHES} AS ba
+  FROM orders
+), l AS (
+  SELECT l_orderkey,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                             CAST(l_linenumber AS VARCHAR)), 1, 12))::BIGINT
+           % {IVM_BATCHES} AS bb,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+)
+SELECT ba, bb, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(qq) AS BIGINT) AS sum_qty_q,
+       CAST(sum(pc) AS BIGINT) AS sum_price_cents
+FROM o JOIN l ON o_orderkey = l_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -3926,6 +4078,8 @@ QUERIES = {
     "sql_skyline_orders": sql_skyline_orders,
     "mm_shard_packing": mm_shard_packing,
     "text_inverted_postings": text_inverted_postings,
+    "window_trailing_distinct": window_trailing_distinct,
+    "cdc_ivm_join_deltas": cdc_ivm_join_deltas,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -4130,6 +4284,8 @@ ORACLES = {
     "sql_skyline_orders": sql_skyline_orders_sql(),
     "mm_shard_packing": mm_shard_packing_sql(),
     "text_inverted_postings": text_inverted_postings_sql(),
+    "window_trailing_distinct": window_trailing_distinct_sql(),
+    "cdc_ivm_join_deltas": cdc_ivm_join_deltas_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path

@@ -565,3 +565,31 @@ def test_inverted_postings_no_window(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert _n_nodes(plan, "Window") == 0, plan
     assert plans.has_partial_aggregate(df), plan
+
+
+def test_trailing_distinct_windows_bounded(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a trailing frame is rewritten to interval
+    deltas: one per-user lead window plus one prefix sum over the
+    day-grain table — never a day x events range join."""
+    from binlog_spark.queries import window_trailing_distinct
+
+    df = window_trailing_distinct(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 2, plan
+    assert plans.has_partial_aggregate(df), plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_ivm_join_deltas_filtered_per_batch(spark, sf_dir):
+    """Every delta term joins FILTERED inputs — the batch predicates
+    reach the parquet scans (pushdown), there are 7 separate joins
+    (1 + 3x2 across 3 batches), and no cartesian anywhere."""
+    from binlog_spark.queries import cdc_ivm_join_deltas
+
+    df = cdc_ivm_join_deltas(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    joins = sum(_n_nodes(plan, j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 7, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plans.has_partial_aggregate(df), plan

@@ -618,3 +618,80 @@ def test_inverted_postings_topk_and_ties(spark):
         got = {r["term"]: (r["df"], r["total_tf"], r["postings"])
                for r in text_inverted_postings(spark, d).collect()}
     assert got == expect
+
+
+def test_trailing_distinct_matches_bruteforce(spark):
+    """Interval-delta rolling distinct equals the quadratic definition,
+    covering re-activity inside the window (no double count), gaps
+    longer than the window (count decays to 0), and empty middle days
+    (still reported, with the carried count)."""
+    import os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import (TRAILING_DAYS,
+                                      window_trailing_distinct)
+
+    acts = [(1, 0), (1, 2), (1, 3), (2, 0), (2, 20), (3, 5), (3, 5),
+            (4, 0), (4, 6), (4, 7), (4, 14), (5, 22)]
+    days_lo, days_hi = 0, 22
+    expect = {}
+    for d in range(days_lo, days_hi + 1):
+        expect[d] = len({u for u, ad in acts
+                         if d - TRAILING_DAYS < ad <= d})
+
+    def ts(dd):
+        return datetime.fromtimestamp(1_700_000_000 + dd * 86400,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(i, ts(ad), u, "view", 0.0)
+            for i, (u, ad) in enumerate(acts)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        base = 1_700_000_000 // 86400
+        got = {r["day"] - base: r["trailing_users"]
+               for r in window_trailing_distinct(spark, d).collect()}
+    assert got == expect
+
+
+def test_ivm_join_deltas_match_oneshot_join(spark):
+    """The 3-batch delta decomposition reproduces the one-shot join
+    exactly: multi-batch orders, lineitems spread across all batches,
+    childless orders dropped, and no pair double-counted (disjoint
+    terms) or missed (complete cover)."""
+    import os, tempfile
+    from binlog_spark.queries import cdc_ivm_join_deltas
+
+    orders = [(k, 1, "O", 10.0, None, "x") for k in range(40)]
+    lines = []
+    for k in range(40):
+        for ln in range(1, (k % 4) + 1):  # k%4==0 -> childless order
+            lines.append((k, ln, float(ln), 100.0 + k))
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string")
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber long, l_quantity double, "
+               "l_extendedprice double")
+    with tempfile.TemporaryDirectory() as d:
+        odf.write.parquet(os.path.join(d, "orders.parquet"))
+        ldf.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {(r["ba"], r["bb"]): (r["n_pairs"], r["sum_qty_q"],
+                                    r["sum_price_cents"])
+               for r in cdc_ivm_join_deltas(spark, d).collect()}
+    # brute-force one-shot join with the same md5 batches
+    import hashlib
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % 3
+
+    expect = {}
+    for k, ln, q, p in lines:
+        ba, bb = bucket(str(k)), bucket(f"{k}-{ln}")
+        n, sq, sp = expect.get((ba, bb), (0, 0, 0))
+        expect[(ba, bb)] = (n + 1, sq + round(q * 100),
+                            sp + round(p * 100))
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(lines)
