@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import genlog, pipeline
-from .operators import (dedup, graph, lake_layout, multimodal, sampling,
-                        similarity, textstats, tokenizer)
+from .operators import (dedup, graph, lake_layout, multimodal, ranking,
+                        sampling, similarity, textstats, tokenizer)
 from .operators.lww import lww_latest
 from .operators.merge import LakeTable
 
@@ -3932,6 +3932,144 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def lake_overlap_depth(spark, sf_dir):
+    """Zone-map overlap depth — for every commit file, how many OTHER
+    files' [min, max] key ranges overlap its own, reported as a
+    depth histogram. This is Delta/Iceberg's "clustering depth": the
+    number that tells a table-maintenance planner when Z-order/
+    re-clustering has decayed (depth ≈ 0 ⇒ every predicate prunes to
+    ~1 file; depth ≈ |files| ⇒ zone maps are useless). Complements
+    `lake_minmax_prune_stats` (which prices a predicate bank) by
+    pricing the LAYOUT itself.
+
+    Scale shape: the classic O(F²) interval self-join collapses to
+    merge-rank arithmetic on the file-stats table (|rows|/64 — still
+    1.5e8 rows at 10^10 events, so no single-partition window is
+    allowed): overlap(a) = |{fmin ≤ a.fmax}| − |{fmax < a.fmin}| − 1.
+    Both counts come from ranking a union of boundary points with the
+    shared two-level `global_rank` (repartitionByRange + per-range
+    row_number + broadcast prefix — `operators/ranking.py`), probe
+    ranks subtracted out; tie kinds are ordered so equal boundaries
+    count as overlap, matching the closed-interval oracle. The DuckDB
+    oracle IS the quadratic LEFT self-join — equality proves the
+    rewrite.
+
+    Reference parity: none; lake-maintenance family (SURVEY §2.3)."""
+    stats = (_t(spark, sf_dir, "events")
+             .select(F.expr(f"event_id div {lake_layout.FILE_EVENTS}")
+                     .alias("file_id"),
+                     F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("e"))
+             .groupBy("file_id")
+             .agg(F.min("e").alias("fmin"), F.max("e").alias("fmax")))
+
+    def merge_count(probes, points, probe_first):
+        """For each probe row: # of point rows strictly/weakly before
+        it — rank in the union minus rank among probes alone.
+        probe_first=True ⇒ ties do NOT count (strict <);
+        probe_first=False ⇒ ties count (≤)."""
+        pk, tk = (0, 1) if probe_first else (1, 0)
+        u = (probes.select("v", F.lit(pk).alias("kind"),
+                           F.col("file_id").alias("fid"))
+             .unionByName(points.select(
+                 "v", F.lit(tk).alias("kind"),
+                 (F.col("file_id") + F.lit(1 << 32)).alias("fid"))))
+        p = ranking.global_rank(u, ["v", "kind", "fid"], out_col="p")
+        q = ranking.global_rank(probes.select("v", "file_id"),
+                                ["v", "file_id"], out_col="q")
+        return (p.where(F.col("kind") == pk)
+                .withColumn("file_id", F.col("fid"))
+                .join(q.withColumnRenamed("v", "_qv"),
+                      "file_id")
+                .select("file_id", (F.col("p") - F.col("q")).alias("n")))
+
+    # |{fmax < a.fmin}|: probes = fmin, points = fmax, strict
+    ends_before = merge_count(
+        stats.select(F.col("fmin").alias("v"), "file_id"),
+        stats.select(F.col("fmax").alias("v"), "file_id"),
+        probe_first=True).withColumnRenamed("n", "nb")
+    # |{fmin <= a.fmax}|: probes = fmax, points = fmin, weak
+    starts_le = merge_count(
+        stats.select(F.col("fmax").alias("v"), "file_id"),
+        stats.select(F.col("fmin").alias("v"), "file_id"),
+        probe_first=False).withColumnRenamed("n", "nle")
+    depth = (ends_before.join(starts_le, "file_id")
+             .select((F.col("nle") - F.col("nb") - 1).alias("depth")))
+    return (depth.groupBy("depth").agg(F.count("*").alias("n_files"))
+            .orderBy("depth"))
+
+
+def lake_overlap_depth_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    return f"""
+WITH st AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id,
+         min(epoch_us(ts)) AS fmin, max(epoch_us(ts)) AS fmax
+  FROM events GROUP BY 1
+), d AS (
+  SELECT a.file_id, count(b.file_id) AS depth
+  FROM st a LEFT JOIN st b
+    ON b.fmin <= a.fmax AND b.fmax >= a.fmin
+   AND a.file_id <> b.file_id
+  GROUP BY 1
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_files
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior — per
+    (previous event type → current event type): transition count and
+    the row-normalized probability quantized to 1e-6. Degenerate
+    transition rows (one dominant outgoing edge) are the classic
+    bot/templated-traffic fingerprint used when curating interaction
+    logs for training.
+
+    Scale shape: one per-user lag window ordered by (ts, event_id) —
+    bounded by a single user's history, the same exchange the
+    sessionizer uses — then a map-side-combinable (prev, cur) count;
+    the per-prev totals live on an |event types|²-bounded frame, so the
+    normalization join is metadata-scale. The quantized probability is
+    an exact BIGINT division, bit-identical across engines.
+
+    Reference parity: none (no analytics surface in the reference);
+    SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    tr = (ev.withColumn("prev", F.lag("event_type").over(w))
+          .where(F.col("prev").isNotNull()))
+    cnt = (tr.groupBy("prev", F.col("event_type").alias("cur"))
+           .agg(F.count("*").alias("n_trans")))
+    tot = cnt.groupBy("prev").agg(F.sum("n_trans").alias("ft"))
+    return (cnt.join(tot, "prev")
+            .select("prev", "cur", "n_trans",
+                    F.expr("n_trans * 1000000 div ft").alias("prob_q"))
+            .orderBy("prev", "cur"))
+
+
+def window_markov_transitions_sql():
+    return """
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev,
+         event_type AS cur
+  FROM events
+), cnt AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_trans
+  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT prev, sum(n_trans) AS ft FROM cnt GROUP BY 1
+)
+SELECT c.prev, c.cur, c.n_trans,
+       CAST(c.n_trans * 1000000 // t.ft AS BIGINT) AS prob_q
+FROM cnt c JOIN tot t USING (prev)
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -4080,6 +4218,8 @@ QUERIES = {
     "text_inverted_postings": text_inverted_postings,
     "window_trailing_distinct": window_trailing_distinct,
     "cdc_ivm_join_deltas": cdc_ivm_join_deltas,
+    "window_markov_transitions": window_markov_transitions,
+    "lake_overlap_depth": lake_overlap_depth,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -4286,6 +4426,8 @@ ORACLES = {
     "text_inverted_postings": text_inverted_postings_sql(),
     "window_trailing_distinct": window_trailing_distinct_sql(),
     "cdc_ivm_join_deltas": cdc_ivm_join_deltas_sql(),
+    "window_markov_transitions": window_markov_transitions_sql(),
+    "lake_overlap_depth": lake_overlap_depth_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path

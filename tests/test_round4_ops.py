@@ -695,3 +695,84 @@ def test_ivm_join_deltas_match_oneshot_join(spark):
                             sp + round(p * 100))
     assert got == expect
     assert sum(v[0] for v in got.values()) == len(lines)
+
+
+def test_markov_transitions_bruteforce(spark):
+    """Transition counts and quantized row probabilities equal the
+    sequential definition, including ts ties broken by event_id and
+    single-event users contributing nothing."""
+    import os, tempfile
+    from collections import Counter
+    from datetime import datetime, timezone
+    from binlog_spark.queries import window_markov_transitions
+
+    seqs = {1: ["a", "b", "a", "b", "c"], 2: ["b", "b", "b"],
+            3: ["c"], 4: ["a", "c", "a", "c"]}
+    rows, eid = [], 0
+    for u, seq in seqs.items():
+        for i, t in enumerate(seq):
+            sec = 1_700_000_000 + (0 if u == 2 else i * 60)  # u2: ts ties
+            rows.append((eid, datetime.fromtimestamp(
+                sec, tz=timezone.utc).replace(tzinfo=None), u, t, 0.0))
+            eid += 1
+
+    cnt = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    tot = Counter()
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    expect = {(a, b): (n, n * 1_000_000 // tot[a])
+              for (a, b), n in cnt.items()}
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {(r["prev"], r["cur"]): (r["n_trans"], r["prob_q"])
+               for r in window_markov_transitions(spark, d).collect()}
+    assert got == expect
+
+
+def test_overlap_depth_matches_quadratic(spark):
+    """Merge-rank overlap depth equals the O(F^2) definition on a
+    layout with nested, disjoint, touching (boundary-equal) and
+    identical intervals."""
+    import os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.operators.lake_layout import FILE_EVENTS
+    from binlog_spark.queries import lake_overlap_depth
+
+    # per-file (min_sec, max_sec): 0:[0,10] 1:[5,7] nested, 2:[10,12]
+    # touches 0, 3:[20,25] disjoint, 4:[20,25] identical to 3,
+    # 5:[26,40] touches nothing, 6:[0,40] spans everything
+    spans = [(0, 10), (5, 7), (10, 12), (20, 25), (20, 25), (26, 40),
+             (0, 40)]
+    expect_depth = {}
+    for i, (a, b) in enumerate(spans):
+        d = sum(1 for j, (c, e) in enumerate(spans)
+                if j != i and c <= b and e >= a)
+        expect_depth[i] = d
+    expect = {}
+    for d in expect_depth.values():
+        expect[d] = expect.get(d, 0) + 1
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = []
+    for i, (a, b) in enumerate(spans):
+        base = i * FILE_EVENTS
+        rows.append((base, ts(a), 1, "view", 0.0))
+        rows.append((base + 1, ts(b), 1, "view", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["depth"]: r["n_files"]
+               for r in lake_overlap_depth(spark, d).collect()}
+    assert got == expect
