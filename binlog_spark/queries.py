@@ -3932,6 +3932,154 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+DRIFT_BUCKETS = 16
+
+
+def drift_value_histogram(spark, sf_dir):
+    """Distribution-drift gate between two halves of the event stream
+    (md5-split — standing in for "yesterday's batch vs today's"): the
+    `value` distribution is bucketed on shared equi-width edges and each
+    bucket reports both halves' quantized probabilities plus its total-
+    variation and chi-squared contributions. This is the data-drift
+    check an ML-ops pipeline runs before admitting a new ingest batch
+    into a training mix (PSI's integer-exact cousins: TVD needs no
+    logarithm, chi-squared no float division).
+
+    Scale shape: ONE map-side-combinable groupBy(half, bucket) over the
+    stream; the global value bounds come from a single-row aggregate
+    broadcast into the bucketing expression; per-half totals live on
+    the 2-row frame. All contributions are exact BIGINT arithmetic
+    (values quantized to 1e-6, probabilities to 1e-6, chi-squared via
+    integer cross-multiplication), so both engines emit bit-identical
+    rows in any summation order.
+
+    Reference parity: none; LLM-pipeline QA surface per the brief."""
+    b = DRIFT_BUCKETS
+    ev = _t(spark, sf_dir, "events").select(
+        (F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+                16, 10).cast("long") % 2).alias("half"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    g = ev.agg(F.min("vq").alias("gmin"),
+               (F.max("vq") + 1).alias("gend"))
+    bucketed = (ev.crossJoin(F.broadcast(g))
+                .select("half",
+                        F.expr(f"(vq - gmin) * {b} div (gend - gmin)")
+                        .alias("bucket")))
+    cnt = bucketed.groupBy("half", "bucket").agg(
+        F.count("*").alias("n"))
+    tot = cnt.groupBy("half").agg(F.sum("n").alias("nt"))
+    probs = (cnt.join(tot, "half")
+             .select("bucket", "half",
+                     F.expr("n * 1000000 div nt").alias("p"), "n"))
+    ref = (probs.where(F.col("half") == 0)
+           .select("bucket", F.col("p").alias("p_ref"),
+                   F.col("n").alias("n_ref")))
+    cur = (probs.where(F.col("half") == 1)
+           .select("bucket", F.col("p").alias("p_cur"),
+                   F.col("n").alias("n_cur")))
+    j = ref.join(cur, "bucket", "full").na.fill(0)
+    return (j.select(
+        "bucket", "n_ref", "n_cur", "p_ref", "p_cur",
+        F.abs(F.col("p_ref") - F.col("p_cur")).alias("tvd_contrib_q"),
+        F.when(F.col("p_ref") > 0,
+               F.expr("(p_cur - p_ref) * (p_cur - p_ref) * 1000000 "
+                      "div p_ref"))
+        .otherwise(F.lit(-1)).alias("chi2_contrib_q"))
+        .orderBy("bucket"))
+
+
+def drift_value_histogram_sql():
+    return f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           % 2 AS half,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), g AS (SELECT min(vq) AS gmin, max(vq) + 1 AS gend FROM ev),
+cnt AS (
+  SELECT half, (vq - gmin) * {DRIFT_BUCKETS} // (gend - gmin) AS bucket,
+         count(*) AS n
+  FROM ev CROSS JOIN g GROUP BY 1, 2
+), tot AS (SELECT half, sum(n) AS nt FROM cnt GROUP BY 1),
+probs AS (
+  SELECT bucket, half, n * 1000000 // nt AS p, n
+  FROM cnt JOIN tot USING (half)
+), j AS (
+  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+         coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur,
+         coalesce(r.p, 0) AS p_ref, coalesce(c.p, 0) AS p_cur
+  FROM (SELECT * FROM probs WHERE half = 0) r
+  FULL JOIN (SELECT * FROM probs WHERE half = 1) c USING (bucket)
+)
+SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(p_ref AS BIGINT) AS p_ref, CAST(p_cur AS BIGINT) AS p_cur,
+       CAST(abs(p_ref - p_cur) AS BIGINT) AS tvd_contrib_q,
+       CAST(CASE WHEN p_ref > 0
+                 THEN (p_cur - p_ref) * (p_cur - p_ref) * 1000000
+                      // p_ref
+                 ELSE -1 END AS BIGINT) AS chi2_contrib_q
+FROM j ORDER BY bucket
+"""
+
+
+DECAY_HALFLIFE_S = 86_400  # one-day half-life
+DECAY_MAX_K = 40           # weights below 2^-40 round to zero
+
+
+def agg_decayed_counts(spark, sf_dir):
+    """Half-life-decayed event popularity — per event type, the
+    exponentially-decayed count at the stream's high watermark T:
+    weight(t) = 2^-((T - t) div h) with a one-day half-life. The
+    streaming-popularity primitive (trending topics, hot-key detection)
+    whose decayed counter merges associatively — unlike a sliding
+    window it never needs the raw history.
+
+    Scale shape: weights are EXACT dyadic integers — scaled by 2^40,
+    weight = 1 << (40 - k) for k = (T - t) div h, zero beyond 40
+    half-lives — so the distributed sum is order-free-identical on any
+    partitioning; T is a single-row aggregate broadcast into the map
+    stage; one combinable groupBy(event_type).
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", us.alias("e"))
+    t_hi = ev.agg(F.max("e").alias("t_hi"))
+    h_us = DECAY_HALFLIFE_S * 1_000_000
+    w = F.expr(
+        f"CASE WHEN (t_hi - e) div {h_us} <= {DECAY_MAX_K} "
+        f"THEN shiftleft(cast(1 as bigint), cast({DECAY_MAX_K} "
+        f"- (t_hi - e) div {h_us} as int)) "
+        f"ELSE cast(0 as bigint) END")
+    return (ev.crossJoin(F.broadcast(t_hi))
+            .select("event_type", w.alias("w"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("w").alias("decayed_q40"))
+            .orderBy("event_type"))
+
+
+def agg_decayed_counts_sql():
+    h_us = DECAY_HALFLIFE_S * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS e FROM events
+), t AS (SELECT max(e) AS t_hi FROM ev),
+w AS (
+  SELECT event_type,
+         CASE WHEN (t_hi - e) // {h_us} <= {DECAY_MAX_K}
+              THEN (1::BIGINT << ({DECAY_MAX_K} -
+                                  (t_hi - e) // {h_us}))
+              ELSE 0 END AS w
+  FROM ev CROSS JOIN t
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(w) AS BIGINT) AS decayed_q40
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def lake_overlap_depth(spark, sf_dir):
     """Zone-map overlap depth — for every commit file, how many OTHER
     files' [min, max] key ranges overlap its own, reported as a
@@ -4220,6 +4368,8 @@ QUERIES = {
     "cdc_ivm_join_deltas": cdc_ivm_join_deltas,
     "window_markov_transitions": window_markov_transitions,
     "lake_overlap_depth": lake_overlap_depth,
+    "drift_value_histogram": drift_value_histogram,
+    "agg_decayed_counts": agg_decayed_counts,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -4428,6 +4578,8 @@ ORACLES = {
     "cdc_ivm_join_deltas": cdc_ivm_join_deltas_sql(),
     "window_markov_transitions": window_markov_transitions_sql(),
     "lake_overlap_depth": lake_overlap_depth_sql(),
+    "drift_value_histogram": drift_value_histogram_sql(),
+    "agg_decayed_counts": agg_decayed_counts_sql(),
     "sim_kmeans_assign": similarity.kmeans_assign_sql(),
     # the blocked-BLAS kernel must land on the SAME oracle arithmetic as
     # the loop kernel (exact refine) — k=96 exercises the fast path

@@ -776,3 +776,73 @@ def test_overlap_depth_matches_quadratic(spark):
         got = {r["depth"]: r["n_files"]
                for r in lake_overlap_depth(spark, d).collect()}
     assert got == expect
+
+
+def test_decayed_counts_dyadic_weights(spark):
+    """Weights are exact dyadic integers: events at 0/1/2 half-lives
+    before the watermark weigh 2^40/2^39/2^38; beyond DECAY_MAX_K
+    half-lives the weight is exactly 0."""
+    import os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import (DECAY_HALFLIFE_S, DECAY_MAX_K,
+                                      agg_decayed_counts)
+
+    T = 1_700_000_000
+    offs = {"a": [0, DECAY_HALFLIFE_S, 2 * DECAY_HALFLIFE_S],
+            "b": [0, (DECAY_MAX_K + 1) * DECAY_HALFLIFE_S],
+            "c": [DECAY_HALFLIFE_S // 2]}  # k=0 -> full weight
+    expect = {"a": (3, (1 << 40) + (1 << 39) + (1 << 38)),
+              "b": (2, (1 << 40) + 0),
+              "c": (1, 1 << 40)}
+
+    rows, eid = [], 0
+    for t, ds in offs.items():
+        for d in ds:
+            rows.append((eid, datetime.fromtimestamp(
+                T - d, tz=timezone.utc).replace(tzinfo=None), 1, t, 0.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["event_type"]: (r["n_events"], r["decayed_q40"])
+               for r in agg_decayed_counts(spark, d).collect()}
+    assert got == expect
+
+
+def test_drift_histogram_contributions(spark):
+    """TVD/chi-squared contributions are exact integers; a bucket
+    populated only in the current half carries the -1 chi-squared
+    sentinel; per-half quantized probabilities sum to ~1e6."""
+    import hashlib, os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import DRIFT_BUCKETS, drift_value_histogram
+
+    rows = []
+    for eid in range(400):
+        half = int(hashlib.md5(str(eid).encode()).hexdigest()[:12],
+                   16) % 2
+        # ref half: values 0..9; cur half: values 6..15 (shifted)
+        v = (eid % 10) + (6 if half else 0)
+        rows.append((eid, datetime.fromtimestamp(
+            1_700_000_000, tz=timezone.utc).replace(tzinfo=None),
+            1, "view", float(v)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = drift_value_histogram(spark, d).collect()
+
+    assert sum(r["p_ref"] for r in out) <= 1_000_000
+    assert sum(r["p_ref"] for r in out) > 1_000_000 - DRIFT_BUCKETS
+    for r in out:
+        if r["n_ref"] == 0 and r["n_cur"] > 0:
+            assert r["chi2_contrib_q"] == -1
+            assert r["tvd_contrib_q"] == r["p_cur"]
+        if r["n_ref"] > 0:
+            assert r["chi2_contrib_q"] == ((r["p_cur"] - r["p_ref"]) ** 2
+                                           * 1_000_000 // r["p_ref"])
+    assert any(r["n_ref"] == 0 and r["n_cur"] > 0 for r in out)
+    assert any(r["n_cur"] == 0 and r["n_ref"] > 0 for r in out)
