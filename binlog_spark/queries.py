@@ -4109,7 +4109,11 @@ def lake_overlap_depth(spark, sf_dir):
                      F.unix_micros(F.col("ts").cast("timestamp"))
                      .alias("e"))
              .groupBy("file_id")
-             .agg(F.min("e").alias("fmin"), F.max("e").alias("fmax")))
+             .agg(F.min("e").alias("fmin"), F.max("e").alias("fmax"))
+             # six rank/join branches reuse the stats table below;
+             # checkpointing caps the expensive part — the fact-table
+             # scan + per-file fold — at exactly ONE execution
+             .localCheckpoint(eager=False))
 
     def merge_count(probes, points, probe_first):
         """For each probe row: # of point rows strictly/weakly before
