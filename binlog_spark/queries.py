@@ -3346,13 +3346,18 @@ def graph_triangle_count(spark, sf_dir):
             for j in range(3)]
     raw = docs.select(F.col("doc_id").alias("a"),
                       F.explode(F.array(*dsts)).alias("b"))
+    # und/deg/o each feed several downstream branches; checkpointing
+    # caps the edge materialization + degree fold at ONE execution
+    # (the Suri-Vassilvitskii rounds assume a materialized edge list)
     und = (raw.where(F.col("a") != F.col("b"))
            .select(F.least("a", "b").alias("u"),
                    F.greatest("a", "b").alias("v"))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=False))
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("deg")))
+           .groupBy("node").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
     e = (und.join(deg.select(F.col("node").alias("u"),
                              F.col("deg").alias("du")), "u")
          .join(deg.select(F.col("node").alias("v"),
@@ -3362,7 +3367,8 @@ def graph_triangle_count(spark, sf_dir):
     o = e.select(
         F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("ddeg"))
+        F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("ddeg")
+    ).localCheckpoint(eager=False)
     e1, e2 = o.alias("e1"), o.alias("e2")
     lower1 = ((F.col("e1.ddeg") < F.col("e2.ddeg")) |
               ((F.col("e1.ddeg") == F.col("e2.ddeg")) &
