@@ -846,3 +846,81 @@ def test_drift_histogram_contributions(spark):
                                            * 1_000_000 // r["p_ref"])
     assert any(r["n_ref"] == 0 and r["n_cur"] > 0 for r in out)
     assert any(r["n_cur"] == 0 and r["n_ref"] > 0 for r in out)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [11, 23, 47])
+def test_trailing_distinct_randomized(spark, seed):
+    """Seeded random activity sets vs the quadratic definition —
+    regression net for the interval-delta rewrite's tie logic."""
+    import hashlib, os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.queries import (TRAILING_DAYS,
+                                      window_trailing_distinct)
+
+    acts = set()
+    for i in range(120):
+        h = hashlib.md5(f"{seed}-{i}".encode()).hexdigest()
+        acts.add((int(h[:4], 16) % 9 + 1, int(h[4:8], 16) % 25))
+    acts = sorted(acts)
+    lo = min(d for _, d in acts)
+    hi = max(d for _, d in acts)
+    expect = {d: len({u for u, ad in acts
+                      if d - TRAILING_DAYS < ad <= d})
+              for d in range(lo, hi + 1)}
+
+    rows = [(i, datetime.fromtimestamp(
+        1_700_000_000 + ad * 86400,
+        tz=timezone.utc).replace(tzinfo=None), u, "view", 0.0)
+        for i, (u, ad) in enumerate(acts)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    base = 1_700_000_000 // 86400
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["day"] - base: r["trailing_users"]
+               for r in window_trailing_distinct(spark, d).collect()}
+    assert got == expect
+    assert min(got) == lo and max(got) == hi
+
+
+@_pytest.mark.parametrize("seed", [5, 19])
+def test_overlap_depth_randomized(spark, seed):
+    """Seeded random interval layouts vs the quadratic definition —
+    regression net for the merge-rank boundary/tie arithmetic."""
+    import hashlib, os, tempfile
+    from datetime import datetime, timezone
+    from binlog_spark.operators.lake_layout import FILE_EVENTS
+    from binlog_spark.queries import lake_overlap_depth
+
+    spans = []
+    for i in range(25):
+        h = hashlib.md5(f"{seed}-{i}".encode()).hexdigest()
+        a = int(h[:4], 16) % 50
+        b = a + int(h[4:8], 16) % 12
+        spans.append((a, b))
+    expect = {}
+    for i, (a, b) in enumerate(spans):
+        d = sum(1 for j, (c, e) in enumerate(spans)
+                if j != i and c <= b and e >= a)
+        expect[d] = expect.get(d, 0) + 1
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = []
+    for i, (a, b) in enumerate(spans):
+        rows.append((i * FILE_EVENTS, ts(a), 1, "view", 0.0))
+        rows.append((i * FILE_EVENTS + 1, ts(b), 1, "view", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["depth"]: r["n_files"]
+               for r in lake_overlap_depth(spark, d).collect()}
+    assert got == expect
