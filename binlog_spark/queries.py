@@ -4423,6 +4423,210 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+HH_K = 64         # Misra-Gries counters per partition
+HH_SHARE_DEN = 8  # heavy = frequency strictly above 1/8 of the stream
+
+
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters via mergeable Misra–Gries summaries + one
+    verification pass — the distributed answer to "which keys exceed
+    1/8 of the stream" when the key domain is too large to groupBy
+    whole: per-partition MG summaries (state = 64 counters, not
+    |keys|), merged lower bounds select a PROVABLE superset of the
+    true heavy hitters (error ≤ N/(k+1) < N/8), and a broadcast
+    semi-join re-counts only the candidates exactly. The key here is
+    the exponentially-sized `floor(log2(user_id+1))` bucket so the
+    gate is non-degenerate on the uniform synthetic ids at every SF.
+
+    Scale shape: pass 1 is a mapInPandas fold with bounded state plus
+    a candidate-set merge over ≤ 64 × n_partitions rows; pass 2
+    shuffles only candidate keys (broadcast join prunes the rest
+    map-side). The oracle is the plain GROUP BY + HAVING — equality
+    proves the sketch+verify rewrite, not just the sketch.
+
+    Reference parity: none; SURVEY §2.2 sketch family
+    (`operators/folds.py::misra_gries_partials`)."""
+    from .operators.folds import misra_gries_partials
+    key = (F.length(F.expr("bin(user_id + 1)")) - 1).cast("long")
+    ev = _t(spark, sf_dir, "events").select(key.alias("key_bucket"))
+    g = ev.agg(F.count("*").alias("n_total"))
+    merged = (misra_gries_partials(ev, "key_bucket", k=HH_K)
+              .groupBy("key_bucket").agg(F.sum("lb").alias("lbs")))
+    # candidate iff lbs >= threshold - max_total_error, all integer:
+    # threshold = N div 8 + 1, error bound = ceil(N / (k+1))
+    cand = (merged.crossJoin(F.broadcast(g))
+            .where(F.col("lbs")
+                   >= F.expr(f"n_total div {HH_SHARE_DEN} + 1 "
+                             f"- (n_total + {HH_K}) div {HH_K + 1}"))
+            .select("key_bucket"))
+    exact = (ev.join(F.broadcast(cand), "key_bucket")
+             .groupBy("key_bucket").agg(F.count("*").alias("cnt")))
+    return (exact.crossJoin(F.broadcast(g))
+            .where(F.col("cnt") * HH_SHARE_DEN > F.col("n_total"))
+            .select("key_bucket", "cnt",
+                    F.expr("cnt * 1000000 div n_total").alias("share_q"))
+            .orderBy("key_bucket"))
+
+
+def agg_heavy_hitters_sql():
+    return f"""
+WITH ev AS (
+  SELECT length(format('{{:b}}', user_id + 1)) - 1 AS key_bucket
+  FROM events
+), n AS (SELECT count(*) AS n_total FROM ev)
+SELECT key_bucket, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) * 1000000 // max(n_total) AS BIGINT) AS share_q
+FROM ev CROSS JOIN n
+GROUP BY 1 HAVING count(*) * {HH_SHARE_DEN} > max(n_total)
+ORDER BY 1
+"""
+
+
+MEDIAN_BUCKETS = 4096
+
+
+def agg_exact_median_2pass(spark, sf_dir):
+    """Exact global median without a global sort — the two-pass order-
+    statistic primitive for values with unbounded domains (where
+    Spark's exact `percentile_disc` value→count state would blow up):
+    pass 1 builds a 4096-bucket equi-width histogram (map-side
+    combinable) whose cumulative counts locate the bucket holding the
+    k-th element; pass 2 ranks ONLY that bucket's rows (two-level
+    `ranking.global_rank`, no single-partition window) and reads the
+    element at the residual offset. Heavily skewed buckets recurse in
+    principle; one level suffices for any distribution where a 1/4096
+    value-slice fits a shuffle.
+
+    The oracle computes the same statistic with DuckDB's
+    `percentile_disc(0.5)` plus the same histogram arithmetic —
+    equality proves the 2-pass rewrite against the engine-native sort.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    b = MEDIAN_BUCKETS
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"),
+        "event_id")
+    g = ev.agg(F.count("*").alias("n"), F.min("vq").alias("gmin"),
+               (F.max("vq") + 1).alias("gend"))
+    bucketed = (ev.crossJoin(F.broadcast(g))
+                .withColumn("bucket",
+                            F.expr(f"(vq - gmin) * {b} div (gend - gmin)")))
+    bcnt = bucketed.groupBy("bucket").agg(F.count("*").alias("nb"))
+    # the histogram is <= 4096 rows: a single-partition cumsum is fine
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    target = (bcnt.withColumn("cum", F.sum("nb").over(w))
+              .crossJoin(F.broadcast(g))
+              .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+              .orderBy("bucket").limit(1)
+              .select(F.col("bucket").alias("bucket_id"),
+                      F.col("nb").alias("bucket_n"),
+                      (F.col("cum") - F.col("nb")).alias("cum_before"),
+                      "n", F.expr("(n + 1) div 2").alias("k_rank"))
+              # the 1-row target feeds three branches; checkpointing it
+              # caps the histogram pass at exactly one execution
+              .localCheckpoint(eager=False))
+    inb = (bucketed.join(F.broadcast(target), F.col("bucket")
+                         == F.col("bucket_id"))
+           .select("vq", "event_id", "cum_before"))
+    ranked = ranking.global_rank(inb, ["vq", "event_id"], out_col="rn")
+    med = (ranked.crossJoin(F.broadcast(target.select("k_rank")))
+           .where(F.col("rn") == F.col("k_rank") - F.col("cum_before"))
+           .select(F.col("vq").alias("median_q")))
+    return (target.select("n", "k_rank", "bucket_id",
+                          F.col("bucket_n").cast("long"))
+            .crossJoin(F.broadcast(med)))
+
+
+def agg_exact_median_2pass_sql():
+    b = MEDIAN_BUCKETS
+    return f"""
+WITH ev AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS vq FROM events
+), g AS (
+  SELECT count(*) AS n, min(vq) AS gmin, max(vq) + 1 AS gend FROM ev
+), bk AS (
+  SELECT (vq - gmin) * {b} // (gend - gmin) AS bucket, count(*) AS nb
+  FROM ev CROSS JOIN g GROUP BY 1
+), c AS (
+  SELECT bucket, nb, sum(nb) OVER (ORDER BY bucket) AS cum FROM bk
+), t AS (
+  SELECT bucket, nb FROM c CROSS JOIN g
+  WHERE cum >= (n + 1) // 2 ORDER BY bucket LIMIT 1
+)
+SELECT (SELECT n FROM g) AS n,
+       (SELECT (n + 1) // 2 FROM g) AS k_rank,
+       t.bucket AS bucket_id, CAST(t.nb AS BIGINT) AS bucket_n,
+       (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vq)
+                    AS BIGINT) FROM ev) AS median_q
+FROM t
+"""
+
+
+def profile_column_stats(spark, sf_dir):
+    """ANALYZE-style column profiling of the orders table — per column:
+    non-null count, null count, exact distinct count, and canonical
+    min/max rendered as strings (integers as-is, money 1e-6-quantized,
+    timestamps as epoch micros — no engine-specific float/date text).
+    The data-quality profile (Deequ/Great-Expectations shape) a
+    pipeline records per ingest batch.
+
+    Scale shape: ONE pass over the fact table — Spark plans the six
+    exact count(DISTINCT)s as a single Expand (×7 row multiplier,
+    map-side partial-agged); the unpivot to per-column rows happens on
+    a one-row frame. For very wide tables the expand multiplier says
+    to swap exact distincts for the HLL sketch (`sketch_hll_estimate`).
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    o = _t(spark, sf_dir, "orders")
+    price_q = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+    date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    cols = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_totalprice_q": price_q,
+        "o_orderdate_us": date_us,
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs, n_rows = [], F.count("*").alias("_n")
+    for name, expr in cols.items():
+        aggs += [F.count(expr).alias(f"nn_{name}"),
+                 F.count_distinct(expr).alias(f"nd_{name}"),
+                 F.min(expr).cast("string").alias(f"mn_{name}"),
+                 F.max(expr).cast("string").alias(f"mx_{name}")]
+    wide = o.agg(n_rows, *aggs)
+    stack = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nonnull, n_distinct, min_val, max_val)",
+        "_n").selectExpr(
+        "col_name", "n_nonnull", "_n - n_nonnull AS n_null",
+        "n_distinct", "min_val", "max_val")
+
+
+def profile_column_stats_sql():
+    branches = []
+    for name, sel in [
+            ("o_orderkey", "o_orderkey"),
+            ("o_custkey", "o_custkey"),
+            ("o_totalprice_q",
+             "CAST(round(o_totalprice * 1000000) AS BIGINT)"),
+            ("o_orderdate_us", "epoch_us(o_orderdate)"),
+            ("o_orderstatus", "o_orderstatus"),
+            ("o_orderpriority", "o_orderpriority")]:
+        branches.append(f"""
+SELECT '{name}' AS col_name, CAST(count(v) AS BIGINT) AS n_nonnull,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(min(v) AS VARCHAR) AS min_val,
+       CAST(max(v) AS VARCHAR) AS max_val
+FROM (SELECT {sel} AS v FROM orders)""")
+    return "\nUNION ALL\n".join(branches)
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -4650,6 +4854,9 @@ QUERIES = {
     "cdc_chunk_checksums": cdc_chunk_checksums,
     "window_activity_streaks": window_activity_streaks,
     "sql_mad_outliers": sql_mad_outliers,
+    "agg_heavy_hitters": agg_heavy_hitters,
+    "agg_exact_median_2pass": agg_exact_median_2pass,
+    "profile_column_stats": profile_column_stats,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -4863,4 +5070,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "cdc_chunk_checksums": cdc_chunk_checksums_sql(),
     "window_activity_streaks": window_activity_streaks_sql(),
     "sql_mad_outliers": sql_mad_outliers_sql(),
+    "agg_heavy_hitters": agg_heavy_hitters_sql(),
+    "agg_exact_median_2pass": agg_exact_median_2pass_sql(),
+    "profile_column_stats": profile_column_stats_sql(),
 }

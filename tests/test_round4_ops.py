@@ -924,3 +924,84 @@ def test_overlap_depth_randomized(spark, seed):
         got = {r["depth"]: r["n_files"]
                for r in lake_overlap_depth(spark, d).collect()}
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_misra_gries_superset_guarantee(spark, seed):
+    """Every key with frequency > n/(k+1) must survive into the merged
+    partials (the mergeable-summaries bound), its merged lower bound
+    must never exceed the true count, and the partial row count must
+    respect the k-per-partition cap — on an adversarially skewed
+    multiset under several partitionings."""
+    import hashlib
+    from collections import Counter
+    from binlog_spark.operators.folds import misra_gries_partials
+
+    # Zipf-ish: key j contributes ~ n / (j+1)^2 copies + hash noise
+    vals = []
+    for j in range(40):
+        h = int(hashlib.md5(f"{seed}-{j}".encode()).hexdigest()[:4], 16)
+        vals += [j] * (2000 // (j + 1) ** 2 + h % 3)
+    # deterministic shuffle (positional, stable under duplicates)
+    vals = [v for _, v in sorted(
+        enumerate(vals),
+        key=lambda iv: hashlib.md5(f"{seed}:{iv[0]}".encode()).hexdigest())]
+    true = Counter(vals)
+    n, k = len(vals), 8
+    df = spark.createDataFrame([(v,) for v in vals], "key_bucket long")
+    for parts in (1, 3, 7):
+        partials = misra_gries_partials(
+            df.repartition(parts), "key_bucket", k=k)
+        rows = partials.collect()
+        assert len(rows) <= k * parts
+        merged = Counter()
+        for r in rows:
+            merged[r["key_bucket"]] += r["lb"]
+        for key, lb in merged.items():
+            assert lb <= true[key], (key, lb, true[key])
+        for key, cnt in true.items():
+            if cnt > n / (k + 1):
+                assert key in merged, (key, cnt, n, parts)
+
+
+def test_heavy_hitters_equals_exact(spark, sf_dir):
+    """The sketch+verify pipeline must equal the plain GROUP BY + HAVING
+    computed engine-side (not just the DuckDB oracle)."""
+    from binlog_spark.queries import agg_heavy_hitters, _t, HH_SHARE_DEN
+
+    got = {(r["key_bucket"], r["cnt"], r["share_q"])
+           for r in agg_heavy_hitters(spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events").select(
+        (F.length(F.expr("bin(user_id + 1)")) - 1).cast("long")
+        .alias("key_bucket"))
+    n = ev.count()
+    exact = {(r["key_bucket"], r["cnt"], r["cnt"] * 1_000_000 // n)
+             for r in ev.groupBy("key_bucket")
+             .agg(F.count("*").alias("cnt")).collect()
+             if r["cnt"] * HH_SHARE_DEN > n}
+    assert got == exact
+
+
+@pytest.mark.parametrize("case", ["skew", "constant", "two"])
+def test_exact_median_2pass_edges(spark, case, tmp_path):
+    """The 2-pass median on degenerate shapes: heavy-tail skew (median
+    bucket crowded), all-equal values (one bucket), two values."""
+    import os
+    from binlog_spark.queries import agg_exact_median_2pass
+
+    if case == "skew":
+        vals = [0.000001 * (i % 7) for i in range(999)] + [9.5]
+    elif case == "constant":
+        vals = [1.25] * 501
+    else:
+        vals = [2.0, 3.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = agg_exact_median_2pass(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    qs = sorted(round(v * 1_000_000) for v in vals)
+    k = (len(vals) + 1) // 2
+    assert r["n"] == len(vals) and r["k_rank"] == k
+    assert r["median_q"] == qs[k - 1]
