@@ -4627,6 +4627,224 @@ FROM (SELECT {sel} AS v FROM orders)""")
     return "\nUNION ALL\n".join(branches)
 
 
+def join_nearest_asof(spark, sf_dir):
+    """Nearest-neighbor as-of join (both directions): each purchase
+    picks the same user's temporally CLOSEST click — before or after —
+    with ties (equal distance) resolved to the earlier click. The
+    sensor-fusion/attribution variant of the backward-only
+    `join_asof_purchase_click`, still ONE union + two frames of the
+    same user-partitioned window (no range self-join, no per-row
+    probe): the backward frame carries the latest click at-or-before,
+    the forward frame the earliest click strictly after, and a
+    three-way CASE picks the smaller |delta|.
+
+    Scale shape: one key shuffle on user_id; both window frames are
+    bounded by a single user's history. Sentinel (-1, 0) keeps
+    click-less purchases in the output without nullable columns.
+
+    Reference parity: none; SURVEY §2.2 join family."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("click", "purchase"))
+    side = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    e = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = base.select(
+        "user_id", e.alias("e"), "event_id", side.alias("side"),
+        F.when(side == 0, e).alias("ce"),
+        F.when(side == 0, F.col("event_id")).alias("cid"))
+    ow = ["e", "side", "event_id"]  # total order; clicks first on ties
+    wb = (Window.partitionBy("user_id").orderBy(*ow)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy(*ow)
+          .rowsBetween(0, Window.unboundedFollowing))
+    cand = (u.withColumn("be", F.last("ce", ignorenulls=True).over(wb))
+            .withColumn("bid", F.last("cid", ignorenulls=True).over(wb))
+            .withColumn("fe", F.first("ce", ignorenulls=True).over(wf))
+            .withColumn("fid", F.first("cid", ignorenulls=True).over(wf))
+            .where(F.col("side") == 1))
+    d_back = F.col("e") - F.col("be")    # >= 0 (equal ts sorts backward)
+    d_fwd = F.col("fe") - F.col("e")     # > 0
+    pick_back = (F.col("bid").isNotNull()
+                 & (F.col("fid").isNull() | (d_back <= d_fwd)))
+    return cand.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.when(pick_back, F.col("bid"))
+        .otherwise(F.coalesce("fid", F.lit(-1))).alias("nearest_click_id"),
+        F.when(pick_back, -d_back)
+        .otherwise(F.coalesce(d_fwd, F.lit(0))).alias("delta_us"))
+
+
+def join_nearest_asof_sql():
+    return """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS e, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ce,
+         CASE WHEN event_type = 'click' THEN event_id END AS cid
+  FROM events WHERE event_type IN ('click', 'purchase')
+), cand AS (
+  SELECT event_id, user_id, e, side,
+         last_value(ce IGNORE NULLS) OVER wb AS be,
+         last_value(cid IGNORE NULLS) OVER wb AS bid,
+         first_value(ce IGNORE NULLS) OVER wf AS fe,
+         first_value(cid IGNORE NULLS) OVER wf AS fid
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY e, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY e, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN bid IS NOT NULL
+                 AND (fid IS NULL OR e - be <= fe - e)
+            THEN bid ELSE coalesce(fid, -1) END AS nearest_click_id,
+       CAST(CASE WHEN bid IS NOT NULL
+                      AND (fid IS NULL OR e - be <= fe - e)
+            THEN -(e - be) ELSE coalesce(fe - e, 0) END AS BIGINT)
+         AS delta_us
+FROM cand WHERE side = 1
+"""
+
+
+def window_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation over orders — recency (days since the
+    customer's last order at the table's high watermark), frequency,
+    monetary (1e-6-quantized exact sum), each cut into NTILE(4)
+    quartiles under a fully tie-broken order, composed into the
+    classic 3-digit RFM code.
+
+    Scale shape: NTILE is a global sort in disguise, so the quartiles
+    come from the two-level `ranking.global_rank` + the exact NTILE
+    arithmetic (first n%4 buckets get the extra row) instead of a
+    single-partition window — the oracle uses DuckDB's NATIVE ntile()
+    so equality proves the distributed rewrite. The heavy shuffle is
+    the per-customer fold; everything after runs on |customers| rows.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    o = _t(spark, sf_dir, "orders")
+    d_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    per = (o.select("o_custkey", d_us.alias("d"),
+                    F.round(F.col("o_totalprice") * 1_000_000)
+                    .cast("long").alias("pq"))
+           .groupBy("o_custkey")
+           .agg(F.max("d").alias("last_d"),
+                F.count("*").alias("f"),
+                F.sum("pq").alias("m_q")))
+    hi = per.agg(F.max("last_d").alias("hw"),
+                 F.count("*").alias("n_cust"))
+    per = (per.crossJoin(F.broadcast(hi))
+           .withColumn("r_days",
+                       F.expr("(hw - last_d) div 86400000000"))
+           .localCheckpoint(eager=False))  # three rank branches below
+
+    def quartile(df, order_cols, out):
+        ranked = ranking.global_rank(df, order_cols, out_col="_rn")
+        # exact NTILE(4): q = n div 4 and r = n mod 4 — the first r
+        # buckets take q+1 rows (greatest() guards the n<4 edge)
+        return ranked.withColumn(out, F.expr(
+            "CASE WHEN _rn <= (n_cust % 4) * (n_cust div 4 + 1) "
+            "THEN (_rn - 1) div (n_cust div 4 + 1) + 1 "
+            "ELSE n_cust % 4 + 1 + (_rn - (n_cust % 4) "
+            "* (n_cust div 4 + 1) - 1) div greatest(n_cust div 4, 1) "
+            "END")).drop("_rn")
+
+    scored = quartile(per, ["r_days", "o_custkey"], "r_quartile")
+    scored = quartile(scored, [F.col("f").desc(), "o_custkey"],
+                      "f_quartile")
+    scored = quartile(scored, [F.col("m_q").desc(), "o_custkey"],
+                      "m_quartile")
+    return (scored.select(
+        "o_custkey", "r_days", "f", "m_q",
+        F.col("r_quartile").cast("long"),
+        F.col("f_quartile").cast("long"),
+        F.col("m_quartile").cast("long"),
+        (F.col("r_quartile") * 100 + F.col("f_quartile") * 10
+         + F.col("m_quartile")).cast("long").alias("rfm_code"))
+        .orderBy("o_custkey"))
+
+
+def window_rfm_segments_sql():
+    return """
+WITH per AS (
+  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_d,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+              AS BIGINT) AS m_q
+  FROM orders GROUP BY 1
+), hw AS (SELECT max(last_d) AS hw FROM per),
+rfm AS (
+  SELECT o_custkey, (hw - last_d) // 86400000000 AS r_days, f, m_q,
+         ntile(4) OVER (ORDER BY (hw - last_d) // 86400000000,
+                        o_custkey) AS r_quartile,
+         ntile(4) OVER (ORDER BY f DESC, o_custkey) AS f_quartile,
+         ntile(4) OVER (ORDER BY m_q DESC, o_custkey) AS m_quartile
+  FROM per CROSS JOIN hw
+)
+SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days, f, m_q,
+       CAST(r_quartile AS BIGINT) AS r_quartile,
+       CAST(f_quartile AS BIGINT) AS f_quartile,
+       CAST(m_quartile AS BIGINT) AS m_quartile,
+       CAST(r_quartile * 100 + f_quartile * 10 + m_quartile AS BIGINT)
+         AS rfm_code
+FROM rfm ORDER BY o_custkey
+"""
+
+
+EXPIRE_KEEP_DAYS = 2  # live window: the last N snapshot days
+
+
+def lake_expire_snapshots(spark, sf_dir):
+    """Snapshot-expiry GC plan — Iceberg's `expireSnapshots` /
+    Delta's VACUUM planning step: snapshots are day-grained commits,
+    a data file (event_id-range grained, `lake_layout.FILE_EVENTS`)
+    is referenced by every snapshot day its rows touch, and a file is
+    safe to delete iff its LAST referencing snapshot is older than the
+    retention cutoff (high-watermark day minus the keep window). The
+    plan reports, per expired day, how many files become deletable and
+    their reclaimed bytes.
+
+    Scale shape: one per-(file, day) fold (map-side combinable), one
+    per-file max-day reduce — both on the file-inventory grain, never
+    a pairwise join; the cutoff is a single-row broadcast.
+
+    Reference parity: none; lake-maintenance family (SURVEY §2.3,
+    alongside `lake_compaction_plan` / `lake_overlap_depth`)."""
+    day = (F.unix_micros(F.col("ts").cast("timestamp"))
+           / F.lit(86_400_000_000)).cast("long")
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        day.alias("day"),
+        (F.length("props") + F.lit(64)).alias("bytes"))
+    files = (ev.groupBy("file_id")
+             .agg(F.max("day").alias("last_day"),
+                  F.sum("bytes").cast("long").alias("size_bytes")))
+    cut = files.agg((F.max("last_day") - EXPIRE_KEEP_DAYS)
+                    .alias("cutoff"))
+    return (files.crossJoin(F.broadcast(cut))
+            .where(F.col("last_day") <= F.col("cutoff"))
+            .groupBy(F.col("last_day").alias("expire_day"))
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("size_bytes").cast("long").alias("bytes"))
+            .orderBy("expire_day"))
+
+
+def lake_expire_snapshots_sql():
+    return f"""
+WITH files AS (
+  SELECT event_id // {lake_layout.FILE_EVENTS} AS file_id,
+         max(epoch_us(ts) // 86400000000) AS last_day,
+         CAST(sum(length(props) + 64) AS BIGINT) AS size_bytes
+  FROM events GROUP BY 1
+), cut AS (
+  SELECT max(last_day) - {EXPIRE_KEEP_DAYS} AS cutoff FROM files
+)
+SELECT last_day AS expire_day, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS bytes
+FROM files CROSS JOIN cut
+WHERE last_day <= cutoff
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -4857,6 +5075,9 @@ QUERIES = {
     "agg_heavy_hitters": agg_heavy_hitters,
     "agg_exact_median_2pass": agg_exact_median_2pass,
     "profile_column_stats": profile_column_stats,
+    "join_nearest_asof": join_nearest_asof,
+    "window_rfm_segments": window_rfm_segments,
+    "lake_expire_snapshots": lake_expire_snapshots,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5073,4 +5294,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_heavy_hitters": agg_heavy_hitters_sql(),
     "agg_exact_median_2pass": agg_exact_median_2pass_sql(),
     "profile_column_stats": profile_column_stats_sql(),
+    "join_nearest_asof": join_nearest_asof_sql(),
+    "window_rfm_segments": window_rfm_segments_sql(),
+    "lake_expire_snapshots": lake_expire_snapshots_sql(),
 }

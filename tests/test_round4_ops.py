@@ -1005,3 +1005,70 @@ def test_exact_median_2pass_edges(spark, case, tmp_path):
     k = (len(vals) + 1) // 2
     assert r["n"] == len(vals) and r["k_rank"] == k
     assert r["median_q"] == qs[k - 1]
+
+
+def test_nearest_asof_tie_and_sentinel(spark, tmp_path):
+    """Equal-distance ties resolve to the earlier (backward) click;
+    purchases with no click at all get the (-1, 0) sentinel; forward
+    wins when strictly closer."""
+    import os
+    from datetime import datetime, timezone
+    from binlog_spark.queries import join_nearest_asof
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # user 1: click@10, purchase@15, click@20 -> tie, backward wins
+        (100, ts(10), 1, "click", 0.0, "{}"),
+        (101, ts(15), 1, "purchase", 0.0, "{}"),
+        (102, ts(20), 1, "click", 0.0, "{}"),
+        # user 2: purchase@5, click@6 -> forward wins (no backward)
+        (200, ts(5), 2, "purchase", 0.0, "{}"),
+        (201, ts(6), 2, "click", 0.0, "{}"),
+        # user 3: click@40, purchase@49 -> backward only
+        (300, ts(40), 3, "click", 0.0, "{}"),
+        (301, ts(49), 3, "purchase", 0.0, "{}"),
+        # user 4: no clicks at all
+        (400, ts(7), 4, "purchase", 0.0, "{}"),
+        # user 5: click@30, purchase@30 -> equal ts counts as backward
+        (500, ts(30), 5, "click", 0.0, "{}"),
+        (501, ts(30), 5, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {r["purchase_id"]: (r["nearest_click_id"], r["delta_us"])
+           for r in join_nearest_asof(spark, str(tmp_path)).collect()}
+    assert got == {
+        101: (100, -5_000_000),
+        200: (201, 1_000_000),
+        301: (300, -9_000_000),
+        400: (-1, 0),
+        501: (500, 0),
+    }
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 13, 100])
+def test_rfm_ntile_arithmetic_matches_native(spark, n):
+    """The global_rank + integer NTILE(4) arithmetic must equal Spark's
+    native ntile(4) for every group-size residue (incl. n < 4)."""
+    from pyspark.sql import Window
+    from binlog_spark.operators import ranking
+
+    df = spark.range(n).select(
+        (F.col("id") * 29 % 97).alias("v"), F.col("id").alias("k"))
+    native = {(r["v"], r["k"]): r["q"] for r in df.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("v", "k"))).collect()}
+    ranked = (ranking.global_rank(df, ["v", "k"], out_col="_rn")
+              .withColumn("n_cust", F.lit(n)))
+    mine = {(r["v"], r["k"]): r["q"] for r in ranked.withColumn(
+        "q", F.expr(
+            "CASE WHEN _rn <= (n_cust % 4) * (n_cust div 4 + 1) "
+            "THEN (_rn - 1) div (n_cust div 4 + 1) + 1 "
+            "ELSE n_cust % 4 + 1 + (_rn - (n_cust % 4) "
+            "* (n_cust div 4 + 1) - 1) div greatest(n_cust div 4, 1) "
+            "END")).collect()}
+    assert mine == native
