@@ -4816,7 +4816,10 @@ def lake_expire_snapshots(spark, sf_dir):
         (F.length("props") + F.lit(64)).alias("bytes"))
     files = (ev.groupBy("file_id")
              .agg(F.max("day").alias("last_day"),
-                  F.sum("bytes").cast("long").alias("size_bytes")))
+                  F.sum("bytes").cast("long").alias("size_bytes"))
+             # the inventory feeds both the cutoff row and the filter;
+             # checkpointing caps the fact scan at one execution
+             .localCheckpoint(eager=False))
     cut = files.agg((F.max("last_day") - EXPIRE_KEEP_DAYS)
                     .alias("cutoff"))
     return (files.crossJoin(F.broadcast(cut))

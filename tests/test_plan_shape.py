@@ -593,3 +593,75 @@ def test_ivm_join_deltas_filtered_per_batch(spark, sf_dir):
     assert joins == 7, plan
     assert "CartesianProduct" not in plan, plan
     assert plans.has_partial_aggregate(df), plan
+
+
+def test_chunk_checksums_single_exchange_map_combined(spark, sf_dir):
+    """Replica-validation signatures fold map-side: exactly one
+    exchange (the chunk groupBy), partial aggregation present, no
+    Window/sort over the fact table."""
+    from binlog_spark.queries import cdc_chunk_checksums
+
+    df = cdc_chunk_checksums(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.has_partial_aggregate(df), plan
+    assert _n_nodes(plan, "Window") == 0, plan
+    # chunk groupBy is the only fact shuffle (+1 rangepartitioning for
+    # the final orderBy presentation)
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_heavy_hitters_verify_is_broadcast_pruned(spark, sf_dir):
+    """Phase 2 re-counts ONLY the MG candidates: the exact pass joins
+    the fact scan against a broadcast candidate set (map-side prune),
+    and the sketch pass is a single MapInPandas fold."""
+    from binlog_spark.queries import agg_heavy_hitters
+
+    df = agg_heavy_hitters(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), plan
+    assert _n_nodes(plan, "MapInPandas") == 1, plan
+    assert _n_nodes(plan, "Window") == 0, plan
+
+
+def test_exact_median_no_global_sort_of_fact(spark, sf_dir):
+    """The 2-pass median never globally sorts the events table: every
+    Sort node is non-global (window-local within a range segment or
+    inside TakeOrderedAndProject on the 4096-row histogram)."""
+    from binlog_spark.queries import agg_exact_median_2pass
+
+    df = agg_exact_median_2pass(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for line in plan.splitlines():
+        if "Sort [" in line and "TakeOrdered" not in line:
+            # Spark renders global sorts as `Sort [...], true, 0`
+            assert ", true, 0" not in line, line
+
+
+def test_rfm_quartiles_have_no_fact_scale_global_window(spark, sf_dir):
+    """Every unpartitioned window in the RFM plan runs on a
+    segment-count-bounded frame (the global_rank prefix), never on the
+    per-customer table itself: each rank's heavy window partitions by
+    the range segment."""
+    from binlog_spark.queries import window_rfm_segments
+
+    df = window_rfm_segments(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # 3 quartiles x (per-segment row_number + tiny prefix sum) = 6
+    assert _n_nodes(plan, "Window") == 6, plan
+    assert plans.has_broadcast_join(df), plan
+
+
+def test_expire_snapshots_two_folds_no_join_fanout(spark, sf_dir):
+    """The GC plan is fold -> fold -> broadcast cutoff: no sort-merge
+    join, no window, partial aggregation, and the checkpointed
+    inventory keeps the fact scan at one execution."""
+    from binlog_spark.queries import lake_expire_snapshots
+
+    df = lake_expire_snapshots(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_nodes(plan, "Window") == 0, plan
+    assert plans.has_partial_aggregate(df), plan
+    # the 1-row cutoff arrives via a broadcast (nested-loop) cross join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan
