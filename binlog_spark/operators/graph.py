@@ -196,3 +196,47 @@ def pagerank_quantized(edges: DataFrame, nodes: DataFrame,
                          .alias("r"))
                  .localCheckpoint(eager=False))
     return ranks.select("node", F.col("r").alias("pr_q"))
+
+
+def kcore_peel(edges: DataFrame, k: int,
+               max_rounds: int = 12) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge list
+    ``(u, v)`` (one row per edge, u < v): repeatedly drop nodes with
+    degree < k until no node drops or ``max_rounds`` is exhausted.
+    Returns the surviving nodes with their in-core degree.
+
+    The result after R rounds is deterministic and engine-portable —
+    peeling is monotone (a dropped node never returns) and idempotent
+    at the fixed point, so an oracle that unrolls EXACTLY
+    ``max_rounds`` rounds matches regardless of when convergence
+    happened. The loop exits early when a round removes nothing
+    (provably the fixed point, identical to running all R rounds).
+
+    Scale shape per round: one degree fold + two semi joins on the
+    (shrinking) edge list; ``localCheckpoint`` truncates lineage so
+    round R's plan does not replay rounds 1..R-1. O(log n) rounds
+    suffice in practice (each round removes the whole current shell).
+    """
+    alive_edges = edges.localCheckpoint(eager=False)
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = (alive_edges.select(F.col("u").alias("node"))
+               .unionAll(alive_edges.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("deg")))
+        keep = (deg.where(F.col("deg") >= k).select("node")
+                .localCheckpoint(eager=False))
+        n_keep = keep.count()
+        if n_keep == prev_nodes:
+            break
+        prev_nodes = n_keep
+        alive_edges = (alive_edges
+                       .join(keep.withColumnRenamed("node", "u"), "u",
+                             "left_semi")
+                       .join(keep.withColumnRenamed("node", "v"), "v",
+                             "left_semi")
+                       .select("u", "v")
+                       .localCheckpoint(eager=False))
+    deg = (alive_edges.select(F.col("u").alias("node"))
+           .unionAll(alive_edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    return deg.where(F.col("deg") >= k)

@@ -4848,6 +4848,179 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+KCORE_K = 4   # the 5-core of the 3-out-edge graph is empty; 4 peels a
+KCORE_ROUNDS = 12  # real shell (476/500 survive) without collapsing
+
+
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=4) of the deterministic md5 link graph —
+    the graph-quality filter a link-analysis curation stage runs to
+    isolate densely-connected page neighborhoods (and the classic
+    iterative-peeling workload): drop nodes with degree < k, recompute
+    degrees, repeat to the fixed point. Emits surviving nodes with
+    their in-core degree.
+
+    Scale shape: `operators/graph.py::kcore_peel` — per round one
+    map-side-combinable degree fold + two LEFT SEMI joins on the
+    monotonically shrinking edge list, lineage truncated per round via
+    localCheckpoint; early exit at the provable fixed point. The
+    oracle unrolls EXACTLY the same round count (peeling is idempotent
+    after convergence, so early exit cannot diverge from it).
+
+    Reference parity: none; graph family (SURVEY §2.3) alongside
+    `dedup_cc_clusters` / `graph_pagerank` / `graph_triangle_count`."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    core = graph.kcore_peel(und, k=KCORE_K, max_rounds=KCORE_ROUNDS)
+    return core.select("node", F.col("deg").cast("long")).orderBy("node")
+
+
+def graph_kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+)"""]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one three times, so inlined CTEs would expand 3^rounds scans
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+n{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT u AS node FROM e{i - 1}
+      UNION ALL SELECT v FROM e{i - 1}) GROUP BY 1)
+  WHERE deg >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i - 1}
+  WHERE u IN (SELECT node FROM n{i}) AND v IN (SELECT node FROM n{i})
+)""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY 1 HAVING count(*) >= {k} ORDER BY node
+""")
+    return "".join(parts)
+
+
+def tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returned
+    items: lineitem(returnflag='R') ⋈ orders ⋈ customer ⋈ nation,
+    exact DECIMAL revenue, fully tie-broken top-k.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan,
+    customer/nation broadcast, revenue partial-aggregates map-side,
+    and the top-20 is a TakeOrderedAndProject (never a global sort).
+
+    Reference parity: none; SURVEY §2.2 join/agg families."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+           ).cast("decimal(18,4)")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey))
+    agg = (j.groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                F.count("*").alias("n_items")))
+    return (agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+def tpch_q10_returns_sql():
+    return """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+Q18_MIN_QTY = 200
+
+
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume orders: orders whose total
+    lineitem quantity exceeds a threshold, enriched with the customer,
+    top-100 by price. The group-then-semi-join pattern (aggregate
+    first, join the small survivor set back) that keeps the big⋈big
+    join off the full fact table.
+
+    Scale shape: quantity folds map-side on l_orderkey; only the
+    (rare) qualifying orderkeys join onward — orders joins the
+    SURVIVOR set, customer broadcasts, top-100 is
+    TakeOrderedAndProject. Quantities are 1e-6-quantized exact BIGINTs.
+
+    Reference parity: none; SURVEY §2.2 join/agg families."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 1_000_000).cast("long").alias("qq"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("qq").alias("total_qty_q"))
+           .where(F.col("total_qty_q") > Q18_MIN_QTY * 1_000_000))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (big.join(o, big.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    return (j.select(
+        "c_custkey", "c_name", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("o_orderdate_us"),
+        F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+        .alias("price_q"),
+        "total_qty_q")
+        .orderBy(F.col("price_q").desc(), F.col("o_orderkey"))
+        .limit(100))
+
+
+def tpch_q18_large_orders_sql():
+    return f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT))
+              AS BIGINT) AS total_qty_q
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 1000000) AS BIGINT))
+         > {Q18_MIN_QTY} * 1000000
+)
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(round(o_totalprice * 1000000) AS BIGINT) AS price_q,
+       total_qty_q
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price_q DESC, o_orderkey LIMIT 100
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5081,6 +5254,9 @@ QUERIES = {
     "join_nearest_asof": join_nearest_asof,
     "window_rfm_segments": window_rfm_segments,
     "lake_expire_snapshots": lake_expire_snapshots,
+    "graph_kcore": graph_kcore,
+    "tpch_q10_returns": tpch_q10_returns,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5300,4 +5476,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "join_nearest_asof": join_nearest_asof_sql(),
     "window_rfm_segments": window_rfm_segments_sql(),
     "lake_expire_snapshots": lake_expire_snapshots_sql(),
+    "graph_kcore": graph_kcore_sql(),
+    "tpch_q10_returns": tpch_q10_returns_sql(),
+    "tpch_q18_large_orders": tpch_q18_large_orders_sql(),
 }

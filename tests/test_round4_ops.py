@@ -1072,3 +1072,30 @@ def test_rfm_ntile_arithmetic_matches_native(spark, n):
             "* (n_cust div 4 + 1) - 1) div greatest(n_cust div 4, 1) "
             "END")).collect()}
     assert mine == native
+
+
+def test_kcore_peel_cascades_and_caps(spark):
+    """A clique survives its own k-core; a pendant chain peels away
+    round by round (cascade), and a round cap below the cascade depth
+    reproduces exactly the capped state (what the unrolled oracle
+    computes)."""
+    from binlog_spark.operators.graph import kcore_peel
+
+    # K4 clique on {0,1,2,3} + chain 3-4-5-6 (chain peels under k=2:
+    # round 1 drops 6, round 2 drops 5, round 3 drops 4)
+    clique = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(clique + chain, "u long, v long")
+
+    full = {r["node"]: r["deg"] for r in kcore_peel(edges, k=2).collect()}
+    assert full == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # cap at 2 rounds: 6 and then 5 are gone, 4 still has deg 1 < 2 in
+    # the remaining edges, so the final >=k filter drops it too — but
+    # edge (3,4) is still alive, leaving node 3 at degree 4
+    capped = {r["node"]: r["deg"]
+              for r in kcore_peel(edges, k=2, max_rounds=2).collect()}
+    assert capped == {0: 3, 1: 3, 2: 3, 3: 4}
+
+    # k above the max degree peels everything
+    assert kcore_peel(edges, k=5).count() == 0
