@@ -320,3 +320,84 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
 WHERE ({ham}) <= {max_hamming}
 """
+
+
+VAD_FRAME = 16          # bytes per analysis frame
+VAD_ENERGY = 150_000    # voiced iff sum of squared samples exceeds this
+
+
+def energy_vad(df: DataFrame, col: str = "text",
+               frame: int = VAD_FRAME,
+               threshold: int = VAD_ENERGY) -> DataFrame:
+    """Audio-style voice-activity detection over an opaque payload —
+    the Spark-side plumbing of a speech-segmentation stage (payload →
+    fixed frames → per-frame energy → threshold → contiguous voiced
+    segments), with the payload's bytes standing in for PCM samples
+    per the module's codec-stub contract. Per document: frame count,
+    voiced-frame count, number of contiguous voiced segments, and the
+    peak frame energy (exact int64 sums of squares — engine-portable).
+
+    Vectorized per Arrow batch: frombuffer → reshape(n_frames, frame)
+    → square-sum along axis 1; segment starts are a boolean diff.
+    Documents shorter than one frame emit nothing (no partial-frame
+    semantics to disagree over). Map-only — zero shuffles until
+    whatever consumes the segments."""
+    from typing import Iterator
+
+    def _vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, nvs, segs, mxs = [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[col]):
+                buf = (t or "").encode("utf-8")
+                nf = len(buf) // frame
+                if nf == 0:
+                    continue
+                arr = np.frombuffer(buf, dtype=np.uint8)[:nf * frame]
+                en = (arr.astype(np.int64) ** 2).reshape(
+                    nf, frame).sum(axis=1)
+                voiced = en > threshold
+                starts = int(voiced[0]) + int(
+                    (voiced[1:] & ~voiced[:-1]).sum())
+                ids.append(doc_id)
+                nfs.append(nf)
+                nvs.append(int(voiced.sum()))
+                segs.append(starts)
+                mxs.append(int(en.max()))
+            yield pd.DataFrame({"doc_id": ids, "n_frames": nfs,
+                                "n_voiced": nvs, "n_segments": segs,
+                                "max_energy": mxs})
+
+    return df.select("doc_id", col).mapInPandas(
+        _vad, "doc_id long, n_frames long, n_voiced long, "
+              "n_segments long, max_energy long")
+
+
+def energy_vad_sql(table: str = "documents", frame: int = VAD_FRAME,
+                   threshold: int = VAD_ENERGY) -> str:
+    # ASCII corpus: unicode(char) == byte value, so the SQL replays the
+    # byte arithmetic exactly
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) // {frame} AS nf
+  FROM {table} WHERE octet_length(encode(text)) >= {frame}
+), px AS (
+  SELECT doc_id, nf, unnest(range(0, nf * {frame})) AS i, text FROM b
+), en AS (
+  SELECT doc_id, nf, i // {frame} AS f,
+         sum(unicode(substr(text, CAST(i + 1 AS INT), 1))
+             * unicode(substr(text, CAST(i + 1 AS INT), 1))) AS e
+  FROM px GROUP BY 1, 2, 3
+), v AS (
+  SELECT doc_id, nf, f, e, (e > {threshold}) AS voiced,
+         lag(e > {threshold}) OVER (PARTITION BY doc_id ORDER BY f)
+           AS prev
+  FROM en
+)
+SELECT doc_id, CAST(min(nf) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_voiced,
+       CAST(sum(CASE WHEN voiced AND (prev IS NULL OR NOT prev)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+       CAST(max(e) AS BIGINT) AS max_energy
+FROM v GROUP BY 1
+"""

@@ -5021,6 +5021,150 @@ ORDER BY price_q DESC, o_orderkey LIMIT 100
 """
 
 
+BITMAP_WORD = 62  # bits per bitmap word (62 avoids BIGINT sign/overflow)
+
+
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact per-day distinct users via a roaring-style bitmap rollup —
+    the Druid/ClickHouse bitmap-index pattern for EXACT distinct counts
+    that still merge associatively (unlike a raw count(DISTINCT), the
+    per-(day, word) OR-words can be stored and re-merged across days /
+    late data without the raw ids): user ids map to (word, bit), words
+    OR map-side, popcounts sum per day.
+
+    Scale shape: two map-side-combinable folds — groupBy(day, word)
+    bit_or, then groupBy(day) sum(bit_count) — state bounded by
+    days × |id-space|/62 words, no shuffle of raw ids beyond the first
+    fold. The oracle computes count(DISTINCT user_id) directly, so
+    equality proves the bitmap decomposition.
+
+    Reference parity: none; SURVEY §2.2 aggregation/sketch family."""
+    day = (F.unix_micros(F.col("ts").cast("timestamp"))
+           / F.lit(86_400_000_000)).cast("long")
+    ev = _t(spark, sf_dir, "events").select(
+        day.alias("day"),
+        F.expr(f"user_id div {BITMAP_WORD}").alias("word"),
+        F.expr(f"shiftleft(cast(1 as bigint), "
+               f"cast(user_id % {BITMAP_WORD} as int))").alias("mask"))
+    words = (ev.groupBy("day", "word")
+             .agg(F.expr("bit_or(mask)").alias("m"),
+                  F.count("*").alias("nr")))
+    return (words.groupBy("day")
+            .agg(F.sum("nr").alias("n_rows"),
+                 F.count("*").alias("n_words"),
+                 F.sum(F.expr("bit_count(m)")).cast("long")
+                 .alias("n_distinct_users"))
+            .orderBy("day"))
+
+
+def agg_bitmap_distinct_sql():
+    return """
+SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id // 62) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+WAP_BATCHES = 4
+
+
+def cdc_wap_gate(spark, sf_dir):
+    """Write-audit-publish admission gate — the Iceberg WAP / staging-
+    branch pattern: each ingest batch (md5-split here, standing in for
+    "today's staged commits") is audited against three exact QA gates
+    before publishing: volume within [½, 2]× the mean batch size,
+    error-row share ≤ 20% (a boundary the synthetic ~20%-error mix
+    genuinely straddles, so both decisions occur), and mean-value
+    drift vs the whole table
+    ≤ 10% (integer cross-multiplied — no float division decides a
+    gate). Batches failing any gate are routed to 'audit'.
+
+    Scale shape: ONE map-side-combinable groupBy(batch) over the
+    stream; the global row lives on the |batches|-row frame. All gate
+    arithmetic is BIGINT-exact so both engines agree on every decision
+    boundary.
+
+    Reference parity: none; the lakehouse-ops family (SURVEY §2.3)
+    alongside `drift_value_histogram` / `sql_mad_outliers`."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+                16, 10).cast("long") % WAP_BATCHES).alias("batch_id"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"))
+    per = (ev.groupBy("batch_id")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("is_err").alias("n_err"),
+                F.sum("vq").alias("sum_q")))
+    g = per.agg(F.sum("n_rows").alias("g_rows"),
+                F.sum("sum_q").alias("g_sum"))
+    flags = (per.crossJoin(F.broadcast(g))
+             .withColumn("pass_volume",
+                         ((F.col("n_rows") * 2 * WAP_BATCHES
+                           >= F.col("g_rows"))
+                          & (F.col("n_rows") * WAP_BATCHES
+                             <= F.col("g_rows") * 2)).cast("int"))
+             .withColumn("pass_errors",
+                         (F.col("n_err") * 5 <= F.col("n_rows"))
+                         .cast("int"))
+             .withColumn("pass_drift",
+                         (F.abs(F.col("sum_q") * F.col("g_rows")
+                                - F.col("g_sum") * F.col("n_rows")) * 10
+                          <= F.abs(F.col("g_sum")) * F.col("n_rows"))
+                         .cast("int")))
+    return (flags.select(
+        "batch_id", "n_rows", "n_err",
+        F.expr("n_err * 1000000 div n_rows").alias("err_share_q"),
+        "pass_volume", "pass_errors", "pass_drift",
+        F.when((F.col("pass_volume") == 1) & (F.col("pass_errors") == 1)
+               & (F.col("pass_drift") == 1), "publish")
+        .otherwise("audit").alias("decision"))
+        .orderBy("batch_id"))
+
+
+def cdc_wap_gate_sql():
+    return f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           % {WAP_BATCHES} AS batch_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+), per AS (
+  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(is_err) AS BIGINT) AS n_err,
+         CAST(sum(vq) AS BIGINT) AS sum_q
+  FROM ev GROUP BY 1
+), g AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS g_rows,
+         CAST(sum(sum_q) AS BIGINT) AS g_sum FROM per
+), flags AS (
+  SELECT batch_id, n_rows, n_err, sum_q, g_rows, g_sum,
+         CASE WHEN n_rows * 2 * {WAP_BATCHES} >= g_rows
+                   AND n_rows * {WAP_BATCHES} <= g_rows * 2
+              THEN 1 ELSE 0 END AS pass_volume,
+         CASE WHEN n_err * 5 <= n_rows THEN 1 ELSE 0 END AS pass_errors,
+         CASE WHEN abs(sum_q * g_rows - g_sum * n_rows) * 10
+                   <= abs(g_sum) * n_rows
+              THEN 1 ELSE 0 END AS pass_drift
+  FROM per CROSS JOIN g
+)
+SELECT batch_id, n_rows, n_err,
+       CAST(n_err * 1000000 // n_rows AS BIGINT) AS err_share_q,
+       pass_volume, pass_errors, pass_drift,
+       CASE WHEN pass_volume = 1 AND pass_errors = 1 AND pass_drift = 1
+            THEN 'publish' ELSE 'audit' END AS decision
+FROM flags ORDER BY batch_id
+"""
+
+
+def mm_energy_vad(spark, sf_dir):
+    """Voice-activity detection plumbing over blob payloads — see
+    `operators/multimodal.py::energy_vad`."""
+    return multimodal.energy_vad(_t(spark, sf_dir, "documents"))
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5257,6 +5401,9 @@ QUERIES = {
     "graph_kcore": graph_kcore,
     "tpch_q10_returns": tpch_q10_returns,
     "tpch_q18_large_orders": tpch_q18_large_orders,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
+    "cdc_wap_gate": cdc_wap_gate,
+    "mm_energy_vad": mm_energy_vad,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5479,4 +5626,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "graph_kcore": graph_kcore_sql(),
     "tpch_q10_returns": tpch_q10_returns_sql(),
     "tpch_q18_large_orders": tpch_q18_large_orders_sql(),
+    "agg_bitmap_distinct": agg_bitmap_distinct_sql(),
+    "cdc_wap_gate": cdc_wap_gate_sql(),
+    "mm_energy_vad": multimodal.energy_vad_sql(),
 }
