@@ -999,3 +999,87 @@ def random_projection_sql(table: str = "embeddings", d_in: int = 64,
         exprs.append(f"({body}) AS p{j}")
     cols = ",\n       ".join(exprs)
     return f"SELECT vec_id,\n       {cols}\nFROM {table}"
+
+
+MATRYOSHKA_DIMS = (64, 32, 16)
+
+
+def matryoshka_recall(df: DataFrame, n_queries: int = 8, k: int = 10,
+                      dims: tuple = MATRYOSHKA_DIMS,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka (MRL) truncation-quality audit: for each query and
+    each prefix dimensionality, the exact top-k under the TRUNCATED dot
+    product, scored as recall against the full-dimension top-k. This is
+    the evaluation a pipeline runs before deciding how far MRL
+    embeddings can be cut for cheap first-stage retrieval (Kusupati et
+    al. '22 publish exactly these recall-vs-dim curves).
+
+    Scale shape: same as ``cosine_topk`` — broadcast query set, one
+    sequential-IEEE dot kernel per prefix over the SAME joined frame,
+    and the shared bounded ``_partial_topk`` fold with (query, dim)
+    packed into the fold key, so state stays n_queries × |dims| × k.
+    The recall join runs on the k-row-per-(query, dim) result only."""
+    queries = (df.where(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qvec")))
+    corpus = df.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("cvec"))
+    pairs = corpus.join(F.broadcast(queries),
+                        F.col("vec_id") != F.col("qid"))
+    scored = None
+    for d in dims:
+        # pack (query, prefix-dim) into the fold key: dims are < 1000
+        s = pairs.select(
+            (F.col("qid") * 1000 + d).alias("query_id"), "vec_id",
+            F.round(_dot(F.slice("qvec", 1, d), F.slice("cvec", 1, d)), 6)
+            .alias("sim"))
+        scored = s if scored is None else scored.unionByName(s)
+    topk = (_partial_topk(scored, k)
+            .select((F.col("query_id") / 1000).cast("long").alias("qid"),
+                    (F.col("query_id") % 1000).alias("trunc_dim"),
+                    "vec_id")
+            .localCheckpoint(eager=False))  # reused by both join sides
+    full = (topk.where(F.col("trunc_dim") == dims[0])
+            .select(F.col("qid").alias("fq"), F.col("vec_id").alias("fv"))
+            # break the self-join lineage so Catalyst doesn't collapse
+            # qid == fq into a trivially-true predicate
+            .localCheckpoint(eager=False))
+    return (topk.join(full, (F.col("qid") == F.col("fq"))
+                      & (F.col("vec_id") == F.col("fv")), "left")
+            .groupBy(F.col("qid").alias("query_id"), "trunc_dim")
+            .agg(F.count("fv").alias("n_overlap"))
+            .select("query_id", F.col("trunc_dim").cast("long"),
+                    "n_overlap",
+                    F.expr(f"n_overlap * 1000000 div {k}")
+                    .alias("recall_q"))
+            .orderBy("query_id", "trunc_dim"))
+
+
+def matryoshka_recall_sql(table: str = "embeddings", n_queries: int = 8,
+                          k: int = 10,
+                          dims: tuple = MATRYOSHKA_DIMS) -> str:
+    dim_list = ", ".join(str(d) for d in dims)
+    dot = ("list_aggregate(list_transform(range(1, dd.d + 1), "
+           "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, dd.d AS trunc_dim, c.vec_id AS vec_id,
+         round({dot}, 6) AS sim
+  FROM {table} q
+  JOIN {table} c ON c.vec_id != q.vec_id
+  CROSS JOIN (SELECT unnest([{dim_list}]) AS d) dd
+  WHERE q.vec_id < {n_queries}
+), ranked AS (
+  SELECT qid, trunc_dim, vec_id,
+         row_number() OVER (PARTITION BY qid, trunc_dim
+                            ORDER BY sim DESC, vec_id) AS rnk
+  FROM scored
+), topk AS (SELECT * FROM ranked WHERE rnk <= {k}),
+fullk AS (SELECT qid, vec_id FROM topk WHERE trunc_dim = {dims[0]})
+SELECT t.qid AS query_id, CAST(t.trunc_dim AS BIGINT) AS trunc_dim,
+       CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+       CAST(count(f.vec_id) * 1000000 // {k} AS BIGINT) AS recall_q
+FROM topk t LEFT JOIN fullk f ON f.qid = t.qid AND f.vec_id = t.vec_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
