@@ -5211,6 +5211,98 @@ WHERE prev_n IS NOT NULL ORDER BY event_type, week
 """
 
 
+def window_percent_rank_grouped(spark, sf_dir):
+    """Per-group percent_rank without a per-group window — the
+    SQL-standard `(rank - 1) / (n_group - 1)` as exact 1e-6 integer
+    arithmetic, for groups too large to funnel into one task: a bare
+    `Window.partitionBy(event_type)` puts an entire event type (1/5 of
+    10^10 rows) in ONE partition, so the rank comes from the two-level
+    `ranking.global_rank` over the TOTAL order (type, value, id), and
+    each type's local rank is recovered by subtracting the group's
+    broadcast min-rank. The DuckDB oracle uses the same row_number
+    arithmetic natively — equality proves the grouped-rank recovery.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    ranked = ranking.global_rank(
+        ev, ["event_type", "vq", "event_id"], out_col="rn")
+    base = (ranked.groupBy("event_type")
+            .agg(F.min("rn").alias("rn0"), F.count("*").alias("n_g")))
+    return (ranked.join(F.broadcast(base), "event_type")
+            .select("event_type", "event_id", "vq",
+                    (F.col("rn") - F.col("rn0") + 1).alias("rnk_in_type"),
+                    F.expr("CASE WHEN n_g > 1 THEN (rn - rn0) * 1000000 "
+                           "div (n_g - 1) ELSE 0 END").alias("pct_rank_q")))
+
+
+def window_percent_rank_grouped_sql():
+    return """
+WITH r AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value * 1000000), event_id)
+           AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n_g
+  FROM events
+)
+SELECT event_type, event_id, vq, CAST(rnk AS BIGINT) AS rnk_in_type,
+       CAST(CASE WHEN n_g > 1 THEN (rnk - 1) * 1000000 // (n_g - 1)
+                 ELSE 0 END AS BIGINT) AS pct_rank_q
+FROM r
+"""
+
+
+def sim_ann_recall_audit(spark, sf_dir):
+    """ANN quality audit — recall@k of the LSH hyperplane index against
+    the exact top-k, per query: the acceptance gate an embedding
+    pipeline runs before trusting an approximate index for retrieval
+    (the LSH query itself is `sim_lsh_ann_topk`; this measures it).
+
+    Scale shape: both sides reuse their production plans (broadcast
+    queries, bounded partial top-k; LSH probes only same-bucket
+    candidates); the recall join runs on the two k-row-per-query
+    results only. The oracle recomputes both sides in SQL and audits
+    identically — the recall numbers agree exactly because each side's
+    ranking is fully tie-broken."""
+    from .operators.similarity import cosine_topk, lsh_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 10
+    exact = (cosine_topk(emb, n_queries=5, k=k)
+             .select(F.col("query_id").alias("eq"),
+                     F.col("vec_id").alias("ev"))
+             .localCheckpoint(eager=False))
+    ann = (lsh_ann_topk(spark, emb, n_queries=5, k=k)
+           .select("query_id", "vec_id")
+           .localCheckpoint(eager=False))
+    return (ann.join(exact, (F.col("query_id") == F.col("eq"))
+                     & (F.col("vec_id") == F.col("ev")), "left")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_ann"),
+                 F.count("ev").alias("n_hit"))
+            .select("query_id", "n_ann", "n_hit",
+                    F.expr(f"n_hit * 1000000 div {k}").alias("recall_q"))
+            .orderBy("query_id"))
+
+
+def sim_ann_recall_audit_sql():
+    from .operators.similarity import cosine_topk_sql, lsh_ann_topk_sql
+    return f"""
+WITH exact_k AS (
+  SELECT query_id AS eq, vec_id AS ev FROM ({cosine_topk_sql()})
+), ann_k AS (
+  SELECT query_id, vec_id FROM ({lsh_ann_topk_sql()})
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann,
+       CAST(count(ev) AS BIGINT) AS n_hit,
+       CAST(count(ev) * 1000000 // 10 AS BIGINT) AS recall_q
+FROM ann_k LEFT JOIN exact_k ON eq = query_id AND ev = vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5453,6 +5545,8 @@ QUERIES = {
     "sim_matryoshka_recall": lambda s, d: similarity.matryoshka_recall(
         _t(s, d, "embeddings")),
     "window_wow_change": window_wow_change,
+    "window_percent_rank_grouped": window_percent_rank_grouped,
+    "sim_ann_recall_audit": sim_ann_recall_audit,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5680,4 +5774,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "mm_energy_vad": multimodal.energy_vad_sql(),
     "sim_matryoshka_recall": similarity.matryoshka_recall_sql(),
     "window_wow_change": window_wow_change_sql(),
+    "window_percent_rank_grouped": window_percent_rank_grouped_sql(),
+    "sim_ann_recall_audit": sim_ann_recall_audit_sql(),
 }
