@@ -5303,6 +5303,121 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sample_class_balanced(spark, sf_dir):
+    """Class-balanced downsampling — every class (event type) cut to
+    the minority class's size, membership decided by a deterministic
+    md5 order (so any engine, any partitioning, any rerun picks the
+    SAME rows — the property a reproducible training mix needs). The
+    summary row per class carries an order-free bit_xor membership
+    digest so the oracle proves the selected SETS identical, not just
+    their sizes.
+
+    Scale shape: the per-class rank reuses the grouped two-level rank
+    recovery (`window_percent_rank_grouped`): one total-order
+    `global_rank` over (class, hash, id) minus each class's broadcast
+    min-rank — no whole-class window partition; the minority size is a
+    |classes|-row broadcast.
+
+    Reference parity: none; sampling family (SURVEY §2.3) alongside
+    `sample_stratified_docs` / `sample_temperature_mix`."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("h"))
+    ranked = ranking.global_rank(
+        ev, ["event_type", "h", "event_id"], out_col="rn")
+    base = (ranked.groupBy("event_type")
+            .agg(F.min("rn").alias("rn0"), F.count("*").alias("n_orig")))
+    m = base.agg(F.min("n_orig").alias("n_min"))
+    kept = (ranked.join(F.broadcast(base), "event_type")
+            .crossJoin(F.broadcast(m))
+            .where(F.col("rn") - F.col("rn0") < F.col("n_min")))
+    return (kept.groupBy("event_type")
+            .agg(F.first("n_orig").alias("n_orig"),
+                 F.count("*").alias("n_kept"),
+                 F.expr("bit_xor(event_id)").alias("member_xor"))
+            .orderBy("event_type"))
+
+
+def sample_class_balanced_sql():
+    return """
+WITH r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                     event_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n_orig
+  FROM events
+), m AS (
+  SELECT min(n_orig) AS n_min FROM (
+    SELECT event_type, count(*) AS n_orig FROM events GROUP BY 1)
+)
+SELECT event_type, CAST(min(n_orig) AS BIGINT) AS n_orig,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(bit_xor(event_id) AS BIGINT) AS member_xor
+FROM r CROSS JOIN m WHERE rnk <= n_min
+GROUP BY 1 ORDER BY 1
+"""
+
+
+IVL_BIN_US = 86_400_000_000  # 1-day bins for the interval index
+
+
+def join_interval_point_bucketed(spark, sf_dir):
+    """Interval-point containment join via binning — "how many commit
+    files' [min_ts, max_ts] zone ranges cover each probe hour": the
+    classic rewrite that turns a theta join (unplannable as anything
+    but a broadcast nested loop at scale) into an EQUI join — each
+    interval explodes into the fixed-width bins it touches, probes
+    join on their bin, and an exact post-filter removes same-bin
+    non-overlaps. Complements `lake_overlap_depth` (interval-interval
+    via merge-rank) with the interval-POINT shape used by time-travel
+    lookups and zone-map probes.
+
+    Scale shape: explode fan-out = span/bin + 1 per interval (bounded
+    by construction here; a planner would pick the bin width from the
+    span histogram), then ONE equi-shuffle on the bin and a combinable
+    count. The oracle is the quadratic theta join — equality proves
+    the binned cover exact.
+
+    Reference parity: none; SURVEY §2.2 join family."""
+    b = IVL_BIN_US
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.expr(f"event_id div {lake_layout.FILE_EVENTS}")
+                  .alias("file_id"),
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+          .localCheckpoint(eager=False))  # feeds intervals AND probes
+    ivl = (ev.groupBy("file_id")
+           .agg(F.min("e").alias("fmin"), F.max("e").alias("fmax")))
+    binned = ivl.select(
+        "file_id", "fmin", "fmax",
+        F.explode(F.sequence(F.expr(f"fmin div {b}"),
+                             F.expr(f"fmax div {b}"))).alias("bin"))
+    probes = (ev.select(F.expr("e div 3600000000").alias("hr")).distinct()
+              .select((F.col("hr") * 3_600_000_000).alias("p"),
+                      F.expr(f"(hr * 3600000000) div {b}").alias("bin")))
+    return (probes.join(binned, "bin")
+            .where((F.col("p") >= F.col("fmin"))
+                   & (F.col("p") <= F.col("fmax")))
+            .groupBy("p").agg(F.count("*").alias("n_covering"))
+            .orderBy("p"))
+
+
+def join_interval_point_bucketed_sql():
+    return f"""
+WITH ev AS (
+  SELECT event_id // {lake_layout.FILE_EVENTS} AS file_id,
+         epoch_us(ts) AS e FROM events
+), ivl AS (
+  SELECT file_id, min(e) AS fmin, max(e) AS fmax FROM ev GROUP BY 1
+), probes AS (
+  SELECT DISTINCT (e // 3600000000) * 3600000000 AS p FROM ev
+)
+SELECT p, CAST(count(*) AS BIGINT) AS n_covering
+FROM probes JOIN ivl ON p >= fmin AND p <= fmax
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5547,6 +5662,8 @@ QUERIES = {
     "window_wow_change": window_wow_change,
     "window_percent_rank_grouped": window_percent_rank_grouped,
     "sim_ann_recall_audit": sim_ann_recall_audit,
+    "sample_class_balanced": sample_class_balanced,
+    "join_interval_point_bucketed": join_interval_point_bucketed,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5776,4 +5893,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_wow_change": window_wow_change_sql(),
     "window_percent_rank_grouped": window_percent_rank_grouped_sql(),
     "sim_ann_recall_audit": sim_ann_recall_audit_sql(),
+    "sample_class_balanced": sample_class_balanced_sql(),
+    "join_interval_point_bucketed": join_interval_point_bucketed_sql(),
 }
