@@ -1083,3 +1083,75 @@ SELECT t.qid AS query_id, CAST(t.trunc_dim AS BIGINT) AS trunc_dim,
 FROM topk t LEFT JOIN fullk f ON f.qid = t.qid AND f.vec_id = t.vec_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def lsh_multiprobe_topk(spark: SparkSession, df: DataFrame,
+                        n_queries: int = 5, k: int = 10,
+                        n_planes: int = 8, dim: int = 64,
+                        seed: int = 42) -> DataFrame:
+    """Multiprobe LSH ANN (Lv et al., VLDB'07): each query probes its
+    own sign bucket PLUS every bucket at Hamming distance 1 (one plane
+    sign flipped) — the standard trick that buys recall without more
+    hash tables: near neighbors that landed just across one hyperplane
+    become reachable at (n_planes + 1)× probe cost instead of L× index
+    cost. Exact ranking inside the probed union, same bounded partial
+    top-k as `lsh_ann_topk` (whose single-bucket recall
+    `sim_ann_recall_audit` measures).
+
+    Each corpus vector lives in exactly one bucket and probe buckets
+    are distinct, so no candidate dedup is needed. The probe set is
+    queries × (n_planes + 1) rows — broadcast."""
+    bucketed = hyperplane_buckets(spark, df, n_planes, dim, seed)
+    q = (bucketed.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec"), "bucket"))
+    probe_list = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ shiftleft(cast(1 as bigint), {j})")
+          for j in range(n_planes)])
+    probes = q.select("query_id", "qvec",
+                      F.explode(probe_list).alias("bucket"))
+    scored = (bucketed.join(F.broadcast(probes), "bucket")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .withColumn("sim", F.round(
+                  _dot(F.col("qvec"), F.col("embedding")), 6)))
+    return _partial_topk(scored, k)
+
+
+def lsh_multiprobe_topk_sql(table: str = "embeddings", n_queries: int = 5,
+                            k: int = 10, n_planes: int = 8, dim: int = 64,
+                            seed: int = 42) -> str:
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[:, j])}])"
+        for j in range(n_planes))
+    pdot = _DOT.format(a="v.embedding", b="p.pvec")
+    qcdot = _DOT.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH planes(j, pvec) AS (VALUES {plane_rows}),
+buckets AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding,
+         SUM(CASE WHEN {pdot} > 0 THEN (1::BIGINT << p.j) ELSE 0 END)
+           AS bucket
+  FROM {table} v CROSS JOIN planes p
+  GROUP BY v.vec_id, v.embedding
+), probes AS (
+  SELECT q.vec_id AS query_id, q.embedding,
+         CASE WHEN f.j = -1 THEN q.bucket
+              ELSE xor(q.bucket, 1::BIGINT << f.j) END AS bucket
+  FROM buckets q
+  CROSS JOIN (SELECT unnest(range(-1, {n_planes})) AS j) f
+  WHERE q.vec_id < {n_queries}
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         round({qcdot.replace('q.embedding', 'p.embedding')}, 6) AS sim
+  FROM probes p JOIN buckets c
+    ON c.bucket = p.bucket AND c.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""

@@ -5418,6 +5418,62 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def window_twap_per_user(spark, sf_dir):
+    """Time-weighted average value per user (TWAP) — the
+    irregular-sampling average every timeseries store ships as a
+    marquee function: each sample weighted by its holding duration
+    (time to the user's next event; the final sample carries no
+    duration). All arithmetic is BIGINT-exact — values quantized at
+    1e-3, durations in whole seconds, one integer division at the end
+    — so any partitioning and both engines agree bit-for-bit. The
+    weighted sum is bounded by |user history| × max_value × max_gap,
+    well inside int64 for per-user streams (document-level bound; a
+    global TWAP at 10^10 rows would move the product to DECIMAL(38)).
+
+    Scale shape: one key shuffle on user_id; the lead window is
+    bounded by a single user's history; the fold combines map-side.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        F.round(F.col("value") * 1000).cast("long").alias("vq3"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    seg = (ev.withColumn("nxt", F.lead("e").over(w))
+           .where(F.col("nxt").isNotNull())
+           .select("user_id",
+                   F.expr("(nxt - e) div 1000000").alias("dt_s"), "vq3")
+           .where(F.col("dt_s") > 0))
+    return (seg.groupBy("user_id")
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum("dt_s").alias("total_dt_s"),
+                 F.sum(F.col("vq3") * F.col("dt_s")).alias("wsum"))
+            .select("user_id", "n_segments", "total_dt_s",
+                    F.expr("wsum div total_dt_s").alias("twap_q3"))
+            .orderBy("user_id"))
+
+
+def window_twap_per_user_sql():
+    return """
+WITH seg AS (
+  SELECT user_id, (nxt - e) // 1000000 AS dt_s, vq3
+  FROM (
+    SELECT user_id, epoch_us(ts) AS e,
+           CAST(round(value * 1000) AS BIGINT) AS vq3,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+             AS nxt
+    FROM events
+  )
+  WHERE nxt IS NOT NULL AND (nxt - e) // 1000000 > 0
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dt_s) AS BIGINT) AS total_dt_s,
+       CAST(sum(vq3 * dt_s) // sum(dt_s) AS BIGINT) AS twap_q3
+FROM seg GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5664,6 +5720,9 @@ QUERIES = {
     "sim_ann_recall_audit": sim_ann_recall_audit,
     "sample_class_balanced": sample_class_balanced,
     "join_interval_point_bucketed": join_interval_point_bucketed,
+    "sim_lsh_multiprobe_topk": lambda s, d: similarity.lsh_multiprobe_topk(
+        s, _t(s, d, "embeddings"), n_queries=5, k=10),
+    "window_twap_per_user": window_twap_per_user,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5895,4 +5954,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "sim_ann_recall_audit": sim_ann_recall_audit_sql(),
     "sample_class_balanced": sample_class_balanced_sql(),
     "join_interval_point_bucketed": join_interval_point_bucketed_sql(),
+    "sim_lsh_multiprobe_topk": similarity.lsh_multiprobe_topk_sql(),
+    "window_twap_per_user": window_twap_per_user_sql(),
 }
