@@ -5474,6 +5474,120 @@ FROM seg GROUP BY 1 ORDER BY 1
 """
 
 
+def agg_ols_trend(spark, sf_dir):
+    """Exact distributed OLS trend per event type — value regressed on
+    time (hours since the stream's global start): the five moment sums
+    (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT integers in
+    DECIMAL(38,0), so the fold is association-free on any
+    partitioning, and slope/intercept are each ONE identical double
+    expression at the end (the `text_zipf_slope` technique generalized
+    to per-group regression). The drift detector a pipeline runs to
+    catch a metric trending before a threshold alarm would fire.
+
+    Scale shape: a broadcast single-row global start + one map-side
+    combinable groupBy(event_type); at 10^10 rows Σxy ~ 1e21, which is
+    why the sums live in DECIMAL(38,0), not BIGINT.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        F.round(F.col("value") * 1000).cast("long").alias("vq3"))
+    g = ev.agg(F.min("e").alias("e0"))
+    pts = (ev.crossJoin(F.broadcast(g))
+           .select("event_type",
+                   F.expr("(e - e0) div 3600000000")
+                   .cast("decimal(38,0)").alias("x"),
+                   F.col("vq3").cast("decimal(38,0)").alias("y")))
+    sums = (pts.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    nd, sx, sy, sxy, sxx = [F.col(c).cast("double")
+                            for c in ("n", "sx", "sy", "sxy", "sxx")]
+    den = nd * sxx - sx * sx
+    return (sums.select(
+        "event_type", "n",
+        F.round((nd * sxy - sx * sy) / den, 6).alias("slope_q3_per_hr"),
+        F.round((sy * sxx - sx * sxy) / den, 6).alias("intercept_q3"))
+        .orderBy("event_type"))
+
+
+def agg_ols_trend_sql():
+    return """
+WITH g AS (SELECT min(epoch_us(ts)) AS e0 FROM events),
+pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - e0) // 3600000000 AS x,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events CROSS JOIN g
+), sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+         AS slope_q3_per_hr,
+       round((sy::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sxy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+         AS intercept_q3
+FROM sums ORDER BY event_type
+"""
+
+
+def agg_hour_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type — the 24-bucket
+    diurnal fingerprint (share per hour, exact 1e-6 ratio, peak-hour
+    flag) that batch schedulers and anomaly detectors baseline
+    against. Peak ties break to the earlier hour.
+
+    Scale shape: ONE combinable groupBy(type, hour) over the stream;
+    shares and peaks compute on the |types|×24-bounded frame.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    hour = F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000)"
+                  " % 24")
+    cnt = (_t(spark, sf_dir, "events")
+           .groupBy("event_type", hour.cast("long").alias("hour"))
+           .agg(F.count("*").alias("n")))
+    # composite scalar ordering key (hour < 24 << 100): max count wins,
+    # count ties resolve to the EARLIER hour — portable to arg_max,
+    # which takes only scalar keys in DuckDB
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n").alias("nt"),
+        F.max_by(F.col("hour"), F.col("n") * 100 - F.col("hour"))
+        .alias("peak_hour"))
+    return (cnt.join(F.broadcast(tot), "event_type")
+            .select("event_type", "hour", "n",
+                    F.expr("n * 1000000 div nt").alias("share_q"),
+                    (F.col("hour") == F.col("peak_hour")).cast("int")
+                    .alias("is_peak"))
+            .orderBy("event_type", "hour"))
+
+
+def agg_hour_seasonality_sql():
+    return """
+WITH cnt AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(n) AS nt,
+         arg_max(hour, n * 100 - hour) AS peak_hour
+  FROM cnt GROUP BY 1
+)
+SELECT c.event_type, c.hour, c.n,
+       CAST(c.n * 1000000 // t.nt AS BIGINT) AS share_q,
+       CASE WHEN c.hour = t.peak_hour THEN 1 ELSE 0 END AS is_peak
+FROM cnt c JOIN tot t USING (event_type)
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5723,6 +5837,8 @@ QUERIES = {
     "sim_lsh_multiprobe_topk": lambda s, d: similarity.lsh_multiprobe_topk(
         s, _t(s, d, "embeddings"), n_queries=5, k=10),
     "window_twap_per_user": window_twap_per_user,
+    "agg_ols_trend": agg_ols_trend,
+    "agg_hour_seasonality": agg_hour_seasonality,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -5956,4 +6072,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "join_interval_point_bucketed": join_interval_point_bucketed_sql(),
     "sim_lsh_multiprobe_topk": similarity.lsh_multiprobe_topk_sql(),
     "window_twap_per_user": window_twap_per_user_sql(),
+    "agg_ols_trend": agg_ols_trend_sql(),
+    "agg_hour_seasonality": agg_hour_seasonality_sql(),
 }
