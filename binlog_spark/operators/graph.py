@@ -240,3 +240,39 @@ def kcore_peel(edges: DataFrame, k: int,
            .unionAll(alive_edges.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
     return deg.where(F.col("deg") >= k)
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame,
+               max_rounds: int = 8) -> DataFrame:
+    """Multi-source BFS levels over an undirected edge list ``(u, v)``:
+    every node reachable within ``max_rounds`` hops gets its hop
+    distance from the nearest source. Returns ``(node, level)``.
+
+    Same determinism contract as ``kcore_peel``: round R's state is
+    identical whether the loop exits early (empty frontier — the fixed
+    point) or runs all R rounds, so an oracle that unrolls EXACTLY
+    ``max_rounds`` rounds always matches.
+
+    Scale shape per round: one equi-join frontier⋈edges + one anti
+    join against the visited set, lineage truncated per round. Both
+    frames shrink/grow monotonically; no global structure is ever
+    collected."""
+    sym = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(edges.select(F.col("v").alias("src"),
+                                  F.col("u").alias("dst")))
+           .localCheckpoint(eager=False))
+    visited = (sources.select("node", F.lit(0).alias("level"))
+               .localCheckpoint(eager=False))
+    frontier = visited.select("node")
+    for lvl in range(1, max_rounds + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=False))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = (visited.unionByName(
+            nxt.select("node", F.lit(lvl).alias("level")))
+            .localCheckpoint(eager=False))
+        frontier = nxt
+    return visited

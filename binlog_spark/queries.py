@@ -5588,6 +5588,155 @@ ORDER BY 1, 2
 """
 
 
+BFS_ROUNDS = 8
+
+
+def graph_bfs_levels(spark, sf_dir):
+    """Multi-source BFS hop distances over the md5 link graph (sources:
+    doc_id < 5) — the reachability/level computation behind link-depth
+    quality signals ("how many hops from a trusted seed set") and
+    crawl-frontier accounting. `operators/graph.py::bfs_levels`:
+    per-round frontier⋈edges + anti join against visited, lineage
+    truncated per round, early exit at the empty-frontier fixed point.
+    The oracle unrolls EXACTLY the same round count (idempotent after
+    convergence), like `graph_kcore`.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    sources = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("node"))
+    out = graph.bfs_levels(und, sources, max_rounds=BFS_ROUNDS)
+    return out.select("node", F.col("level").cast("long")).orderBy("node")
+
+
+def graph_bfs_levels_sql(rounds: int = BFS_ROUNDS) -> str:
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM raw WHERE a != b
+  UNION SELECT b, a FROM raw WHERE a != b
+),
+v0 AS MATERIALIZED (
+  SELECT doc_id AS node, 0 AS level FROM documents WHERE doc_id < 5
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+v{i} AS MATERIALIZED (
+  SELECT node, level FROM v{i - 1}
+  UNION ALL
+  SELECT node, {i} AS level FROM (
+    SELECT DISTINCT e.dst AS node
+    FROM sym e JOIN v{i - 1} f ON e.src = f.node AND f.level = {i - 1}
+  ) WHERE node NOT IN (SELECT node FROM v{i - 1})
+)""")
+    parts.append(f"""
+SELECT node, CAST(level AS BIGINT) AS level FROM v{rounds} ORDER BY node
+""")
+    return "".join(parts)
+
+
+CURATE_MIN_CHARS = 250
+
+
+def pipeline_curation_e2e(spark, sf_dir):
+    """End-to-end curation pipeline manifest — the composition a
+    training-data user actually runs, as ONE oracle-checked query:
+    exact dedup (keep the lowest doc_id per content hash) → length
+    quality gate → language-balanced cap (every language cut to the
+    smallest post-gate language by deterministic md5 order). The
+    manifest reports per language the surviving count at EVERY stage
+    plus an order-free bit_xor digest of the final kept set — so the
+    oracle proves each stage's row SET, not just the final count.
+
+    Scale shape: stage 1 is one content-hash fold + a semi join;
+    stage 2 a pushed filter; stage 3 the grouped two-level rank
+    (`sample_class_balanced`); stage tallies are |langs|-row frames.
+
+    Reference parity: none; the capstone row of the SURVEY §2.3
+    LLM-pipeline family."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("h"))
+    winners = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    dd = (docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+          .localCheckpoint(eager=False))
+    gated = (dd.where(F.col("n_chars") >= CURATE_MIN_CHARS)
+             .localCheckpoint(eager=False))
+    ranked = ranking.global_rank(
+        gated.select("lang", "doc_id",
+                     F.md5(F.col("doc_id").cast("string")).alias("hh")),
+        ["lang", "hh", "doc_id"], out_col="rn")
+    base = (ranked.groupBy("lang")
+            .agg(F.min("rn").alias("rn0"), F.count("*").alias("n_gate")))
+    m = base.agg(F.min("n_gate").alias("n_min"))
+    kept = (ranked.join(F.broadcast(base), "lang")
+            .crossJoin(F.broadcast(m))
+            .where(F.col("rn") - F.col("rn0") < F.col("n_min")))
+    raw_n = (_t(spark, sf_dir, "documents")
+             .groupBy("lang").agg(F.count("*").alias("n_raw")))
+    dd_n = dd.groupBy("lang").agg(F.count("*").alias("n_dedup"))
+    kept_agg = (kept.groupBy("lang")
+                .agg(F.count("*").alias("n_kept"),
+                     F.expr("bit_xor(doc_id)").alias("member_xor")))
+    return (raw_n.join(dd_n, "lang").join(base, "lang")
+            .join(kept_agg, "lang")
+            .select("lang", "n_raw", "n_dedup",
+                    F.col("n_gate").cast("long"), "n_kept", "member_xor")
+            .orderBy("lang"))
+
+
+def pipeline_curation_e2e_sql():
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM d GROUP BY h
+), dd AS (
+  SELECT d.* FROM d JOIN winners USING (doc_id)
+), gated AS (
+  SELECT * FROM dd WHERE n_chars >= {CURATE_MIN_CHARS}
+), ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_gate
+  FROM gated
+), m AS (
+  SELECT min(n_gate) AS n_min FROM (
+    SELECT lang, count(*) AS n_gate FROM gated GROUP BY 1)
+), kept AS (
+  SELECT lang, doc_id FROM ranked CROSS JOIN m WHERE rnk <= n_min
+)
+SELECT r.lang, r.n_raw, dn.n_dedup, gn.n_gate, kn.n_kept, kn.member_xor
+FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw
+      FROM documents GROUP BY 1) r
+JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup
+      FROM dd GROUP BY 1) dn USING (lang)
+JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_gate
+      FROM gated GROUP BY 1) gn USING (lang)
+JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(bit_xor(doc_id) AS BIGINT) AS member_xor
+      FROM kept GROUP BY 1) kn USING (lang)
+ORDER BY lang
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5839,6 +5988,8 @@ QUERIES = {
     "window_twap_per_user": window_twap_per_user,
     "agg_ols_trend": agg_ols_trend,
     "agg_hour_seasonality": agg_hour_seasonality,
+    "graph_bfs_levels": graph_bfs_levels,
+    "pipeline_curation_e2e": pipeline_curation_e2e,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -6074,4 +6225,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_twap_per_user": window_twap_per_user_sql(),
     "agg_ols_trend": agg_ols_trend_sql(),
     "agg_hour_seasonality": agg_hour_seasonality_sql(),
+    "graph_bfs_levels": graph_bfs_levels_sql(),
+    "pipeline_curation_e2e": pipeline_curation_e2e_sql(),
 }
