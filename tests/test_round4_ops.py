@@ -1099,3 +1099,37 @@ def test_kcore_peel_cascades_and_caps(spark):
 
     # k above the max degree peels everything
     assert kcore_peel(edges, k=5).count() == 0
+
+
+def test_bfs_levels_distance_and_cap(spark):
+    """Hop distances on a known graph: chain 0-1-2-3-4 plus isolated
+    edge (8,9); source {0}. Unreachable nodes are absent; a round cap
+    truncates levels exactly (what the unrolled oracle computes)."""
+    from binlog_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (8, 9)], "u long, v long")
+    src = spark.createDataFrame([(0,)], "node long")
+    full = {r["node"]: r["level"]
+            for r in bfs_levels(edges, src, max_rounds=8).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    capped = {r["node"]: r["level"]
+              for r in bfs_levels(edges, src, max_rounds=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
+    # multi-source: nearest source wins
+    src2 = spark.createDataFrame([(0,), (4,)], "node long")
+    multi = {r["node"]: r["level"]
+             for r in bfs_levels(edges, src2, max_rounds=8).collect()}
+    assert multi == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_curation_pipeline_stage_invariants(spark, sf_dir):
+    """Monotone stage counts; language balance: every language keeps
+    exactly the minority post-gate count."""
+    from binlog_spark.queries import pipeline_curation_e2e
+
+    rows = pipeline_curation_e2e(spark, sf_dir).collect()
+    n_min = min(r["n_gate"] for r in rows)
+    for r in rows:
+        assert r["n_raw"] >= r["n_dedup"] >= r["n_gate"] >= r["n_kept"]
+        assert r["n_kept"] == n_min
