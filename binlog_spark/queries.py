@@ -5737,6 +5737,196 @@ ORDER BY lang
 """
 
 
+def cdc_writer_conflicts(spark, sf_dir):
+    """Concurrent-writer conflict audit — two writers (md5-split event
+    halves, standing in for two replication streams double-writing one
+    lake table) each fold to their LWW state; a FULL OUTER diff
+    classifies every key: left-only, right-only, agree (same final
+    value) or CONFLICT (both wrote, different outcome). The report a
+    multi-writer ingest runs before enabling one-way reconciliation.
+
+    Scale shape: one masked max_by fold per writer from the SAME scan
+    (two branches of one groupBy via conditional aggregates — the
+    `cdc_snapshot_diff` trick, so the fact table is read once and
+    there is no self-join), then classification on the per-key frame.
+
+    Reference parity: none; SURVEY §2.2 exactly-once/reconcile family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"),
+        (F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+                16, 10).cast("long") % 2).alias("w"))
+    payload = F.struct("event_id", "vq")
+    per = (ev.groupBy("user_id", "event_type")
+           .agg(F.max_by(payload, F.when(F.col("w") == 0,
+                                         F.col("event_id"))).alias("l"),
+                F.max_by(payload, F.when(F.col("w") == 1,
+                                         F.col("event_id"))).alias("r")))
+    cls = (per.select(
+        "user_id", "event_type",
+        F.when(F.col("r").isNull(), "left_only")
+        .when(F.col("l").isNull(), "right_only")
+        .when(F.col("l.vq") == F.col("r.vq"), "agree")
+        .otherwise("conflict").alias("status")))
+    return (cls.groupBy("status").agg(F.count("*").alias("n_keys"))
+            .orderBy("status"))
+
+
+def cdc_writer_conflicts_sql():
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           % 2 AS w
+  FROM events
+), per AS (
+  SELECT user_id, event_type,
+         arg_max(vq, CASE WHEN w = 0 THEN event_id END) AS lv,
+         max(CASE WHEN w = 0 THEN event_id END) AS lid,
+         arg_max(vq, CASE WHEN w = 1 THEN event_id END) AS rv,
+         max(CASE WHEN w = 1 THEN event_id END) AS rid
+  FROM ev GROUP BY 1, 2
+)
+SELECT CASE WHEN rid IS NULL THEN 'left_only'
+            WHEN lid IS NULL THEN 'right_only'
+            WHEN lv = rv THEN 'agree' ELSE 'conflict' END AS status,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per user — the largest peak-to-trough fall of
+    the running value series (the risk metric every portfolio/metric
+    monitor ships): running max via a per-user expanding window, then
+    max(peak − value). Quantized BIGINTs end to end.
+
+    Scale shape: one key shuffle; both the running max and the fold
+    are bounded by a single user's history.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    w = (Window.partitionBy("user_id").orderBy("e", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dd = (ev.withColumn("peak", F.max("vq").over(w))
+          .select("user_id", (F.col("peak") - F.col("vq")).alias("d")))
+    return (dd.groupBy("user_id")
+            .agg(F.count("*").alias("n_samples"),
+                 F.max("d").alias("max_drawdown_q"))
+            .orderBy("user_id"))
+
+
+def window_max_drawdown_sql():
+    return """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(peak - vq) AS BIGINT) AS max_drawdown_q
+FROM (
+  SELECT user_id, vq,
+         max(vq) OVER (PARTITION BY user_id
+                       ORDER BY e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS e,
+               CAST(round(value * 1000000) AS BIGINT) AS vq
+        FROM events)
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the md5 link graph — the Pearson
+    correlation of endpoint degrees over all edge stubs (Newman 2002):
+    positive = hubs link hubs (social nets), negative = hubs link
+    leaves (the web). Another "is this link graph natural?" curation
+    signal next to `graph_pagerank` / `graph_triangle_count`.
+
+    Scale shape: degree fold + two broadcast-degree stub joins, then
+    the five exact DECIMAL(38,0) moment sums (the `agg_ols_trend`
+    machinery — association-free on any partitioning) and ONE double
+    expression both engines share.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    stubs = (und.join(deg.select(F.col("node").alias("u"),
+                                 F.col("deg").alias("du")), "u")
+             .join(deg.select(F.col("node").alias("v"),
+                              F.col("deg").alias("dv")), "v"))
+    # each undirected edge contributes both stub orientations
+    xy = (stubs.select(F.col("du").alias("x"), F.col("dv").alias("y"))
+          .unionAll(stubs.select(F.col("dv").alias("x"),
+                                 F.col("du").alias("y"))))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = xy.agg(F.count("*").cast("long").alias("n"),
+                  F.sum(d38("x")).alias("sx"), F.sum(d38("y")).alias("sy"),
+                  F.sum(d38("x") * d38("y")).alias("sxy"),
+                  F.sum(d38("x") * d38("x")).alias("sxx"),
+                  F.sum(d38("y") * d38("y")).alias("syy"))
+    nd, sx, sy, sxy, sxx, syy = [
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+    num = nd * sxy - sx * sy
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return sums.select(F.col("n").alias("n_stubs"),
+                       F.round(num / den, 6).alias("assortativity"))
+
+
+def graph_degree_assortativity_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1
+),
+xy AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+  UNION ALL
+  SELECT dv.deg, du.deg
+  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT n AS n_stubs,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS assortativity
+FROM sums
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -5990,6 +6180,9 @@ QUERIES = {
     "agg_hour_seasonality": agg_hour_seasonality,
     "graph_bfs_levels": graph_bfs_levels,
     "pipeline_curation_e2e": pipeline_curation_e2e,
+    "cdc_writer_conflicts": cdc_writer_conflicts,
+    "window_max_drawdown": window_max_drawdown,
+    "graph_degree_assortativity": graph_degree_assortativity,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -6227,4 +6420,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_hour_seasonality": agg_hour_seasonality_sql(),
     "graph_bfs_levels": graph_bfs_levels_sql(),
     "pipeline_curation_e2e": pipeline_curation_e2e_sql(),
+    "cdc_writer_conflicts": cdc_writer_conflicts_sql(),
+    "window_max_drawdown": window_max_drawdown_sql(),
+    "graph_degree_assortativity": graph_degree_assortativity_sql(),
 }
