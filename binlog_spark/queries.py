@@ -5927,6 +5927,104 @@ FROM sums
 """
 
 
+SUBARRAY_CENTER_Q = 50_000_000  # center at value=50 (the corpus mean)
+
+
+def agg_max_subarray_daily(spark, sf_dir):
+    """Maximum-sum contiguous day range of the centered daily series —
+    "the worst/best sustained stretch" (burst detection over ingest
+    volume, drawup windows over a metric): classic Kadane, which looks
+    inherently sequential but decomposes into an ASSOCIATIVE monoid
+    fold — each ordered segment reduces to (total, best-prefix,
+    best-suffix, best), and adjacent summaries combine exactly
+    (best = max(bestL, bestR, sufL + preR)). The distributed shape:
+    day-grain fold → repartitionByRange on day (contiguous,
+    order-aligned segments) → one vectorized summary per segment →
+    an O(n_segments) ordered reduce. The oracle computes the same
+    statistic via prefix sums + a running min — equality proves the
+    monoid decomposition.
+
+    All values are centered 1e-6-quantized BIGINTs, so every segment
+    summary and the final best are exact integers.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        (F.round(F.col("value") * 1_000_000).cast("long")
+         - SUBARRAY_CENTER_Q).alias("xq"))
+    daily = (ev.groupBy("day").agg(F.sum("xq").alias("x"))
+             .repartitionByRange(8, "day"))
+
+    def seg_summary(batches):
+        import numpy as np
+        import pandas as pd
+        days, xs = [], []
+        for pdf in batches:
+            days.append(pdf["day"].to_numpy(dtype=np.int64))
+            xs.append(pdf["x"].to_numpy(dtype=np.int64))
+        if not days or not sum(len(d) for d in days):
+            return
+        day = np.concatenate(days)
+        x = np.concatenate(xs)[np.argsort(day, kind="stable")]
+        p = np.cumsum(x)
+        # best prefix / suffix / Kadane via prefix extrema (vectorized)
+        pre = int(p.max())
+        suf = int((p[-1] - np.concatenate(([0], p[:-1]))).max())
+        prev_min = np.minimum.accumulate(np.concatenate(([0], p[:-1])))
+        best = int((p - prev_min).max())
+        yield pd.DataFrame({
+            "d0": [int(day.min())], "t": [int(p[-1])],
+            "pre": [pre], "suf": [suf], "best": [best],
+            "n_days": [len(x)]})
+
+    segs = sorted(
+        daily.mapInPandas(
+            seg_summary,
+            "d0 long, t long, pre long, suf long, best long, n_days long")
+        .collect(), key=lambda r: r["d0"])
+    # ordered reduce over <= 8 bounded segment summaries (O(segments))
+    t, pre, suf, best, n_days = segs[0]["t"], segs[0]["pre"], \
+        segs[0]["suf"], segs[0]["best"], segs[0]["n_days"]
+    for s in segs[1:]:
+        best = max(best, s["best"], suf + s["pre"])
+        pre = max(pre, t + s["pre"])
+        suf = max(s["suf"], s["t"] + suf)
+        t += s["t"]
+        n_days += s["n_days"]
+    return spark.createDataFrame(
+        [(int(n_days), int(t), int(best))],
+        "n_days long, series_total_q long, max_subarray_q long")
+
+
+def agg_max_subarray_daily_sql():
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 1000000) AS BIGINT)
+             - {SUBARRAY_CENTER_Q}) AS x
+  FROM events GROUP BY 1
+), pfx AS (
+  SELECT day, x,
+         sum(x) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p
+  FROM daily
+), scan AS (
+  SELECT p,
+         least(0, coalesce(min(p) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           AS prev_min
+  FROM pfx
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       (SELECT CAST(sum(x) AS BIGINT) FROM daily) AS series_total_q,
+       CAST(max(p - prev_min) AS BIGINT) AS max_subarray_q
+FROM scan
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -6183,6 +6281,7 @@ QUERIES = {
     "cdc_writer_conflicts": cdc_writer_conflicts,
     "window_max_drawdown": window_max_drawdown,
     "graph_degree_assortativity": graph_degree_assortativity,
+    "agg_max_subarray_daily": agg_max_subarray_daily,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -6423,4 +6522,5 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "cdc_writer_conflicts": cdc_writer_conflicts_sql(),
     "window_max_drawdown": window_max_drawdown_sql(),
     "graph_degree_assortativity": graph_degree_assortativity_sql(),
+    "agg_max_subarray_daily": agg_max_subarray_daily_sql(),
 }

@@ -1133,3 +1133,40 @@ def test_curation_pipeline_stage_invariants(spark, sf_dir):
     for r in rows:
         assert r["n_raw"] >= r["n_dedup"] >= r["n_gate"] >= r["n_kept"]
         assert r["n_kept"] == n_min
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_max_subarray_monoid_vs_bruteforce(spark, seed, tmp_path):
+    """The segment-monoid fold must equal the O(n^2) brute force on
+    seeded signed series — including all-negative series (best =
+    single largest element) and single-day series."""
+    import hashlib
+    import os
+    from datetime import datetime, timezone
+    from binlog_spark.queries import (agg_max_subarray_daily,
+                                      SUBARRAY_CENTER_Q)
+
+    n_days = [1, 2, 7, 40][seed]
+    xs = []
+    for d in range(n_days):
+        h = int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8], 16)
+        xs.append((h % 2001) - 1000 - (1000 if seed == 1 else 0))
+
+    rows = []
+    for d, x in enumerate(xs):
+        # one event per day carrying exactly the centered value x (in
+        # 1e-6 units): value = (x + CENTER) / 1e6
+        ts = datetime.fromtimestamp(1_700_000_000 + d * 86_400,
+                                    tz=timezone.utc).replace(tzinfo=None)
+        rows.append((d, ts, 1, "view", (x + SUBARRAY_CENTER_Q) / 1e6))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    out = agg_max_subarray_daily(spark, str(tmp_path)).collect()[0]
+    brute = max(sum(xs[i:j + 1])
+                for i in range(len(xs)) for j in range(i, len(xs)))
+    assert out["n_days"] == n_days
+    assert out["series_total_q"] == sum(xs)
+    assert out["max_subarray_q"] == brute
