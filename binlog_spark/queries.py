@@ -6139,6 +6139,173 @@ FROM (
 """ + "\nUNION ALL\n".join(branches) + "\nORDER BY bands"
 
 
+def cdc_scd3_prev_values(spark, sf_dir):
+    """SCD type-3 fold — current AND previous value per key as columns
+    (the "one step of history" dimension shape, completing the
+    SCD2-history / time-travel family): the changelog folds to each
+    key's two latest versions. Keys with a single version carry the
+    (-1, -1) sentinel.
+
+    Scale shape: one key shuffle; the per-key top-2 is a rank window
+    bounded by a single user's history, then a conditional-aggregate
+    pivot (no join between the two versions).
+
+    Reference parity: the LWW/minimal-row-image semantics of
+    `row_streamer.go:107-118` extended one version deeper;
+    SURVEY §2.2 exactly-once/reconcile family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    top2 = (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2))
+    return (top2.groupBy("user_id")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("vq")))
+                 .alias("cur_vq"),
+                 F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+                 .alias("cur_event_id"),
+                 F.coalesce(F.max(F.when(F.col("rn") == 2, F.col("vq"))),
+                            F.lit(-1)).alias("prev_vq"),
+                 F.coalesce(F.max(F.when(F.col("rn") == 2,
+                                         F.col("event_id"))),
+                            F.lit(-1)).alias("prev_event_id"))
+            .orderBy("user_id"))
+
+
+def cdc_scd3_prev_values_sql():
+    return """
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(max(CASE WHEN rn = 1 THEN vq END) AS BIGINT) AS cur_vq,
+       CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+         AS cur_event_id,
+       CAST(coalesce(max(CASE WHEN rn = 2 THEN vq END), -1) AS BIGINT)
+         AS prev_vq,
+       CAST(coalesce(max(CASE WHEN rn = 2 THEN event_id END), -1)
+            AS BIGINT) AS prev_event_id
+FROM r WHERE rn <= 2 GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_rle_runs(spark, sf_dir):
+    """Run-length encoding of each user's event-type stream — runs of
+    consecutive identical types (the session-behavior compression
+    behind "user did N clicks in a row" features and bot heuristics):
+    per type, the run census (count, longest, mean length quantized).
+
+    Scale shape: the lag + change-flag + running-sum island trick on
+    ONE user-partitioned exchange (all three windows share it), then a
+    combinable run fold.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    wc = (Window.partitionBy("user_id").orderBy("e", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    runs = (ev.withColumn(
+        "new_run",
+        (F.lag("event_type").over(w).isNull()
+         | (F.lag("event_type").over(w) != F.col("event_type")))
+        .cast("long"))
+        .withColumn("run_id", F.sum("new_run").over(wc))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count("*").alias("len")))
+    return (runs.groupBy("event_type")
+            .agg(F.count("*").alias("n_runs"),
+                 F.max("len").alias("max_run"),
+                 F.expr("sum(len) * 1000000 div count(*)")
+                 .alias("mean_len_q"))
+            .orderBy("event_type"))
+
+
+def window_rle_runs_sql():
+    return """
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS e, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), r AS (
+  SELECT user_id, event_type,
+         sum(new_run) OVER (PARTITION BY user_id ORDER BY e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+  FROM s
+), runs AS (
+  SELECT user_id, run_id, event_type, count(*) AS len
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST(sum(len) * 1000000 // count(*) AS BIGINT) AS mean_len_q
+FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_benford_profile(spark, sf_dir):
+    """Benford first-digit screen per event type — the fraud /
+    synthetic-data smell test: leading-digit distribution of the
+    quantized values vs Benford's expectation, reported as exact
+    1e-6 shares (the χ²-style judgment happens downstream; this emits
+    the exact profile).
+
+    Scale shape: one combinable groupBy(type, digit); the leading
+    digit is pure integer arithmetic (value scaled into [1e8, 1e9) by
+    repeated decimation — no string formatting, no float log).
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    vq = F.round(F.col("value") * 1_000_000).cast("long")
+    # normalize into [1e8, 1e9) then take the top digit — integer-only
+    # explicit floor: DuckDB's double->int CAST rounds half-even
+    # while Spark's truncates — floor() first makes both identical
+    digit = F.expr(
+        "CASE WHEN vq <= 0 THEN 0 ELSE "
+        "CAST(floor(vq / power(10, CAST(floor(log10(CAST(vq AS DOUBLE)))"
+        " AS INT))) AS INT) END")
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", vq.alias("vq"))
+          .withColumn("digit", digit))
+    cnt = (ev.groupBy("event_type", "digit")
+           .agg(F.count("*").alias("n")))
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    return (cnt.join(F.broadcast(tot), "event_type")
+            .select("event_type", F.col("digit").cast("long"), "n",
+                    F.expr("n * 1000000 div nt").alias("share_q"))
+            .orderBy("event_type", "digit"))
+
+
+def agg_benford_profile_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), d AS (
+  SELECT event_type,
+         CASE WHEN vq <= 0 THEN 0 ELSE
+           CAST(floor(vq / power(10, CAST(floor(log10(CAST(vq AS DOUBLE)))
+                                          AS INT))) AS INT) END AS digit
+  FROM ev
+), cnt AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+), tot AS (SELECT event_type, sum(n) AS nt FROM cnt GROUP BY 1)
+SELECT c.event_type, CAST(c.digit AS BIGINT) AS digit, c.n,
+       CAST(c.n * 1000000 // t.nt AS BIGINT) AS share_q
+FROM cnt c JOIN tot t USING (event_type)
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -6398,6 +6565,9 @@ QUERIES = {
     "agg_max_subarray_daily": agg_max_subarray_daily,
     "sim_pq_recall_audit": sim_pq_recall_audit,
     "dedup_lsh_band_sweep": dedup_lsh_band_sweep,
+    "cdc_scd3_prev_values": cdc_scd3_prev_values,
+    "window_rle_runs": window_rle_runs,
+    "agg_benford_profile": agg_benford_profile,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -6641,4 +6811,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_max_subarray_daily": agg_max_subarray_daily_sql(),
     "sim_pq_recall_audit": sim_pq_recall_audit_sql(),
     "dedup_lsh_band_sweep": dedup_lsh_band_sweep_sql(),
+    "cdc_scd3_prev_values": cdc_scd3_prev_values_sql(),
+    "window_rle_runs": window_rle_runs_sql(),
+    "agg_benford_profile": agg_benford_profile_sql(),
 }
