@@ -6306,6 +6306,185 @@ ORDER BY 1, 2
 """
 
 
+LOCF_GRID_HOURS = 72  # resample grid: first 72 hours of the stream
+
+
+def join_locf_gapfill(spark, sf_dir):
+    """LOCF gap-fill resampling — each user's irregular value samples
+    forward-filled onto a fixed hourly grid (the `last observation
+    carried forward` resample every timeseries store ships; grid
+    limited to the stream's first 72 hours so the audit stays
+    driver-sized). Per user: grid size, hours with an own observation,
+    hours filled by carry, hours still empty (before the first
+    sample), and an order-free bit_xor digest over md5(hour, filled
+    value) — proving the ENTIRE filled series equal across engines
+    without shipping it.
+
+    Scale shape: the grid is a users × 72 generate+explode (no join
+    fan-out beyond it); samples union the grid and ONE user-partitioned
+    carry window fills values; the digest folds map-side.
+
+    Reference parity: none; SURVEY §2.2 window/join family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    t0 = ev.agg(F.expr("min(e) div 3600000000").alias("h0"))
+    users = ev.select("user_id").distinct()
+    grid = (users.crossJoin(F.broadcast(t0))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        F.col("h0"),
+                        F.col("h0") + LOCF_GRID_HOURS - 1)).alias("hr"))
+            .select("user_id", "hr", F.lit(1).alias("is_grid"),
+                    F.lit(None).cast("long").alias("vq"),
+                    F.lit(0).alias("seq")))
+    samples = (ev.select("user_id", F.expr("e div 3600000000").alias("hr"),
+                         F.lit(0).alias("is_grid"), "vq",
+                         F.col("event_id").alias("seq")))
+    u = samples.unionByName(grid)
+    # order: samples of an hour BEFORE the grid row of the same hour
+    # (is_grid 0 < 1), later samples win within the hour (seq)
+    w = (Window.partitionBy("user_id").orderBy("hr", "is_grid", "seq")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = (u.withColumn("fv", F.last("vq", ignorenulls=True).over(w))
+              .where(F.col("is_grid") == 1))
+    own = (samples.groupBy("user_id")
+           .agg(F.count_distinct("hr").alias("n_hours_observed")))
+    digest = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("hr"), F.coalesce(F.col("fv"), F.lit(-1)))), 1, 15),
+        16, 10).cast("long")
+    out = (filled.select("user_id", "fv", digest.alias("dg"))
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n_grid"),
+                F.sum(F.col("fv").isNull().cast("long")).alias("n_empty"),
+                F.expr("bit_xor(dg)").alias("series_xor")))
+    return (out.join(own, "user_id", "left")
+            .na.fill({"n_hours_observed": 0})
+            .select("user_id", "n_grid", "n_empty", "n_hours_observed",
+                    "series_xor")
+            .orderBy("user_id"))
+
+
+def join_locf_gapfill_sql():
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS e, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), t0 AS (SELECT min(e) // 3600000000 AS h0 FROM ev),
+grid AS (
+  SELECT u.user_id, g.hr, 1 AS is_grid, NULL::BIGINT AS vq, 0 AS seq
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  CROSS JOIN (SELECT unnest(range((SELECT h0 FROM t0),
+                                  (SELECT h0 FROM t0)
+                                  + {LOCF_GRID_HOURS})) AS hr) g
+), samples AS (
+  SELECT user_id, e // 3600000000 AS hr, 0 AS is_grid, vq,
+         event_id AS seq
+  FROM ev
+), u AS (
+  SELECT * FROM samples UNION ALL BY NAME SELECT * FROM grid
+), filled AS (
+  SELECT user_id, hr,
+         last_value(vq IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr, is_grid, seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+         is_grid
+  FROM u
+), own AS (
+  SELECT user_id, count(DISTINCT hr) AS n_hours_observed FROM samples
+  GROUP BY 1
+)
+SELECT f.user_id, CAST(count(*) AS BIGINT) AS n_grid,
+       CAST(sum(CASE WHEN fv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       CAST(coalesce(min(o.n_hours_observed), 0) AS BIGINT)
+         AS n_hours_observed,
+       CAST(bit_xor(('0x' || substr(md5(concat_ws('|', f.hr,
+                     coalesce(fv, -1))), 1, 15))::BIGINT) AS BIGINT)
+         AS series_xor
+FROM filled f LEFT JOIN own o USING (user_id)
+WHERE is_grid = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+BLOOM_PROBES = 2000
+
+
+def sketch_bloom_fpr_audit(spark, sf_dir):
+    """Measured Bloom false-positive rate — the audit that closes the
+    sketch family's loop (like the ANN recall audits): build the
+    (m=2048, k=4) filter from the member set, probe it with
+    deterministic GUARANTEED non-members (ids offset far past the id
+    space), and report the measured FPR next to the occupancy. The
+    number an operator compares against the (1-e^{{-kn/m}})^k design
+    point before sizing the production filter.
+
+    Scale shape: member bits = one explode + distinct fold; probes are
+    a generated frame joined against the BROADCAST bit set; one final
+    fold. Nothing touches the fact table twice.
+
+    Reference parity: none; SURVEY §2.2 sketch family."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    pos = F.array(*[
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        % _BLOOM_M for i in range(_BLOOM_K)])
+    bits = (ev.select(F.explode(pos).alias("pos")).distinct()
+            .localCheckpoint(eager=False))
+    n_mem = ev.agg(F.count_distinct("user_id").alias("n_members"))
+    ph = F.md5(F.concat(F.lit("probe-"), F.col("id").cast("string")))
+    ppos = F.array(*[
+        F.conv(F.substring(ph, 1 + 8 * i, 8), 16, 10).cast("long")
+        % _BLOOM_M for i in range(_BLOOM_K)])
+    probes = (spark.range(BLOOM_PROBES)
+              .select(F.col("id").alias("pid"),
+                      F.explode(ppos).alias("pos")))
+    hits = (probes.join(F.broadcast(bits), "pos", "left_semi")
+            .groupBy("pid").agg(F.count("*").alias("k_hit")))
+    fp = hits.where(F.col("k_hit") == _BLOOM_K).agg(
+        F.count("*").alias("n_false_pos"))
+    nbits = bits.agg(F.count("*").alias("bits_set"))
+    return (n_mem.crossJoin(F.broadcast(nbits))
+            .crossJoin(F.broadcast(fp))
+            .select("n_members", "bits_set",
+                    F.lit(BLOOM_PROBES).cast("long").alias("n_probes"),
+                    "n_false_pos",
+                    F.expr(f"n_false_pos * 1000000 div {BLOOM_PROBES}")
+                    .alias("fpr_q")))
+
+
+def sketch_bloom_fpr_audit_sql():
+    slices = ", ".join(
+        f"('0x' || substr(h, {1 + 8 * i}, 8))::BIGINT % {_BLOOM_M}"
+        for i in range(_BLOOM_K))
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT unnest([{slices}]) AS pos
+  FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+), probes AS (
+  SELECT pid, unnest([{slices}]) AS pos
+  FROM (SELECT g AS pid, md5('probe-' || CAST(g AS VARCHAR)) AS h
+        FROM (SELECT unnest(range(0, {BLOOM_PROBES})) AS g))
+), hits AS (
+  SELECT pid, count(*) AS k_hit
+  FROM probes JOIN bits USING (pos) GROUP BY 1
+), fp AS (
+  SELECT count(*) AS n_false_pos FROM hits WHERE k_hit = {_BLOOM_K}
+)
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+       CAST({BLOOM_PROBES} AS BIGINT) AS n_probes,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CAST(n_false_pos * 1000000 // {BLOOM_PROBES} AS BIGINT) AS fpr_q
+FROM fp
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -6568,6 +6747,8 @@ QUERIES = {
     "cdc_scd3_prev_values": cdc_scd3_prev_values,
     "window_rle_runs": window_rle_runs,
     "agg_benford_profile": agg_benford_profile,
+    "join_locf_gapfill": join_locf_gapfill,
+    "sketch_bloom_fpr_audit": sketch_bloom_fpr_audit,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -6814,4 +6995,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "cdc_scd3_prev_values": cdc_scd3_prev_values_sql(),
     "window_rle_runs": window_rle_runs_sql(),
     "agg_benford_profile": agg_benford_profile_sql(),
+    "join_locf_gapfill": join_locf_gapfill_sql(),
+    "sketch_bloom_fpr_audit": sketch_bloom_fpr_audit_sql(),
 }
