@@ -6485,6 +6485,142 @@ FROM fp
 """
 
 
+HEAPS_DECILES = 10
+
+
+def text_heaps_law_curve(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve — distinct trigram count
+    after each decile of the corpus (by doc_id order): natural corpora
+    grow ~n^β with β≈0.5; a flattening curve flags duplication, a
+    linear one flags synthetic text. The trick that makes the curve
+    ONE pass instead of ten: a gram first appears at min(doc_id), so
+    "distinct grams after decile d" is a cumulative histogram of the
+    per-gram minimum — no repeated scans, no growing distinct state.
+
+    Scale shape: explode → one (gram) fold carrying min(doc_id) →
+    decile bucket → 10-row cumulative. The oracle replays the same
+    min-based rewrite; `tests/test_round4_ops.py` pins it against the
+    brute-force per-decile distinct on a seeded corpus.
+
+    Reference parity: none; text family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    toks = (docs.select(
+        "doc_id", F.split("text", r"[ \t\n\r\f\v]+").alias("tt"))
+        # guard BEFORE sequence(): Spark's sequence(0, negative) counts
+        # DOWN, which would fabricate short grams from null slots
+        .where(F.size("tt") >= 3))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(tt) - 3), "
+            "i -> concat_ws(' ', tt[i], tt[i+1], tt[i+2]))")).alias("gram"))
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("d0"))
+    dec = (first.crossJoin(F.broadcast(nd))
+           .select(F.expr(f"least(d0 * {HEAPS_DECILES} div n_docs, "
+                          f"{HEAPS_DECILES - 1})").alias("decile"))
+           .groupBy("decile").agg(F.count("*").alias("new_grams")))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)  # 10-row frame
+    return (dec.withColumn("vocab_cum", F.sum("new_grams").over(w))
+            .select("decile", "new_grams",
+                    F.col("vocab_cum").cast("long"))
+            .orderBy("decile"))
+
+
+def text_heaps_law_curve_sql():
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split_regex(text, '[ \\t\\n\\r\\f\\v]+') AS tt
+  FROM documents
+), nd AS (SELECT count(*) AS n_docs FROM documents),
+grams AS (
+  SELECT doc_id, tt[i + 1] || ' ' || tt[i + 2] || ' ' || tt[i + 3]
+           AS gram
+  FROM docs, LATERAL (SELECT unnest(range(0, len(tt) - 2)) AS i) s
+  WHERE len(tt) >= 3
+), first AS (
+  SELECT gram, min(doc_id) AS d0 FROM grams GROUP BY 1
+), dec AS (
+  SELECT least(d0 * {HEAPS_DECILES} // n_docs, {HEAPS_DECILES - 1})
+           AS decile,
+         count(*) AS new_grams
+  FROM first CROSS JOIN nd GROUP BY 1
+)
+SELECT decile, CAST(new_grams AS BIGINT) AS new_grams,
+       CAST(sum(new_grams) OVER (ORDER BY decile
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM dec ORDER BY decile
+"""
+
+
+def window_peak_concurrency(spark, sf_dir):
+    """Peak concurrency — the maximum number of simultaneously-active
+    user-day activity spans (capacity planning's first question): each
+    (user, day) contributes an interval [first event, last event]; the
+    sweep line (+1 at starts, −1 after ends) prefix-sums to the live
+    count; report its maximum and the earliest instant it is reached.
+
+    Scale shape: the span fold is one combinable groupBy; the sweep
+    runs on the boundary-grain table (2 rows per span — inventory
+    scale; at 10^11 spans the prefix becomes the segmented two-phase
+    decomposition used by `cdc_late_arrival_histogram`). Boundary
+    ordering is total: ends sort before coincident starts via the kind
+    flag, matching the half-open oracle.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+    spans = (ev.groupBy("user_id", "day")
+             .agg(F.min("e").alias("s"), F.max("e").alias("t")))
+    bounds = (spans.select(F.col("s").alias("at"), F.lit(1).alias("d"),
+                           F.lit(1).alias("kind"))
+              .unionByName(spans.select(
+                  F.col("t").alias("at"), F.lit(-1).alias("d"),
+                  # half-open: an interval ending exactly when another
+                  # starts does NOT overlap it — ends first (kind 0)
+                  F.lit(0).alias("kind"))))
+    w = (Window.orderBy("at", "kind")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    live = bounds.withColumn("live", F.sum("d").over(w))
+    peak = live.agg(F.max("live").alias("peak"))
+    return (live.crossJoin(F.broadcast(peak))
+            .where(F.col("live") == F.col("peak"))
+            .agg(F.min("at").alias("peak_at_us"),
+                 F.first(F.col("peak")).alias("peak_concurrency"))
+            .select(F.col("peak_concurrency").cast("long"),
+                    "peak_at_us"))
+
+
+def window_peak_concurrency_sql():
+    return """
+WITH spans AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS t
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT s AS at, 1 AS d, 1 AS kind FROM spans
+  UNION ALL
+  SELECT t AS at, -1 AS d, 0 AS kind FROM spans
+), live AS (
+  SELECT at, sum(d) OVER (ORDER BY at, kind
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS live
+  FROM bounds
+), pk AS (SELECT max(live) AS peak FROM live)
+SELECT CAST(peak AS BIGINT) AS peak_concurrency,
+       CAST(min(at) AS BIGINT) AS peak_at_us
+FROM live CROSS JOIN pk WHERE live = peak
+GROUP BY peak
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -6749,6 +6885,8 @@ QUERIES = {
     "agg_benford_profile": agg_benford_profile,
     "join_locf_gapfill": join_locf_gapfill,
     "sketch_bloom_fpr_audit": sketch_bloom_fpr_audit,
+    "text_heaps_law_curve": text_heaps_law_curve,
+    "window_peak_concurrency": window_peak_concurrency,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -6997,4 +7135,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_benford_profile": agg_benford_profile_sql(),
     "join_locf_gapfill": join_locf_gapfill_sql(),
     "sketch_bloom_fpr_audit": sketch_bloom_fpr_audit_sql(),
+    "text_heaps_law_curve": text_heaps_law_curve_sql(),
+    "window_peak_concurrency": window_peak_concurrency_sql(),
 }

@@ -1170,3 +1170,41 @@ def test_max_subarray_monoid_vs_bruteforce(spark, seed, tmp_path):
     assert out["n_days"] == n_days
     assert out["series_total_q"] == sum(xs)
     assert out["max_subarray_q"] == brute
+
+
+def test_heaps_curve_min_rewrite_vs_bruteforce(spark, tmp_path):
+    """The min(doc_id)-histogram rewrite must equal the brute-force
+    per-decile distinct-gram count on a seeded corpus with heavy
+    cross-document repetition."""
+    import hashlib
+    import os
+    from binlog_spark.queries import text_heaps_law_curve, HEAPS_DECILES
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    for d in range(40):
+        h = int(hashlib.md5(f"h{d}".encode()).hexdigest()[:8], 16)
+        toks = [words[(h >> (2 * j)) % len(words)] for j in range(6)]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = {r["decile"]: (r["new_grams"], r["vocab_cum"])
+           for r in text_heaps_law_curve(spark, str(tmp_path)).collect()}
+
+    def grams(t):
+        tt = t.split(" ")
+        return {" ".join(tt[i:i + 3]) for i in range(len(tt) - 2)}
+
+    n = len(docs)
+    seen, brute = set(), {}
+    per_decile = {}
+    for d, t in docs:
+        dec = min(d * HEAPS_DECILES // n, HEAPS_DECILES - 1)
+        per_decile.setdefault(dec, set()).update(grams(t))
+    cum = set()
+    for dec in sorted(per_decile):
+        new = per_decile[dec] - cum
+        cum |= per_decile[dec]
+        brute[dec] = (len(new), len(cum))
+    assert got == brute
