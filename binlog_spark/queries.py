@@ -6621,6 +6621,206 @@ GROUP BY peak
 """
 
 
+AB_USER_BANDS = 4
+
+
+def lake_layout_ab_audit(spark, sf_dir):
+    """Layout A/B prune audit — the decision query behind "should we
+    re-cluster?": the SAME rows filed two ways (arrival-linear
+    `event_id div 64` vs Z-order Morton cells over (user, time)
+    buckets), both layouts' per-file 2-D zone maps priced against one
+    2-D predicate bank (user band × event range). Z-order prunes far
+    better on 2-D predicates — this query emits the exact numbers an
+    operator trades off against rewrite cost (`lake_zorder_cells`
+    previews the target layout; `lake_overlap_depth` prices decay).
+
+    Scale shape: one projection feeds BOTH layout folds (combinable
+    groupBys on the file grain); the bank is built from a broadcast
+    bounds row; pricing is stats × bank, metadata-scale.
+
+    Reference parity: none; lake-maintenance family (SURVEY §2.3)."""
+    zexpr = lake_layout._z_terms_spark("zx", "zy")
+    base = (_t(spark, sf_dir, "events")
+            .select("user_id", "event_id",
+                    F.expr("user_id % 65536").alias("zx"),
+                    F.expr("(event_id div 16) % 65536").alias("zy"))
+            .withColumn("zfile",
+                        F.expr(f"({zexpr}) div {lake_layout.ZCELL}"))
+            .withColumn("afile",
+                        F.expr(f"event_id div {lake_layout.FILE_EVENTS}"))
+            .localCheckpoint(eager=False))
+
+    def stats(file_col, label):
+        return (base.groupBy(F.col(file_col).alias("file_id"))
+                .agg(F.min("user_id").alias("umin"),
+                     F.max("user_id").alias("umax"),
+                     F.min("event_id").alias("emin"),
+                     F.max("event_id").alias("emax"),
+                     F.count("*").alias("n_rows"))
+                .withColumn("layout", F.lit(label)))
+
+    st = stats("afile", "arrival").unionByName(stats("zfile", "zorder"))
+    g = base.agg(F.max("user_id").alias("ulim"),
+                 F.max("event_id").alias("elim"))
+    bank = (g.select(F.explode(F.sequence(
+        F.lit(0), F.lit(AB_USER_BANDS * 2 - 1))).alias("k"),
+        "ulim", "elim")
+        .select(F.col("k").cast("long").alias("pred_id"),
+                F.expr(f"(k div 2) * (ulim + 1) div {AB_USER_BANDS}")
+                .alias("ulo"),
+                F.expr(f"(k div 2 + 1) * (ulim + 1) div {AB_USER_BANDS}")
+                .alias("uhi"),
+                F.expr("(k % 2) * (elim + 1) div 2").alias("elo"),
+                F.expr("(k % 2 + 1) * (elim + 1) div 2").alias("ehi")))
+    j = st.crossJoin(F.broadcast(bank))
+    hit = ((F.col("umax") >= F.col("ulo")) & (F.col("umin") < F.col("uhi"))
+           & (F.col("emax") >= F.col("elo"))
+           & (F.col("emin") < F.col("ehi")))
+    return (j.groupBy("layout", "pred_id")
+            .agg(F.count("*").alias("n_files_total"),
+                 F.sum(hit.cast("long")).alias("n_files_scanned"),
+                 F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+                 .alias("n_rows_scanned"))
+            .withColumn("pruned_pct_q",
+                        F.expr("(n_files_total - n_files_scanned) "
+                               "* 1000000 div n_files_total"))
+            .orderBy("layout", "pred_id"))
+
+
+def lake_layout_ab_audit_sql():
+    zterms = lake_layout._z_terms_duckdb("zx", "zy")
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, user_id % 65536 AS zx,
+         (event_id // 16) % 65536 AS zy
+  FROM events
+), filed AS (
+  SELECT user_id, event_id,
+         ({zterms}) // {lake_layout.ZCELL} AS zfile,
+         event_id // {lake_layout.FILE_EVENTS} AS afile
+  FROM base
+), st AS (
+  SELECT 'arrival' AS layout, afile AS file_id,
+         min(user_id) AS umin, max(user_id) AS umax,
+         min(event_id) AS emin, max(event_id) AS emax,
+         count(*) AS n_rows
+  FROM filed GROUP BY 1, 2
+  UNION ALL
+  SELECT 'zorder', zfile, min(user_id), max(user_id),
+         min(event_id), max(event_id), count(*)
+  FROM filed GROUP BY 1, 2
+), g AS (
+  SELECT max(user_id) AS ulim, max(event_id) AS elim FROM events
+), bank AS (
+  SELECT k AS pred_id,
+         (k // 2) * (ulim + 1) // {AB_USER_BANDS} AS ulo,
+         (k // 2 + 1) * (ulim + 1) // {AB_USER_BANDS} AS uhi,
+         (k % 2) * (elim + 1) // 2 AS elo,
+         (k % 2 + 1) * (elim + 1) // 2 AS ehi
+  FROM (SELECT unnest(range(0, {AB_USER_BANDS * 2})) AS k)
+  CROSS JOIN g
+)
+SELECT layout, pred_id,
+       CAST(count(*) AS BIGINT) AS n_files_total,
+       CAST(sum(CASE WHEN umax >= ulo AND umin < uhi
+                     AND emax >= elo AND emin < ehi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+       CAST(sum(CASE WHEN umax >= ulo AND umin < uhi
+                     AND emax >= elo AND emin < ehi
+                THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+       CAST((count(*) - sum(CASE WHEN umax >= ulo AND umin < uhi
+                                 AND emax >= elo AND emin < ehi
+                            THEN 1 ELSE 0 END)) * 1000000 // count(*)
+            AS BIGINT) AS pruned_pct_q
+FROM st CROSS JOIN bank
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def cdc_order_inversions(spark, sf_dir):
+    """Out-of-order delivery score per user — the exact inversion
+    count between arrival order (event_id) and event time, i.e. how
+    shuffled each key's stream arrived (the statistic that sizes
+    watermarks and reorder buffers; Kendall-tau's discordant half).
+
+    Scale shape: one key shuffle into an Arrow kernel; the O(h²)
+    vectorized pair count is bounded by a single user's history
+    (document-scale h), never cross-key. The oracle is the per-user
+    pair self-join — equality proves the kernel.
+
+    Reference parity: the reference ASSUMES in-order delivery
+    (`row_streamer.go:107-118`); this measures how wrong that would be
+    on a shuffled transport. SURVEY §2.2 stateful/window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+
+    def inv(batches):
+        import numpy as np
+        import pandas as pd
+        state: dict = {}
+        for pdf in batches:
+            for uid, grp in pdf.groupby("user_id", sort=False):
+                pair = (grp["event_id"].to_numpy(np.int64),
+                        grp["e"].to_numpy(np.int64))
+                prev = state.get(uid)
+                state[uid] = (np.concatenate([prev[0], pair[0]]),
+                              np.concatenate([prev[1], pair[1]])
+                              ) if prev else pair
+        rows = []
+        for uid, (ids, es) in state.items():
+            order = np.argsort(ids, kind="stable")
+            e = es[order]
+            n = len(e)
+            # vectorized O(h^2) pair count, h = one user's history:
+            # pairs (i < j in arrival order) with e_i > e_j
+            if n > 1:
+                iu = np.triu_indices(n, k=1)
+                invs = int((e[iu[0]] > e[iu[1]]).sum())
+            else:
+                invs = 0
+            rows.append((uid, n, n * (n - 1) // 2, invs))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "n_events", "n_pairs", "n_inversions"])
+
+    # partition by key so each user's history lands in one kernel call
+    out = (ev.repartition("user_id")
+           .mapInPandas(inv, "user_id long, n_events long, n_pairs long,"
+                             " n_inversions long"))
+    return (out.withColumn(
+        "inv_share_q",
+        F.expr("CASE WHEN n_pairs > 0 THEN n_inversions * 1000000 "
+               "div n_pairs ELSE 0 END"))
+        .orderBy("user_id"))
+
+
+def cdc_order_inversions_sql():
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS e FROM events
+), pairs AS (
+  SELECT a.user_id,
+         CAST(count(*) AS BIGINT) AS n_inversions
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.e > b.e
+  GROUP BY 1
+), base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+  FROM ev GROUP BY 1
+)
+SELECT b.user_id, b.n_events, b.n_pairs,
+       CAST(coalesce(p.n_inversions, 0) AS BIGINT) AS n_inversions,
+       CAST(CASE WHEN b.n_pairs > 0
+                 THEN coalesce(p.n_inversions, 0) * 1000000 // b.n_pairs
+                 ELSE 0 END AS BIGINT) AS inv_share_q
+FROM base b LEFT JOIN pairs p USING (user_id)
+ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -6887,6 +7087,8 @@ QUERIES = {
     "sketch_bloom_fpr_audit": sketch_bloom_fpr_audit,
     "text_heaps_law_curve": text_heaps_law_curve,
     "window_peak_concurrency": window_peak_concurrency,
+    "lake_layout_ab_audit": lake_layout_ab_audit,
+    "cdc_order_inversions": cdc_order_inversions,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -7137,4 +7339,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "sketch_bloom_fpr_audit": sketch_bloom_fpr_audit_sql(),
     "text_heaps_law_curve": text_heaps_law_curve_sql(),
     "window_peak_concurrency": window_peak_concurrency_sql(),
+    "lake_layout_ab_audit": lake_layout_ab_audit_sql(),
+    "cdc_order_inversions": cdc_order_inversions_sql(),
 }
