@@ -6821,6 +6821,142 @@ ORDER BY 1
 """
 
 
+def agg_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the md5
+    event halves — the distribution-shape gate that catches what the
+    bucketed TVD/χ² (`drift_value_histogram`) smooths over: the exact
+    supremum |CDF₁ − CDF₂|, evaluated at every distinct quantized
+    value via integer cross-multiplication (D·n₁·n₂ is an exact
+    BIGINT; no float CDFs decide the max). Reports the statistic, the
+    value where the gap peaks (earliest on ties), and both sample
+    sizes.
+
+    Scale shape: one (value, half) fold to the value-grain table, a
+    cumulative over it ordered by value (distinct-value grain — at
+    unbounded domains this prefix becomes the segmented two-phase
+    decomposition), and a 1-row argmax via a composite key.
+
+    Reference parity: none; SURVEY §2.2 aggregation/QA family."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+                16, 10).cast("long") % 2).alias("half"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    cnt = (ev.groupBy("vq")
+           .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                .alias("c1"),
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                .alias("c2")))
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (cnt.withColumn("f1", F.sum("c1").over(w))
+           .withColumn("f2", F.sum("c2").over(w))
+           .crossJoin(F.broadcast(tot))
+           .withColumn("gap", F.abs(F.col("f1") * F.col("n2")
+                                    - F.col("f2") * F.col("n1"))))
+    # earliest value on gap ties: composite max key (gap, -vq).
+    # 2^30 > max vq (values < ~1e3 -> vq < 2^30) while keeping
+    # gap * 2^30 <= (n/2)^2 * 2^30 inside int64 up to n ~ 10^5
+    big = 1 << 30
+    return (cum.agg(
+        F.first("n1").alias("n1"), F.first("n2").alias("n2"),
+        F.max("gap").alias("ks_num"),
+        (F.lit(-1) * (F.max(F.col("gap") * big - F.col("vq"))
+                      - F.max("gap") * big)).alias("ks_at_vq"))
+        .select("n1", "n2", "ks_num", "ks_at_vq"))
+
+
+def agg_ks_two_sample_sql():
+    big = 1 << 30
+    return f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           % 2 AS half,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), cnt AS (
+  SELECT vq, sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+  FROM ev GROUP BY 1
+), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cnt),
+cum AS (
+  SELECT vq,
+         sum(c1) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f1,
+         sum(c2) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f2
+  FROM cnt
+), gaps AS (
+  SELECT vq, abs(f1 * n2 - f2 * n1) AS gap FROM cum CROSS JOIN tot
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n1,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n2,
+       CAST(max(gap) AS BIGINT) AS ks_num,
+       CAST(-(max(gap * {big} - vq) - max(gap) * {big}) AS BIGINT)
+         AS ks_at_vq
+FROM gaps
+"""
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per event type — the robust location estimate a
+    metric pipeline reports next to the raw mean (tails clamped to the
+    exact p05/p95 order statistics instead of dropped): exact
+    `percentile_disc` bounds, integer clamp, exact quantized sums, one
+    floor division at the end. Reports raw vs winsorized side by side
+    so the tail influence is the visible delta.
+
+    Scale shape: two aggregations over one scan shape — the exact
+    percentile state is bounded by the quantized domain (the 2-pass
+    primitive `agg_exact_median_2pass` is the unbounded-domain path) —
+    plus a broadcast bounds join and one combinable fold.
+
+    Reference parity: none; SURVEY §2.2 aggregation/QA family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile_disc({WINSOR_LO}) WITHIN GROUP (ORDER BY vq)")
+        .cast("long").alias("lo"),
+        F.expr(f"percentile_disc({WINSOR_HI}) WITHIN GROUP (ORDER BY vq)")
+        .cast("long").alias("hi"))
+    clamped = (ev.join(F.broadcast(bounds), "event_type")
+               .withColumn("wv", F.expr("greatest(lo, least(hi, vq))")))
+    return (clamped.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.first("lo").alias("p05_q"),
+                 F.first("hi").alias("p95_q"),
+                 F.expr("sum(vq) div count(*)").alias("raw_mean_q"),
+                 F.expr("sum(wv) div count(*)").alias("winsor_mean_q"))
+            .orderBy("event_type"))
+
+
+def agg_winsorized_mean_sql():
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         CAST(percentile_disc({WINSOR_LO}) WITHIN GROUP (ORDER BY vq)
+              AS BIGINT) AS lo,
+         CAST(percentile_disc({WINSOR_HI}) WITHIN GROUP (ORDER BY vq)
+              AS BIGINT) AS hi
+  FROM ev GROUP BY 1
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS p05_q,
+       CAST(min(hi) AS BIGINT) AS p95_q,
+       CAST(sum(vq) // count(*) AS BIGINT) AS raw_mean_q,
+       CAST(sum(greatest(lo, least(hi, vq))) // count(*) AS BIGINT)
+         AS winsor_mean_q
+FROM ev JOIN bounds USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -7089,6 +7225,8 @@ QUERIES = {
     "window_peak_concurrency": window_peak_concurrency,
     "lake_layout_ab_audit": lake_layout_ab_audit,
     "cdc_order_inversions": cdc_order_inversions,
+    "agg_ks_two_sample": agg_ks_two_sample,
+    "agg_winsorized_mean": agg_winsorized_mean,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -7341,4 +7479,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_peak_concurrency": window_peak_concurrency_sql(),
     "lake_layout_ab_audit": lake_layout_ab_audit_sql(),
     "cdc_order_inversions": cdc_order_inversions_sql(),
+    "agg_ks_two_sample": agg_ks_two_sample_sql(),
+    "agg_winsorized_mean": agg_winsorized_mean_sql(),
 }
