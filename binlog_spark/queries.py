@@ -6957,6 +6957,165 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+HITS_ROUNDS = 3
+HITS_SCALE = 1 << 20   # initial hub mass per node
+HITS_DECAY = 10        # integer decimation per half-step (no float norm)
+
+
+def graph_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities over the DIRECTED md5 link graph
+    (Kleinberg '99) — the link-quality pair PageRank doesn't give:
+    pages that point AT good content (hubs) vs pages pointed at
+    (authorities). The float 2-norm normalization is replaced by a
+    fixed integer decimation (`div 2^10` per half-step), which keeps
+    every score an exact BIGINT — rankings are preserved (decimation
+    is monotone) and both engines replay bit-identically.
+
+    Scale shape: per round two grouped joins on the edge list (auth ←
+    hub fan-in, hub ← auth fan-out), lineage truncated per round; the
+    oracle unrolls the SAME round count as MATERIALIZED CTEs (the
+    `graph_kcore` pattern).
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(F.array(*dsts)).alias("dst"))
+             .where(F.col("src") != F.col("dst")).distinct()
+             .localCheckpoint(eager=False))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("hs"))
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        auth = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.expr(f"sum(hs) div {1 << HITS_DECAY}").alias("as_"))
+                .localCheckpoint(eager=False))
+        hub = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.expr(f"sum(as_) div {1 << HITS_DECAY}").alias("hs"))
+               .localCheckpoint(eager=False))
+    return (nodes.join(hub, "node", "left").join(auth, "node", "left")
+            .select("node",
+                    F.coalesce("hs", F.lit(0)).alias("hub_q"),
+                    F.coalesce("as_", F.lit(0)).alias("auth_q"))
+            .orderBy("node"))
+
+
+def graph_hits_scores_sql(rounds: int = HITS_ROUNDS) -> str:
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS dst
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM raw WHERE src != dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+h0 AS MATERIALIZED (
+  SELECT node, {HITS_SCALE}::BIGINT AS hs FROM nodes
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hs) // {1 << HITS_DECAY} AS as_
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.as_) // {1 << HITS_DECAY} AS hs
+  FROM edges e JOIN a{i} a ON a.node = e.dst
+  GROUP BY 1
+)""")
+    parts.append(f"""
+SELECT n.node, CAST(coalesce(h.hs, 0) AS BIGINT) AS hub_q,
+       CAST(coalesce(a.as_, 0) AS BIGINT) AS auth_q
+FROM nodes n
+LEFT JOIN h{rounds} h ON h.node = n.node
+LEFT JOIN a{rounds} a ON a.node = n.node
+ORDER BY n.node
+""")
+    return "".join(parts)
+
+
+def agg_autocorr_daily(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series per type —
+    the seasonality/trend smell test (white noise ≈ 0, trending ≈ 1,
+    alternating load ≈ −1) run before fitting any forecast: Pearson
+    over (x_t, x_{t+1}) pairs from a lag window on the DAY-GRAIN
+    table, exact DECIMAL(38,0) moment sums (`agg_ols_trend`
+    machinery), one shared double expression.
+
+    Scale shape: one combinable (type, day) fold; the lag window and
+    the moment fold run on the |types × days| frame only.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (daily.withColumn("x", F.lag("n").over(w))
+             .where(F.col("x").isNotNull())
+             .select("event_type",
+                     F.col("x").cast("decimal(38,0)").alias("x"),
+                     F.col("n").cast("decimal(38,0)").alias("y")))
+    sums = (pairs.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy")))
+    nd, sx, sy, sxy, sxx, syy = [
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+    return (sums.select(
+        "event_type", F.col("n").alias("n_pairs"),
+        F.round((nd * sxy - sx * sy)
+                / (F.sqrt(nd * sxx - sx * sx)
+                   * F.sqrt(nd * syy - sy * sy)), 6).alias("autocorr_1"))
+        .orderBy("event_type"))
+
+
+def agg_autocorr_daily_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type, x, n AS y FROM (
+    SELECT event_type, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY day) AS x
+    FROM daily)
+  WHERE x IS NOT NULL
+), sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE
+                       * sy::DOUBLE)), 6) AS autocorr_1
+FROM sums ORDER BY event_type
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -7227,6 +7386,8 @@ QUERIES = {
     "cdc_order_inversions": cdc_order_inversions,
     "agg_ks_two_sample": agg_ks_two_sample,
     "agg_winsorized_mean": agg_winsorized_mean,
+    "graph_hits_scores": graph_hits_scores,
+    "agg_autocorr_daily": agg_autocorr_daily,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -7481,4 +7642,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "cdc_order_inversions": cdc_order_inversions_sql(),
     "agg_ks_two_sample": agg_ks_two_sample_sql(),
     "agg_winsorized_mean": agg_winsorized_mean_sql(),
+    "graph_hits_scores": graph_hits_scores_sql(),
+    "agg_autocorr_daily": agg_autocorr_daily_sql(),
 }
