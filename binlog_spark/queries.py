@@ -7116,6 +7116,118 @@ FROM sums ORDER BY event_type
 """
 
 
+def join_first_touch_attrib(spark, sf_dir):
+    """First-touch attribution — each purchase credits the user's
+    EARLIEST click at-or-before it (marketing's other canonical model,
+    completing the attribution family: last-touch
+    `join_asof_purchase_click`, windowed `join_stream_interval_attrib`,
+    nearest `join_nearest_asof`): the same union + single
+    user-partitioned window, with a running FIRST instead of last.
+
+    Scale shape: one key shuffle; the expanding min is bounded by a
+    single user's history. Sentinel (-1, 0) for click-less purchases.
+
+    Reference parity: none; SURVEY §2.2 join family."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("click", "purchase"))
+    side = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    e = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = base.select(
+        "user_id", e.alias("e"), "event_id", side.alias("side"),
+        F.when(side == 0, F.col("event_id")).alias("cid"),
+        F.when(side == 0, e).alias("ce"))
+    w = (Window.partitionBy("user_id").orderBy("e", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (u.withColumn("first_cid",
+                         F.first("cid", ignorenulls=True).over(w))
+            .withColumn("first_ce",
+                        F.first("ce", ignorenulls=True).over(w))
+            .where(F.col("side") == 1)
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.coalesce("first_cid", F.lit(-1))
+                    .alias("first_click_id"),
+                    F.coalesce(F.col("e") - F.col("first_ce"), F.lit(0))
+                    .alias("age_us")))
+
+
+def join_first_touch_attrib_sql():
+    return """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS e, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'click' THEN event_id END AS cid,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ce
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id, user_id,
+       coalesce(first_cid, -1) AS first_click_id,
+       CAST(coalesce(e - first_ce, 0) AS BIGINT) AS age_us
+FROM (
+  SELECT event_id, user_id, e, side,
+         first_value(cid IGNORE NULLS) OVER w AS first_cid,
+         first_value(ce IGNORE NULLS) OVER w AS first_ce
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY e, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE side = 1
+"""
+
+
+def window_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution with censoring — hours from each
+    user's first signup to their first purchase AT OR AFTER it, bucketed
+    into a latency histogram; users who signed up but never purchased
+    are the censored bucket (-1) — the survival-analysis shape (here:
+    the exact empirical distribution, not a model) every activation
+    funnel reports.
+
+    Scale shape: one per-user fold for the first signup (conditional
+    min), a same-key join back, a second conditional fold for the first
+    qualifying purchase — two key shuffles total, then a tiny histogram
+    fold.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("e").alias("s0")))
+    conv = (ev.where(F.col("event_type") == "purchase")
+            .join(s, "user_id")
+            .where(F.col("e") >= F.col("s0"))
+            .groupBy("user_id")
+            .agg(F.min(F.col("e") - F.col("s0")).alias("lat_us")))
+    buck = (s.join(conv, "user_id", "left")
+            .select(F.when(F.col("lat_us").isNull(), F.lit(-1))
+                    .otherwise(F.expr("lat_us div 3600000000"))
+                    .cast("long").alias("hours_bucket")))
+    return (buck.groupBy("hours_bucket")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("hours_bucket"))
+
+
+def window_time_to_convert_sql():
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS e FROM events
+), s AS (
+  SELECT user_id, min(e) AS s0 FROM ev WHERE event_type = 'signup'
+  GROUP BY 1
+), conv AS (
+  SELECT ev.user_id, min(e - s0) AS lat_us
+  FROM ev JOIN s USING (user_id)
+  WHERE event_type = 'purchase' AND e >= s0
+  GROUP BY 1
+)
+SELECT CASE WHEN lat_us IS NULL THEN -1
+            ELSE lat_us // 3600000000 END AS hours_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s LEFT JOIN conv USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -7388,6 +7500,8 @@ QUERIES = {
     "agg_winsorized_mean": agg_winsorized_mean,
     "graph_hits_scores": graph_hits_scores,
     "agg_autocorr_daily": agg_autocorr_daily,
+    "join_first_touch_attrib": join_first_touch_attrib,
+    "window_time_to_convert": window_time_to_convert,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -7644,4 +7758,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_winsorized_mean": agg_winsorized_mean_sql(),
     "graph_hits_scores": graph_hits_scores_sql(),
     "agg_autocorr_daily": agg_autocorr_daily_sql(),
+    "join_first_touch_attrib": join_first_touch_attrib_sql(),
+    "window_time_to_convert": window_time_to_convert_sql(),
 }
