@@ -7228,6 +7228,111 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def agg_behavior_entropy(spark, sf_dir):
+    """Behavioral entropy per user — Shannon entropy of each user's
+    event-type distribution, the classic bot screen (templated traffic
+    concentrates on one type → entropy ≈ 0; organic use spreads out).
+    Exact and order-free across engines: per-(user, type) counts fold
+    combinably, ln(count) is quantized to 1e-6 BEFORE the weighted sum
+    (the `text_zipf_slope` rule — a raw float Σ c·ln c would be
+    association-order-dependent), and H_q = ln(n)_q − (Σ c·ln(c)_q)/n
+    is one integer expression.
+
+    Reference parity: none; SURVEY §2.2 aggregation/QA family."""
+    cnt = (_t(spark, sf_dir, "events")
+           .groupBy("user_id", "event_type")
+           .agg(F.count("*").alias("c")))
+    lq = F.round(F.log(F.col("c").cast("double")) * 1_000_000)\
+        .cast("long")
+    per = (cnt.select("user_id", "c", (F.col("c") * lq).alias("clq"))
+           .groupBy("user_id")
+           .agg(F.sum("c").alias("n_events"),
+                F.count("*").alias("n_types"),
+                F.sum("clq").alias("s")))
+    hq = (F.round(F.log(F.col("n_events").cast("double")) * 1_000_000)
+          .cast("long") - F.expr("s div n_events"))
+    return (per.select("user_id", "n_events", "n_types",
+                       hq.alias("entropy_q"))
+            .orderBy("user_id"))
+
+
+def agg_behavior_entropy_sql():
+    return """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT user_id, sum(c) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+           AS s
+  FROM cnt GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_types,
+       CAST(CAST(round(ln(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)
+            - s // n_events AS BIGINT) AS entropy_q
+FROM per ORDER BY 1
+"""
+
+
+def dedup_estimate_calibration(spark, sf_dir):
+    """MinHash calibration audit — |estimated − exact| Jaccard over the
+    LSH candidate set: the number that justifies thresholding the
+    8-position signature estimate (`dedup_minhash_estimate`) instead of
+    re-shingling every candidate. Reports the candidate count, the
+    mean/max absolute error (1e-6 quantized) and how many candidates
+    share zero shingles at all (pure signature collisions).
+
+    Scale shape: both sides run their production plans (signature
+    kernel once; the exact side's inverted index with the max_df cut);
+    the audit joins candidate-grain frames only.
+
+    Reference parity: none; dedup family (SURVEY §2.3), closing the
+    audit loop like `sim_ann_recall_audit` / `sketch_bloom_fpr_audit`."""
+    from .operators.dedup import minhash_estimate_pairs, ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    est = minhash_estimate_pairs(docs).localCheckpoint(eager=False)
+    exact = (ngram_jaccard_pairs(docs, threshold=0.0, max_df=64)
+             .select(F.col("doc_a").alias("ea"),
+                     F.col("doc_b").alias("eb"),
+                     F.col("jaccard").alias("exact_j"))
+             .localCheckpoint(eager=False))
+    j = (est.join(exact, (F.col("doc_a") == F.col("ea"))
+                  & (F.col("doc_b") == F.col("eb")), "left")
+         .select((F.round(F.col("est_jaccard") * 1_000_000)
+                  - F.round(F.coalesce(F.col("exact_j"), F.lit(0.0))
+                            * 1_000_000)).cast("long").alias("dq"),
+                 F.col("exact_j").isNull().cast("long").alias("no_overlap")))
+    return j.agg(F.count("*").alias("n_candidates"),
+                 F.sum("no_overlap").alias("n_zero_overlap"),
+                 F.expr("sum(abs(dq)) div count(*)")
+                 .alias("mean_abs_err_q"),
+                 F.max(F.abs(F.col("dq"))).alias("max_abs_err_q"))
+
+
+def dedup_estimate_calibration_sql():
+    from .operators.dedup import (minhash_estimate_pairs_sql,
+                                  ngram_jaccard_pairs_sql)
+    return f"""
+WITH est AS (
+  SELECT doc_a, doc_b, est_jaccard FROM ({minhash_estimate_pairs_sql()})
+), exact AS (
+  SELECT doc_a AS ea, doc_b AS eb, jaccard AS exact_j
+  FROM ({ngram_jaccard_pairs_sql(threshold=0.0, max_df=64)})
+), j AS (
+  SELECT CAST(round(est_jaccard * 1000000)
+              - round(coalesce(exact_j, 0.0) * 1000000) AS BIGINT) AS dq,
+         CASE WHEN exact_j IS NULL THEN 1 ELSE 0 END AS no_overlap
+  FROM est LEFT JOIN exact ON ea = doc_a AND eb = doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(no_overlap) AS BIGINT) AS n_zero_overlap,
+       CAST(sum(abs(dq)) // count(*) AS BIGINT) AS mean_abs_err_q,
+       CAST(max(abs(dq)) AS BIGINT) AS max_abs_err_q
+FROM j
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -7502,6 +7607,8 @@ QUERIES = {
     "agg_autocorr_daily": agg_autocorr_daily,
     "join_first_touch_attrib": join_first_touch_attrib,
     "window_time_to_convert": window_time_to_convert,
+    "agg_behavior_entropy": agg_behavior_entropy,
+    "dedup_estimate_calibration": dedup_estimate_calibration,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -7760,4 +7867,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_autocorr_daily": agg_autocorr_daily_sql(),
     "join_first_touch_attrib": join_first_touch_attrib_sql(),
     "window_time_to_convert": window_time_to_convert_sql(),
+    "agg_behavior_entropy": agg_behavior_entropy_sql(),
+    "dedup_estimate_calibration": dedup_estimate_calibration_sql(),
 }
