@@ -7333,6 +7333,150 @@ FROM j
 """
 
 
+def tpch_q7_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral volume between supplier and customer
+    nations: lineitem ⋈ supplier ⋈ orders ⋈ customer with BOTH nation
+    dimensions joined in, cross-nation pairs only, exact DECIMAL
+    revenue. The deepest star join in the suite (4 dims on one fact).
+
+    Scale shape: every dimension broadcasts (supplier/customer/nation
+    are all small relative to the fact), so the fact table is touched
+    by exactly one pipelined scan + map-side joins, then one combinable
+    (nation, nation) fold.
+
+    Reference parity: none; SURVEY §2.2 join/agg families."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("sk"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("ck"),
+                    F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+           ).cast("decimal(18,4)")
+    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+         .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation"))
+
+
+def tpch_q7_trade_volume_sql():
+    return """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def agg_latency_hdr(spark, sf_dir):
+    """HDR-style latency histogram — per event type, inter-event gaps
+    (per-user lag) bucketed by BIT LENGTH of the gap in milliseconds:
+    the log2 bucketing HdrHistogram/ClickHouse use to keep tail
+    latencies visible at every magnitude with O(64) buckets. Pure
+    integer: bucket = len(bin(gap_ms + 1)) − 1.
+
+    Scale shape: one user-partitioned lag window (bounded per user),
+    one combinable (type, bucket) fold; shares on the bounded frame.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    gaps = (ev.withColumn("prev", F.lag("e").over(w))
+            .where(F.col("prev").isNotNull())
+            .select("event_type",
+                    F.expr("(e - prev) div 1000").alias("gap_ms")))
+    b = (F.length(F.expr("bin(gap_ms + 1)")) - 1).cast("long")
+    cnt = (gaps.groupBy("event_type", b.alias("log2_bucket"))
+           .agg(F.count("*").alias("n")))
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    return (cnt.join(F.broadcast(tot), "event_type")
+            .select("event_type", "log2_bucket", "n",
+                    F.expr("n * 1000000 div nt").alias("share_q"))
+            .orderBy("event_type", "log2_bucket"))
+
+
+def agg_latency_hdr_sql():
+    return """
+WITH gaps AS (
+  SELECT event_type, (e - prev) // 1000 AS gap_ms
+  FROM (
+    SELECT event_type, epoch_us(ts) AS e,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+             AS prev
+    FROM events)
+  WHERE prev IS NOT NULL
+), cnt AS (
+  SELECT event_type,
+         length(format('{:b}', gap_ms + 1)) - 1 AS log2_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM gaps GROUP BY 1, 2
+), tot AS (SELECT event_type, sum(n) AS nt FROM cnt GROUP BY 1)
+SELECT c.event_type, CAST(c.log2_bucket AS BIGINT) AS log2_bucket, c.n,
+       CAST(c.n * 1000000 // t.nt AS BIGINT) AS share_q
+FROM cnt c JOIN tot t USING (event_type)
+ORDER BY 1, 2
+"""
+
+
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the marker-stopword classifier
+    (`text_lang_id`) evaluated against the corpus's labeled `lang`
+    column: per (true, predicted) cell count and row share. The eval
+    every classifier-driven curation gate needs BEFORE trusting the
+    prediction column ('und' = no markers hit).
+
+    Scale shape: the classifier is map-only JVM regex; one combinable
+    (lang, pred) fold; shares on the |langs|²-bounded frame.
+
+    Reference parity: none; text family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cnt = (j.groupBy("lang", "pred_lang")
+           .agg(F.count("*").alias("n")))
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("nt"))
+    return (cnt.join(F.broadcast(tot), "lang")
+            .select("lang", "pred_lang", "n",
+                    F.expr("n * 1000000 div nt").alias("row_share_q"))
+            .orderBy("lang", "pred_lang"))
+
+
+def text_langid_confusion_sql():
+    return f"""
+WITH pred AS (
+  SELECT doc_id, pred_lang FROM ({textstats.lang_id_sql()})
+), cnt AS (
+  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+), tot AS (SELECT lang, sum(n) AS nt FROM cnt GROUP BY 1)
+SELECT c.lang, c.pred_lang, c.n,
+       CAST(c.n * 1000000 // t.nt AS BIGINT) AS row_share_q
+FROM cnt c JOIN tot t USING (lang)
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -7609,6 +7753,9 @@ QUERIES = {
     "window_time_to_convert": window_time_to_convert,
     "agg_behavior_entropy": agg_behavior_entropy,
     "dedup_estimate_calibration": dedup_estimate_calibration,
+    "tpch_q7_trade_volume": tpch_q7_trade_volume,
+    "agg_latency_hdr": agg_latency_hdr,
+    "text_langid_confusion": text_langid_confusion,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -7869,4 +8016,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_time_to_convert": window_time_to_convert_sql(),
     "agg_behavior_entropy": agg_behavior_entropy_sql(),
     "dedup_estimate_calibration": dedup_estimate_calibration_sql(),
+    "tpch_q7_trade_volume": tpch_q7_trade_volume_sql(),
+    "agg_latency_hdr": agg_latency_hdr_sql(),
+    "text_langid_confusion": text_langid_confusion_sql(),
 }
