@@ -6845,7 +6845,10 @@ def agg_ks_two_sample(spark, sf_dir):
            .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
                 .alias("c1"),
                 F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-                .alias("c2")))
+                .alias("c2"))
+           # the value-grain table feeds totals, the cumulative and the
+           # final argmax; checkpointing caps the fact scan at ONE
+           .localCheckpoint(eager=False))
     tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
     cum = (cnt.withColumn("f1", F.sum("c1").over(w))

@@ -665,3 +665,62 @@ def test_expire_snapshots_two_folds_no_join_fanout(spark, sf_dir):
     # the 1-row cutoff arrives via a broadcast (nested-loop) cross join
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_ks_cumulative_runs_on_value_grain(spark, sf_dir):
+    """The KS prefix runs on the value-grain table after a combinable
+    fold — the fact table is touched by exactly one aggregate; partial
+    aggregation present."""
+    from binlog_spark.queries import agg_ks_two_sample
+
+    df = agg_ks_two_sample(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.has_partial_aggregate(df), plan
+    # checkpointed value-grain frame: every branch reuses ONE fact scan
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_locf_single_carry_window(spark, sf_dir):
+    """Gap-fill uses exactly ONE window (the per-user carry); the grid
+    explode is join-free until the union."""
+    from binlog_spark.queries import join_locf_gapfill
+
+    df = join_locf_gapfill(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 1, plan
+
+
+def test_curation_pipeline_grouped_rank_no_whole_class_window(
+        spark, sf_dir):
+    """The language-balanced cap never funnels a whole language into
+    one task: every Window node partitions by the range segment, and
+    the two stage frames are checkpointed (single fact execution per
+    stage)."""
+    from binlog_spark.queries import pipeline_curation_e2e
+
+    df = pipeline_curation_e2e(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for line in plan.splitlines():
+        if "Window [" in line and "row_number" in line:
+            assert "_seg" in line, line  # global_rank's segment key
+
+
+def test_first_touch_shares_one_user_exchange(spark, sf_dir):
+    from binlog_spark.queries import join_first_touch_attrib
+
+    df = join_first_touch_attrib(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 1, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_bitmap_distinct_two_combinable_folds(spark, sf_dir):
+    """word-level OR then day-level popcount sum: two exchanges max
+    (plus presentation sort), no window, partials present."""
+    from binlog_spark.queries import agg_bitmap_distinct
+
+    df = agg_bitmap_distinct(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert _n_nodes(plan, "Window") == 0, plan
+    assert plans.has_partial_aggregate(df), plan
+    assert plan.count("hashpartitioning") <= 2, plan
