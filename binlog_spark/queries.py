@@ -7587,6 +7587,154 @@ FROM edges e WHERE EXISTS (
 """
 
 
+TIER_COLD_DAYS = 1  # synthetic stream spans ~30 days; >=1 idle day splits
+
+
+def lake_cold_key_tiering(spark, sf_dir):
+    """Cold-key tiering plan — which keys' data can move to cheap
+    storage: per key (user), last-activity age vs the stream's high
+    watermark classifies hot vs cold (idle >= 1 day at the synthetic
+    stream's cadence; a production policy would use 30/90), with per-tier
+    row and byte totals (props payload + fixed header) — the input to
+    an S3-IA/Glacier lifecycle or a cache-eviction policy.
+
+    Scale shape: ONE combinable per-key fold (max ts, counts, bytes),
+    broadcast watermark, then a 2-row tier rollup.
+
+    Reference parity: none; lake-maintenance family (SURVEY §2.3)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        (F.length("props") + F.lit(64)).alias("bytes"))
+    per = (ev.groupBy("user_id")
+           .agg(F.max("e").alias("last_e"),
+                F.count("*").alias("n_rows"),
+                F.sum("bytes").alias("n_bytes")))
+    hw = per.agg(F.max("last_e").alias("hw"))
+    tier = F.when(
+        F.expr(f"(hw - last_e) div 86400000000 >= {TIER_COLD_DAYS}"),
+        "cold").otherwise("hot")
+    return (per.crossJoin(F.broadcast(hw))
+            .groupBy(tier.alias("tier"))
+            .agg(F.count("*").alias("n_keys"),
+                 F.sum("n_rows").alias("n_rows"),
+                 F.sum("n_bytes").cast("long").alias("n_bytes"))
+            .orderBy("tier"))
+
+
+def lake_cold_key_tiering_sql():
+    return f"""
+WITH per AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_e,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(length(props) + 64) AS BIGINT) AS n_bytes
+  FROM events GROUP BY 1
+), hw AS (SELECT max(last_e) AS hw FROM per)
+SELECT CASE WHEN (hw - last_e) // 86400000000 >= {TIER_COLD_DAYS}
+            THEN 'cold' ELSE 'hot' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM per CROSS JOIN hw
+GROUP BY 1 ORDER BY 1
+"""
+
+
+TEMPLATE_PREFIX = 40
+
+
+def text_template_prefixes(spark, sf_dir):
+    """Boilerplate-template detection — documents grouped by the hash
+    of their first 40 characters: clusters bigger than one are
+    templated families (licence headers, scraped page chrome) that
+    per-document hashing misses when the TAIL varies. Reports each
+    cluster's size, the prefix's source spread, and a membership
+    digest; singletons are summarized in one roll-up row (cluster_size
+    1, the corpus remainder) so the result stays cluster-scale.
+
+    Scale shape: map-only prefix hash → one combinable fold → a tiny
+    second fold for the singleton roll-up.
+
+    Reference parity: none; text family (SURVEY §2.3) next to
+    `dedup_chunk_lines` (paragraph-grain) and `dedup_c4_spans`."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.md5(F.substring("text", 1, TEMPLATE_PREFIX)).alias("pfx"))
+    grp = (docs.groupBy("pfx")
+           .agg(F.count("*").alias("cluster_size"),
+                F.count_distinct("source").alias("n_sources"),
+                F.expr("bit_xor(doc_id)").alias("member_xor")))
+    multi = (grp.where(F.col("cluster_size") > 1)
+             .select("cluster_size", "n_sources", "member_xor"))
+    singles = (grp.where(F.col("cluster_size") == 1)
+               .agg(F.lit(1).cast("long").alias("cluster_size"),
+                    F.lit(-1).cast("long").alias("n_sources"),
+                    F.expr("bit_xor(member_xor)").alias("member_xor")))
+    return (multi.unionByName(singles)
+            .orderBy("cluster_size", "member_xor"))
+
+
+def text_template_prefixes_sql():
+    return f"""
+WITH grp AS (
+  SELECT md5(substr(text, 1, {TEMPLATE_PREFIX})) AS pfx,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(bit_xor(doc_id) AS BIGINT) AS member_xor
+  FROM documents GROUP BY 1
+)
+SELECT cluster_size, n_sources, member_xor FROM grp WHERE cluster_size > 1
+UNION ALL
+SELECT 1, -1, CAST(bit_xor(member_xor) AS BIGINT)
+FROM grp WHERE cluster_size = 1
+ORDER BY cluster_size, member_xor
+"""
+
+
+def dedup_rate_by_source(spark, sf_dir):
+    """Duplication rate per source — which ingest feeds are wasting the
+    budget: exact content-hash groups attributed back to sources, each
+    source reporting its document count, how many are redundant copies
+    (not the keeper of their content group, keeper = lowest doc_id),
+    and the redundant share. The per-feed accounting that decides
+    which crawler gets throttled.
+
+    Scale shape: one content-hash fold for keepers, a broadcast-able
+    keeper semi join back, one per-source fold.
+
+    Reference parity: none; dedup family (SURVEY §2.3), the reporting
+    layer over `dedup_exact`."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h"))
+    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = (docs.join(keep, "h")
+         .withColumn("is_dup",
+                     (F.col("doc_id") != F.col("keeper")).cast("long")))
+    return (j.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("is_dup").alias("n_redundant"),
+                 F.expr("sum(is_dup) * 1000000 div count(*)")
+                 .alias("redundant_share_q"))
+            .orderBy("source"))
+
+
+def dedup_rate_by_source_sql():
+    return """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), keep AS (
+  SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       CAST(sum(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS redundant_share_q
+FROM d JOIN keep USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -7868,6 +8016,9 @@ QUERIES = {
     "text_langid_confusion": text_langid_confusion,
     "sql_fk_orphan_audit": sql_fk_orphan_audit,
     "graph_reciprocity": graph_reciprocity,
+    "lake_cold_key_tiering": lake_cold_key_tiering,
+    "text_template_prefixes": text_template_prefixes,
+    "dedup_rate_by_source": dedup_rate_by_source,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -8133,4 +8284,7 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "text_langid_confusion": text_langid_confusion_sql(),
     "sql_fk_orphan_audit": sql_fk_orphan_audit_sql(),
     "graph_reciprocity": graph_reciprocity_sql(),
+    "lake_cold_key_tiering": lake_cold_key_tiering_sql(),
+    "text_template_prefixes": text_template_prefixes_sql(),
+    "dedup_rate_by_source": dedup_rate_by_source_sql(),
 }
