@@ -7735,6 +7735,222 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def agg_burstiness_fano(spark, sf_dir):
+    """Burstiness (Fano factor) per user — variance-to-mean ratio of
+    the user's per-hour event counts: ≈1 for Poisson arrivals, ≫1 for
+    bursty bots/batch jobs, <1 for metronomic schedulers. Entirely
+    integer: F_q = (n·Σc² − (Σc)²) · 1e6 div (n · Σc) — no float
+    moment ever decides the classification.
+
+    Scale shape: one (user, hour) fold, one per-user moment fold —
+    both combinable; magnitudes bounded by one user's history keep the
+    products in int64 (a corpus-wide Fano would move to DECIMAL(38)).
+
+    Reference parity: none; SURVEY §2.2 aggregation/QA family."""
+    cnt = (_t(spark, sf_dir, "events")
+           .groupBy("user_id",
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     / F.lit(3_600_000_000)).cast("long").alias("hr"))
+           .agg(F.count("*").alias("c")))
+    m = (cnt.groupBy("user_id")
+         .agg(F.count("*").alias("n_hours"),
+              F.sum("c").alias("sc"),
+              F.sum(F.col("c") * F.col("c")).alias("scc")))
+    return (m.select(
+        "user_id", "n_hours", F.col("sc").alias("n_events"),
+        F.expr("(n_hours * scc - sc * sc) * 1000000 div (n_hours * sc)")
+        .alias("fano_q"))
+        .orderBy("user_id"))
+
+
+def agg_burstiness_fano_sql():
+    return """
+WITH cnt AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+  FROM cnt GROUP BY 1
+)
+SELECT user_id, n_hours, sc AS n_events,
+       CAST((n_hours * scc - sc * sc) * 1000000
+            // (n_hours * sc) AS BIGINT) AS fano_q
+FROM m ORDER BY 1
+"""
+
+
+def agg_boxplot_stats(spark, sf_dir):
+    """Boxplot statistics per event type — p25/median/p75, IQR and the
+    Tukey whisker bounds (q1 − 1.5·IQR, q3 + 1.5·IQR, computed in
+    2x-scaled integers so the .5 factor never leaves ℤ) plus the count
+    outside the whiskers. The five-number summary every metric
+    dashboard draws.
+
+    Scale shape: exact `percentile_disc` aggs (value-domain-bounded
+    state; `agg_exact_median_2pass` is the unbounded path) + one
+    broadcast join + one combinable outlier fold.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY vq)")
+        .cast("long").alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY vq)")
+        .cast("long").alias("med"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY vq)")
+        .cast("long").alias("q3"))
+    j = (ev.join(F.broadcast(q), "event_type")
+         .withColumn("out", ((F.col("vq") * 2
+                              < F.col("q1") * 2 - (F.col("q3")
+                                                   - F.col("q1")) * 3)
+                             | (F.col("vq") * 2
+                                > F.col("q3") * 2 + (F.col("q3")
+                                                     - F.col("q1")) * 3))
+                     .cast("long")))
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.first("q1").alias("q1"), F.first("med").alias("med"),
+                 F.first("q3").alias("q3"),
+                 (F.first("q3") - F.first("q1")).alias("iqr"),
+                 F.sum("out").alias("n_whisker_outliers"))
+            .orderBy("event_type"))
+
+
+def agg_boxplot_stats_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), q AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY vq) AS BIGINT)
+           AS q1,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vq) AS BIGINT)
+           AS med,
+         CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY vq) AS BIGINT)
+           AS q3
+  FROM ev GROUP BY 1
+)
+SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(q1) AS BIGINT) AS q1, CAST(min(med) AS BIGINT) AS med,
+       CAST(min(q3) AS BIGINT) AS q3,
+       CAST(min(q3) - min(q1) AS BIGINT) AS iqr,
+       CAST(sum(CASE WHEN vq * 2 < q1 * 2 - (q3 - q1) * 3
+                       OR vq * 2 > q3 * 2 + (q3 - q1) * 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_whisker_outliers
+FROM ev JOIN q USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_lang_source_chi2(spark, sf_dir):
+    """Language × source independence check — per contingency cell the
+    observed count, the expected count under independence (1e-6
+    quantized exact integer: row_total · col_total · 1e6 div N) and
+    the χ² contribution via integer cross-multiplication (the
+    `drift_value_histogram` arithmetic in two dimensions). High-χ²
+    cells reveal feeds that over/under-sample a language — a corpus
+    composition audit.
+
+    Scale shape: one combinable (lang, source) fold; marginals and
+    cells live on the |langs|×|sources| frame.
+
+    Reference parity: none; text family (SURVEY §2.3)."""
+    cnt = (_t(spark, sf_dir, "documents")
+           .groupBy("lang", "source").agg(F.count("*").alias("o")))
+    rows = cnt.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols = cnt.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cnt.agg(F.sum("o").alias("n"))
+    j = (cnt.join(F.broadcast(rows), "lang")
+         .join(F.broadcast(cols), "source")
+         .crossJoin(F.broadcast(tot)))
+    e_q = F.expr("rt * ct * 1000000 div n")
+    return (j.select(
+        "lang", "source", F.col("o").alias("observed"),
+        e_q.alias("expected_q"),
+        # chi2 contribution * 1e6: (o*1e6 - e_q)^2 div (e_q * 1e6)
+        F.expr("CASE WHEN rt * ct > 0 THEN "
+               "(o * 1000000 - rt * ct * 1000000 div n) "
+               "* (o * 1000000 - rt * ct * 1000000 div n) "
+               "div (rt * ct * 1000000 div n) div 1000000 "
+               "ELSE -1 END").alias("chi2_contrib_q"))
+        .orderBy("lang", "source"))
+
+
+def text_lang_source_chi2_sql():
+    return """
+WITH cnt AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), r AS (SELECT lang, sum(o) AS rt FROM cnt GROUP BY 1),
+c AS (SELECT source, sum(o) AS ct FROM cnt GROUP BY 1),
+t AS (SELECT sum(o) AS n FROM cnt)
+SELECT cnt.lang, cnt.source, o AS observed,
+       CAST(rt * ct * 1000000 // n AS BIGINT) AS expected_q,
+       CAST(CASE WHEN rt * ct > 0 THEN
+              (o * 1000000 - rt * ct * 1000000 // n)
+              * (o * 1000000 - rt * ct * 1000000 // n)
+              // (rt * ct * 1000000 // n) // 1000000
+            ELSE -1 END AS BIGINT) AS chi2_contrib_q
+FROM cnt JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+ORDER BY 1, 2
+"""
+
+
+MILESTONE_N = 10
+
+
+def window_milestone_latency(spark, sf_dir):
+    """Milestone latency — hours from each user's first event to their
+    10th (the activation metric "time to the Nth action"; users who
+    never reach it are the censored bucket, like
+    `window_time_to_convert`): one rank window bounded per user, a
+    conditional fold, a tiny histogram.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    per = (r.where((F.col("rn") == 1) | (F.col("rn") == MILESTONE_N))
+           .groupBy("user_id")
+           .agg(F.min(F.when(F.col("rn") == 1, F.col("e"))).alias("e1"),
+                F.min(F.when(F.col("rn") == MILESTONE_N, F.col("e")))
+                .alias("en")))
+    buck = per.select(
+        F.when(F.col("en").isNull(), F.lit(-1))
+        .otherwise(F.expr("(en - e1) div 3600000000"))
+        .cast("long").alias("hours_bucket"))
+    return (buck.groupBy("hours_bucket")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("hours_bucket"))
+
+
+def window_milestone_latency_sql():
+    return f"""
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS e,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), per AS (
+  SELECT user_id,
+         min(CASE WHEN rn = 1 THEN e END) AS e1,
+         min(CASE WHEN rn = {MILESTONE_N} THEN e END) AS en
+  FROM r WHERE rn = 1 OR rn = {MILESTONE_N} GROUP BY 1
+)
+SELECT CASE WHEN en IS NULL THEN -1
+            ELSE (en - e1) // 3600000000 END AS hours_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -8019,6 +8235,10 @@ QUERIES = {
     "lake_cold_key_tiering": lake_cold_key_tiering,
     "text_template_prefixes": text_template_prefixes,
     "dedup_rate_by_source": dedup_rate_by_source,
+    "agg_burstiness_fano": agg_burstiness_fano,
+    "agg_boxplot_stats": agg_boxplot_stats,
+    "text_lang_source_chi2": text_lang_source_chi2,
+    "window_milestone_latency": window_milestone_latency,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -8287,4 +8507,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "lake_cold_key_tiering": lake_cold_key_tiering_sql(),
     "text_template_prefixes": text_template_prefixes_sql(),
     "dedup_rate_by_source": dedup_rate_by_source_sql(),
+    "agg_burstiness_fano": agg_burstiness_fano_sql(),
+    "agg_boxplot_stats": agg_boxplot_stats_sql(),
+    "text_lang_source_chi2": text_lang_source_chi2_sql(),
+    "window_milestone_latency": window_milestone_latency_sql(),
 }
