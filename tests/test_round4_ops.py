@@ -1208,3 +1208,127 @@ def test_heaps_curve_min_rewrite_vs_bruteforce(spark, tmp_path):
         cum |= per_decile[dec]
         brute[dec] = (len(new), len(cum))
     assert got == brute
+
+
+def test_ks_argmax_earliest_on_tie(spark, tmp_path):
+    """The packed-key argmax must return the EARLIEST value achieving
+    the max gap; hand-built halves with a known flat-gap plateau."""
+    import os
+    from binlog_spark.queries import agg_ks_two_sample
+
+    # md5-half assignment is fixed by event_id; find ids per half first
+    import hashlib
+
+    def half(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:12],
+                   16) % 2
+
+    ids0 = [i for i in range(200) if half(i) == 0][:3]
+    ids1 = [i for i in range(200) if half(i) == 1][:3]
+    # half0 values {1,2,3}, half1 values {3,4,5}: CDF gap peaks (=2/3
+    # scaled) first at vq=2e6 — earliest of the plateau {2e6}
+    rows = ([(e, v) for e, v in zip(ids0, [1.0, 2.0, 3.0])]
+            + [(e, v) for e, v in zip(ids1, [3.0, 4.0, 5.0])])
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = agg_ks_two_sample(spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["ks_num"] == 6  # |F1*n2 - F2*n1| = |2*3 - 0*3|
+    assert r["ks_at_vq"] == 2_000_000
+
+
+def test_twap_known_series(spark, tmp_path):
+    """TWAP on a hand-built irregular series: value 10 held 3 s, then
+    30 held 1 s -> twap = (10*3 + 30*1)/4 = 15 (milli-units)."""
+    import os
+    from datetime import datetime, timezone
+    from binlog_spark.queries import window_twap_per_user
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(1, ts(0), 7, 10.0), (2, ts(3), 7, 30.0), (3, ts(4), 7, 99.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = window_twap_per_user(spark, str(tmp_path)).collect()[0]
+    assert r["n_segments"] == 2 and r["total_dt_s"] == 4
+    assert r["twap_q3"] == 15_000
+
+
+def test_bitmap_distinct_word_boundaries(spark, tmp_path):
+    """Ids straddling the 62-bit word boundary (61, 62, 123, 124) must
+    each count exactly once; duplicates collapse."""
+    import os
+    from datetime import datetime, timezone
+    from binlog_spark.queries import agg_bitmap_distinct
+
+    t = datetime.fromtimestamp(1_700_000_000,
+                               tz=timezone.utc).replace(tzinfo=None)
+    uids = [0, 61, 61, 62, 123, 124, 124, 124]
+    rows = [(i, t, u) for i, u in enumerate(uids)]
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, user_id long")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = agg_bitmap_distinct(spark, str(tmp_path)).collect()[0]
+    assert r["n_rows"] == 8
+    assert r["n_words"] == 3   # words 0 (0,61), 1 (62,123), 2 (124)
+    assert r["n_distinct_users"] == 5
+
+
+def test_peak_concurrency_half_open_boundary(spark, tmp_path):
+    """An interval ending exactly when another starts must NOT overlap
+    it (ends sort before coincident starts): two touching user-day
+    spans peak at 1; genuinely overlapping spans peak at 2."""
+    import os
+    from datetime import datetime, timezone
+    from binlog_spark.queries import window_peak_concurrency
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    # same day: user 1 spans [0, 100], user 2 spans [100, 200] (touch)
+    rows = [(1, ts(0), 1), (2, ts(100), 1),
+            (3, ts(100), 2), (4, ts(200), 2)]
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, user_id long")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = window_peak_concurrency(spark, str(tmp_path)).collect()[0]
+    assert r["peak_concurrency"] == 1
+
+    # overlap: user 2 starts inside user 1's span
+    rows2 = [(1, ts(0), 1), (2, ts(100), 1),
+             (3, ts(50), 2), (4, ts(200), 2)]
+    df2 = spark.createDataFrame(rows2,
+                                "event_id long, ts timestamp, user_id long")
+    d2 = os.path.join(str(tmp_path), "ov")
+    os.makedirs(d2, exist_ok=True)
+    df2.write.parquet(os.path.join(d2, "events.parquet"))
+    r2 = window_peak_concurrency(spark, d2).collect()[0]
+    assert r2["peak_concurrency"] == 2
+    assert r2["peak_at_us"] == (1_700_000_000 + 50) * 1_000_000
+
+
+def test_order_inversions_known_permutation(spark, tmp_path):
+    """Arrival order 0,1,2,3 with event times 40,30,20,10 is fully
+    reversed -> all 6 pairs inverted; a sorted stream has 0."""
+    import os
+    from datetime import datetime, timezone
+    from binlog_spark.queries import cdc_order_inversions
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec,
+                                      tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(i, ts(40 - 10 * i), 1) for i in range(4)]
+    rows += [(100 + i, ts(i), 2) for i in range(4)]
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, user_id long")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["user_id"]: (r["n_pairs"], r["n_inversions"],
+                          r["inv_share_q"])
+           for r in cdc_order_inversions(spark, str(tmp_path)).collect()}
+    assert out[1] == (6, 6, 1_000_000)
+    assert out[2] == (6, 0, 0)
