@@ -7857,7 +7857,10 @@ def text_lang_source_chi2(spark, sf_dir):
     composition audit.
 
     Scale shape: one combinable (lang, source) fold; marginals and
-    cells live on the |langs|×|sources| frame.
+    cells live on the |langs|×|sources| frame. Int64 envelope: the
+    cross-products need (o·1e6)² < 2^63, i.e. N < ~3e3 per cell here —
+    beyond that, pre-normalize counts to 1e-6 shares first (the
+    `drift_value_histogram` arithmetic), which keeps every term ≤ 1e12.
 
     Reference parity: none; text family (SURVEY §2.3)."""
     cnt = (_t(spark, sf_dir, "documents")
@@ -8157,6 +8160,134 @@ FROM hist CROSS JOIN t ORDER BY degree
 """
 
 
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose detection — the gate a SOURCE-CODE lake (the
+    north-star table stores repository content) runs to route files
+    between code and natural-language pipelines: code-symbol density
+    ({};()=<>[] per char), digit density and an is_code vote, all as
+    exact 1e-6 integer ratios from map-only JVM regexp counts.
+    Summarized per source so the output is feed-grain.
+
+    Scale shape: map-only + one combinable fold; zero Python.
+
+    Reference parity: the reference replicates repository CONTENT
+    (`row_streamer.go` streams any column bytes); this is the
+    downstream router. Text family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    sym = F.regexp_count(F.col("text"), F.lit(r"[{}();=<>\[\]]"))
+    dig = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    n = F.length("text")
+    scored = docs.select(
+        "source",
+        (sym * 1_000_000 / F.greatest(n, F.lit(1))).cast("long")
+        .alias("sym_q"),
+        (dig * 1_000_000 / F.greatest(n, F.lit(1))).cast("long")
+        .alias("dig_q"))
+    scored = scored.withColumn(
+        "is_code", (F.col("sym_q") > 30_000).cast("long"))
+    return (scored.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("is_code").alias("n_code"),
+                 F.expr("sum(sym_q) div count(*)").alias("mean_sym_q"),
+                 F.expr("sum(dig_q) div count(*)").alias("mean_dig_q"))
+            .orderBy("source"))
+
+
+def text_code_detect_sql():
+    return r"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]')) * 1000000
+              / greatest(length(text), 1) AS BIGINT) AS sym_q,
+         CAST(len(regexp_extract_all(text, '[0-9]')) * 1000000
+              / greatest(length(text), 1) AS BIGINT) AS dig_q
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sym_q > 30000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code,
+       CAST(sum(sym_q) // count(*) AS BIGINT) AS mean_sym_q,
+       CAST(sum(dig_q) // count(*) AS BIGINT) AS mean_dig_q
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def agg_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence — event-type pairs appearing in the
+    same (user, day) basket, with support, per-pair confidence in both
+    directions and lift (1e-6 integers, cross-multiplied — the
+    association-rule triple): the "users who X also Y" primitive.
+
+    Scale shape: per-basket type SET (bounded by |types|), JVM pair
+    expansion inside the array (never a basket self-join), combinable
+    pair fold; marginals on the |types| frame; lift computed without
+    float division. Pairs under the support floor are cut BEFORE the
+    marginal join.
+
+    Reference parity: none; SURVEY §2.2 aggregation family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"))
+    baskets = (ev.groupBy("user_id", "day")
+               .agg(F.sort_array(F.collect_set("event_type"))
+                    .alias("types"))
+               .localCheckpoint(eager=False))
+    n_b = baskets.agg(F.count("*").alias("nb"))
+    singles = (baskets.select(F.explode("types").alias("t"))
+               .groupBy("t").agg(F.count("*").alias("s")))
+    pairs = (baskets.select(F.explode(F.expr(
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+        .groupBy("p.a", "p.b").agg(F.count("*").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT))
+    sa = singles.select(F.col("t").alias("a"), F.col("s").alias("s_a"))
+    sb = singles.select(F.col("t").alias("b"), F.col("s").alias("s_b"))
+    return (pairs.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+            .crossJoin(F.broadcast(n_b))
+            .select("a", "b", "support",
+                    F.expr("support * 1000000 div s_a").alias("conf_ab_q"),
+                    F.expr("support * 1000000 div s_b").alias("conf_ba_q"),
+                    F.expr("support * nb * 1000000 div (s_a * s_b)")
+                    .alias("lift_q"))
+            .orderBy("a", "b"))
+
+
+def agg_basket_pairs_sql():
+    return f"""
+WITH baskets AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY 1, 2
+), nb AS (SELECT count(*) AS nb FROM baskets),
+singles AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS s
+  FROM (SELECT unnest(types) AS t FROM baskets) GROUP BY 1
+), pairs AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support
+  FROM (
+    SELECT x.t AS a, y.t AS b
+    FROM (SELECT user_id, day, unnest(types) AS t FROM baskets) x
+    JOIN (SELECT user_id, day, unnest(types) AS t FROM baskets) y
+      ON x.user_id = y.user_id AND x.day = y.day AND x.t < y.t)
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT a, b, support,
+       CAST(support * 1000000 // sa.s AS BIGINT) AS conf_ab_q,
+       CAST(support * 1000000 // sb.s AS BIGINT) AS conf_ba_q,
+       CAST(support * nb * 1000000 // (sa.s * sb.s) AS BIGINT) AS lift_q
+FROM pairs
+JOIN singles sa ON sa.t = a
+JOIN singles sb ON sb.t = b
+CROSS JOIN nb
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -8449,6 +8580,8 @@ QUERIES = {
     "window_reactivations": window_reactivations,
     "text_vocab_overlap": text_vocab_overlap,
     "agg_order_fanout_histogram": agg_order_fanout_histogram,
+    "text_code_detect": text_code_detect,
+    "agg_basket_pairs": agg_basket_pairs,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -8725,4 +8858,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_reactivations": window_reactivations_sql(),
     "text_vocab_overlap": text_vocab_overlap_sql(),
     "agg_order_fanout_histogram": agg_order_fanout_histogram_sql(),
+    "text_code_detect": text_code_detect_sql(),
+    "agg_basket_pairs": agg_basket_pairs_sql(),
 }
