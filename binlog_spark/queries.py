@@ -8384,6 +8384,142 @@ ORDER BY bin_id
 """
 
 
+def window_ltv_triangle(spark, sf_dir):
+    """Cohort LTV triangle — cumulative value per signup cohort as it
+    ages (cohort week × age-in-weeks), the revenue counterpart of the
+    retention triangle (`window_retention_cohorts`): per cell the
+    week's exact quantized value and the running cumulative per user
+    of the cohort (1e-6 integers, cumulative over the
+    |cohorts × ages|-bounded frame).
+
+    Scale shape: one per-user first-week fold, a same-key join back,
+    one (cohort, age) fold; the cumulative window partitions by cohort
+    on the triangle frame only.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(7 * 86_400_000_000)).cast("long").alias("week"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("c0"))
+    cell = (ev.join(cohort, "user_id")
+            .groupBy(F.col("c0").alias("cohort_week"),
+                     (F.col("week") - F.col("c0")).alias("age_weeks"))
+            .agg(F.sum("vq").alias("week_value_q"),
+                 F.count_distinct("user_id").alias("n_active")))
+    size = cohort.groupBy(F.col("c0").alias("cohort_week")).agg(
+        F.count("*").alias("cohort_size"))
+    w = (Window.partitionBy("cohort_week").orderBy("age_weeks")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.join(F.broadcast(size), "cohort_week")
+            .withColumn("cum_value_q", F.sum("week_value_q").over(w))
+            .select("cohort_week", "age_weeks", "cohort_size",
+                    "n_active", "week_value_q",
+                    F.expr("cum_value_q div cohort_size")
+                    .alias("ltv_per_user_q"))
+            .orderBy("cohort_week", "age_weeks"))
+
+
+def window_ltv_triangle_sql():
+    return """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS c0 FROM ev GROUP BY 1
+), cell AS (
+  SELECT c0 AS cohort_week, week - c0 AS age_weeks,
+         CAST(sum(vq) AS BIGINT) AS week_value_q,
+         CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+  FROM ev JOIN cohort USING (user_id)
+  GROUP BY 1, 2
+), size_ AS (
+  SELECT c0 AS cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY 1
+)
+SELECT cohort_week, age_weeks, cohort_size, n_active, week_value_q,
+       CAST(sum(week_value_q) OVER (PARTITION BY cohort_week
+                                    ORDER BY age_weeks
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            // cohort_size AS BIGINT) AS ltv_per_user_q
+FROM cell JOIN size_ USING (cohort_week)
+ORDER BY 1, 2
+"""
+
+
+PMI_MIN_SUPPORT = 5
+
+
+def text_pmi_collocations(spark, sf_dir):
+    """PMI collocations — adjacent-word pairs whose co-occurrence beats
+    chance (pointwise mutual information), the classic phrase-mining /
+    tokenizer-seeding pass (word2vec's phrase step): bigram and
+    unigram counts fold exactly, PMI·1e6 = round((ln(c_ab·N) −
+    ln(c_a·c_b))·1e6) is computed from two quantized-log terms per
+    SURVIVING bigram row only (support floor first), so both engines
+    emit identical integers.
+
+    Scale shape: one bigram fold + one unigram fold + two broadcast
+    marginal joins; the log runs on the supported-bigram frame.
+
+    Reference parity: none; text family (SURVEY §2.3) next to
+    `tok_bpe_top_pairs` (which counts; this SCORES)."""
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", r"[ \t\n\r\f\v]+")
+                    .alias("tt"))
+            .where(F.size("tt") >= 2))
+    big = (toks.select(F.explode(F.expr(
+        "transform(sequence(0, size(tt) - 2), "
+        "i -> struct(tt[i] AS a, tt[i+1] AS b))")).alias("p"))
+        .groupBy("p.a", "p.b").agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_SUPPORT))
+    uni = (toks.select(F.explode("tt").alias("t"))
+           .groupBy("t").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+    n = uni.agg(F.sum("c").alias("n_tok"))
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    j = (big.join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+         .crossJoin(F.broadcast(n)))
+    pmi = (F.round(F.log(F.col("c_ab").cast("double")
+                         * F.col("n_tok").cast("double")) * 1_000_000)
+           - F.round(F.log(F.col("c_a").cast("double")
+                           * F.col("c_b").cast("double")) * 1_000_000)
+           ).cast("long")
+    return (j.select("a", "b", "c_ab", "c_a", "c_b",
+                     pmi.alias("pmi_q"))
+            .orderBy("a", "b"))
+
+
+def text_pmi_collocations_sql():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '[ \\t\\n\\r\\f\\v]+') AS tt
+  FROM documents
+  WHERE len(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+')) >= 2
+), big AS (
+  SELECT tt[i + 1] AS a, tt[i + 2] AS b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM toks, LATERAL (SELECT unnest(range(0, len(tt) - 1)) AS i) s
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_SUPPORT}
+), uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tt) AS t FROM toks) GROUP BY 1
+), n AS (SELECT sum(c) AS n_tok FROM uni)
+SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(round(ln(c_ab::DOUBLE * n_tok::DOUBLE) * 1000000)
+            - round(ln(ua.c::DOUBLE * ub.c::DOUBLE) * 1000000)
+            AS BIGINT) AS pmi_q
+FROM big
+JOIN uni ua ON ua.t = a
+JOIN uni ub ON ub.t = b
+CROSS JOIN n
+ORDER BY a, b
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -8680,6 +8816,8 @@ QUERIES = {
     "agg_basket_pairs": agg_basket_pairs,
     "sim_embedding_drift": sim_embedding_drift,
     "lake_compaction_effect": lake_compaction_effect,
+    "window_ltv_triangle": window_ltv_triangle,
+    "text_pmi_collocations": text_pmi_collocations,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -8960,4 +9098,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_basket_pairs": agg_basket_pairs_sql(),
     "sim_embedding_drift": sim_embedding_drift_sql(),
     "lake_compaction_effect": lake_compaction_effect_sql(),
+    "window_ltv_triangle": window_ltv_triangle_sql(),
+    "text_pmi_collocations": text_pmi_collocations_sql(),
 }
