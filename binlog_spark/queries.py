@@ -8520,6 +8520,153 @@ ORDER BY a, b
 """
 
 
+RSI_WINDOW = 14
+
+
+def window_rsi_simple(spark, sf_dir):
+    """Simple RSI (relative strength index, SMA variant) per user — the
+    momentum oscillator over each user's value series: per step the
+    gain/loss split of the delta, trailing-14 sums, RSI·1e6 = gains
+    div (gains + losses) as exact integers (Wilder's recursive
+    smoothing is deliberately NOT used — it is order-serial; the SMA
+    variant is the distributable one). Emitted at each user's LAST
+    sample (the "current RSI" a monitor reads).
+
+    Scale shape: one user exchange shared by the lag and the two
+    trailing frames; everything bounded by a user's history.
+
+    Reference parity: none; SURVEY §2.2 window family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    d = (ev.withColumn("prev", F.lag("vq").over(w))
+         .where(F.col("prev").isNotNull())
+         .withColumn("gain", F.greatest(F.col("vq") - F.col("prev"),
+                                        F.lit(0)))
+         .withColumn("loss", F.greatest(F.col("prev") - F.col("vq"),
+                                        F.lit(0))))
+    wt = (Window.partitionBy("user_id").orderBy("e", "event_id")
+          .rowsBetween(-(RSI_WINDOW - 1), 0))
+    scored = (d.withColumn("g14", F.sum("gain").over(wt))
+              .withColumn("l14", F.sum("loss").over(wt))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("user_id")
+                  .orderBy(F.col("e").desc(), F.col("event_id").desc()))))
+    return (scored.where(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("g14").cast("long").alias("gains_q"),
+                    F.col("l14").cast("long").alias("losses_q"),
+                    F.expr("CASE WHEN g14 + l14 > 0 THEN "
+                           "g14 * 1000000 div (g14 + l14) ELSE 500000 "
+                           "END").alias("rsi_q"))
+            .orderBy("user_id"))
+
+
+def window_rsi_simple_sql():
+    return f"""
+WITH d AS (
+  SELECT user_id, e, event_id,
+         greatest(vq - prev, 0) AS gain, greatest(prev - vq, 0) AS loss
+  FROM (
+    SELECT user_id, event_id, epoch_us(ts) AS e,
+           CAST(round(value * 1000000) AS BIGINT) AS vq,
+           lag(CAST(round(value * 1000000) AS BIGINT))
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events)
+  WHERE prev IS NOT NULL
+), scored AS (
+  SELECT user_id,
+         sum(gain) OVER wt AS g14, sum(loss) OVER wt AS l14,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY e DESC, event_id DESC) AS rn
+  FROM d
+  WINDOW wt AS (PARTITION BY user_id ORDER BY e, event_id
+                ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(g14 AS BIGINT) AS gains_q,
+       CAST(l14 AS BIGINT) AS losses_q,
+       CAST(CASE WHEN g14 + l14 > 0
+                 THEN g14 * 1000000 // (g14 + l14)
+                 ELSE 500000 END AS BIGINT) AS rsi_q
+FROM scored WHERE rn = 1 ORDER BY user_id
+"""
+
+
+LINKPRED_MIN_CN = 2
+
+
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the md5 graph — for node
+    pairs NOT yet connected, how many neighbors they share (the
+    baseline link-prediction score; Adamic-Adar and Jaccard reweight
+    the same wedge set): wedges enumerate at their center (bounded by
+    the degree-ordered orientation like `graph_triangle_count`'s
+    fan-out argument — here the plain center enumeration since scoring
+    needs ALL wedges), fold per endpoint pair, drop existing edges
+    with one anti join, keep pairs with ≥2 shared neighbors.
+
+    Scale shape: wedge fold + support floor BEFORE the anti join;
+    never an all-pairs product — candidates are wedge-generated only.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    sym = (und.select(F.col("u").alias("c"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("c"),
+                                   F.col("u").alias("x"))))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = (s1.join(s2, (F.col("s1.c") == F.col("s2.c"))
+                      & (F.col("s1.x") < F.col("s2.x")))
+              .groupBy(F.col("s1.x").alias("u"),
+                       F.col("s2.x").alias("v"))
+              .agg(F.count("*").alias("common_neighbors"))
+              .where(F.col("common_neighbors") >= LINKPRED_MIN_CN))
+    return (wedges.join(und, ["u", "v"], "left_anti")
+            .orderBy("u", "v"))
+
+
+def graph_link_prediction_sql():
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+sym AS MATERIALIZED (
+  SELECT u AS c, v AS x FROM und UNION ALL SELECT v, u FROM und
+),
+wedges AS (
+  SELECT s1.x AS u, s2.x AS v, CAST(count(*) AS BIGINT)
+           AS common_neighbors
+  FROM sym s1 JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
+  GROUP BY 1, 2 HAVING count(*) >= {LINKPRED_MIN_CN}
+)
+SELECT w.u, w.v, w.common_neighbors
+FROM wedges w
+WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = w.u AND e.v = w.v)
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -8818,6 +8965,8 @@ QUERIES = {
     "lake_compaction_effect": lake_compaction_effect,
     "window_ltv_triangle": window_ltv_triangle,
     "text_pmi_collocations": text_pmi_collocations,
+    "window_rsi_simple": window_rsi_simple,
+    "graph_link_prediction": graph_link_prediction,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -9100,4 +9249,6 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "lake_compaction_effect": lake_compaction_effect_sql(),
     "window_ltv_triangle": window_ltv_triangle_sql(),
     "text_pmi_collocations": text_pmi_collocations_sql(),
+    "window_rsi_simple": window_rsi_simple_sql(),
+    "graph_link_prediction": graph_link_prediction_sql(),
 }
