@@ -8723,6 +8723,176 @@ ORDER BY 1
 """
 
 
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), adapted to the synthetic star
+    schema: per ship month, the revenue share coming from parts of type
+    PROMO. Join + conditional aggregation — numerator and denominator in
+    ONE pass (no second scan, no self join).
+
+    Scale shape: ``part`` is the small dimension → broadcast hash join,
+    so lineitem never shuffles for the join; one month-grain fold
+    computes both sums; revenue folded in exact DECIMAL, the final
+    share is one double division rounded to 6 dp.
+
+    Reference parity: none; relational join/agg family (SURVEY §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    agg = (j.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                     .alias("ship_month"))
+           .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                      .otherwise(F.lit(0).cast("decimal(18,2)")))
+                .alias("pr"),
+                F.sum(rev).alias("tr")))
+    return (agg.select(
+        "ship_month",
+        F.round(F.col("pr").cast("double"), 2).alias("promo_revenue"),
+        F.round(F.col("tr").cast("double"), 2).alias("total_revenue"),
+        F.round(F.col("pr").cast("double") * 100
+                / F.col("tr").cast("double"), 6).alias("promo_share_pct"))
+        .orderBy("ship_month"))
+
+
+def tpch_q14_promo_revenue_sql():
+    return """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), a AS (
+  SELECT ship_month,
+         sum(CASE WHEN p_type = 'PROMO' THEN rev
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS pr,
+         sum(rev) AS tr
+  FROM j GROUP BY 1
+)
+SELECT ship_month, round(CAST(pr AS DOUBLE), 2) AS promo_revenue,
+       round(CAST(tr AS DOUBLE), 2) AS total_revenue,
+       round(CAST(pr AS DOUBLE) * 100 / CAST(tr AS DOUBLE), 6)
+         AS promo_share_pct
+FROM a ORDER BY ship_month
+"""
+
+
+def tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): histogram of customers by
+    order count INCLUDING zero-order customers — the row an inner join
+    silently drops, hence the LEFT join. Complements
+    `agg_order_fanout_histogram` (lineitems per order) on the other
+    fact-to-dimension axis.
+
+    Scale shape: one shuffle on the join key (both sides key-partitioned
+    — at 100 TB the orders side dominates and AQE handles its skew),
+    then two fold stages collapsing to |distinct counts| rows.
+
+    Reference parity: none; relational join/agg family (SURVEY §2.2)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                     "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def tpch_q13_custdist_sql():
+    return """
+WITH per AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+KFOLDS = 5
+
+
+def sample_kfold_assign(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5): fold =
+    md5(doc_id) mod k — RNG-free, engine- and cluster-size-independent,
+    and stable under corpus growth (a document never switches fold when
+    new documents arrive; cf. `split_train_holdout` for the fixed-ratio
+    variant). Emits per (fold, source) doc count, char mass and an
+    order-free membership digest so a CV scheduler can verify the folds
+    partition the corpus without re-reading it.
+
+    Scale shape: map-side hash + ONE fold at (k × sources) grain."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    return (d.select((h % KFOLDS).alias("fold"), "source", "n_chars",
+                     h.alias("h"))
+            .groupBy("fold", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.bit_xor("h").alias("membership_digest"))
+            .orderBy("fold", "source"))
+
+
+def sample_kfold_assign_sql():
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         source, n_chars
+  FROM documents
+)
+SELECT h % {KFOLDS} AS fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(h) AS membership_digest
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+MERGE_BUCKETS = 32
+
+
+def lake_bucket_balance(spark, sf_dir):
+    """Hash-bucket balance audit for the MERGE sink's bucketed layout
+    (`operators/merge.py` buckets the lake table by key hash; bucket
+    count is THE scale knob): rows per bucket over the events key column
+    plus a quantized load factor vs the perfectly-uniform share — the
+    number that says whether the bucket count (or a hot key) needs
+    attention before the next 100× of stream.
+
+    Scale shape: map-side hash + ONE bucket-grain fold (k rows out)."""
+    ev = _t(spark, sf_dir, "events")
+    b = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16, 10).cast("long") % MERGE_BUCKETS)
+    per = (ev.select(b.alias("bucket"))
+           .groupBy("bucket").agg(F.count("*").alias("n_rows")))
+    tot = per.agg(F.sum("n_rows").alias("nt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("bucket", F.col("n_rows").cast("long"),
+                    F.expr(f"n_rows * {MERGE_BUCKETS} * 1000000 div nt")
+                    .alias("load_factor_q"))
+            .orderBy("bucket"))
+
+
+def lake_bucket_balance_sql():
+    return f"""
+WITH per AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           % {MERGE_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), t AS (SELECT sum(n_rows) AS nt FROM per)
+SELECT bucket, n_rows,
+       CAST(n_rows * {MERGE_BUCKETS} * 1000000 // nt AS BIGINT)
+         AS load_factor_q
+FROM per CROSS JOIN t ORDER BY bucket
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -9024,6 +9194,10 @@ QUERIES = {
     "window_rsi_simple": window_rsi_simple,
     "graph_link_prediction": graph_link_prediction,
     "cdc_freshness_by_type": cdc_freshness_by_type,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q13_custdist": tpch_q13_custdist,
+    "sample_kfold_assign": sample_kfold_assign,
+    "lake_bucket_balance": lake_bucket_balance,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -9309,4 +9483,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_rsi_simple": window_rsi_simple_sql(),
     "graph_link_prediction": graph_link_prediction_sql(),
     "cdc_freshness_by_type": cdc_freshness_by_type_sql(),
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue_sql(),
+    "tpch_q13_custdist": tpch_q13_custdist_sql(),
+    "sample_kfold_assign": sample_kfold_assign_sql(),
+    "lake_bucket_balance": lake_bucket_balance_sql(),
 }
