@@ -8893,6 +8893,263 @@ FROM per CROSS JOIN t ORDER BY bucket
 """
 
 
+VOCAB_TOPN = 500
+
+
+def tok_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary coverage audit: out-of-vocabulary rate per
+    source against the corpus top-N (by term frequency) vocabulary —
+    the pre-training question "which sources will explode into byte
+    fallbacks under this vocab?". Tokenization uses the repo-wide
+    explicit ASCII whitespace class (identical in java.util.regex and
+    DuckDB RE2).
+
+    Scale shape: one token-grain fold for the vocab, bounded top-N
+    (TakeOrdered — never a full sort), broadcast back to the token
+    stream; the corpus shuffles once.
+
+    Reference parity: none; tokenizer family (SURVEY §2.3)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("source", F.explode(
+        F.split("text", r"[ \t\n\r\f\v]+")).alias("tok"))
+        .where(F.col("tok") != ""))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("tf"))
+             .orderBy(F.col("tf").desc(), F.col("tok").asc())
+             .limit(VOCAB_TOPN)
+             .select("tok", F.lit(1).alias("in_v")))
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov"))
+            .select("source", "n_tokens", "n_oov",
+                    F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"))
+            .orderBy("source"))
+
+
+def tok_vocab_coverage_sql():
+    return f"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source,
+           unnest(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS tf FROM toks GROUP BY 1
+    ORDER BY tf DESC, tok ASC LIMIT {VOCAB_TOPN})
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_skew_kurtosis(spark, sf_dir):
+    """Per-type skewness and excess kurtosis from EXACT raw power sums:
+    values quantized to integer cents, S1..S4 folded in DECIMAL (exact,
+    association-free — a distributed double sum would diverge from any
+    single-threaded oracle), central moments derived in double with the
+    SAME expression tree on both engines (sqrt instead of pow(x,1.5):
+    sqrt is IEEE-correctly-rounded everywhere, libm pow is not).
+
+    Scale shape: ONE combinable per-type fold carrying four integers.
+
+    Reference parity: none; aggregation family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("c"))
+    s = (ev.groupBy("event_type")
+         .agg(F.count("*").alias("n"), F.sum("c").alias("s1"),
+              F.sum(F.expr("c * c")).alias("s2"),
+              F.sum(F.expr("c * c * c")).alias("s3"),
+              F.sum(F.expr("c * c * c * c")).alias("s4")))
+    d = (s.select(
+        "event_type", "n",
+        F.expr("CAST(n AS DOUBLE)").alias("nd"),
+        F.expr("CAST(s1 AS DOUBLE)").alias("d1"),
+        F.expr("CAST(s2 AS DOUBLE)").alias("d2"),
+        F.expr("CAST(s3 AS DOUBLE)").alias("d3"),
+        F.expr("CAST(s4 AS DOUBLE)").alias("d4"))
+        .withColumn("mean", F.expr("d1 / nd"))
+        .withColumn("m2", F.expr("d2 / nd - mean * mean"))
+        .withColumn("m3", F.expr(
+            "d3 / nd - 3 * mean * (d2 / nd) + 2 * mean * mean * mean"))
+        .withColumn("m4", F.expr(
+            "d4 / nd - 4 * mean * (d3 / nd) + 6 * mean * mean * (d2 / nd)"
+            " - 3 * mean * mean * mean * mean")))
+    return (d.select(
+        "event_type", "n",
+        F.expr("round(mean / 100, 6)").alias("mean_value"),
+        F.expr("round(m3 / (m2 * sqrt(m2)), 6)").alias("skewness"),
+        F.expr("round(m4 / (m2 * m2) - 3, 6)").alias("kurtosis_excess"))
+        .orderBy("event_type"))
+
+
+def agg_skew_kurtosis_sql():
+    return """
+WITH q AS (
+  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS c FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(c) AS DOUBLE) AS d1, CAST(sum(c * c) AS DOUBLE) AS d2,
+         CAST(sum(c * c * c) AS DOUBLE) AS d3,
+         CAST(sum(c * c * c * c) AS DOUBLE) AS d4
+  FROM q GROUP BY 1
+), m AS (
+  SELECT event_type, n, d1 / nd AS mean,
+         d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+         d3 / nd - 3 * (d1 / nd) * (d2 / nd)
+           + 2 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+         d4 / nd - 4 * (d1 / nd) * (d3 / nd)
+           + 6 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+           - 3 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+  FROM s
+)
+SELECT event_type, n, round(mean / 100, 6) AS mean_value,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+FROM m ORDER BY event_type
+"""
+
+
+EWMA_DEPTH = 20
+
+
+def window_ewma_halflife(spark, sf_dir):
+    """Per-user EWMA (α = 1/2) of the value stream at its latest event,
+    computed EXACTLY in integers: the half-life weights 2^(D-d) are
+    power-of-two shifts over quantized cents, so numerator and weight
+    sum are both BIGINTs — no float accumulation order to diverge
+    between engines or cluster sizes. Depth capped at D=20 (weights
+    below 2^-20 are sub-quantum anyway).
+
+    Scale shape: one key shuffle; the rank window cuts every user to a
+    bounded last-D slice BEFORE the fold, so hot users cost O(D).
+
+    Reference parity: none; window family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    last = (ev.withColumn("d", F.row_number().over(w) - 1)
+            .where(F.col("d") < EWMA_DEPTH))
+    return (last.groupBy("user_id")
+            .agg(F.sum(F.expr(f"shiftleft(cents, {EWMA_DEPTH} - d)"))
+                 .alias("num"),
+                 F.sum(F.expr(
+                     f"shiftleft(CAST(1 AS BIGINT), {EWMA_DEPTH} - d)"))
+                 .alias("den"))
+            .select("user_id",
+                    F.expr("num * 100 div den").alias("ewma_q"))
+            .orderBy("user_id"))
+
+
+def window_ewma_halflife_sql():
+    return f"""
+WITH r AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+           - 1 AS d
+  FROM events
+), lastn AS (SELECT * FROM r WHERE d < {EWMA_DEPTH})
+SELECT user_id,
+       CAST(sum(cents * (CAST(1 AS BIGINT) << ({EWMA_DEPTH} - d))) * 100
+            // sum(CAST(1 AS BIGINT) << ({EWMA_DEPTH} - d)) AS BIGINT)
+         AS ewma_q
+FROM lastn GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_welch_ttest(spark, sf_dir):
+    """Welch two-sample t-test (purchase vs view values) — the unequal-
+    variance gate an experimentation pipeline runs before trusting a
+    mean delta. Sums are folded as exact BIGINT cents (order-free), the
+    t statistic and Welch–Satterthwaite df are derived in double with
+    the same expression tree on both engines; t is scale-invariant so
+    the cents quantization cancels.
+
+    Scale shape: ONE conditional-aggregation pass (single combinable
+    fold, single row out).
+
+    Reference parity: none; aggregation family (SURVEY §2.2)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("purchase", "view"))
+          .select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("c")))
+    s = ev.agg(
+        F.expr("sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)")
+        .alias("na"),
+        F.expr("sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)")
+        .alias("nb"),
+        F.expr("sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)")
+        .alias("sa1"),
+        F.expr("sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END)")
+        .alias("sb1"),
+        F.expr("sum(CASE WHEN event_type = 'purchase' THEN c * c "
+               "ELSE 0 END)").alias("sa2"),
+        F.expr("sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END)")
+        .alias("sb2"))
+    d = (s.withColumn("ma", F.expr("CAST(sa1 AS DOUBLE) / na"))
+         .withColumn("mb", F.expr("CAST(sb1 AS DOUBLE) / nb"))
+         .withColumn("va", F.expr(
+             "(CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE)"
+             " * (CAST(sa1 AS DOUBLE) / na)) / (na - 1)"))
+         .withColumn("vb", F.expr(
+             "(CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE)"
+             " * (CAST(sb1 AS DOUBLE) / nb)) / (nb - 1)"))
+         .withColumn("sea", F.expr("va / na"))
+         .withColumn("seb", F.expr("vb / nb")))
+    return d.select(
+        F.col("na").cast("long").alias("n_purchase"),
+        F.col("nb").cast("long").alias("n_view"),
+        F.expr("round(ma / 100, 6)").alias("mean_purchase"),
+        F.expr("round(mb / 100, 6)").alias("mean_view"),
+        F.expr("round((ma - mb) / sqrt(sea + seb), 6)").alias("t_stat"),
+        F.expr("round((sea + seb) * (sea + seb) / "
+               "(sea * sea / (na - 1) + seb * seb / (nb - 1)), 6)")
+        .alias("welch_df"))
+
+
+def agg_welch_ttest_sql():
+    return """
+WITH q AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'view')
+), s AS (
+  SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS sa1,
+         sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS sb1,
+         sum(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END)
+           AS sa2,
+         sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS sb2
+  FROM q
+), d AS (
+  SELECT na, nb,
+         CAST(sa1 AS DOUBLE) / na AS ma, CAST(sb1 AS DOUBLE) / nb AS mb,
+         (CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE)
+            * (CAST(sa1 AS DOUBLE) / na)) / (na - 1) / na AS sea,
+         (CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE)
+            * (CAST(sb1 AS DOUBLE) / nb)) / (nb - 1) / nb AS seb
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_purchase, CAST(nb AS BIGINT) AS n_view,
+       round(ma / 100, 6) AS mean_purchase,
+       round(mb / 100, 6) AS mean_view,
+       round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       round((sea + seb) * (sea + seb) / (sea * sea / (na - 1)
+             + seb * seb / (nb - 1)), 6) AS welch_df
+FROM d
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -9198,6 +9455,10 @@ QUERIES = {
     "tpch_q13_custdist": tpch_q13_custdist,
     "sample_kfold_assign": sample_kfold_assign,
     "lake_bucket_balance": lake_bucket_balance,
+    "tok_vocab_coverage": tok_vocab_coverage,
+    "agg_skew_kurtosis": agg_skew_kurtosis,
+    "window_ewma_halflife": window_ewma_halflife,
+    "agg_welch_ttest": agg_welch_ttest,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -9487,4 +9748,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "tpch_q13_custdist": tpch_q13_custdist_sql(),
     "sample_kfold_assign": sample_kfold_assign_sql(),
     "lake_bucket_balance": lake_bucket_balance_sql(),
+    "tok_vocab_coverage": tok_vocab_coverage_sql(),
+    "agg_skew_kurtosis": agg_skew_kurtosis_sql(),
+    "window_ewma_halflife": window_ewma_halflife_sql(),
+    "agg_welch_ttest": agg_welch_ttest_sql(),
 }
