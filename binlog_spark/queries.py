@@ -9150,6 +9150,224 @@ FROM d
 """
 
 
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Neighbor-set Jaccard similarity for wedge-generated node pairs
+    over the md5 graph — `graph_link_prediction`'s raw common-neighbor
+    count normalized by the union of the two neighborhoods (the
+    degree-corrected score that doesn't just favor hubs). Scores ALL
+    pairs sharing ≥2 neighbors, connected or not.
+
+    Scale shape: wedge fold bounded by the support floor; degrees join
+    on the pair keys; never an all-pairs product.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    sym = (und.select(F.col("u").alias("c"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("c"),
+                                   F.col("u").alias("x"))))
+    deg = sym.groupBy("x").agg(F.count("*").alias("deg"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = (s1.join(s2, (F.col("s1.c") == F.col("s2.c"))
+                      & (F.col("s1.x") < F.col("s2.x")))
+              .groupBy(F.col("s1.x").alias("u"),
+                       F.col("s2.x").alias("v"))
+              .agg(F.count("*").alias("common"))
+              .where(F.col("common") >= 2))
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
+    return (wedges.join(du, "u").join(dv, "v")
+            .select("u", "v", "common",
+                    F.expr("common * 1000000 div (du + dv - common)")
+                    .alias("jaccard_q"))
+            .orderBy("u", "v"))
+
+
+def graph_jaccard_neighbors_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+sym AS MATERIALIZED (
+  SELECT u AS c, v AS x FROM und UNION ALL SELECT v, u FROM und
+),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+wedges AS (
+  SELECT s1.x AS u, s2.x AS v, CAST(count(*) AS BIGINT) AS common
+  FROM sym s1 JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT w.u, w.v, w.common,
+       CAST(w.common * 1000000 // (du.deg + dv.deg - w.common) AS BIGINT)
+         AS jaccard_q
+FROM wedges w
+JOIN deg du ON du.x = w.u
+JOIN deg dv ON dv.x = w.v
+ORDER BY 1, 2
+"""
+
+
+HIST2D_BINS = 10
+
+
+def agg_histogram2d_hour_value(spark, sf_dir):
+    """2-D histogram: hour-of-day × equal-width value bin — the heatmap
+    grid behind every "when do the big events happen" dashboard, exact
+    integers end to end (values quantized, bin edges from the global
+    min/max via integer arithmetic shared with `drift_value_histogram`).
+
+    Scale shape: one broadcast global min/max row + ONE grid-grain fold
+    (≤ 24 × bins rows out).
+
+    Reference parity: none; aggregation family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    g = ev.agg(F.min("vq").alias("gmin"),
+               (F.max("vq") + 1).alias("gend"))
+    binned = (ev.crossJoin(F.broadcast(g))
+              .select("hod", F.expr(
+                  f"(vq - gmin) * {HIST2D_BINS} div (gend - gmin)")
+                  .alias("bin")))
+    tot = ev.agg(F.count("*").alias("nt"))
+    return (binned.groupBy("hod", "bin")
+            .agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("hod", "bin", "n",
+                    F.expr("n * 1000000 div nt").alias("share_ppm"))
+            .orderBy("hod", "bin"))
+
+
+def agg_histogram2d_hour_value_sql():
+    return f"""
+WITH ev AS (
+  SELECT hour(ts) AS hod, CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), g AS (SELECT min(vq) AS gmin, max(vq) + 1 AS gend FROM ev),
+t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM ev)
+SELECT hod, (vq - gmin) * {HIST2D_BINS} // (gend - gmin) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 1000000 // nt AS BIGINT) AS share_ppm
+FROM ev CROSS JOIN g CROSS JOIN t
+GROUP BY 1, 2, nt ORDER BY 1, 2
+"""
+
+
+TOMBSTONE_RETENTION_US = 7 * 86400 * 1_000_000  # 7 days
+
+
+def cdc_tombstone_retention(spark, sf_dir):
+    """Tombstone-retention GC plan: per merge bucket, how many delete
+    markers exist and how many have aged past the retention horizon
+    (global high watermark − 7 days) and can be physically purged — the
+    sweep a CDC lake runs so deletes don't accumulate forever, bucketed
+    exactly like the MERGE sink's layout (`lake_bucket_balance`).
+
+    Scale shape: map-side op classify + hash, one broadcast HWM row,
+    ONE bucket-grain fold.
+
+    Reference parity: the reference emits delete images
+    (`row_streamer.go:376-386`) and leaves compaction to the sink; this
+    is that sink-side half. CDC family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(_OP_EXPR).alias("op"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16, 10).cast("long") % MERGE_BUCKETS).alias("bucket"))
+    hw = ev.agg(F.max("e").alias("hw"))
+    dels = (ev.where(F.col("op") == "D")
+            .crossJoin(F.broadcast(hw)))
+    return (dels.groupBy("bucket")
+            .agg(F.count("*").alias("n_tombstones"),
+                 F.sum(F.when(
+                     F.col("e") < F.col("hw") - TOMBSTONE_RETENTION_US,
+                     1).otherwise(0)).cast("long").alias("n_purgeable"))
+            .select("bucket", "n_tombstones", "n_purgeable",
+                    F.expr("n_purgeable * 1000000 div n_tombstones")
+                    .alias("purge_ppm"))
+            .orderBy("bucket"))
+
+
+def cdc_tombstone_retention_sql():
+    return f"""
+WITH ev AS (
+  SELECT {_OP_EXPR} AS op, epoch_us(ts) AS e,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           % {MERGE_BUCKETS} AS bucket
+  FROM events
+), hw AS (SELECT max(e) AS hw FROM ev)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_tombstones,
+       CAST(sum(CASE WHEN e < hw - {TOMBSTONE_RETENTION_US} THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_purgeable,
+       CAST(sum(CASE WHEN e < hw - {TOMBSTONE_RETENTION_US} THEN 1
+                     ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS purge_ppm
+FROM ev CROSS JOIN hw
+WHERE op = 'D'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def cdc_event_size_profile(spark, sf_dir=None):
+    """Wire-event size profile over a deterministic generated stream:
+    per event type, frame count, byte volume and min/max frame size —
+    the capacity-planning numbers (bytes/event by type) a CDC operator
+    reads before sizing network and decode stages. Runs on raw frames
+    BEFORE decode, so it exercises the frame/header layer alone.
+
+    Scale shape: map-side `length(frame)` + ONE type-grain fold.
+
+    Reference parity: event framing per
+    `replication/binlog_event_common.go:34-53` (header length field);
+    the profile itself is new. Oracle: pinned literal derived
+    independently from the generator's frame list (pure Python, no
+    Spark)."""
+    gen = genlog.CdcWorldGenerator(seed=7, n_repos=8, paths_per_repo=10,
+                                   txns_per_file=30)
+    result = gen.generate(n_txns=60)
+    df = spark.createDataFrame(
+        [(f, p, et, fr) for f, p, et, fr in result.frames],
+        "file string, pos long, etype int, frame binary")
+    return (df.select("etype", F.length("frame").alias("sz"))
+            .groupBy("etype")
+            .agg(F.count("*").alias("n_frames"),
+                 F.sum("sz").cast("long").alias("n_bytes"),
+                 F.min("sz").cast("long").alias("min_bytes"),
+                 F.max("sz").cast("long").alias("max_bytes"))
+            .orderBy("etype"))
+
+
+CDC_EVENT_SIZE_ORACLE = """
+SELECT CAST(etype AS INTEGER) AS etype, CAST(n AS BIGINT) AS n_frames,
+       CAST(b AS BIGINT) AS n_bytes, CAST(mn AS BIGINT) AS min_bytes,
+       CAST(mx AS BIGINT) AS max_bytes
+FROM (VALUES (2, 56, 2744, 49, 49), (4, 1, 44, 44, 44),
+             (15, 2, 232, 116, 116), (16, 56, 1736, 31, 31),
+             (19, 99, 7029, 71, 71), (30, 47, 215378, 362, 8480),
+             (31, 41, 167320, 204, 9826), (32, 11, 2342, 76, 245),
+             (33, 60, 2880, 48, 48)) AS t(etype, n, b, mn, mx)
+ORDER BY etype
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -9459,6 +9677,10 @@ QUERIES = {
     "agg_skew_kurtosis": agg_skew_kurtosis,
     "window_ewma_halflife": window_ewma_halflife,
     "agg_welch_ttest": agg_welch_ttest,
+    "graph_jaccard_neighbors": graph_jaccard_neighbors,
+    "agg_histogram2d_hour_value": agg_histogram2d_hour_value,
+    "cdc_tombstone_retention": cdc_tombstone_retention,
+    "cdc_event_size_profile": cdc_event_size_profile,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -9752,4 +9974,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_skew_kurtosis": agg_skew_kurtosis_sql(),
     "window_ewma_halflife": window_ewma_halflife_sql(),
     "agg_welch_ttest": agg_welch_ttest_sql(),
+    "graph_jaccard_neighbors": graph_jaccard_neighbors_sql(),
+    "agg_histogram2d_hour_value": agg_histogram2d_hour_value_sql(),
+    "cdc_tombstone_retention": cdc_tombstone_retention_sql(),
+    "cdc_event_size_profile": CDC_EVENT_SIZE_ORACLE,
 }
