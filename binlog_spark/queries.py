@@ -27,6 +27,7 @@ from . import genlog, pipeline
 from .operators import (dedup, graph, lake_layout, multimodal, ranking,
                         sampling, similarity, textstats, tokenizer)
 from .operators.lww import lww_latest
+from .operators.textnorm import ws_token_count, ws_token_count_sql
 from .operators.merge import LakeTable
 
 
@@ -9765,6 +9766,253 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def graph_local_clustering(spark, sf_dir):
+    """Local clustering coefficient per node over the md5 link graph:
+    closed wedges at each node divided by its wedge capacity
+    C(deg, 2), ppm-quantized — the per-node texture behind the global
+    coefficient `graph_triangle_count` already reports (that one proves
+    the oriented triangle total; this one attributes closure to nodes).
+
+    Scale shape: wedge enumeration at each center is bounded by the
+    near-regular degree of the synthetic graph (≤3 out-edges per node);
+    at power-law scale the same query routes through the degree-ordered
+    orientation (`graph_triangle_count`) first — noted, not hidden. One
+    wedge fold + one edge-probe join + one node fold.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    sym = (und.select(F.col("u").alias("c"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("c"),
+                                   F.col("u").alias("x"))))
+    deg = sym.groupBy("c").agg(F.count("*").alias("deg"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = (s1.join(s2, (F.col("s1.c") == F.col("s2.c"))
+                      & (F.col("s1.x") < F.col("s2.x")))
+              .select(F.col("s1.c").alias("c"),
+                      F.col("s1.x").alias("u"), F.col("s2.x").alias("v")))
+    closed = (wedges.join(und, ["u", "v"])
+              .groupBy("c").agg(F.count("*").alias("n_closed")))
+    return (deg.where(F.col("deg") >= 2)
+            .join(closed, "c", "left")
+            .select(F.col("c").alias("node"), "deg",
+                    F.coalesce("n_closed", F.lit(0)).alias("n_closed"))
+            .withColumn("lcc_ppm", F.expr(
+                "n_closed * 2000000 div (deg * (deg - 1))"))
+            .orderBy("node"))
+
+
+def graph_local_clustering_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+sym AS MATERIALIZED (
+  SELECT u AS c, v AS x FROM und UNION ALL SELECT v, u FROM und
+),
+deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+closed AS (
+  SELECT s1.c AS c, CAST(count(*) AS BIGINT) AS n_closed
+  FROM sym s1
+  JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
+  JOIN und ON und.u = s1.x AND und.v = s2.x
+  GROUP BY 1
+)
+SELECT deg.c AS node, deg, coalesce(n_closed, 0) AS n_closed,
+       coalesce(n_closed, 0) * 2000000 // (deg * (deg - 1)) AS lcc_ppm
+FROM deg LEFT JOIN closed USING (c)
+WHERE deg >= 2
+ORDER BY node
+"""
+
+
+def window_bounce_rate(spark, sf_dir, gap: int = SESSION_GAP_S):
+    """Per-user bounce rate: sessionize by the 30-minute inactivity gap
+    (the `window_gap_sessions` boundary contract), then count the
+    single-event sessions — the classic engagement metric at the
+    session grain the histogram query doesn't expose.
+
+    Scale shape: ONE user shuffle feeds the lag window AND the running
+    session-id cumsum, a (user, session) fold, then a user fold —
+    partitions stay per-user, never global.
+
+    Reference parity: none; window family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    sid = (ev.withColumn(
+        "new_s",
+        F.when(F.col("es") - F.lag("es").over(w) > gap, 1)
+         .when(F.lag("es").over(w).isNull(), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w)))
+    sess = (sid.groupBy("user_id", "sid")
+            .agg(F.count("*").alias("sz")))
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+                 .alias("n_bounces"))
+            .select("user_id", "n_sessions", "n_bounces",
+                    F.expr("n_bounces * 1000000 div n_sessions")
+                    .alias("bounce_ppm"))
+            .orderBy("user_id"))
+
+
+def window_bounce_rate_sql(gap: int = SESSION_GAP_S):
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, epoch(ts) AS es,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {gap} THEN 1
+              WHEN lag(epoch(ts)) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+),
+sid AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id) AS s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, s, count(*) AS sz FROM sid GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_readability(spark, sf_dir):
+    """Flesch-style readability per document, integer-milli-quantized:
+    words per sentence and vowel-group "syllables" per word feed the
+    206.835 − 1.015·wps − 84.6·spw formula, every division a fixed-
+    order integer ``div`` so both engines produce identical bits.
+    Sentences are terminal-punctuation counts (min 1); syllables are
+    ASCII vowel-group counts — the standard cheap approximation (real
+    syllabification needs a dictionary; the MONOTONE ranking is what
+    curation filters consume, not the absolute value).
+
+    Scale shape: map-only JVM regexps (zero shuffles, zero Python).
+
+    Reference parity: none; text-quality family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    lo = F.lower(t)
+    words = ws_token_count(t)
+    sents = F.greatest(
+        F.lit(1),
+        F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", "")))
+    syls = (F.length(F.regexp_replace(lo, r"[aeiouy]+", "#"))
+            - F.length(F.regexp_replace(lo, r"[aeiouy]+", "")))
+    out = docs.select(
+        "doc_id", words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        syls.cast("long").alias("n_syls"))
+    return (out.where(F.col("n_words") > 0)
+            .select("doc_id", "n_words", "n_sents", "n_syls",
+                    F.expr("n_words * 1000 div n_sents").alias("wps_milli"),
+                    F.expr("n_syls * 1000 div n_words").alias("spw_milli"))
+            .withColumn("flesch_milli", F.expr(
+                "206835 - 1015 * wps_milli div 1000"
+                " - 84600 * spw_milli div 1000"))
+            .orderBy("doc_id"))
+
+
+def text_readability_sql():
+    wc = ws_token_count_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({wc} AS BIGINT) AS n_words,
+         CAST(greatest(1, length(text)
+              - length(regexp_replace(text, '[.!?]', '', 'g')))
+            AS BIGINT) AS n_sents,
+         CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+              - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+            AS BIGINT) AS n_syls
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_words, n_sents, n_syls,
+         n_words * 1000 // n_sents AS wps_milli,
+         n_syls * 1000 // n_words AS spw_milli
+  FROM base WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_sents, n_syls, wps_milli, spw_milli,
+       206835 - 1015 * wps_milli // 1000 - 84600 * spw_milli // 1000
+         AS flesch_milli
+FROM q ORDER BY doc_id
+"""
+
+
+CDC_TRIGGER_BATCH = 100  # events per microbatch span
+
+
+def cdc_batch_trigger_plan(spark, sf_dir):
+    """Microbatch trigger plan: within each (stream, day) segment,
+    assign events to fixed-size admission batches of 100 in arrival
+    order and emit each batch's span (count, first/last timestamp) —
+    the planning table a rate-limited CDC apply uses to size its
+    triggers, segmented exactly like the replay pipeline's per-file
+    transaction windows.
+
+    Scale shape: the ordering window partitions on (type, day) — the
+    same bounded segment grain the binlog pipeline sorts within
+    (`pipeline.segment_expr`); no global sort, one segment shuffle,
+    batch-grain fold out.
+
+    Reference parity: the reference applies strictly in connection
+    order (`row_streamer.go:120`); explicit batch spans are this
+    engine's scheduling surface (SURVEY §2.2 streaming)."""
+    k = CDC_TRIGGER_BATCH
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "ts", "event_id")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    batched = ev.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / k).cast("long"))
+    return (batched.groupBy("event_type", "day", "batch_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("span_start"),
+                 F.max("ts").alias("span_end"))
+            .orderBy("event_type", "day", "batch_id"))
+
+
+def cdc_batch_trigger_plan_sql():
+    k = CDC_TRIGGER_BATCH
+    return f"""
+WITH batched AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, ts,
+         CAST((row_number() OVER (
+             PARTITION BY event_type, date_trunc('day', ts)
+             ORDER BY ts, event_id) - 1) // {k} AS BIGINT) AS batch_id
+  FROM events
+)
+SELECT event_type, day, batch_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS span_start, max(ts) AS span_end
+FROM batched GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -10086,6 +10334,10 @@ QUERIES = {
     "agg_cusum_changepoint": agg_cusum_changepoint,
     "cdc_dup_delivery_dedup": cdc_dup_delivery_dedup,
     "join_star_revenue_cube": join_star_revenue_cube,
+    "graph_local_clustering": graph_local_clustering,
+    "window_bounce_rate": window_bounce_rate,
+    "text_readability": text_readability,
+    "cdc_batch_trigger_plan": cdc_batch_trigger_plan,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -10391,4 +10643,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_cusum_changepoint": agg_cusum_changepoint_sql(),
     "cdc_dup_delivery_dedup": cdc_dup_delivery_dedup_sql(),
     "join_star_revenue_cube": join_star_revenue_cube_sql(),
+    "graph_local_clustering": graph_local_clustering_sql(),
+    "window_bounce_rate": window_bounce_rate_sql(),
+    "text_readability": text_readability_sql(),
+    "cdc_batch_trigger_plan": cdc_batch_trigger_plan_sql(),
 }
