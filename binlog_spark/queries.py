@@ -10013,6 +10013,290 @@ FROM batched GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+GAPFILL_VALUE_MIN = 250.0  # high-value slice → guaranteed calendar gaps
+
+
+def join_linear_gapfill(spark, sf_dir):
+    """Linear-interpolation gap fill: the daily count of high-value
+    events per type is sparse (most days have none), so fill each
+    missing calendar day with the convex combination of its bracketing
+    observations — the interpolating sibling of `join_locf_gapfill`
+    (which carries forward). The interpolated value is computed as
+    ``(prev·(span−off) + next·off)·1000 div span`` — a non-negative
+    integer convex combination, so truncating `div` and flooring `//`
+    agree and both engines emit identical milli-counts.
+
+    Scale shape: one day-grain fold, a broadcast per-type min/max row,
+    per-type calendar explode (≤ series length), two IGNORE NULLS
+    window passes on the (type, day) partition — never a global sort.
+
+    Reference parity: none; time-series family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .where(F.col("value") > GAPFILL_VALUE_MIN)
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("x")))
+    span = daily.groupBy("event_type").agg(F.min("day").alias("d0"),
+                                           F.max("day").alias("d1"))
+    cal = span.select("event_type", F.explode(
+        F.sequence("d0", "d1")).alias("day"))
+    g = cal.join(daily, ["event_type", "day"], "left")
+    wb = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_day = F.when(F.col("x").isNotNull(), F.col("day"))
+    filled = (g.withColumn("pv", F.last("x", ignorenulls=True).over(wb))
+              .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wb))
+              .withColumn("nv", F.first("x", ignorenulls=True).over(wf))
+              .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wf)))
+    return (filled
+            .withColumn("off", F.datediff(F.col("day"), F.col("pd"))
+                        .cast("long"))
+            .withColumn("spn", F.datediff(F.col("nd"), F.col("pd"))
+                        .cast("long"))
+            .select(
+                "event_type", "day",
+                F.when(F.col("x").isNotNull(), F.col("x") * 1000)
+                 .otherwise(F.expr(
+                     "(pv * (spn - off) + nv * off) * 1000 div spn"))
+                 .cast("long").alias("filled_milli"),
+                F.when(F.col("x").isNotNull(), 0).otherwise(1).cast("long")
+                 .alias("is_interp"))
+            .orderBy("event_type", "day"))
+
+
+def join_linear_gapfill_sql():
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE value > {GAPFILL_VALUE_MIN} GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+cal AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1,
+         INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+g AS (
+  SELECT c.event_type, c.day, d.x,
+    last_value(d.x IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN d.x IS NOT NULL THEN c.day END IGNORE NULLS)
+        OVER wb AS pd,
+    first_value(d.x IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN d.x IS NOT NULL THEN c.day END IGNORE NULLS)
+        OVER wf AS nd
+  FROM cal c LEFT JOIN daily d USING (event_type, day)
+  WINDOW wb AS (PARTITION BY c.event_type ORDER BY c.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY c.event_type ORDER BY c.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       CAST(CASE WHEN x IS NOT NULL THEN x * 1000
+            ELSE (pv * (date_diff('day', pd, nd) - date_diff('day', pd, day))
+                  + nv * date_diff('day', pd, day)) * 1000
+                 // date_diff('day', pd, nd) END AS BIGINT) AS filled_milli,
+       CAST(CASE WHEN x IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_interp
+FROM g ORDER BY 1, 2
+"""
+
+
+WATERMARK_MAX_DELAY_S = 600  # synthetic network delay ceiling (10 min)
+
+
+def cdc_watermark_delay_audit(spark, sf_dir):
+    """Watermark-delay audit: under a deterministic hash-jittered
+    arrival order (event time + 0..10 min of synthetic network delay —
+    the generator emits events in timestamp order, so real transport
+    jitter is modelled, not observed), measure per stream how late each
+    event is versus the running event-time high watermark, and report
+    the max plus exact p50/p99 lateness — the number you set
+    ``withWatermark`` to. Quantiles use the deterministic
+    index-at-ceil(q·n) rule (ties broken by event_id), not an
+    approximate sketch.
+
+    Scale shape: two windows on the per-type partition (running max in
+    arrival order, rank in lateness order) + ONE type-grain fold.
+
+    Reference parity: the reference delivers in connection order and
+    never reorders (`row_streamer.go:120`); lateness accounting is this
+    engine's streaming surface (SURVEY §2.2 watermarks)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("es"))
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7),
+               16, 10).cast("long")
+    arr = ev.withColumn("aes", F.col("es") + h % WATERMARK_MAX_DELAY_S)
+    wa = (Window.partitionBy("event_type").orderBy("aes", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    late = arr.withColumn("lateness",
+                          F.max("es").over(wa) - F.col("es"))
+    wr = Window.partitionBy("event_type").orderBy("lateness", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (late.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(wn)))
+    return (ranked.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("lateness") > 0, 1).otherwise(0))
+                 .alias("n_late"),
+                 F.max("lateness").alias("max_lateness_s"),
+                 F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                              F.col("lateness")))
+                 .alias("p50_lateness_s"),
+                 F.max(F.when(F.col("rn") == F.expr(
+                     "(n * 99 + 99) div 100"), F.col("lateness")))
+                 .alias("p99_lateness_s"))
+            .orderBy("event_type"))
+
+
+def cdc_watermark_delay_audit_sql():
+    return f"""
+WITH arr AS (
+  -- floor to whole seconds: Spark's unix_timestamp truncates, DuckDB's
+  -- epoch() keeps microseconds
+  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))
+             ::BIGINT % {WATERMARK_MAX_DELAY_S} AS aes
+  FROM events
+),
+late AS (
+  SELECT event_type, event_id,
+         max(es) OVER (PARTITION BY event_type ORDER BY aes, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - es AS lateness
+  FROM arr
+),
+ranked AS (
+  SELECT event_type, lateness,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY lateness, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM late
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(lateness) AS BIGINT) AS max_lateness_s,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lateness END) AS BIGINT)
+         AS p50_lateness_s,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN lateness END)
+            AS BIGINT) AS p99_lateness_s
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_rarity_score(spark, sf_dir):
+    """Token-rarity score per document: over each doc's DISTINCT
+    tokens, the mean document frequency (milli) and the hapax share
+    (tokens appearing in exactly one document, ppm) — the cheap
+    "OCR junk / misspelling density" signal: clean prose reuses the
+    corpus vocabulary; garbage is wall-to-wall hapaxes.
+
+    Scale shape: shuffle-free Arrow tokenization, one token-grain DF
+    fold (vocabulary-sized), one token-keyed join back, one doc fold.
+
+    Reference parity: none; text-quality family (SURVEY §2.3)."""
+    toks = dedup.shingles(_t(spark, sf_dir, "documents"), n=1).distinct()
+    df_tbl = toks.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df"))
+    return (toks.join(df_tbl, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_distinct_tokens"),
+                 F.sum("df").alias("df_sum"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select("doc_id", "n_distinct_tokens",
+                    F.expr("df_sum * 1000 div n_distinct_tokens")
+                    .alias("mean_df_milli"),
+                    F.expr("n_hapax * 1000000 div n_distinct_tokens")
+                    .alias("hapax_ppm"))
+            .orderBy("doc_id"))
+
+
+def text_rarity_score_sql():
+    return dedup.shingle_cte("documents", n=1) + """,
+df_tbl AS (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM sh GROUP BY 1
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(df) * 1000 // count(*) AS BIGINT) AS mean_df_milli,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS hapax_ppm
+FROM sh s JOIN df_tbl USING (shingle)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_daily_covariance(spark, sf_dir):
+    """Pairwise covariance of the per-type daily event-count series
+    (zero-filled over the global calendar) — which streams surge
+    together, the input to correlated-alerting and to capacity models.
+    Emitted as the exact integer ``n·Σxy − Σx·Σy`` (no division, so no
+    floor-vs-truncate hazard on negative covariances).
+
+    Scale shape: ONE day-grain fold, a day-keyed self-join at the
+    (type-pair × day) grain (days where both are nonzero — zero-filled
+    days contribute nothing to Σxy), a broadcast totals row, tiny pair
+    fold out.
+
+    Reference parity: none; aggregation family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("x")))
+    cal = daily.agg((F.datediff(F.max("day"), F.min("day")) + 1)
+                    .cast("long").alias("n_days"))
+    tot = daily.groupBy("event_type").agg(F.sum("x").alias("sx"))
+    a = daily.select(F.col("event_type").alias("ta"), "day",
+                     F.col("x").alias("xa"))
+    b = daily.select(F.col("event_type").alias("tb"), "day",
+                     F.col("x").alias("xb"))
+    sxy = (a.join(b, "day").where(F.col("ta") < F.col("tb"))
+           .groupBy("ta", "tb")
+           .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxy")))
+    return (sxy.join(F.broadcast(tot.select(F.col("event_type").alias("ta"),
+                                            F.col("sx").alias("sxa"))), "ta")
+            .join(F.broadcast(tot.select(F.col("event_type").alias("tb"),
+                                         F.col("sx").alias("sxb"))), "tb")
+            .crossJoin(F.broadcast(cal))
+            .select("ta", "tb",
+                    (F.col("n_days") * F.col("sxy")
+                     - F.col("sxa") * F.col("sxb")).alias("cov_q"),
+                    "n_days")
+            .orderBy("ta", "tb"))
+
+
+def agg_daily_covariance_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+cal AS (
+  SELECT CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+    AS n_days FROM daily
+),
+tot AS (SELECT event_type, sum(x) AS sx FROM daily GROUP BY 1),
+sxy AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, sum(a.x * b.x) AS sxy
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb, n_days * sxy - sxa.sx * sxb.sx AS cov_q, n_days
+FROM sxy
+JOIN tot sxa ON sxa.event_type = ta
+JOIN tot sxb ON sxb.event_type = tb
+CROSS JOIN cal
+ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -10338,6 +10622,10 @@ QUERIES = {
     "window_bounce_rate": window_bounce_rate,
     "text_readability": text_readability,
     "cdc_batch_trigger_plan": cdc_batch_trigger_plan,
+    "join_linear_gapfill": join_linear_gapfill,
+    "cdc_watermark_delay_audit": cdc_watermark_delay_audit,
+    "text_rarity_score": text_rarity_score,
+    "agg_daily_covariance": agg_daily_covariance,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -10647,4 +10935,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "window_bounce_rate": window_bounce_rate_sql(),
     "text_readability": text_readability_sql(),
     "cdc_batch_trigger_plan": cdc_batch_trigger_plan_sql(),
+    "join_linear_gapfill": join_linear_gapfill_sql(),
+    "cdc_watermark_delay_audit": cdc_watermark_delay_audit_sql(),
+    "text_rarity_score": text_rarity_score_sql(),
+    "agg_daily_covariance": agg_daily_covariance_sql(),
 }
