@@ -10297,6 +10297,808 @@ ORDER BY 1, 2
 """
 
 
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted to this schema's
+    dimensions: of all ECONOMY-part revenue sold into the AMERICA
+    customer region during 1995-1996, the share supplied from NATION_3,
+    by order year — the classic two-nation-role join (customer's nation
+    scopes the market, supplier's nation is the share dimension).
+
+    Scale shape: part (filtered), supplier⋈nation, and the
+    customer⋈nation⋈region arm are all broadcast dims — lineitem and
+    orders each shuffle ONCE, on l_orderkey/o_orderkey, for the single
+    big fact-fact join; numerator and denominator fold in ONE pass in
+    exact DECIMAL; 2 rows out.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = (_t(spark, sf_dir, "part")
+          .where(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    sup_nat = (sup.join(F.broadcast(nat),
+                        sup["s_nationkey"] == nat["n_nationkey"])
+               .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    reg = (_t(spark, sf_dir, "region")
+           .where(F.col("r_name") == "AMERICA").select("r_regionkey"))
+    cust_in_region = (_t(spark, sf_dir, "customer")
+                      .join(F.broadcast(
+                          nat.join(F.broadcast(reg),
+                                   nat["n_regionkey"] == reg["r_regionkey"])
+                          .select("n_nationkey")),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+                      .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01")))
+              .join(F.broadcast(cust_in_region),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", F.year("o_orderdate").alias("o_year")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    fact = (li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+            .join(F.broadcast(sup_nat), li["l_suppkey"] == F.col("s_suppkey"))
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select("o_year", "supp_nation", rev.alias("rev")))
+    agg = (fact.groupBy("o_year")
+           .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("rev"))
+                      .otherwise(F.lit(0).cast("decimal(18,2)")))
+                .alias("nr"),
+                F.sum("rev").alias("tr")))
+    return (agg.select(
+        "o_year",
+        F.round(F.col("nr").cast("double"), 2).alias("nation_revenue"),
+        F.round(F.col("tr").cast("double"), 2).alias("total_revenue"),
+        F.round(F.col("nr").cast("double") * 100
+                / F.col("tr").cast("double"), 6).alias("mkt_share_pct"))
+        .orderBy("o_year"))
+
+
+def tpch_q8_market_share_sql():
+    return """
+WITH fact AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS rev
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+), a AS (
+  SELECT o_year,
+         sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS nr,
+         sum(rev) AS tr
+  FROM fact GROUP BY 1
+)
+SELECT o_year, round(CAST(nr AS DOUBLE), 2) AS nation_revenue,
+       round(CAST(tr AS DOUBLE), 2) AS total_revenue,
+       round(CAST(nr AS DOUBLE) * 100 / CAST(tr AS DOUBLE), 6)
+         AS mkt_share_pct
+FROM a ORDER BY o_year
+"""
+
+
+def tpch_q12_latency_priority(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority), adapted: the schema has no
+    l_shipmode/commitdate/receiptdate, so Q12's mode dimension becomes
+    the fulfilment-latency class (FAST: shipped <30 days after order;
+    SLOW: ≥30) over 1996 shipments, counting critical-priority
+    (1-URGENT/2-HIGH) vs other line items per class — the same
+    two-conditional-count checker on a derived dimension.
+
+    Scale shape: the shipdate year slice is pushed to the lineitem
+    scan; ONE orderkey-grain shuffle joins orders in (AQE may broadcast
+    the pruned side); ONE class-grain fold, 2 rows out.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .select("l_orderkey", "l_shipdate"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    cls = (F.when(F.datediff("l_shipdate", "o_orderdate") < 30, "FAST")
+           .otherwise("SLOW").alias("latency_class"))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.select(cls, crit.alias("crit"))
+            .groupBy("latency_class")
+            .agg(F.sum(F.when(F.col("crit"), 1).otherwise(0))
+                 .cast("long").alias("high_line_count"),
+                 F.sum(F.when(F.col("crit"), 0).otherwise(1))
+                 .cast("long").alias("low_line_count"))
+            .orderBy("latency_class"))
+
+
+def tpch_q12_latency_priority_sql():
+    return """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+            THEN 'FAST' ELSE 'SLOW' END AS latency_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum
+    revenue over 1996-Q1 shipments — Q15's view-plus-scalar-max shape,
+    with the max taken as a broadcast single-row scalar and the tie
+    rule (keep ALL maxima) preserved. Revenue folds in exact DECIMAL so
+    the equality-with-max predicate is bit-exact in both engines.
+
+    Scale shape: date slice pushed to the lineitem scan, ONE
+    suppkey-grain fold (|suppliers| rows), broadcast scalar max +
+    broadcast supplier dim — no second pass over lineitem.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    per_supp = (_t(spark, sf_dir, "lineitem")
+                .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                       & (F.col("l_shipdate") < F.lit("1996-04-01")))
+                .groupBy("l_suppkey")
+                .agg(F.sum(rev).alias("total_rev")))
+    mx = per_supp.agg(F.max("total_rev").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (per_supp.crossJoin(F.broadcast(mx))
+            .where(F.col("total_rev") == F.col("max_rev"))
+            .join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.round(F.col("total_rev").cast("double"), 2)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def tpch_q15_top_supplier_sql():
+    return """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM per_supp
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q19_disjunct_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs disjunctive
+    predicate over three (brand, size-band, quantity-band) arms —
+    the classic test that a disjunction over join-plus-fact columns
+    still prunes (each arm's part predicate narrows the build side;
+    the fact-side quantity bands evaluate post-join in one codegen
+    stage). One global revenue row out, folded in exact DECIMAL.
+
+    Scale shape: part filtered to the union of the three size bands
+    BEFORE the broadcast, so the hash table holds only candidate parts;
+    lineitem never shuffles; ONE global fold.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * (F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)"))).alias("rev"))
+    pt = (_t(spark, sf_dir, "part")
+          .where(((F.col("p_brand") == "Brand#1")
+                  & F.col("p_size").between(1, 5))
+                 | ((F.col("p_brand") == "Brand#2")
+                    & F.col("p_size").between(1, 10))
+                 | ((F.col("p_brand") == "Brand#3")
+                    & F.col("p_size").between(1, 15)))
+          .select("p_partkey", "p_brand"))
+    arm = (((F.col("p_brand") == "Brand#1") & F.col("qty").between(1, 11))
+           | ((F.col("p_brand") == "Brand#2") & F.col("qty").between(10, 20))
+           | ((F.col("p_brand") == "Brand#3") & F.col("qty").between(20, 30)))
+    j = (li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+         .where(arm))
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+
+
+def tpch_q19_disjunct_revenue_sql():
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def tpch_q2_preferred_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: the schema has no
+    partsupp/supplycost, so the part-supplier relation is derived from
+    shipment history (distinct (l_partkey, l_suppkey)) and "best"
+    becomes the richest supplier (max s_acctbal, suppkey as the
+    deterministic tie-break) per small part (p_size ≤ 10) — the same
+    correlated per-group-extremum shape, resolved with ONE window
+    instead of a correlated subquery re-scan.
+
+    Scale shape: distinct (part, supp) pairs fold map-side first; the
+    row_number window shares the partkey shuffle; part and supplier
+    dims broadcast; bounded TakeOrdered for the final top-20 (total
+    order: bal desc, partkey asc — partkey is unique at rank 1).
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    rel = (_t(spark, sf_dir, "lineitem")
+           .select("l_partkey", "l_suppkey").distinct())
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"))
+    pt = (_t(spark, sf_dir, "part")
+          .where(F.col("p_size") <= 10).select("p_partkey", "p_brand"))
+    w = (Window.partitionBy("l_partkey")
+         .orderBy(F.col("bal_cents").desc(), F.col("s_suppkey").asc()))
+    best = (rel.join(F.broadcast(sup),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")))
+    return (best.select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                        "bal_cents")
+            .orderBy(F.col("bal_cents").desc(), F.col("p_partkey").asc())
+            .limit(20))
+
+
+def tpch_q2_preferred_supplier_sql():
+    return """
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+ranked AS (
+  SELECT l_partkey, s_suppkey, s_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY CAST(round(s_acctbal * 100) AS BIGINT)
+                              DESC, s_suppkey ASC) AS rn
+  FROM rel JOIN supplier ON s_suppkey = l_suppkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, bal_cents
+FROM ranked JOIN part ON p_partkey = l_partkey
+WHERE rn = 1 AND p_size <= 10
+ORDER BY bal_cents DESC, p_partkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q11_value_share(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: per-part "inventory value"
+    is the shipped revenue (cents) from NATION_0 suppliers, keeping
+    parts whose value exceeds 0.1% of that nation's total — Q11's
+    HAVING-against-a-global-scalar shape. The fraction test is exact
+    integer cross-multiplication (value·1000 > total), never a float
+    threshold.
+
+    Scale shape: the supplier-nation slice broadcasts into lineitem
+    (fact never shuffles for the join), ONE partkey-grain fold, the
+    global total re-folds from the partkey frame (not a second fact
+    scan) and broadcasts back as a single row.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    nat = (_t(spark, sf_dir, "nation")
+           .where(F.col("n_name") == "NATION_0").select("n_nationkey"))
+    sup = (_t(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    per_part = (li.join(F.broadcast(sup),
+                        F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy("l_partkey")
+                .agg(F.sum("cents").alias("value_cents")))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+            .select("l_partkey", "value_cents")
+            .orderBy(F.col("value_cents").desc(), F.col("l_partkey").asc()))
+
+
+def tpch_q11_value_share_sql():
+    return """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_0'
+  GROUP BY 1
+)
+SELECT l_partkey, value_cents
+FROM per_part
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+ORDER BY value_cents DESC, l_partkey ASC
+"""
+
+
+def tpch_q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 (part-supplier relationship), adapted: distinct
+    supplier count per (brand, type) over the shipment-derived
+    part-supplier relation, excluding complained-about suppliers
+    (negative account balance stands in for Q16's complaint-comment
+    scan) via an anti join, and excluding Brand#1/PROMO rows — the
+    distinct-count + NOT-IN shape.
+
+    Scale shape: distinct (part, supp) pairs fold map-side; the
+    exclusion list and part dim broadcast; ONE (brand, type)-grain
+    distinct-count fold, ≤150 rows out.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    rel = (_t(spark, sf_dir, "lineitem")
+           .select("l_partkey", "l_suppkey").distinct())
+    bad = (_t(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pt = (_t(spark, sf_dir, "part")
+          .where((F.col("p_brand") != "Brand#1")
+                 & (F.col("p_type") != "PROMO"))
+          .select("p_partkey", "p_brand", "p_type"))
+    return (rel.join(F.broadcast(bad),
+                     F.col("l_suppkey") == F.col("s_suppkey"), "leftanti")
+            .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(),
+                     F.col("p_brand").asc(), F.col("p_type").asc()))
+
+
+def tpch_q16_supplier_count_sql():
+    return """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+"""
+
+
+def tpch_q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: suppliers whose
+    1996 shipped quantity of red parts (p_name LIKE 'red %' stands in
+    for Q20's forest prefix) beats the average over all such shippers —
+    the semi-join chain part-slice → per-supplier fold → threshold →
+    supplier attributes. The above-average test is exact integer
+    cross-multiplication (qty·n > Σqty).
+
+    Scale shape: the name-sliced part dim broadcasts into the
+    date-pruned lineitem scan; ONE suppkey-grain fold (≤|suppliers|
+    rows); the scalar (Σqty, n) broadcasts back; supplier + nation
+    dims broadcast.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    red = (_t(spark, sf_dir, "part")
+           .where(F.col("p_name").startswith("red ")).select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .select("l_partkey", "l_suppkey",
+                  F.round("l_quantity").cast("long").alias("qty")))
+    per_supp = (li.join(F.broadcast(red),
+                        F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("l_suppkey")
+                .agg(F.sum("qty").alias("red_qty")))
+    tot = per_supp.agg(F.sum("red_qty").alias("sum_qty"),
+                       F.count("*").alias("n_supp"))
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (per_supp.crossJoin(F.broadcast(tot))
+            .where(F.col("red_qty") * F.col("n_supp") > F.col("sum_qty"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", F.col("n_name").alias("nation"),
+                    "red_qty")
+            .orderBy(F.col("red_qty").desc(), F.col("s_suppkey").asc()))
+
+
+def tpch_q20_excess_shippers_sql():
+    return """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS red_qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red %'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(red_qty) AS sum_qty, CAST(count(*) AS BIGINT) AS n_supp
+  FROM per_supp
+)
+SELECT s_suppkey, s_name, n_name AS nation, red_qty
+FROM per_supp CROSS JOIN tot
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE red_qty * n_supp > sum_qty
+ORDER BY red_qty DESC, s_suppkey ASC
+"""
+
+
+def tpch_q21_waiting_blame(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    available columns: for finished ('F') multi-supplier orders, blame
+    the supplier who alone shipped last (their latest line's shipdate
+    equals the order's latest AND no other supplier ties it — Q21's
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) pair),
+    counted per supplier. Ship-latest stands in for commit/receipt
+    lateness, which this schema lacks.
+
+    Scale shape: ONE (order, supplier)-grain fold off the orderkey
+    shuffle, then BOTH order-grain windows (max, supplier count,
+    tie count) reuse that same partitioning — no second shuffle;
+    orders dim slice broadcast; bounded TakeOrdered top-20.
+
+    Reference parity: none; classical SQL family (SURVEY §2.2)."""
+    fin = (_t(spark, sf_dir, "orders")
+           .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(F.broadcast(fin), F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    per_os = (li.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("l_shipdate").alias("supp_max")))
+    wo = Window.partitionBy("l_orderkey")
+    flagged = (per_os
+               .withColumn("order_max", F.max("supp_max").over(wo))
+               .withColumn("n_supp", F.count("*").over(wo))
+               .withColumn("n_at_max",
+                           F.sum(F.when(F.col("supp_max")
+                                        == F.col("order_max"), 1)
+                                 .otherwise(0)).over(wo)))
+    blame = flagged.where((F.col("supp_max") == F.col("order_max"))
+                          & (F.col("n_supp") >= 2)
+                          & (F.col("n_at_max") == 1))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (blame.groupBy("l_suppkey")
+            .agg(F.count("*").alias("numwait"))
+            .join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+            .limit(20))
+
+
+def tpch_q21_waiting_blame_sql():
+    return """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+w1 AS (
+  SELECT l_orderkey, l_suppkey, supp_max,
+         max(supp_max) OVER (PARTITION BY l_orderkey) AS order_max,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+  FROM per_os
+),
+flagged AS (
+  SELECT *, sum(CASE WHEN supp_max = order_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE supp_max = order_max AND n_supp >= 2 AND n_at_max = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+def cdc_pk_update_split(spark, sf_dir):
+    """Partition-key-change splitting: when an UPDATE moves a row to a
+    different sink partition, an order-preserving CDC sink must emit
+    DELETE(old partition) + INSERT(new partition) instead of an
+    in-place UPDATE (the reference's update images carry both rows for
+    exactly this reason — `replication/binlog_event.go` WRITE/DELETE
+    pairing; Debezium/Flink-CDC do the same split). Modeled on the
+    events stream: each user's row lives in the partition named by its
+    latest event_type; per partition, the op mix the sink must apply.
+
+    Scale shape: ONE user-grain shuffle feeds the lag window; the
+    three op streams are conditional projections of the same frame
+    (no self-union re-scan — a single explode-free select per op arm,
+    unioned as map-side appends); ONE partition-grain fold, ≤types
+    rows out.
+
+    Reference parity: update-image pairing `row_streamer.go:376-386`."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id",
+                                            "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    st = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    inserts = (st.where(F.col("prev_type").isNull()
+                        | (F.col("prev_type") != F.col("event_type")))
+               .select(F.col("event_type").alias("partition"),
+                       F.lit("I").alias("op")))
+    deletes = (st.where(F.col("prev_type").isNotNull()
+                        & (F.col("prev_type") != F.col("event_type")))
+               .select(F.col("prev_type").alias("partition"),
+                       F.lit("D").alias("op")))
+    updates = (st.where(F.col("prev_type") == F.col("event_type"))
+               .select(F.col("event_type").alias("partition"),
+                       F.lit("U").alias("op")))
+    ops = inserts.unionByName(deletes).unionByName(updates)
+    return (ops.groupBy("partition")
+            .agg(F.sum(F.when(F.col("op") == "I", 1).otherwise(0))
+                 .cast("long").alias("n_insert"),
+                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+                 .cast("long").alias("n_delete"),
+                 F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+                 .cast("long").alias("n_update"))
+            .orderBy("partition"))
+
+
+def cdc_pk_update_split_sql():
+    return """
+WITH st AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_type
+  FROM events
+),
+ops AS (
+  SELECT event_type AS partition, 'I' AS op FROM st
+  WHERE prev_type IS NULL OR prev_type <> event_type
+  UNION ALL
+  SELECT prev_type, 'D' FROM st
+  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  UNION ALL
+  SELECT event_type, 'U' FROM st WHERE prev_type = event_type
+)
+SELECT partition,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_insert,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delete,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_update
+FROM ops GROUP BY 1 ORDER BY 1
+"""
+
+
+def sample_reservoir_per_key(spark, sf_dir):
+    """Deterministic per-key reservoir: keep at most k=3 events per
+    user, chosen by md5(event_id) rank — the RNG-free analogue of
+    per-key reservoir sampling (uniform over each key's history,
+    stable under re-runs and growth: an element's hash never changes,
+    so adding data can only displace, never reshuffle, survivors).
+
+    Scale shape: ONE user-grain shuffle; the row_number window is a
+    bounded per-key top-k (rank > k rows drop immediately — no
+    full-key materialization beyond the sort run); output ≤ 3·|users|.
+
+    Reference parity: none; LLM-pipeline sampling family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("h"))
+    w = Window.partitionBy("user_id").orderBy("h")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("user_id", "event_id",
+                    F.col("rn").cast("long").alias("pick_rank"))
+            .orderBy("user_id", "pick_rank"))
+
+
+def sample_reservoir_per_key_sql():
+    return """
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS pick_rank
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)))
+           AS rn
+  FROM events
+)
+WHERE rn <= 3
+ORDER BY user_id, pick_rank
+"""
+
+
+def agg_mann_whitney_u(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) between click and view event values —
+    the nonparametric two-sample gate (use when Welch's t assumptions
+    fail). Tie-corrected average ranks held exact as 2·rank integers:
+    for a tied value group, 2·avg_rank = 2·(rank before) + (count in
+    group) + 1, so U is computed entirely in BIGINT; the oracle agrees
+    bit-for-bit. Emits 2·R₁ and 2·U₁ (doubled rank-sum and U).
+
+    Scale shape: the event-grain data folds ONCE to the value grain
+    (|distinct cents| rows); the cumulative window runs on that tiny
+    frame ordered by value, never on raw events; 1 row out.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "view"))
+          .select(F.col("event_type").alias("grp"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    vals = (ev.groupBy("cents")
+            .agg(F.sum(F.when(F.col("grp") == "click", 1).otherwise(0))
+                 .cast("long").alias("a"),
+                 F.sum(F.when(F.col("grp") == "view", 1).otherwise(0))
+                 .cast("long").alias("b")))
+    wv = (Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (vals
+              .withColumn("before", F.coalesce(F.sum(F.col("a")
+                                                     + F.col("b")).over(wv),
+                                               F.lit(0)))
+              .withColumn("r2", 2 * F.col("before") + F.col("a")
+                          + F.col("b") + 1))
+    return (ranked.agg(
+        F.sum("a").alias("n1"), F.sum("b").alias("n2"),
+        F.sum(F.col("a") * F.col("r2")).alias("r1_x2"))
+        .select("n1", "n2", "r1_x2",
+                (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+                .alias("u1_x2")))
+
+
+def agg_mann_whitney_u_sql():
+    return """
+WITH ev AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'view')
+),
+vals AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(sum(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM ev GROUP BY 1
+),
+ranked AS (
+  SELECT a, b,
+         coalesce(sum(a + b) OVER (ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS before_n
+  FROM vals
+)
+SELECT sum(a) AS n1, sum(b) AS n2,
+       sum(a * (2 * before_n + a + b + 1)) AS r1_x2,
+       sum(a * (2 * before_n + a + b + 1))
+         - sum(a) * (sum(a) + 1) AS u1_x2
+FROM ranked
+"""
+
+
+def agg_spearman_daily(spark, sf_dir):
+    """Spearman rank correlation between event types' daily activity
+    series, over the days where both types are active — "do these
+    streams breathe together" robust to heavy-tailed daily volumes
+    (the rank analogue of `agg_daily_covariance`). Tied daily counts
+    get exact average ranks held as 2·rank BIGINTs; numerator and the
+    two variance terms stay integer, the final ρ is one double divide.
+
+    Scale shape: ONE day-grain fold off the events scan, a self-join
+    at the (pair, day) grain on the tiny daily frame, per-pair rank
+    windows on that same frame, ONE pair-grain fold; ≤ C(types,2)
+    rows out.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.col("event_type"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("x")))
+    a = daily.select(F.col("event_type").alias("ta"),
+                     F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("event_type").alias("tb"),
+                     F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = (a.join(b, (F.col("da") == F.col("db"))
+                    & (F.col("ta") < F.col("tb")))
+             .select("ta", "tb", F.col("da").alias("day"), "xa", "xb"))
+
+    def rank2(col, out):
+        # 2·avg_rank for tied groups: rank() = 1 + |strictly less|,
+        # so 2·avg = 2·rank + |tie group| − 1 — exact integers, and
+        # deterministic under ties (a ROWS frame would not be)
+        wr = Window.partitionBy("ta", "tb").orderBy(col)
+        we = Window.partitionBy("ta", "tb", col)
+        return (2 * F.rank().over(wr)
+                + F.count("*").over(we) - 1).alias(out)
+
+    ranked = pairs.select("ta", "tb", rank2(F.col("xa"), "ra2"),
+                          rank2(F.col("xb"), "rb2"))
+    agg = (ranked.groupBy("ta", "tb")
+           .agg(F.count("*").cast("long").alias("n_days"),
+                F.sum(F.col("ra2") * F.col("rb2")).alias("sab"),
+                F.sum("ra2").alias("sa"), F.sum("rb2").alias("sb"),
+                F.sum(F.col("ra2") * F.col("ra2")).alias("saa"),
+                F.sum(F.col("rb2") * F.col("rb2")).alias("sbb")))
+    num = agg["n_days"] * agg["sab"] - agg["sa"] * agg["sb"]
+    va = agg["n_days"] * agg["saa"] - agg["sa"] * agg["sa"]
+    vb = agg["n_days"] * agg["sbb"] - agg["sb"] * agg["sb"]
+    return (agg.select(
+        "ta", "tb", "n_days", num.alias("rho_num"),
+        va.alias("var_a_q"), vb.alias("var_b_q"),
+        F.round(num.cast("double")
+                / F.sqrt(va.cast("double") * vb.cast("double")), 6)
+        .alias("spearman_rho"))
+        .orderBy("ta", "tb"))
+
+
+def agg_spearman_daily_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.day AS day,
+         a.x AS xa, b.x AS xb
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+),
+ranked AS (
+  SELECT ta, tb,
+         2 * rank() OVER (PARTITION BY ta, tb ORDER BY xa)
+           + count(*) OVER (PARTITION BY ta, tb, xa) - 1 AS ra2,
+         2 * rank() OVER (PARTITION BY ta, tb ORDER BY xb)
+           + count(*) OVER (PARTITION BY ta, tb, xb) - 1 AS rb2
+  FROM pairs
+),
+agg AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_days,
+         sum(ra2 * rb2) AS sab, sum(ra2) AS sa, sum(rb2) AS sb,
+         sum(ra2 * ra2) AS saa, sum(rb2 * rb2) AS sbb
+  FROM ranked GROUP BY 1, 2
+)
+SELECT ta, tb, n_days,
+       n_days * sab - sa * sb AS rho_num,
+       n_days * saa - sa * sa AS var_a_q,
+       n_days * sbb - sb * sb AS var_b_q,
+       round(CAST(n_days * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n_days * saa - sa * sa AS DOUBLE)
+                    * CAST(n_days * sbb - sb * sb AS DOUBLE)), 6)
+         AS spearman_rho
+FROM agg ORDER BY ta, tb
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -10626,6 +11428,19 @@ QUERIES = {
     "cdc_watermark_delay_audit": cdc_watermark_delay_audit,
     "text_rarity_score": text_rarity_score,
     "agg_daily_covariance": agg_daily_covariance,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q12_latency_priority": tpch_q12_latency_priority,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q19_disjunct_revenue": tpch_q19_disjunct_revenue,
+    "tpch_q2_preferred_supplier": tpch_q2_preferred_supplier,
+    "tpch_q11_value_share": tpch_q11_value_share,
+    "tpch_q16_supplier_count": tpch_q16_supplier_count,
+    "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
+    "tpch_q21_waiting_blame": tpch_q21_waiting_blame,
+    "cdc_pk_update_split": cdc_pk_update_split,
+    "sample_reservoir_per_key": sample_reservoir_per_key,
+    "agg_mann_whitney_u": agg_mann_whitney_u,
+    "agg_spearman_daily": agg_spearman_daily,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -10939,4 +11754,17 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "cdc_watermark_delay_audit": cdc_watermark_delay_audit_sql(),
     "text_rarity_score": text_rarity_score_sql(),
     "agg_daily_covariance": agg_daily_covariance_sql(),
+    "tpch_q8_market_share": tpch_q8_market_share_sql(),
+    "tpch_q12_latency_priority": tpch_q12_latency_priority_sql(),
+    "tpch_q15_top_supplier": tpch_q15_top_supplier_sql(),
+    "tpch_q19_disjunct_revenue": tpch_q19_disjunct_revenue_sql(),
+    "tpch_q2_preferred_supplier": tpch_q2_preferred_supplier_sql(),
+    "tpch_q11_value_share": tpch_q11_value_share_sql(),
+    "tpch_q16_supplier_count": tpch_q16_supplier_count_sql(),
+    "tpch_q20_excess_shippers": tpch_q20_excess_shippers_sql(),
+    "tpch_q21_waiting_blame": tpch_q21_waiting_blame_sql(),
+    "cdc_pk_update_split": cdc_pk_update_split_sql(),
+    "sample_reservoir_per_key": sample_reservoir_per_key_sql(),
+    "agg_mann_whitney_u": agg_mann_whitney_u_sql(),
+    "agg_spearman_daily": agg_spearman_daily_sql(),
 }
