@@ -11099,6 +11099,274 @@ FROM agg ORDER BY ta, tb
 """
 
 
+MANIFEST_FILES = 32  # commit files per manifest in the simulated lake
+
+
+def lake_manifest_prune_audit(spark, sf_dir):
+    """Two-level scan pruning audit — the Iceberg planning model: file
+    stats roll up into manifests (``MANIFEST_FILES`` commit files per
+    manifest, stats = the span of their members), a time-range
+    predicate first skips whole manifests, then tests files only
+    inside surviving manifests. Reports, per predicate window, how
+    much each level saves — manifest pruning is what keeps 100 TB
+    planning from reading |files| metadata rows per query.
+
+    Scale shape: identical to `lake_minmax_prune_stats` — planning
+    touches only the stats tables (|files|/32 manifest rows, |files|
+    file rows), windows broadcast; rows never re-scanned.
+
+    Reference parity: none; lake-layout family (SURVEY §2.2)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        us.alias("e"))
+    fstats = ev.groupBy("file_id").agg(
+        F.min("e").alias("fmin"), F.max("e").alias("fmax"),
+        F.count("*").alias("n_rows"))
+    fstats = fstats.withColumn(
+        "manifest_id", F.expr(f"file_id div {MANIFEST_FILES}"))
+    mstats = fstats.groupBy("manifest_id").agg(
+        F.min("fmin").alias("mmin"), F.max("fmax").alias("mmax"),
+        F.count("*").alias("m_files"))
+    g = fstats.agg(F.min("fmin").alias("gmin"),
+                   (F.max("fmax") + F.lit(1)).alias("gend"))
+    wins = (g.select(F.explode(F.sequence(
+                F.lit(0), F.lit(ZM_WINDOWS - 1))).alias("k"),
+                "gmin", "gend")
+            .select(F.col("k").cast("long").alias("window_id"),
+                    F.expr(f"gmin + (gend - gmin) * k div {ZM_WINDOWS}")
+                     .alias("lo"),
+                    F.expr(f"gmin + (gend - gmin) * (k + 1) "
+                           f"div {ZM_WINDOWS}").alias("hi")))
+    mj = mstats.crossJoin(F.broadcast(wins))
+    m_live = (F.col("mmax") >= F.col("lo")) & (F.col("mmin") < F.col("hi"))
+    m_agg = (mj.groupBy("window_id")
+             .agg(F.count("*").alias("n_manifests_total"),
+                  F.sum(m_live.cast("long")).alias("n_manifests_scanned"),
+                  F.sum(F.when(m_live, F.col("m_files")).otherwise(F.lit(0)))
+                   .alias("n_files_tested")))
+    fj = (fstats.join(F.broadcast(mstats.select("manifest_id", "mmin",
+                                                "mmax")), "manifest_id")
+          .crossJoin(F.broadcast(wins)))
+    keep = ((F.col("mmax") >= F.col("lo")) & (F.col("mmin") < F.col("hi"))
+            & (F.col("fmax") >= F.col("lo")) & (F.col("fmin") < F.col("hi")))
+    f_agg = (fj.groupBy("window_id")
+             .agg(F.sum(keep.cast("long")).alias("n_files_scanned"),
+                  F.sum(F.when(keep, F.col("n_rows")).otherwise(F.lit(0)))
+                   .alias("n_rows_scanned")))
+    return (m_agg.join(f_agg, "window_id")
+            .select("window_id", "n_manifests_total", "n_manifests_scanned",
+                    "n_files_tested", "n_files_scanned", "n_rows_scanned")
+            .orderBy("window_id"))
+
+
+def lake_manifest_prune_audit_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    return f"""
+WITH fs AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id,
+         (event_id // {FILE_EVENTS}) // {MANIFEST_FILES} AS manifest_id,
+         min(epoch_us(ts)) AS fmin, max(epoch_us(ts)) AS fmax,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+),
+ms AS (
+  SELECT manifest_id, min(fmin) AS mmin, max(fmax) AS mmax,
+         CAST(count(*) AS BIGINT) AS m_files
+  FROM fs GROUP BY 1
+),
+g AS (SELECT min(fmin) AS gmin, max(fmax) + 1 AS gend FROM fs),
+wins AS (
+  SELECT CAST(k AS BIGINT) AS window_id,
+         gmin + (gend - gmin) * k // {ZM_WINDOWS} AS lo,
+         gmin + (gend - gmin) * (k + 1) // {ZM_WINDOWS} AS hi
+  FROM g CROSS JOIN (SELECT unnest(range({ZM_WINDOWS})) AS k) t
+),
+ma AS (
+  SELECT w.window_id,
+         CAST(count(*) AS BIGINT) AS n_manifests_total,
+         CAST(sum(CASE WHEN m.mmax >= w.lo AND m.mmin < w.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_manifests_scanned,
+         CAST(sum(CASE WHEN m.mmax >= w.lo AND m.mmin < w.hi
+                       THEN m.m_files ELSE 0 END) AS BIGINT)
+           AS n_files_tested
+  FROM ms m CROSS JOIN wins w GROUP BY 1
+),
+fa AS (
+  SELECT w.window_id,
+         CAST(sum(CASE WHEN m.mmax >= w.lo AND m.mmin < w.hi
+                        AND f.fmax >= w.lo AND f.fmin < w.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+         CAST(sum(CASE WHEN m.mmax >= w.lo AND m.mmin < w.hi
+                        AND f.fmax >= w.lo AND f.fmin < w.hi
+                       THEN f.n_rows ELSE 0 END) AS BIGINT)
+           AS n_rows_scanned
+  FROM fs f JOIN ms m USING (manifest_id) CROSS JOIN wins w GROUP BY 1
+)
+SELECT window_id, n_manifests_total, n_manifests_scanned, n_files_tested,
+       n_files_scanned, n_rows_scanned
+FROM ma JOIN fa USING (window_id)
+ORDER BY window_id
+"""
+
+
+def cdc_gtid_islands(spark, sf_dir):
+    """Canonical GTID-executed set: merge the acked transaction-id
+    stream into maximal contiguous [start, end] ranges — the compact
+    interval set a replica reports back (MySQL's gtid_executed; the
+    complement of `cdc_gtid_gaps`). A resume request sends this set,
+    so its canonical (minimal, sorted, non-adjacent) form is a
+    correctness surface, not just a report.
+
+    Scale shape: islands form per id-segment in parallel (lag +
+    running start-count inside each segment window), then the merge
+    of segment-boundary-adjacent islands runs on the ISLAND frame —
+    |gaps|+1 rows, metadata-sized — never a global window over raw
+    ids.
+
+    Reference parity: GTID set semantics `dump/dump.go` (resume from
+    GTID set); gap complement of `cdc_gtid_gaps`."""
+    ids = (_t(spark, sf_dir, "events")
+           .where(F.col("event_type") != "error")
+           .select("event_id", F.expr("event_id div 4096").alias("seg")))
+    w_in = Window.partitionBy("seg").orderBy("event_id")
+    marked = (ids.withColumn("prev", F.lag("event_id").over(w_in))
+              .withColumn("is_start",
+                          (F.col("prev").isNull()
+                           | (F.col("event_id") - F.col("prev") > 1))
+                          .cast("long")))
+    w_run = (Window.partitionBy("seg").orderBy("event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    seg_islands = (marked
+                   .withColumn("isl", F.sum("is_start").over(w_run))
+                   .groupBy("seg", "isl")
+                   .agg(F.min("event_id").alias("lo"),
+                        F.max("event_id").alias("hi")))
+    # island frame is |gaps|+segments sized: merge boundary-adjacent
+    # runs with one ordered window over it (tiny at any corpus size)
+    w_all = Window.orderBy("lo")
+    merged = (seg_islands
+              .withColumn("prev_hi", F.lag("hi").over(w_all))
+              .withColumn("brk",
+                          (F.col("prev_hi").isNull()
+                           | (F.col("lo") - F.col("prev_hi") > 1))
+                          .cast("long"))
+              .withColumn("grp", F.sum("brk").over(
+                  Window.orderBy("lo")
+                  .rowsBetween(Window.unboundedPreceding, 0))))
+    return (merged.groupBy("grp")
+            .agg(F.min("lo").alias("range_start"),
+                 F.max("hi").alias("range_end"))
+            .select("range_start", "range_end",
+                    (F.col("range_end") - F.col("range_start") + 1)
+                    .alias("range_len"))
+            .orderBy("range_start"))
+
+
+def cdc_gtid_islands_sql():
+    return """
+WITH ids AS (
+  SELECT event_id,
+         event_id - row_number() OVER (ORDER BY event_id) AS grp
+  FROM events WHERE event_type != 'error'
+)
+SELECT min(event_id) AS range_start, max(event_id) AS range_end,
+       max(event_id) - min(event_id) + 1 AS range_len
+FROM ids GROUP BY grp
+ORDER BY range_start
+"""
+
+
+def window_top2_gap(spark, sf_dir):
+    """Per-user margin between the two largest event values — the
+    "how decisive is the top" signal (auction second-price gap /
+    best-vs-runner-up quality margin). Ties break by event_id so the
+    pick is total-ordered; values are exact cents.
+
+    Scale shape: ONE user-grain shuffle; the row_number window is a
+    bounded per-key top-k (k=2) — rows with rank > 2 drop without
+    materializing a per-user sort run beyond the frame; conditional
+    fold pivots the two ranks into columns.
+
+    Reference parity: none; window-function family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("cents").desc(), F.col("event_id").asc()))
+    top2 = (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2))
+    return (top2.groupBy("user_id")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("cents")))
+                 .alias("top1_cents"),
+                 F.max(F.when(F.col("rn") == 2, F.col("cents")))
+                 .alias("top2_cents"))
+            .where(F.col("top2_cents").isNotNull())
+            .select("user_id", "top1_cents", "top2_cents",
+                    (F.col("top1_cents") - F.col("top2_cents"))
+                    .alias("gap_cents"))
+            .orderBy("user_id"))
+
+
+def window_top2_gap_sql():
+    return """
+WITH ranked AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(round(value * 100) AS BIGINT)
+                              DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN cents END) AS top1_cents,
+       max(CASE WHEN rn = 2 THEN cents END) AS top2_cents,
+       max(CASE WHEN rn = 1 THEN cents END)
+         - max(CASE WHEN rn = 2 THEN cents END) AS gap_cents
+FROM ranked WHERE rn <= 2
+GROUP BY 1
+HAVING max(CASE WHEN rn = 2 THEN cents END) IS NOT NULL
+ORDER BY user_id
+"""
+
+
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of each event type's volume
+    across users — "is this stream one whale or a crowd" (the skew
+    early-warning for the salted-merge path: HHI ≈ 1e6/n is uniform,
+    → 1e6 is single-key). Exact integers end-to-end: HHI·1e6 =
+    1e6·Σc_u² div (Σc_u)².
+
+    Scale shape: ONE (type, user)-grain fold (map-side combinable),
+    then a type-grain re-fold of that frame; ≤types rows out, no
+    second scan.
+
+    Reference parity: none; the skew metric behind `join_salted_skew`
+    and the MERGE bucket balance audit."""
+    cu = (_t(spark, sf_dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(F.count("*").cast("long").alias("c")))
+    return (cu.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("c").alias("total"),
+                 F.sum(F.col("c") * F.col("c")).alias("sum_sq"))
+            .withColumn("hhi_ppm",
+                        F.expr("sum_sq * 1000000 div (total * total)"))
+            .orderBy("event_type"))
+
+
+def agg_hhi_concentration_sql():
+    return """
+WITH cu AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       sum(c) AS total, sum(c * c) AS sum_sq,
+       sum(c * c) * 1000000 // (sum(c) * sum(c)) AS hhi_ppm
+FROM cu GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -11441,6 +11709,10 @@ QUERIES = {
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "agg_mann_whitney_u": agg_mann_whitney_u,
     "agg_spearman_daily": agg_spearman_daily,
+    "lake_manifest_prune_audit": lake_manifest_prune_audit,
+    "cdc_gtid_islands": cdc_gtid_islands,
+    "window_top2_gap": window_top2_gap,
+    "agg_hhi_concentration": agg_hhi_concentration,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -11767,4 +12039,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "sample_reservoir_per_key": sample_reservoir_per_key_sql(),
     "agg_mann_whitney_u": agg_mann_whitney_u_sql(),
     "agg_spearman_daily": agg_spearman_daily_sql(),
+    "lake_manifest_prune_audit": lake_manifest_prune_audit_sql(),
+    "cdc_gtid_islands": cdc_gtid_islands_sql(),
+    "window_top2_gap": window_top2_gap_sql(),
+    "agg_hhi_concentration": agg_hhi_concentration_sql(),
 }
