@@ -11367,6 +11367,286 @@ FROM cu GROUP BY 1 ORDER BY 1
 """
 
 
+def cdc_resume_offset_plan(spark, sf_dir):
+    """Checkpoint-restart planning: given each stream's committed
+    offset high-water mark (the checkpoint the reference persists as
+    file/pos — `dump/dump.go` resume path), classify every commit file
+    as APPLIED (entirely below the HWM), PARTIAL (straddles it — replay
+    resumes inside this file at HWM+1) or PENDING, and emit the resume
+    cursor per stream. This is the plan `run_stream` executes when it
+    restarts mid-replay.
+
+    Scale shape: ONE (stream, file)-grain fold builds the file spans
+    (metadata-sized), the per-stream HWM is a tiny broadcast, the plan
+    fold runs on the span frame — raw events are scanned once.
+
+    Reference parity: resume-from-checkpoint `dump/dump.go`,
+    `streaming/pipeline.py:122` (offset log)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stream"), "event_id", "ts",
+        F.expr("event_id div 4096").alias("file_id"))
+    spans = (ev.groupBy("stream", "file_id")
+             .agg(F.min("event_id").alias("lo"),
+                  F.max("event_id").alias("hi")))
+    hwm = (ev.where(F.col("ts") < F.lit("2024-01-15"))
+           .groupBy("stream").agg(F.max("event_id").alias("hwm")))
+    st = (spans.join(F.broadcast(hwm), "stream")
+          .withColumn("status",
+                      F.when(F.col("hi") <= F.col("hwm"), "APPLIED")
+                      .when(F.col("lo") > F.col("hwm"), "PENDING")
+                      .otherwise("PARTIAL")))
+    return (st.groupBy("stream")
+            .agg(F.sum((F.col("status") == "APPLIED").cast("long"))
+                 .alias("n_applied"),
+                 F.sum((F.col("status") == "PARTIAL").cast("long"))
+                 .alias("n_partial"),
+                 F.sum((F.col("status") == "PENDING").cast("long"))
+                 .alias("n_pending"),
+                 F.min(F.when(F.col("status") != "APPLIED",
+                              F.col("file_id"))).alias("resume_file"),
+                 F.max("hwm").alias("hwm"))
+            .withColumn("resume_pos", F.col("hwm") + 1)
+            .drop("hwm")
+            .orderBy("stream"))
+
+
+def cdc_resume_offset_plan_sql():
+    return """
+WITH ev AS (
+  SELECT event_type AS stream, event_id, ts,
+         event_id // 4096 AS file_id
+  FROM events
+),
+spans AS (
+  SELECT stream, file_id, min(event_id) AS lo, max(event_id) AS hi
+  FROM ev GROUP BY 1, 2
+),
+hwm AS (
+  SELECT stream, max(event_id) AS hwm FROM ev
+  WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+),
+st AS (
+  SELECT s.stream, s.file_id, h.hwm,
+         CASE WHEN s.hi <= h.hwm THEN 'APPLIED'
+              WHEN s.lo > h.hwm THEN 'PENDING'
+              ELSE 'PARTIAL' END AS status
+  FROM spans s JOIN hwm h ON h.stream = s.stream
+)
+SELECT stream,
+       CAST(sum(CASE WHEN status = 'APPLIED' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_applied,
+       CAST(sum(CASE WHEN status = 'PARTIAL' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_partial,
+       CAST(sum(CASE WHEN status = 'PENDING' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pending,
+       min(CASE WHEN status <> 'APPLIED' THEN file_id END) AS resume_file,
+       max(hwm) + 1 AS resume_pos
+FROM st GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test inputs per event type: split the
+    id-ordered value sequence at the exact lower median (strictly
+    above vs not), count maximal same-sign runs — too few runs means
+    the stream trends, too many means it oscillates; either breaks the
+    i.i.d. assumption other monitors here rely on. All integers; the
+    z-score is the caller's one division.
+
+    Scale shape: the median comes from a value-grain cumulative frame
+    (never a sort of raw events); run boundaries count per id-segment
+    in parallel, plus a boundary pass over ONE ROW PER SEGMENT —
+    the `cdc_gtid_gaps` segmentation pattern.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("event_id div 4096").alias("seg"))
+    vals = (ev.groupBy("event_type", "cents")
+            .agg(F.count("*").cast("long").alias("c")))
+    wv = (Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    tot = vals.groupBy("event_type").agg(F.sum("c").alias("n"))
+    med = (vals.withColumn("cum", F.sum("c").over(wv))
+           .join(F.broadcast(tot), "event_type")
+           .where(F.col("cum") * 2 >= F.col("n"))
+           .groupBy("event_type").agg(F.min("cents").alias("med")))
+    signed = (ev.join(F.broadcast(med), "event_type")
+              .select("event_type", "seg", "event_id",
+                      (F.col("cents") > F.col("med")).cast("long")
+                      .alias("s")))
+    w_in = Window.partitionBy("event_type", "seg").orderBy("event_id")
+    within = (signed.withColumn("prev", F.lag("s").over(w_in))
+              .groupBy("event_type")
+              .agg(F.sum("s").alias("n_above"),
+                   F.sum(1 - F.col("s")).alias("n_below"),
+                   F.sum(F.when(F.col("prev").isNotNull()
+                                & (F.col("prev") != F.col("s")), 1)
+                         .otherwise(0)).alias("chg_in")))
+    segf = (signed.groupBy("event_type", "seg")
+            .agg(F.min(F.struct("event_id", "s"))["s"].alias("first_s"),
+                 F.max(F.struct("event_id", "s"))["s"].alias("last_s")))
+    w_seg = Window.partitionBy("event_type").orderBy("seg")
+    cross = (segf.withColumn("prev_last", F.lag("last_s").over(w_seg))
+             .groupBy("event_type")
+             .agg(F.sum(F.when(F.col("prev_last").isNotNull()
+                               & (F.col("prev_last") != F.col("first_s")),
+                               1).otherwise(0)).alias("chg_x")))
+    return (within.join(cross, "event_type")
+            .select("event_type", "n_above", "n_below",
+                    (F.col("chg_in") + F.col("chg_x") + 1).alias("n_runs"))
+            .orderBy("event_type"))
+
+
+def agg_runs_test_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1),
+vals AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cumc
+  FROM vals
+),
+med AS (
+  SELECT c.event_type, min(cents) AS med
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE cumc * 2 >= n GROUP BY 1
+),
+signed AS (
+  SELECT e.event_type, e.event_id,
+         CASE WHEN e.cents > m.med THEN 1 ELSE 0 END AS s
+  FROM ev e JOIN med m ON m.event_type = e.event_type
+),
+lagged AS (
+  SELECT event_type, s,
+         lag(s) OVER (PARTITION BY event_type ORDER BY event_id) AS prev
+  FROM signed
+)
+SELECT event_type, sum(s) AS n_above,
+       sum(1 - s) AS n_below,
+       sum(CASE WHEN prev IS NOT NULL AND prev <> s THEN 1 ELSE 0 END)
+         + 1 AS n_runs
+FROM lagged GROUP BY 1 ORDER BY 1
+"""
+
+
+def cdc_txn_size_pareto(spark, sf_dir):
+    """Transaction-size Pareto check: what share of all changes ride
+    in the top 1% largest transactions (txn = one user-day of
+    activity)? Mega-transactions dominate replay batch sizing — the
+    reference streams one txn at a time (`row_streamer.go`), so a fat
+    tail here is exactly what its single-connection design cannot
+    parallelize and the salted merge path exists for. Exact ints,
+    ties at the threshold size resolved by partial take (k·1e6 ppm).
+
+    Scale shape: ONE txn-grain fold, then a SIZE-grain fold (bounded
+    by |distinct sizes|); the descending cumulative runs on that tiny
+    frame — never a global sort of transactions.
+
+    Reference parity: txn batching `row_streamer.go:120`; sizing input
+    to `lake_bucket_balance`."""
+    txn = (_t(spark, sf_dir, "events")
+           .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+           .agg(F.count("*").cast("long").alias("sz")))
+    sizes = txn.groupBy("sz").agg(F.count("*").cast("long").alias("c"))
+    tot = sizes.agg(F.sum("c").alias("n_txns"),
+                    F.sum(F.col("sz") * F.col("c")).alias("total_changes"))
+    wd = (Window.orderBy(F.col("sz").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (sizes.withColumn("cum_c", F.sum("c").over(wd))
+           .withColumn("cum_s", F.sum(F.col("sz") * F.col("c")).over(wd))
+           .crossJoin(F.broadcast(tot))
+           .withColumn("k", F.expr("(n_txns + 99) div 100")))
+    hit = (cum.where((F.col("cum_c") >= F.col("k"))
+                     & (F.col("cum_c") - F.col("c") < F.col("k")))
+           .select("n_txns", "total_changes", "k",
+                   (F.col("cum_s")
+                    - (F.col("cum_c") - F.col("k")) * F.col("sz"))
+                   .alias("top_changes")))
+    return hit.select(
+        "n_txns", "total_changes", "k",
+        "top_changes",
+        F.expr("top_changes * 1000000 div total_changes")
+        .alias("top_share_ppm"))
+
+
+def cdc_txn_size_pareto_sql():
+    return """
+WITH txn AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM events GROUP BY 1, 2
+),
+sizes AS (SELECT sz, CAST(count(*) AS BIGINT) AS c FROM txn GROUP BY 1),
+tot AS (SELECT sum(c) AS n_txns, sum(sz * c) AS total_changes FROM sizes),
+cum AS (
+  SELECT sz, c,
+         sum(c) OVER (ORDER BY sz DESC) AS cum_c,
+         sum(sz * c) OVER (ORDER BY sz DESC) AS cum_s,
+         n_txns, total_changes, (n_txns + 99) // 100 AS k
+  FROM sizes CROSS JOIN tot
+)
+SELECT n_txns, total_changes, k,
+       cum_s - (cum_c - k) * sz AS top_changes,
+       (cum_s - (cum_c - k) * sz) * 1000000 // total_changes
+         AS top_share_ppm
+FROM cum WHERE cum_c >= k AND cum_c - c < k
+"""
+
+
+def text_word_len_profile(spark, sf_dir):
+    """Word-length profile per language: count, total and squared
+    character length (exact moments — the caller's mean/variance are
+    two divisions) and the long-word (≥8 chars) share in ppm — an
+    OCR/boilerplate tell (gibberish runs long, navigation chrome runs
+    short). Tokenization contract: single ASCII space, matching the
+    corpus join rule (see operators/dedup.py tokenization note).
+
+    Scale shape: map-only split+explode (no Python), ONE lang-grain
+    fold; ≤|langs| rows out.
+
+    Reference parity: none; LLM-pipeline text-quality family."""
+    toks = (_t(spark, sf_dir, "documents")
+            .select("lang", F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != "")
+            .select("lang", F.length("w").alias("wl")))
+    return (toks.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("wl").alias("sum_len"),
+                 F.sum(F.col("wl") * F.col("wl")).alias("sum_len_sq"),
+                 F.sum((F.col("wl") >= 8).cast("long")).alias("n_long"))
+            .withColumn("long_ppm",
+                        F.expr("n_long * 1000000 div n_words"))
+            .orderBy("lang"))
+
+
+def text_word_len_profile_sql():
+    return """
+WITH toks AS (
+  SELECT lang, length(w) AS wl
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       sum(wl) AS sum_len, sum(wl * wl) AS sum_len_sq,
+       CAST(sum(CASE WHEN wl >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long,
+       CAST(sum(CASE WHEN wl >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS long_ppm
+FROM toks GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -11713,6 +11993,10 @@ QUERIES = {
     "cdc_gtid_islands": cdc_gtid_islands,
     "window_top2_gap": window_top2_gap,
     "agg_hhi_concentration": agg_hhi_concentration,
+    "cdc_resume_offset_plan": cdc_resume_offset_plan,
+    "agg_runs_test": agg_runs_test,
+    "cdc_txn_size_pareto": cdc_txn_size_pareto,
+    "text_word_len_profile": text_word_len_profile,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -12043,4 +12327,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "cdc_gtid_islands": cdc_gtid_islands_sql(),
     "window_top2_gap": window_top2_gap_sql(),
     "agg_hhi_concentration": agg_hhi_concentration_sql(),
+    "cdc_resume_offset_plan": cdc_resume_offset_plan_sql(),
+    "agg_runs_test": agg_runs_test_sql(),
+    "cdc_txn_size_pareto": cdc_txn_size_pareto_sql(),
+    "text_word_len_profile": text_word_len_profile_sql(),
 }
