@@ -11647,6 +11647,261 @@ FROM toks GROUP BY 1 ORDER BY 1
 """
 
 
+def tpch_q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by nation and order year,
+    completing the 22-query TPC-H adaptation suite. No partsupp table
+    in this corpus, so supply cost is derived deterministically as
+    60% of the part's retail price (same adaptation style as Q20's
+    excess-shipper rewrite); the part filter keeps Q9's name-LIKE
+    predicate. Exact DECIMAL(18,4) profit arithmetic on both engines.
+
+    Scale shape: part/supplier/nation broadcast onto the lineitem scan
+    (name filter pushed below the join), ONE fact-fact shuffle with
+    orders for the year column, then a combinable (nation, year) fold.
+
+    Reference parity: none; SURVEY §2.2 join/agg families."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    amount = (
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        - (F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity"))
+        .cast("decimal(18,4)"))
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(nat),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(o, li.l_orderkey == o.o_orderkey))
+    return (j.groupBy(F.col("n_name").alias("nation"), "o_year")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+            .orderBy("nation", "o_year"))
+
+
+def tpch_q9_nation_profit_sql():
+    return """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+         - CAST(p_retailprice * 0.6 * l_quantity AS DECIMAL(18,4))
+       ) AS DOUBLE), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def agg_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank inputs for paired daily click-vs-view
+    revenue: per day, the cents difference between the two streams;
+    rank |diff| with midrank tie handling and sum the (doubled, so
+    integer-exact) ranks of the positive and negative sides. The
+    caller's z-score is one closed-form division;
+    W2_plus + W2_minus == n(n+1) is a built-in self-check.
+
+    Scale shape: ONE day-grain conditional fold over events (map-side
+    combinable); the ranking window runs on the ≤|days| paired frame,
+    never on raw events.
+
+    Reference parity: none; statistics family (SURVEY §2.2), the
+    paired complement of `agg_mann_whitney_u`."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    daily = (ev.where(F.col("event_type").isin("click", "view"))
+             .groupBy("day")
+             .agg(F.coalesce(F.sum(F.when(F.col("event_type") == "click",
+                                          F.col("cents"))), F.lit(0))
+                  .alias("click_c"),
+                  F.coalesce(F.sum(F.when(F.col("event_type") == "view",
+                                          F.col("cents"))), F.lit(0))
+                  .alias("view_c")))
+    d = (daily.select((F.col("click_c") - F.col("view_c")).alias("diff"))
+         .where(F.col("diff") != 0)
+         .withColumn("absd", F.abs("diff")))
+    wr = Window.orderBy("absd")
+    wt = Window.partitionBy("absd")
+    ranked = d.withColumn(
+        "r2", F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1)
+    return ranked.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("diff") > 0, F.col("r2"))),
+                   F.lit(0)).alias("w2_plus"),
+        F.coalesce(F.sum(F.when(F.col("diff") < 0, F.col("r2"))),
+                   F.lit(0)).alias("w2_minus"))
+
+
+def agg_wilcoxon_signed_rank_sql():
+    return """
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'view')
+),
+daily AS (
+  SELECT day,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN cents END), 0)
+           AS click_c,
+         coalesce(sum(CASE WHEN event_type = 'view' THEN cents END), 0)
+           AS view_c
+  FROM ev GROUP BY 1
+),
+d AS (
+  SELECT click_c - view_c AS diff, abs(click_c - view_c) AS absd
+  FROM daily WHERE click_c <> view_c
+),
+ranked AS (
+  SELECT diff,
+         2 * rank() OVER (ORDER BY absd)
+           + count(*) OVER (PARTITION BY absd) - 1 AS r2
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       coalesce(sum(CASE WHEN diff > 0 THEN r2 END), 0) AS w2_plus,
+       coalesce(sum(CASE WHEN diff < 0 THEN r2 END), 0) AS w2_minus
+FROM ranked
+"""
+
+
+def cdc_compensating_txn_audit(spark, sf_dir):
+    """Compensating-transaction audit: per day, how many purchases are
+    followed by an `error` event from the same user within one hour —
+    the saga-rollback signature an ingest pipeline must surface before
+    a downstream consumer treats the purchase as durable. The
+    reference's consumer sees exactly this interleaving when a source
+    transaction is logically reverted by a later one (binlog has no
+    UNDO record — compensation is an application-level pattern).
+
+    Scale shape: user-keyed equi semi-join (per-user event counts are
+    bounded), time predicate evaluated inside the join, day-grain
+    fold; no fan-out rows survive the semi-join.
+
+    Reference parity: changelog consumer semantics,
+    `replication/row_streamer.go` delivery ordering."""
+    ev = _t(spark, sf_dir, "events")
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", "event_id", "ts"))
+    err = (ev.where(F.col("event_type") == "error")
+           .select(F.col("user_id").alias("eu"),
+                   F.col("ts").alias("ets")))
+    comp = pur.join(
+        err, (pur.user_id == err.eu) & (F.col("ets") > pur.ts)
+        & (F.col("ets") <= pur.ts + F.expr("INTERVAL 1 HOUR")),
+        "left_semi")
+    per_day = (pur.groupBy(F.to_date("ts").alias("day"))
+               .agg(F.count("*").cast("long").alias("n_purchases")))
+    comp_day = (comp.groupBy(F.to_date("ts").alias("day"))
+                .agg(F.count("*").cast("long").alias("n_compensated")))
+    return (per_day.join(comp_day, "day", "left")
+            .select("day", "n_purchases",
+                    F.coalesce("n_compensated", F.lit(0))
+                    .alias("n_compensated"))
+            .withColumn("comp_ppm",
+                        F.expr("n_compensated * 1000000 div n_purchases"))
+            .orderBy("day"))
+
+
+def cdc_compensating_txn_audit_sql():
+    return """
+WITH pur AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase'
+),
+comp AS (
+  SELECT p.* FROM pur p
+  WHERE EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'error' AND e.user_id = p.user_id
+      AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR)
+),
+per_day AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM pur GROUP BY 1
+),
+comp_day AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_compensated
+  FROM comp GROUP BY 1
+)
+SELECT p.day, p.n_purchases,
+       coalesce(c.n_compensated, 0) AS n_compensated,
+       coalesce(c.n_compensated, 0) * 1000000 // p.n_purchases
+         AS comp_ppm
+FROM per_day p LEFT JOIN comp_day c ON c.day = p.day
+ORDER BY p.day
+"""
+
+
+def lake_partition_skew_audit(spark, sf_dir):
+    """Ingest-partition skew audit: per stream, the row-count spread
+    across daily partitions — max, exact lower median (row_number on
+    the tiny per-partition frame, never a sort of raw rows) and the
+    max/median ratio in ppm. A ratio far above 1e6 says the MERGE's
+    daily output partitioning needs salting or finer grain before a
+    1000-executor run (one straggler task per hot day otherwise).
+
+    Scale shape: ONE (stream, day) combinable fold over raw events;
+    all ranking runs on the ≤|streams|×|days| frame.
+
+    Reference parity: sizing input the reference's single-writer
+    design never needed; SURVEY §2.2 lake family."""
+    sizes = (_t(spark, sf_dir, "events")
+             .groupBy(F.col("event_type").alias("stream"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("c")))
+    w = Window.partitionBy("stream").orderBy("c", "day")
+    ranked = (sizes
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy("stream"))))
+    med = (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("stream", F.col("c").alias("med_rows"), "n"))
+    mx = (sizes.groupBy("stream")
+          .agg(F.max("c").alias("max_rows")))
+    return (med.join(F.broadcast(mx), "stream")
+            .select("stream", F.col("n").alias("n_parts"),
+                    "max_rows", "med_rows",
+                    F.expr("max_rows * 1000000 div med_rows")
+                    .alias("skew_ppm"))
+            .orderBy("stream"))
+
+
+def lake_partition_skew_audit_sql():
+    return """
+WITH sizes AS (
+  SELECT event_type AS stream, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT stream, day, c,
+         row_number() OVER (PARTITION BY stream ORDER BY c, day) AS rn,
+         count(*) OVER (PARTITION BY stream) AS n
+  FROM sizes
+),
+med AS (
+  SELECT stream, c AS med_rows, n FROM ranked WHERE rn = (n + 1) // 2
+),
+mx AS (SELECT stream, max(c) AS max_rows FROM sizes GROUP BY 1)
+SELECT m.stream, CAST(med.n AS BIGINT) AS n_parts, m.max_rows,
+       med.med_rows, m.max_rows * 1000000 // med.med_rows AS skew_ppm
+FROM med JOIN mx m ON m.stream = med.stream
+ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -11997,6 +12252,10 @@ QUERIES = {
     "agg_runs_test": agg_runs_test,
     "cdc_txn_size_pareto": cdc_txn_size_pareto,
     "text_word_len_profile": text_word_len_profile,
+    "tpch_q9_nation_profit": tpch_q9_nation_profit,
+    "agg_wilcoxon_signed_rank": agg_wilcoxon_signed_rank,
+    "cdc_compensating_txn_audit": cdc_compensating_txn_audit,
+    "lake_partition_skew_audit": lake_partition_skew_audit,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -12331,4 +12590,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_runs_test": agg_runs_test_sql(),
     "cdc_txn_size_pareto": cdc_txn_size_pareto_sql(),
     "text_word_len_profile": text_word_len_profile_sql(),
+    "tpch_q9_nation_profit": tpch_q9_nation_profit_sql(),
+    "agg_wilcoxon_signed_rank": agg_wilcoxon_signed_rank_sql(),
+    "cdc_compensating_txn_audit": cdc_compensating_txn_audit_sql(),
+    "lake_partition_skew_audit": lake_partition_skew_audit_sql(),
 }
