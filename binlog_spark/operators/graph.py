@@ -276,3 +276,45 @@ def bfs_levels(edges: DataFrame, sources: DataFrame,
             .localCheckpoint(eager=False))
         frontier = nxt
     return visited
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    the near-linear community baseline) over an undirected edge list
+    ``(u, v)``: every node starts labeled with its own id; each round
+    every node adopts the most frequent label among its neighbors,
+    ties broken toward the smallest label. Returns ``(node, label)``
+    after EXACTLY ``rounds`` synchronous rounds — no early exit, so an
+    oracle that unrolls the same round count matches bit-for-bit
+    (asynchronous/randomized LPA variants are NOT deterministic; the
+    synchronous min-tie-break form is).
+
+    Complements ``connected_components``: that finds *components*
+    (min-label fixpoint), this finds *communities* (mode-label), which
+    can split a connected blob into dense cores.
+
+    Scale shape per round: one label-lookup equi-join (edges ⋈ labels
+    on src — both sides partition by the join key across rounds) + one
+    combinable (node, label) count fold + one max-struct fold per
+    node; per-round state is the |V|-row label frame, lineage
+    truncated each round. O(rounds) shuffles total, never O(diameter)
+    state growth."""
+    sym = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(edges.select(F.col("v").alias("src"),
+                                  F.col("u").alias("dst")))
+           .localCheckpoint(eager=False))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=False))
+    for _ in range(rounds):
+        votes = (sym.join(labels.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count("*").alias("c")))
+        # max count, ties to the SMALLEST label: max(struct(c, -label))
+        best = (votes.groupBy("node")
+                .agg(F.max(F.struct(F.col("c"),
+                                    (-F.col("label")).alias("nl")))
+                     .alias("b"))
+                .select("node", (-F.col("b.nl")).alias("label")))
+        labels = best.localCheckpoint(eager=False)
+    return labels

@@ -11902,6 +11902,279 @@ ORDER BY 1
 """
 
 
+LPA_ROUNDS = 4
+
+
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the md5 link
+    graph — the near-linear community-detection baseline (Raghavan et
+    al. 2007) in its deterministic synchronous min-tie-break form:
+    each round every node adopts its neighbors' most frequent label,
+    ties to the smallest. `operators/graph.py::label_propagation`
+    runs EXACTLY LPA_ROUNDS rounds; the oracle unrolls the same count
+    (same contract as `graph_bfs_levels`/`graph_kcore`). Communities
+    differ from `dedup_cc_clusters` components: LPA splits a connected
+    blob into dense cores.
+
+    Scale shape per round: one src-keyed label join + one (node,
+    label) combinable fold + one max-struct fold; O(rounds) shuffles,
+    |V|-row state, lineage truncated per round.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    out = graph.label_propagation(und, rounds=LPA_ROUNDS)
+    return (out.select("node", F.col("label").cast("long"))
+            .orderBy("node"))
+
+
+def graph_label_propagation_sql(rounds: int = LPA_ROUNDS) -> str:
+    parts = ["""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+ded AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM ded
+  UNION ALL SELECT v, u FROM ded
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+v{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM (SELECT e.dst AS node, f.label, count(*) AS c
+          FROM sym e JOIN v{i - 1} f ON e.src = f.node
+          GROUP BY 1, 2)
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, CAST(label AS BIGINT) AS label FROM v{rounds} ORDER BY node
+""")
+    return "".join(parts)
+
+
+def agg_entropy_rate(spark, sf_dir):
+    """Markov entropy rate of the event-type process — the conditional
+    entropy H(next | prev) over per-user consecutive event pairs, the
+    single number that says how predictable user behavior is given the
+    last action (0 = deterministic sessions; ln 5 ≈ 1.609e6 q = white
+    noise over 5 types). Integer-exact across engines via the
+    quantize-ln-before-weighted-sum rule (`agg_behavior_entropy`):
+    H_q = Σ c_pn · (ln(c_p)_q − ln(c_pn)_q) div N.
+
+    Scale shape: per-user lag window (user-bounded partitions), ONE
+    (prev, next) combinable fold (≤|types|² rows), prev-marginals
+    broadcast back onto that tiny frame.
+
+    Reference parity: none; statistics family (SURVEY §2.2), the
+    sequence-level complement of `window_markov_transitions`."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("prev", F.lag("event_type").over(w))
+             .where(F.col("prev").isNotNull())
+             .groupBy("prev", F.col("event_type").alias("nxt"))
+             .agg(F.count("*").cast("long").alias("c")))
+    marg = (pairs.groupBy("prev")
+            .agg(F.sum("c").alias("cp")))
+    lq = lambda col: F.round(F.log(col.cast("double")) * 1_000_000)\
+        .cast("long")
+    terms = (pairs.join(F.broadcast(marg), "prev")
+             .select("c", (F.col("c") * (lq(F.col("cp"))
+                                         - lq(F.col("c")))).alias("t")))
+    return terms.agg(
+        F.sum("c").alias("n_transitions"),
+        F.expr("sum(t) div sum(c)").alias("entropy_rate_q"))
+
+
+def agg_entropy_rate_sql():
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+pairs AS (
+  SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+marg AS (SELECT prev, sum(c) AS cp FROM pairs GROUP BY 1)
+SELECT sum(c) AS n_transitions,
+       sum(c * (CAST(round(ln(CAST(cp AS DOUBLE)) * 1000000) AS BIGINT)
+                - CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)))
+         // sum(c) AS entropy_rate_q
+FROM pairs JOIN marg USING (prev)
+"""
+
+
+def text_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    word distributions — the corpus-mixing diagnostic (two sources
+    with near-zero JSD are redundant in a data mixture; a high-JSD
+    source adds coverage — the signal behind mixture reweighting à la
+    DoReMi). Reported as 2·JSD in 1e-6 nats: for each side,
+    KL(P‖M) = Σ_w p·ln(p/m) with p = c1/n1, m = (c1·n2 + c2·n1) /
+    (2·n1·n2), so ln(p/m) = ln(2·c1·n2) − ln(c1·n2 + c2·n1) — every
+    factor an integer, each ln quantized to 1e-6 BEFORE the weighted
+    sum (the `agg_behavior_entropy` rule).
+
+    Scale shape: ONE (source, word) fold over the corpus; the pair
+    expansion joins that vocab-grain frame against the (tiny,
+    broadcast) source-pair list and itself on the word key — the raw
+    corpus is never shuffled twice.
+
+    Reference parity: none; LLM-pipeline text family (SURVEY §2.3)."""
+    cnt = (_t(spark, sf_dir, "documents")
+           .select("source", F.explode(F.split("text", " ")).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("source", "w")
+           .agg(F.count("*").cast("long").alias("c")))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (tot.alias("a").crossJoin(F.broadcast(tot.alias("b")))
+             .where(F.col("a.source") < F.col("b.source"))
+             .select(F.col("a.source").alias("s1"),
+                     F.col("a.n").alias("n1"),
+                     F.col("b.source").alias("s2"),
+                     F.col("b.n").alias("n2")))
+    lq = lambda col: F.round(F.log(col.cast("double")) * 1_000_000)\
+        .cast("long")
+
+    def side(frm, me, other, nme, noth):
+        # Σ_w c_me · (ln(2·c_me·n_other) − ln(c_me·n_other + c_other·n_me))
+        left = (cnt.withColumnRenamed("source", me)
+                .withColumnRenamed("c", "cme"))
+        right = (cnt.withColumnRenamed("source", other)
+                 .withColumnRenamed("c", "coth"))
+        j = (left.join(F.broadcast(frm), me)
+             .join(right, [other, "w"], "left")
+             .na.fill({"coth": 0}))
+        t = (F.col("cme")
+             * (lq(F.lit(2) * F.col("cme") * F.col(noth))
+                - lq(F.col("cme") * F.col(noth)
+                     + F.col("coth") * F.col(nme))))
+        return (j.groupBy("s1", "s2", nme)
+                .agg(F.sum(t).alias("s"))
+                .select("s1", "s2",
+                        F.expr(f"s div {nme}").alias(f"kl_{me}")))
+
+    kl1 = side(pairs, "s1", "s2", "n1", "n2")
+    kl2 = side(pairs, "s2", "s1", "n2", "n1")
+    return (kl1.join(kl2, ["s1", "s2"])
+            .select("s1", "s2",
+                    (F.col("kl_s1") + F.col("kl_s2")).alias("jsd2_q"))
+            .orderBy("s1", "s2"))
+
+
+def text_js_divergence_sql():
+    return """
+WITH cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+pairs AS (
+  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+kl1 AS (
+  SELECT p.s1, p.s2,
+         sum(l.c * (CAST(round(ln(CAST(2 * l.c * p.n2 AS DOUBLE))
+                          * 1000000) AS BIGINT)
+                    - CAST(round(ln(CAST(l.c * p.n2
+                          + coalesce(r.c, 0) * p.n1 AS DOUBLE))
+                          * 1000000) AS BIGINT))) // max(p.n1) AS kl
+  FROM cnt l JOIN pairs p ON l.source = p.s1
+  LEFT JOIN cnt r ON r.source = p.s2 AND r.w = l.w
+  GROUP BY 1, 2
+),
+kl2 AS (
+  SELECT p.s1, p.s2,
+         sum(l.c * (CAST(round(ln(CAST(2 * l.c * p.n1 AS DOUBLE))
+                          * 1000000) AS BIGINT)
+                    - CAST(round(ln(CAST(l.c * p.n1
+                          + coalesce(r.c, 0) * p.n2 AS DOUBLE))
+                          * 1000000) AS BIGINT))) // max(p.n2) AS kl
+  FROM cnt l JOIN pairs p ON l.source = p.s2
+  LEFT JOIN cnt r ON r.source = p.s1 AND r.w = l.w
+  GROUP BY 1, 2
+)
+SELECT kl1.s1, kl1.s2, kl1.kl + kl2.kl AS jsd2_q
+FROM kl1 JOIN kl2 ON kl1.s1 = kl2.s1 AND kl1.s2 = kl2.s2
+ORDER BY 1, 2
+"""
+
+
+def cdc_hot_key_detect(spark, sf_dir):
+    """Hot-key detector — the admission test for the salted-merge path
+    (`join_salted_skew` is the cure; this is the diagnosis): per user,
+    the peak single-hour event count vs their total; users whose peak
+    hour is ≥3 events are flagged with the share of their traffic that
+    hour carries. At 100 TB this is the report that decides which keys
+    get salted before the MERGE shuffles.
+
+    Scale shape: ONE (user, hour) combinable fold over raw events,
+    then a user-grain fold on that frame; no windows over raw rows.
+
+    Reference parity: the reference serializes per-key apply on one
+    connection (`row_streamer.go`) so hot keys stall it — this is the
+    operator its users ask for first on Spark."""
+    hourly = (_t(spark, sf_dir, "events")
+              .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").cast("long").alias("c")))
+    per_user = (hourly.groupBy("user_id")
+                .agg(F.max("c").alias("peak_hour_count"),
+                     F.sum("c").alias("total_events"),
+                     F.count("*").cast("long").alias("active_hours")))
+    return (per_user.where(F.col("peak_hour_count") >= 3)
+            .withColumn("peak_share_ppm",
+                        F.expr("peak_hour_count * 1000000"
+                               " div total_events"))
+            .orderBy("user_id"))
+
+
+def cdc_hot_key_detect_sql():
+    return """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, max(c) AS peak_hour_count, sum(c) AS total_events,
+         CAST(count(*) AS BIGINT) AS active_hours
+  FROM hourly GROUP BY 1
+)
+SELECT user_id, peak_hour_count, total_events, active_hours,
+       peak_hour_count * 1000000 // total_events AS peak_share_ppm
+FROM per_user WHERE peak_hour_count >= 3 ORDER BY user_id
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -12256,6 +12529,10 @@ QUERIES = {
     "agg_wilcoxon_signed_rank": agg_wilcoxon_signed_rank,
     "cdc_compensating_txn_audit": cdc_compensating_txn_audit,
     "lake_partition_skew_audit": lake_partition_skew_audit,
+    "graph_label_propagation": graph_label_propagation,
+    "agg_entropy_rate": agg_entropy_rate,
+    "text_js_divergence": text_js_divergence,
+    "cdc_hot_key_detect": cdc_hot_key_detect,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -12594,4 +12871,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_wilcoxon_signed_rank": agg_wilcoxon_signed_rank_sql(),
     "cdc_compensating_txn_audit": cdc_compensating_txn_audit_sql(),
     "lake_partition_skew_audit": lake_partition_skew_audit_sql(),
+    "graph_label_propagation": graph_label_propagation_sql(),
+    "agg_entropy_rate": agg_entropy_rate_sql(),
+    "text_js_divergence": text_js_divergence_sql(),
+    "cdc_hot_key_detect": cdc_hot_key_detect_sql(),
 }
