@@ -12051,7 +12051,8 @@ def text_js_divergence(spark, sf_dir):
            .select("source", F.explode(F.split("text", " ")).alias("w"))
            .where(F.col("w") != "")
            .groupBy("source", "w")
-           .agg(F.count("*").cast("long").alias("c")))
+           .agg(F.count("*").cast("long").alias("c"))
+           .localCheckpoint(eager=False))  # corpus folded ONCE; 4 reuses
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     pairs = (tot.alias("a").crossJoin(F.broadcast(tot.alias("b")))
              .where(F.col("a.source") < F.col("b.source"))
@@ -12172,6 +12173,322 @@ per_user AS (
 SELECT user_id, peak_hour_count, total_events, active_hours,
        peak_hour_count * 1000000 // total_events AS peak_share_ppm
 FROM per_user WHERE peak_hour_count >= 3 ORDER BY user_id
+"""
+
+
+def window_holt_linear(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    over each event type's daily revenue — the one-step-ahead forecast
+    a capacity planner runs on ingest volume. The recursion is exact
+    integer: halving is `shiftright` (arithmetic shift = floor, same
+    for negatives on both engines — plain `div` truncates toward zero
+    in Spark and would diverge on negative trends), sequentially
+    folded with `F.aggregate` over the sorted per-type day array; the
+    oracle runs the identical recurrence as a recursive CTE.
+    l_t = (y_t + l_{t-1} + b_{t-1}) >> 1;  b_t = (l_t − l_{t-1} +
+    b_{t-1}) >> 1;  forecast = l + b.
+
+    Scale shape: ONE (type, day) combinable fold; the sequential fold
+    runs on ≤|days| elements per type (bounded arrays, never raw
+    rows) — the pattern for any short exact recurrence Spark's window
+    functions cannot express.
+
+    Reference parity: none; window/forecast family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents")))
+    ser = (daily.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("day", "cents")))
+                .alias("s")))
+    fold = F.aggregate(
+        F.slice("s", 2, F.size("s") - 1),
+        F.struct(F.element_at("s", 1)["cents"].alias("l"),
+                 F.lit(0).cast("long").alias("b")),
+        lambda acc, x: F.struct(
+            F.shiftright(x["cents"] + acc["l"] + acc["b"], 1).alias("l"),
+            F.shiftright(
+                F.shiftright(x["cents"] + acc["l"] + acc["b"], 1)
+                - acc["l"] + acc["b"], 1).alias("b")))
+    return (ser.select("event_type", F.size("s").alias("n_days"),
+                       fold.alias("st"))
+            .select("event_type", "n_days",
+                    F.col("st.l").alias("level_q"),
+                    F.col("st.b").alias("trend_q"),
+                    (F.col("st.l") + F.col("st.b")).alias("forecast_q"))
+            .orderBy("event_type"))
+
+
+def window_holt_linear_sql():
+    return """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+n AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days FROM seq
+      GROUP BY 1),
+rec AS (
+  SELECT event_type, rn, cents AS l, CAST(0 AS BIGINT) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         (d.cents + r.l + r.b) >> 1 AS l,
+         (((d.cents + r.l + r.b) >> 1) - r.l + r.b) >> 1 AS b
+  FROM rec r JOIN seq d
+    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT r.event_type, n.n_days, r.l AS level_q, r.b AS trend_q,
+       r.l + r.b AS forecast_q
+FROM rec r JOIN n ON n.event_type = r.event_type AND r.rn = n.n_days
+ORDER BY 1
+"""
+
+
+def agg_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality of customer revenue, decomposed into
+    between-nation and within-nation components — the additive
+    decomposition Gini cannot do (`sql_gini_revenue` reports the
+    level; this says WHERE the concentration lives). All-integer via
+    the quantized-ln rule: T = Σ xᵢ·(ln(xᵢ·N)_q − ln(S)_q) div S,
+    between = Σ_g X_g·(ln(X_g·N)_q − ln(S·N_g)_q) div S,
+    within = T − between.
+
+    Scale shape: ONE customer-grain fold over orders, nation key
+    joined from the broadcast customer dim, two tiny folds (customer
+    grain, nation grain); no windows, no sorts.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lq = lambda col: F.round(F.log(col.cast("double")) * 1_000_000)\
+        .cast("long")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("x"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_custkey", "c_nationkey", "x")
+            .localCheckpoint(eager=False))
+    tot = cust.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    ti = (cust.crossJoin(F.broadcast(tot))
+          .select((F.col("x") * (lq(F.col("x") * F.col("n"))
+                                 - lq(F.col("s")))).alias("t"))
+          .agg(F.sum("t").alias("tt")))
+    grp = (cust.groupBy("c_nationkey")
+           .agg(F.sum("x").alias("xg"), F.count("*").alias("ng")))
+    tb = (grp.crossJoin(F.broadcast(tot))
+          .select((F.col("xg") * (lq(F.col("xg") * F.col("n"))
+                                  - lq(F.col("s") * F.col("ng"))))
+                  .alias("t"))
+          .agg(F.sum("t").alias("tb")))
+    return (tot.crossJoin(ti).crossJoin(tb)
+            .select(F.col("n").alias("n_customers"),
+                    F.expr("tt div s").alias("theil_total_q"),
+                    F.expr("tb div s").alias("theil_between_q"),
+                    F.expr("tt div s - tb div s")
+                    .alias("theil_within_q")))
+
+
+def agg_theil_decomposition_sql():
+    return """
+WITH cust AS (
+  SELECT o_custkey, c_nationkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s FROM cust),
+ti AS (
+  SELECT sum(x * (CAST(round(ln(CAST(x * n AS DOUBLE)) * 1000000)
+                       AS BIGINT)
+                  - CAST(round(ln(CAST(s AS DOUBLE)) * 1000000)
+                         AS BIGINT))) AS tt
+  FROM cust CROSS JOIN tot
+),
+grp AS (
+  SELECT c_nationkey, sum(x) AS xg, CAST(count(*) AS BIGINT) AS ng
+  FROM cust GROUP BY 1
+),
+tb AS (
+  SELECT sum(xg * (CAST(round(ln(CAST(xg * n AS DOUBLE)) * 1000000)
+                        AS BIGINT)
+                   - CAST(round(ln(CAST(s * ng AS DOUBLE)) * 1000000)
+                          AS BIGINT))) AS tb
+  FROM grp CROSS JOIN tot
+)
+SELECT n AS n_customers, tt // s AS theil_total_q,
+       tb // s AS theil_between_q,
+       tt // s - tb // s AS theil_within_q
+FROM tot CROSS JOIN ti CROSS JOIN tb
+"""
+
+
+def cdc_multiregion_lww(spark, sf_dir):
+    """Active-active conflict resolution audit — two regions replay
+    overlapping changelogs; per key the winner is last-writer-wins on
+    event time with region 'A' as the deterministic tiebreak (the
+    resolution policy a bidirectional CDC deployment must pin down
+    BEFORE going multi-master; the reference is single-source so its
+    users hit this the day they add a second). Region B's copy is a
+    deterministic md5-selected subset with perturbed timestamps: mod 3
+    = 0 ties (A wins by policy), = 1 B leads by 1 min, = 2 B trails.
+    Reports per day: keys, conflicting keys, ties, B-wins.
+
+    Scale shape: union + ONE key-grain max-struct fold (combinable) +
+    day fold; no joins, no windows over raw rows.
+
+    Reference parity: LWW ordering `operators/lww.py`; policy layer
+    beyond `row_streamer.go`'s single-source assumption."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long")
+        .alias("cents"))
+    m = F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                           1, 7), 16, 10).cast("long") % 3
+    rega = ev.select("event_id", "ts", "cents",
+                     F.lit("A").alias("region"))
+    regb = (ev.withColumn("m", m)
+            .where(F.col("event_id") % 2 == 0)
+            .select("event_id",
+                    F.when(F.col("m") == 0, F.col("ts"))
+                    .when(F.col("m") == 1,
+                          F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+                    .otherwise(F.col("ts") - F.expr("INTERVAL 1 MINUTE"))
+                    .alias("ts"),
+                    (F.col("cents") + 7).alias("cents"),
+                    F.lit("B").alias("region")))
+    both = rega.unionByName(regb)
+    pref = F.when(F.col("region") == "A", 1).otherwise(0)
+    res = (both.groupBy("event_id")
+           .agg(F.count("*").alias("n_copies"),
+                F.max(F.struct(F.col("ts"), pref.alias("p"),
+                               F.col("region"), F.col("cents")))
+                .alias("w"),
+                F.countDistinct("ts").alias("n_ts")))
+    return (res.select(F.to_date(F.col("w.ts")).alias("day"),
+                       (F.col("n_copies") > 1).cast("long").alias("conf"),
+                       ((F.col("n_copies") > 1) & (F.col("n_ts") == 1))
+                       .cast("long").alias("tie"),
+                       (F.col("w.region") == "B").cast("long")
+                       .alias("bwin"))
+            .groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 F.sum("conf").alias("n_conflicts"),
+                 F.sum("tie").alias("n_ties"),
+                 F.sum("bwin").alias("n_b_wins"))
+            .orderBy("day"))
+
+
+def cdc_multiregion_lww_sql():
+    return """
+WITH ev AS (
+  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+           % 3 AS m
+  FROM events
+),
+rega AS (SELECT event_id, ts, cents, 'A' AS region FROM ev),
+regb AS (
+  SELECT event_id,
+         CASE WHEN m = 0 THEN ts
+              WHEN m = 1 THEN ts + INTERVAL 1 MINUTE
+              ELSE ts - INTERVAL 1 MINUTE END AS ts,
+         cents + 7 AS cents, 'B' AS region
+  FROM ev WHERE event_id % 2 = 0
+),
+both_r AS (SELECT * FROM rega UNION ALL SELECT * FROM regb),
+res AS (
+  SELECT event_id, CAST(count(*) AS BIGINT) AS n_copies,
+         max(struct_pack(ts := ts,
+                         p := CASE WHEN region = 'A' THEN 1 ELSE 0 END,
+                         region := region, cents := cents)) AS w,
+         CAST(count(DISTINCT ts) AS BIGINT) AS n_ts
+  FROM both_r GROUP BY 1
+)
+SELECT CAST(w.ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_conflicts,
+       sum(CASE WHEN n_copies > 1 AND n_ts = 1 THEN 1 ELSE 0 END)
+         AS n_ties,
+       sum(CASE WHEN w.region = 'B' THEN 1 ELSE 0 END) AS n_b_wins
+FROM res GROUP BY 1 ORDER BY 1
+"""
+
+
+def sample_split_leakage_audit(spark, sf_dir):
+    """Train/holdout leakage audit — after the md5 hash split (folds
+    0–7 train, 8–9 holdout, the `split_train_holdout` rule), how many
+    holdout documents share their 6-word template prefix with a train
+    document? Hash splitting is growth-stable but content-blind:
+    boilerplate-templated near-duplicates straddle the split and leak
+    evaluation data into training (the failure GPT-3's appendix-C
+    decontamination exists to catch; the prefix key is the
+    `text_template_prefixes` boilerplate signature). Reports per
+    language: train/holdout sizes, leaked holdout docs, leak ppm.
+
+    Scale shape: ONE content-key fold over the train side + one
+    key-grain semi-join probing the holdout side (both shuffle on the
+    same key); per-lang tallies fold on lang. The twin key is global —
+    template boilerplate leaks across languages in this corpus, so a
+    lang-scoped key would under-count.
+
+    Reference parity: none; LLM-pipeline integrity family (SURVEY
+    §2.3), the split-aware complement of `text_decontaminate`."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("h"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 7), 16, 10).cast("long") % 10 >= 8)
+        .alias("is_holdout"))
+    train_keys = (docs.where(~F.col("is_holdout"))
+                  .select("h").distinct())
+    hold = docs.where(F.col("is_holdout"))
+    leaked = (hold.join(train_keys, "h", "left_semi")
+              .groupBy("lang")
+              .agg(F.count("*").cast("long").alias("n_leaked")))
+    base = (docs.groupBy("lang")
+            .agg(F.sum((~F.col("is_holdout")).cast("long"))
+                 .alias("n_train"),
+                 F.sum(F.col("is_holdout").cast("long"))
+                 .alias("n_holdout")))
+    return (base.join(leaked, "lang", "left")
+            .select("lang", "n_train", "n_holdout",
+                    F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"))
+            .withColumn("leak_ppm",
+                        F.expr("n_leaked * 1000000 div n_holdout"))
+            .orderBy("lang"))
+
+
+def sample_split_leakage_audit_sql():
+    return """
+WITH docs AS (
+  SELECT lang, array_to_string(string_split(text, ' ')[1:6], ' ') AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % 10 >= 8 AS is_holdout
+  FROM documents
+),
+leaked AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_leaked
+  FROM docs d
+  WHERE is_holdout AND EXISTS (
+    SELECT 1 FROM docs t WHERE NOT t.is_holdout AND t.h = d.h)
+  GROUP BY 1
+),
+base AS (
+  SELECT lang,
+         sum(CASE WHEN is_holdout THEN 0 ELSE 1 END) AS n_train,
+         sum(CASE WHEN is_holdout THEN 1 ELSE 0 END) AS n_holdout
+  FROM docs GROUP BY 1
+)
+SELECT b.lang, b.n_train, b.n_holdout,
+       coalesce(l.n_leaked, 0) AS n_leaked,
+       coalesce(l.n_leaked, 0) * 1000000 // b.n_holdout AS leak_ppm
+FROM base b LEFT JOIN leaked l ON l.lang = b.lang
+ORDER BY 1
 """
 
 
@@ -12533,6 +12850,10 @@ QUERIES = {
     "agg_entropy_rate": agg_entropy_rate,
     "text_js_divergence": text_js_divergence,
     "cdc_hot_key_detect": cdc_hot_key_detect,
+    "window_holt_linear": window_holt_linear,
+    "agg_theil_decomposition": agg_theil_decomposition,
+    "cdc_multiregion_lww": cdc_multiregion_lww,
+    "sample_split_leakage_audit": sample_split_leakage_audit,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -12875,4 +13196,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_entropy_rate": agg_entropy_rate_sql(),
     "text_js_divergence": text_js_divergence_sql(),
     "cdc_hot_key_detect": cdc_hot_key_detect_sql(),
+    "window_holt_linear": window_holt_linear_sql(),
+    "agg_theil_decomposition": agg_theil_decomposition_sql(),
+    "cdc_multiregion_lww": cdc_multiregion_lww_sql(),
+    "sample_split_leakage_audit": sample_split_leakage_audit_sql(),
 }
