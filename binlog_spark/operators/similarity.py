@@ -1155,3 +1155,131 @@ buckets AS MATERIALIZED (
 )
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf_probe_sweep(df: DataFrame, n_queries: int = 5, k: int = 10,
+                    n_centroids: int = 8,
+                    probes: tuple = (1, 2, 4)) -> DataFrame:
+    """IVF nprobe tuning table — recall@k of the cell-restricted search
+    vs the exact ranking at several probe counts, the dial every IVF
+    deployment sets empirically (FAISS's `nprobe`): probing p cells
+    costs ~p/n_centroids of the corpus per query and buys the reported
+    recall. Companion of ``dedup_lsh_band_sweep`` (same pattern: sweep
+    the recall/cost dial, emit the table the operator's config cites).
+
+    Same deterministic centroids as ``ivf_ann_topk`` (first
+    n_centroids vectors); per query the centroid list is ranked by
+    (dot desc, cent_id asc) and the top-p cells are searched.
+
+    Returns ``(nprobe, n_hits, n_possible, recall_ppm)``.
+
+    Scale shape: centroids broadcast; ranked probe lists are
+    (n_queries × n_centroids) tiny; each sweep point is one cell-keyed
+    join + a bounded partial top-k; the exact baseline scores the
+    corpus once against the broadcast query set."""
+    cells = ivf_assign(df, n_centroids).localCheckpoint(eager=False)
+    queries = (cells.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    cents = (df.where(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cvec")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id").asc())
+    probe_rank = (queries.join(F.broadcast(cents))
+                  .withColumn("cdot", _dot(F.col("qvec"), F.col("cvec")))
+                  .withColumn("pr", F.row_number().over(wq))
+                  .select("query_id", F.col("cent_id").alias("cell"),
+                          "pr")
+                  .localCheckpoint(eager=False))
+    exact = (cells.join(F.broadcast(queries))
+             .where(F.col("vec_id") != F.col("query_id"))
+             .withColumn("sim", F.round(_dot(F.col("qvec"),
+                                             F.col("embedding")), 6)))
+    exact_topk = (_partial_topk(exact, k)
+                  .select("query_id", "vec_id")
+                  .localCheckpoint(eager=False))
+    outs = []
+    for p in probes:
+        allowed = probe_rank.where(F.col("pr") <= p)
+        cand = (cells.join(allowed, "cell")
+                .join(F.broadcast(queries), "query_id")
+                .where(F.col("vec_id") != F.col("query_id"))
+                .withColumn("sim", F.round(_dot(F.col("qvec"),
+                                                F.col("embedding")), 6)))
+        approx = _partial_topk(cand, k).select("query_id", "vec_id")
+        hits = approx.join(exact_topk, ["query_id", "vec_id"],
+                           "left_semi")
+        outs.append(hits.agg(
+            F.lit(p).cast("long").alias("nprobe"),
+            F.count("*").cast("long").alias("n_hits")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    possible = n_queries * k
+    return (res.withColumn("n_possible",
+                           F.lit(possible).cast("long"))
+            .withColumn("recall_ppm",
+                        F.expr(f"n_hits * 1000000 div {possible}"))
+            .orderBy("nprobe"))
+
+
+def ivf_probe_sweep_sql(table: str = "embeddings", n_queries: int = 5,
+                        k: int = 10, n_centroids: int = 8,
+                        probes: tuple = (1, 2, 4)) -> str:
+    vdot = _DOT.format(a="v.embedding", b="c.embedding")
+    qcdot = _DOT.format(a="q.qvec", b="c.embedding")
+    qtdot = _DOT.format(a="q.qvec", b="t.embedding")
+    plist = ", ".join(f"({p})" for p in probes)
+    return f"""
+WITH scored AS (
+  SELECT v.vec_id, v.embedding, c.vec_id AS cent_id, {vdot} AS dot
+  FROM {table} v JOIN {table} c ON c.vec_id < {n_centroids}
+),
+cells AS (
+  SELECT vec_id, embedding, cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dot DESC, cent_id ASC) AS rn FROM scored)
+  WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM {table}
+  WHERE vec_id < {n_queries}
+),
+probe_rank AS (
+  SELECT query_id, c.vec_id AS cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {qcdot} DESC, c.vec_id ASC) AS pr
+  FROM queries q JOIN {table} c ON c.vec_id < {n_centroids}
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, t.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round({qtdot}, 6) DESC, t.vec_id ASC) AS rank
+    FROM queries q JOIN cells t ON t.vec_id != q.query_id)
+  WHERE rank <= {k}
+),
+probes(nprobe) AS (VALUES {plist}),
+approx AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT p.nprobe, q.query_id, t.vec_id,
+           row_number() OVER (PARTITION BY p.nprobe, q.query_id
+               ORDER BY round({qtdot}, 6) DESC, t.vec_id ASC) AS rank
+    FROM probes p
+    CROSS JOIN queries q
+    JOIN probe_rank r ON r.query_id = q.query_id AND r.pr <= p.nprobe
+    JOIN cells t ON t.cell = r.cell AND t.vec_id != q.query_id)
+  WHERE rank <= {k}
+)
+SELECT p.nprobe::BIGINT AS nprobe,
+       CAST(count(e.vec_id) AS BIGINT) AS n_hits,
+       CAST({n_queries * k} AS BIGINT) AS n_possible,
+       CAST(count(e.vec_id) AS BIGINT) * 1000000
+         // {n_queries * k} AS recall_ppm
+FROM probes p
+LEFT JOIN approx a ON a.nprobe = p.nprobe
+LEFT JOIN exact_topk e
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1
+"""

@@ -12492,6 +12492,181 @@ ORDER BY 1
 """
 
 
+def sim_cluster_purity(spark, sf_dir):
+    """Cluster-label purity — the evaluation row for the k-means stage
+    every embedding-curation path here builds on (`sim_kmeans_assign`,
+    SemDeDup's cluster scoping): per cluster, the majority ground-truth
+    label's share in ppm. Low purity says the clustering is mixing
+    semantic classes and cluster-scoped pruning will cross-contaminate.
+    Assignment reuses the production operator verbatim (same quantized
+    centroids), so this also regression-guards it.
+
+    Scale shape: the kmeans two-job step (bounded k×dim partial sums,
+    broadcast centroids, shuffle-free Arrow assignment), then ONE
+    (cluster, label) fold + a max-struct per cluster.
+
+    Reference parity: none; similarity family (SURVEY §2.3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    asn = similarity.kmeans_assign(emb)
+    j = asn.join(emb.select("vec_id", "label"), "vec_id")
+    cnt = (j.groupBy("cluster", "label")
+           .agg(F.count("*").cast("long").alias("c")))
+    return (cnt.groupBy("cluster")
+            .agg(F.sum("c").alias("n_vecs"),
+                 F.max(F.struct(F.col("c"),
+                                (-F.col("label")).cast("long")
+                                .alias("nl"))).alias("b"))
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    "n_vecs",
+                    (-F.col("b.nl")).alias("major_label"),
+                    F.col("b.c").alias("major_count"),
+                    F.expr("b.c * 1000000 div n_vecs")
+                    .alias("purity_ppm"))
+            .orderBy("cluster"))
+
+
+def sim_cluster_purity_sql():
+    asn = similarity.kmeans_assign_sql()
+    return f"""
+WITH asn AS ({asn}),
+cnt AS (
+  SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS c
+  FROM asn a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT cluster, label, c,
+         sum(c) OVER (PARTITION BY cluster) AS n_vecs,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM cnt
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, n_vecs,
+       CAST(label AS BIGINT) AS major_label, c AS major_count,
+       c * 1000000 // n_vecs AS purity_ppm
+FROM best WHERE rn = 1 ORDER BY cluster
+"""
+
+
+def text_word_burstiness(spark, sf_dir):
+    """Word burstiness (Church & Gale): variance-to-mean ratio of a
+    word's per-document counts over the WHOLE corpus (zeros included —
+    via moments, never materialized). Content words are bursty
+    (VMR ≫ 1: absent mostly, then repeated), function words Poisson-ish
+    (VMR ≈ 1) — the signal that separates topical terms from glue
+    beyond raw df, and flags boilerplate (high df AND high VMR). Top
+    20 by document frequency, ties broken by word; all-integer:
+    VMR_ppm = (N·Σc² − T²)·1e6 div (N·T).
+
+    Scale shape: ONE (word, doc) fold then ONE word-grain moment fold;
+    the top-20 is a bounded TakeOrdered on the vocab-grain frame,
+    never a full sort.
+
+    Reference parity: none; LLM-pipeline text family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    percnt = (docs.select("doc_id",
+                          F.explode(F.split("text", " ")).alias("w"))
+              .where(F.col("w") != "")
+              .groupBy("w", "doc_id")
+              .agg(F.count("*").cast("long").alias("c")))
+    mom = (percnt.groupBy("w")
+           .agg(F.count("*").cast("long").alias("df"),
+                F.sum("c").alias("t"),
+                F.sum(F.col("c") * F.col("c")).alias("s2")))
+    # numerator N·Σc² − T² ≥ 0 (power-mean), so div == floor here
+    out = mom.withColumn(
+        "vmr_ppm",
+        F.expr(f"(CAST({n_docs} AS BIGINT) * s2 - t * t) * 1000000"
+               f" div (CAST({n_docs} AS BIGINT) * t)"))
+    return (out.orderBy(F.col("df").desc(), "w").limit(20)
+            .select("w", "df", F.col("t").alias("total"), "vmr_ppm"))
+
+
+def text_word_burstiness_sql():
+    return """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+percnt AS (
+  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df, sum(c) AS t,
+         sum(c * c) AS s2
+  FROM percnt GROUP BY 1
+)
+SELECT w, df, t AS total,
+       (n * s2 - t * t) * 1000000 // (n * t) AS vmr_ppm
+FROM mom CROSS JOIN nn
+ORDER BY df DESC, w LIMIT 20
+"""
+
+
+def mm_phash_clusters(spark, sf_dir):
+    """Perceptual-hash near-duplicate CLUSTER inventory — composes the
+    aHash Hamming-ball pair generator (`mm_phash_dedup`) with the
+    O(log n)-round distributed connected components (`operators/
+    graph.py`), then reports the cluster-size histogram: how much of
+    the blob corpus collapses under visual dedup and into how many
+    groups (singletons included — the 'unique' row). The multimodal
+    twin of `dedup_cc_clusters`.
+
+    Scale shape: banded LSH candidate generation (no all-pairs),
+    star-algorithm CC over the shrinking pair list, one label fold +
+    one size fold; the oracle re-derives the chain via recursive
+    transitive closure.
+
+    Reference parity: none; multimodal family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = multimodal.phash_near_dup_pairs(docs)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    labels = graph.connected_components(edges)
+    lab = (docs.select("doc_id")
+           .join(labels, F.col("doc_id") == F.col("node"), "left")
+           .select("doc_id",
+                   F.coalesce("cluster", "doc_id").alias("cluster_id")))
+    sizes = (lab.groupBy("cluster_id")
+             .agg(F.count("*").cast("long").alias("sz")))
+    return (sizes.groupBy("sz")
+            .agg(F.count("*").cast("long").alias("n_clusters"),
+                 F.sum("sz").alias("n_docs"))
+            .select(F.col("sz").alias("cluster_size"),
+                    "n_clusters", "n_docs")
+            .orderBy("cluster_size"))
+
+
+def mm_phash_clusters_sql():
+    pairs = multimodal.phash_near_dup_sql()
+    return f"""
+WITH RECURSIVE prs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON d.doc_id = m.src
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1
+)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       sum(sz) AS n_docs
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -12854,6 +13029,11 @@ QUERIES = {
     "agg_theil_decomposition": agg_theil_decomposition,
     "cdc_multiregion_lww": cdc_multiregion_lww,
     "sample_split_leakage_audit": sample_split_leakage_audit,
+    "sim_cluster_purity": sim_cluster_purity,
+    "text_word_burstiness": text_word_burstiness,
+    "mm_phash_clusters": mm_phash_clusters,
+    "sim_ivf_probe_sweep": lambda s, d: similarity.ivf_probe_sweep(
+        _t(s, d, "embeddings")),
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -13200,4 +13380,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_theil_decomposition": agg_theil_decomposition_sql(),
     "cdc_multiregion_lww": cdc_multiregion_lww_sql(),
     "sample_split_leakage_audit": sample_split_leakage_audit_sql(),
+    "sim_cluster_purity": sim_cluster_purity_sql(),
+    "text_word_burstiness": text_word_burstiness_sql(),
+    "mm_phash_clusters": mm_phash_clusters_sql(),
+    "sim_ivf_probe_sweep": similarity.ivf_probe_sweep_sql(),
 }
