@@ -12667,6 +12667,228 @@ FROM sizes GROUP BY 1 ORDER BY 1
 """
 
 
+def window_survival_curve(spark, sf_dir):
+    """User-lifetime survival curve S(k) — the share of users whose
+    observed activity span (last event − first event) reaches at least
+    k days, for k = 0..14: the retention picture product analytics
+    reads before any churn model. Computed from the lifespan HISTOGRAM
+    (user-grain fold, then a ≤15-row reverse cumulative), never by
+    exploding per-user day ranges.
+
+    Scale shape: ONE user-grain min/max fold, one ≤|spans| histogram
+    fold, the cumulative window on the tiny frame.
+
+    Reference parity: none; window/cohort family (SURVEY §2.2)."""
+    span = (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.datediff(F.max(F.to_date("ts")),
+                            F.min(F.to_date("ts"))).alias("days")))
+    hist = (span.groupBy("days")
+            .agg(F.count("*").cast("long").alias("c")))
+    tot = hist.agg(F.sum("c").alias("n_users"))
+    ks = spark.range(0, 15).select(F.col("id").cast("int").alias("k"))
+    surv = (ks.join(hist, ks.k <= hist.days)
+            .groupBy("k").agg(F.sum("c").alias("n_surviving")))
+    return (surv.crossJoin(F.broadcast(tot))
+            .select("k", "n_surviving", "n_users",
+                    F.expr("n_surviving * 1000000 div n_users")
+                    .alias("survival_ppm"))
+            .orderBy("k"))
+
+
+def window_survival_curve_sql():
+    return """
+WITH span AS (
+  SELECT user_id,
+         date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+           AS days
+  FROM events GROUP BY 1
+),
+hist AS (SELECT days, CAST(count(*) AS BIGINT) AS c FROM span
+         GROUP BY 1),
+tot AS (SELECT sum(c) AS n_users FROM hist),
+ks AS (SELECT unnest(range(0, 15)) AS k)
+SELECT CAST(k AS INTEGER) AS k, sum(c) AS n_surviving,
+       max(n_users) AS n_users,
+       sum(c) * 1000000 // max(n_users) AS survival_ppm
+FROM ks JOIN hist ON k <= days CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_kendall_tau_daily(spark, sf_dir):
+    """Kendall's τ between the click and view daily-count series —
+    the rank-correlation complement of `agg_spearman_daily` that is
+    robust to any monotone transform and exactly integer: concordant
+    minus discordant day pairs (ties counted separately, τ-b inputs).
+    O(days²) pair enumeration is fine BECAUSE it runs on the day-grain
+    frame (≤31 rows), never on raw events.
+
+    Scale shape: ONE day-grain conditional fold over events; the pair
+    self-join is tiny-frame-only.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .where(F.col("event_type").isin("click", "view"))
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum((F.col("event_type") == "click").cast("long"))
+                  .alias("x"),
+                  F.sum((F.col("event_type") == "view").cast("long"))
+                  .alias("y")))
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"),
+                     F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"),
+                     F.col("y").alias("y2"))
+    sgn = (F.signum((F.col("x1") - F.col("x2")).cast("double"))
+           * F.signum((F.col("y1") - F.col("y2")).cast("double")))
+    pairs = (a.join(b, F.col("d1") < F.col("d2"))
+             .select(sgn.cast("long").alias("s"),
+                     (F.col("x1") == F.col("x2")).cast("long")
+                     .alias("tx"),
+                     (F.col("y1") == F.col("y2")).cast("long")
+                     .alias("ty")))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+        .alias("concordant"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+        .alias("discordant"),
+        F.sum("tx").alias("ties_x"),
+        F.sum("ty").alias("ties_y"))
+
+
+def agg_kendall_tau_daily_sql():
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS concordant,
+       CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS discordant,
+       CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+         AS ties_x,
+       CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+         AS ties_y
+FROM daily a JOIN daily b ON a.day < b.day
+"""
+
+
+REPLAY_WORKERS = 4
+
+
+def cdc_replay_worker_balance(spark, sf_dir):
+    """Parallel-replay worker assignment — sorted round-robin LPT:
+    binlog files (event_id div 4096 spans) are ranked by size
+    descending and dealt worker = (rank−1) mod W; the table reports
+    each worker's file count, total events, and its load vs the ideal
+    share in ppm. This is the scheduling answer to the reference's
+    single-connection replay (`dump/dump.go` processes one stream
+    serially): the plan a coordinator hands to W parallel appliers,
+    with the makespan bound of round-robin-on-sorted (≤ 4/3·OPT for
+    LPT-family rules).
+
+    Scale shape: ONE (file)-grain fold over raw events; ranking and
+    assignment run on the file-count-sized frame.
+
+    Reference parity: scheduling layer over `dump/dump.go`'s serial
+    replay loop."""
+    files = (_t(spark, sf_dir, "events")
+             .groupBy(F.expr("event_id div 4096").alias("file_id"))
+             .agg(F.count("*").cast("long").alias("sz")))
+    w = Window.orderBy(F.col("sz").desc(), F.col("file_id"))
+    asn = files.withColumn(
+        "worker", ((F.row_number().over(w) - 1) % REPLAY_WORKERS)
+        .cast("int"))
+    tot = asn.agg(F.sum("sz").alias("total"))
+    return (asn.groupBy("worker")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum("sz").alias("n_events"))
+            .crossJoin(F.broadcast(tot))
+            .select("worker", "n_files", "n_events",
+                    F.expr(f"n_events * {REPLAY_WORKERS} * 1000000"
+                           " div total").alias("load_vs_ideal_ppm"))
+            .orderBy("worker"))
+
+
+def cdc_replay_worker_balance_sql():
+    return f"""
+WITH files AS (
+  SELECT event_id // 4096 AS file_id, CAST(count(*) AS BIGINT) AS sz
+  FROM events GROUP BY 1
+),
+asn AS (
+  SELECT sz,
+         CAST((row_number() OVER (ORDER BY sz DESC, file_id) - 1)
+              % {REPLAY_WORKERS} AS INTEGER) AS worker
+  FROM files
+),
+tot AS (SELECT sum(sz) AS total FROM asn)
+SELECT worker, CAST(count(*) AS BIGINT) AS n_files,
+       sum(sz) AS n_events,
+       sum(sz) * {REPLAY_WORKERS} * 1000000 // max(total)
+         AS load_vs_ideal_ppm
+FROM asn CROSS JOIN tot GROUP BY 1 ORDER BY 1
+"""
+
+
+ACTIVATION_MIN_EVENTS = 8
+
+
+def window_activation_rate(spark, sf_dir):
+    """First-week activation — per signup cohort day, the share of
+    users who reach ≥8 events within 7 days of their first event
+    (the product-analytics 'aha-moment' gate; pairs with
+    `window_retention_cohorts` which measures coming BACK, not
+    engaging DEEPLY). Exact integers end to end.
+
+    Scale shape: ONE user-grain min fold (first event), join back on
+    the user key, conditional count in the 7-day window, cohort fold.
+
+    Reference parity: none; window/cohort family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = (ev.groupBy("user_id")
+             .agg(F.min("ts").alias("first_ts")))
+    j = (ev.join(first, "user_id")
+         .where(F.col("ts") < F.col("first_ts")
+                + F.expr("INTERVAL 7 DAYS"))
+         .groupBy("user_id", F.to_date("first_ts").alias("cohort_day"))
+         .agg(F.count("*").cast("long").alias("wk1_events")))
+    return (j.groupBy("cohort_day")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum((F.col("wk1_events") >= ACTIVATION_MIN_EVENTS)
+                       .cast("long")).alias("n_activated"))
+            .withColumn("activation_ppm",
+                        F.expr("n_activated * 1000000 div n_users"))
+            .orderBy("cohort_day"))
+
+
+def window_activation_rate_sql():
+    return f"""
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+),
+wk1 AS (
+  SELECT e.user_id, CAST(f.first_ts AS DATE) AS cohort_day,
+         CAST(count(*) AS BIGINT) AS wk1_events
+  FROM events e JOIN first_ev f ON f.user_id = e.user_id
+  WHERE e.ts < f.first_ts + INTERVAL 7 DAY
+  GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN wk1_events >= {ACTIVATION_MIN_EVENTS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_activated,
+       CAST(sum(CASE WHEN wk1_events >= {ACTIVATION_MIN_EVENTS}
+                THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+         AS activation_ppm
+FROM wk1 GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -13034,6 +13256,10 @@ QUERIES = {
     "mm_phash_clusters": mm_phash_clusters,
     "sim_ivf_probe_sweep": lambda s, d: similarity.ivf_probe_sweep(
         _t(s, d, "embeddings")),
+    "window_survival_curve": window_survival_curve,
+    "agg_kendall_tau_daily": agg_kendall_tau_daily,
+    "cdc_replay_worker_balance": cdc_replay_worker_balance,
+    "window_activation_rate": window_activation_rate,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -13384,4 +13610,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "text_word_burstiness": text_word_burstiness_sql(),
     "mm_phash_clusters": mm_phash_clusters_sql(),
     "sim_ivf_probe_sweep": similarity.ivf_probe_sweep_sql(),
+    "window_survival_curve": window_survival_curve_sql(),
+    "agg_kendall_tau_daily": agg_kendall_tau_daily_sql(),
+    "cdc_replay_worker_balance": cdc_replay_worker_balance_sql(),
+    "window_activation_rate": window_activation_rate_sql(),
 }
