@@ -12889,6 +12889,294 @@ FROM wk1 GROUP BY 1 ORDER BY 1
 """
 
 
+def graph_community_modularity(spark, sf_dir):
+    """Newman modularity Q of the label-propagation communities — the
+    eval row for `graph_label_propagation` (as `sim_cluster_purity` is
+    for k-means): Q = Σ_c [e_c/m − (d_c/2m)²] over the same md5 link
+    graph, reported EXACTLY in integers as
+    Q_ppm = Σ_c (4·m·e_c − d_c²) · 1e6 div (4·m²). Q ≈ 0 says the
+    communities are no better than random wiring; the LPA stage reuses
+    the production operator verbatim.
+
+    Scale shape: LPA's O(rounds) shuffles, then ONE edge→label join
+    pair (intra-community test), a community-grain fold, and the
+    scalar reduction; degrees fold from the edge list directly.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    lab = graph.label_propagation(und, rounds=LPA_ROUNDS)
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    tagged = und.join(lu, "u").join(lv, "v")
+    m = und.count()
+    ein = (tagged.where(F.col("cu") == F.col("cv"))
+           .groupBy(F.col("cu").alias("c"))
+           .agg(F.count("*").cast("long").alias("e_c")))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    dsum = (deg.join(lab, "node")
+            .groupBy(F.col("label").alias("c"))
+            .agg(F.sum("d").alias("d_c")))
+    per = (dsum.join(ein, "c", "left")
+           .select("c", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c"))
+    return (per.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.lit(m).cast("long").alias("n_edges"),
+        F.expr(f"sum(4 * {m} * e_c - d_c * d_c) * 1000000"
+               f" div (4 * CAST({m} AS BIGINT) * {m})")
+        .alias("modularity_ppm")))
+
+
+def graph_community_modularity_sql(rounds: int = LPA_ROUNDS) -> str:
+    lpa = graph_label_propagation_sql(rounds)
+    return f"""
+WITH lab AS ({lpa}),
+nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+ein AS (
+  SELECT lu.label AS c, CAST(count(*) AS BIGINT) AS e_c
+  FROM und e JOIN lab lu ON lu.node = e.u
+  JOIN lab lv ON lv.node = e.v
+  WHERE lu.label = lv.label GROUP BY 1
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY 1
+),
+dsum AS (
+  SELECT l.label AS c, sum(g.d) AS d_c
+  FROM deg g JOIN lab l ON l.node = g.node GROUP BY 1
+),
+per AS (
+  SELECT d.c, coalesce(e.e_c, 0) AS e_c, d.d_c
+  FROM dsum d LEFT JOIN ein e ON e.c = d.c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       max(m.m) AS n_edges,
+       sum(4 * m.m * e_c - d_c * d_c) * 1000000
+         // (4 * max(m.m) * max(m.m)) AS modularity_ppm
+FROM per CROSS JOIN m
+"""
+
+
+def sql_lateral_top3_orders(spark, sf_dir):
+    """SQL-surface parity row for LATERAL correlated subqueries
+    (SQL:1999 lateral derived tables, Spark ≥3.2 `LATERAL`): top-3
+    orders by price for each market segment, written as a lateral
+    per-segment probe on BOTH engines — the idiom users port from
+    Postgres/Trino. Catalyst rewrites the lateral into the same
+    DomainJoin/rank plan the window formulation gets, so this pins the
+    SURFACE, not a new physical strategy.
+
+    Scale shape: after Catalyst's decorrelation, a segment-partitioned
+    rank — no per-segment re-scan survives in the physical plan.
+
+    Reference parity: none; SQL-surface family (SURVEY §2.2)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("l_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("l_orders")
+    return spark.sql("""
+SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM l_customer) s,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM l_orders o JOIN l_customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = s.c_mktsegment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) t
+ORDER BY s.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+""")
+
+
+def sql_lateral_top3_orders_sql():
+    return """
+SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = s.c_mktsegment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) t
+ORDER BY s.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+MARKOV_ROUNDS = 4
+MARKOV_SCALE = 1_000_000_000
+
+
+def agg_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type transition chain —
+    4 unrolled power-iteration rounds π·P in EXACT integer arithmetic
+    (π in 1e-9 units, one floor division per (i,j) term against the
+    row total), from the uniform start. The long-run behavioral mix
+    the chain converges to; pairs with `agg_entropy_rate` (same
+    transition counts) and `graph_pagerank` (same quantized-iteration
+    contract: the oracle unrolls the identical rounds, so floor-div
+    rounding is bit-identical).
+
+    Scale shape: per-user lag window + ONE ≤|types|² transition fold;
+    every iteration is an expression over the tiny matrix frame.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.withColumn("prev", F.lag("event_type").over(w))
+             .where(F.col("prev").isNotNull())
+             .groupBy("prev", F.col("event_type").alias("nxt"))
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint(eager=False))
+    marg = trans.groupBy("prev").agg(F.sum("c").alias("cp"))
+    tm = trans.join(F.broadcast(marg), "prev")
+    states = trans.select(F.col("prev").alias("s")).distinct()
+    k = states.count()
+    pi = states.select("s", F.expr(f"CAST({MARKOV_SCALE} AS BIGINT)"
+                                   f" div {k}").alias("p"))
+    for _ in range(MARKOV_ROUNDS):
+        pi = (tm.join(pi.withColumnRenamed("s", "prev"), "prev")
+              .select(F.col("nxt").alias("s"),
+                      F.expr("p * c div cp").alias("t"))
+              .groupBy("s").agg(F.sum("t").alias("p")))
+    return (pi.select(F.col("s").alias("event_type"),
+                      F.col("p").alias("stationary_q"))
+            .orderBy("event_type"))
+
+
+def agg_markov_stationary_sql(rounds: int = MARKOV_ROUNDS) -> str:
+    parts = [f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+trans AS (
+  SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+marg AS (SELECT prev, sum(c) AS cp FROM trans GROUP BY 1),
+tm AS (SELECT t.prev, t.nxt, t.c, m.cp FROM trans t
+       JOIN marg m ON m.prev = t.prev),
+k AS (SELECT CAST(count(DISTINCT prev) AS BIGINT) AS k FROM trans),
+pi0 AS (
+  SELECT DISTINCT prev AS s,
+         {MARKOV_SCALE} // (SELECT k FROM k) AS p
+  FROM trans
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+pi{i} AS (
+  SELECT tm.nxt AS s, sum(pi{i - 1}.p * tm.c // tm.cp) AS p
+  FROM tm JOIN pi{i - 1} ON pi{i - 1}.s = tm.prev
+  GROUP BY 1
+)""")
+    parts.append(f"""
+SELECT s AS event_type, p AS stationary_q FROM pi{rounds} ORDER BY 1
+""")
+    return "".join(parts)
+
+
+def cdc_delete_cascade_impact(spark, sf_dir):
+    """DELETE-cascade impact estimate — before applying a batch of
+    customer deletions (every 20th custkey, the deterministic stand-in
+    for a GDPR erasure batch), how many dependent orders and lineitems
+    would a FK CASCADE touch, per nation? The dry-run a CDC operator
+    reads before letting a mass delete through the MERGE (the
+    reference applies row images blindly; the lake side owns
+    referential hygiene — see `sql_fk_orphan_audit` for the inverse
+    check).
+
+    Scale shape: the doomed-customer set is a map-side predicate; two
+    keyed semi-join-shaped folds walk the FK chain (customer→orders→
+    lineitems), nation dim broadcast; counts fold per nation.
+
+    Reference parity: none; CDC/lake integrity family (SURVEY §2.2)."""
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_custkey") % 20 == 0)
+         .select("c_custkey", "c_nationkey"))
+    nat = _t(spark, sf_dir, "nation")
+    o = (_t(spark, sf_dir, "orders")
+         .join(c.hint("broadcast"), F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "c_nationkey")
+         .localCheckpoint(eager=False))
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .groupBy("c_nationkey")
+          .agg(F.count("*").cast("long").alias("n_lineitems")))
+    oc = o.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_orders"))
+    cc = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"))
+    return (cc.join(oc, "c_nationkey", "left")
+            .join(li, "c_nationkey", "left")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"), "n_customers",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("n_lineitems", F.lit(0))
+                    .alias("n_lineitems"))
+            .withColumn("total_rows",
+                        F.col("n_customers") + F.col("n_orders")
+                        + F.col("n_lineitems"))
+            .orderBy("nation"))
+
+
+def cdc_delete_cascade_impact_sql():
+    return """
+WITH doomed AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 20 = 0
+),
+o AS (
+  SELECT o_orderkey, c_nationkey FROM orders
+  JOIN doomed ON o_custkey = c_custkey
+),
+li AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY 1
+),
+oc AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders
+       FROM o GROUP BY 1),
+cc AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+       FROM doomed GROUP BY 1)
+SELECT n.n_name AS nation, cc.n_customers,
+       coalesce(oc.n_orders, 0) AS n_orders,
+       coalesce(li.n_lineitems, 0) AS n_lineitems,
+       cc.n_customers + coalesce(oc.n_orders, 0)
+         + coalesce(li.n_lineitems, 0) AS total_rows
+FROM cc
+LEFT JOIN oc ON oc.c_nationkey = cc.c_nationkey
+LEFT JOIN li ON li.c_nationkey = cc.c_nationkey
+JOIN nation n ON n.n_nationkey = cc.c_nationkey
+ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -13260,6 +13548,10 @@ QUERIES = {
     "agg_kendall_tau_daily": agg_kendall_tau_daily,
     "cdc_replay_worker_balance": cdc_replay_worker_balance,
     "window_activation_rate": window_activation_rate,
+    "graph_community_modularity": graph_community_modularity,
+    "sql_lateral_top3_orders": sql_lateral_top3_orders,
+    "agg_markov_stationary": agg_markov_stationary,
+    "cdc_delete_cascade_impact": cdc_delete_cascade_impact,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -13614,4 +13906,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_kendall_tau_daily": agg_kendall_tau_daily_sql(),
     "cdc_replay_worker_balance": cdc_replay_worker_balance_sql(),
     "window_activation_rate": window_activation_rate_sql(),
+    "graph_community_modularity": graph_community_modularity_sql(),
+    "sql_lateral_top3_orders": sql_lateral_top3_orders_sql(),
+    "agg_markov_stationary": agg_markov_stationary_sql(),
+    "cdc_delete_cascade_impact": cdc_delete_cascade_impact_sql(),
 }
