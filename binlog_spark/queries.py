@@ -16,6 +16,7 @@ Cross-engine parity rules used throughout:
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import tempfile
@@ -13177,6 +13178,286 @@ ORDER BY 1
 """
 
 
+# DCG position discounts 1e6/log2(i+1) for i = 1..10, precomputed once
+# in Python so BOTH engines consume identical integer literals (no
+# cross-engine libm log2 in the hot expression).
+_NDCG_K = 10
+_NDCG_DISC = [round(1_000_000 / math.log2(i + 1))
+              for i in range(1, _NDCG_K + 1)]
+
+
+def sim_ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the cosine top-k ranking with same-label-as-query as
+    the (binary) relevance signal — the ranking-quality eval that
+    recall@k can't see: recall counts hits anywhere in the top-k, NDCG
+    pays position. Discounts are precomputed integer literals
+    (1e6/log2(i+1)), so DCG/IDCG are exact BIGINT sums; IDCG takes the
+    best achievable ordering of the SAME retrieved set. (The exact
+    ranking is scored rather than the LSH one because this corpus's
+    labels are only weakly embedded — the LSH top-10 retrieves zero
+    same-label rows at sf0.01 and the eval would be vacuous.)
+
+    Scale shape: the production `cosine_topk` plan (Arrow dot kernel +
+    bounded partial top-k), label join on the tiny result, per-query
+    fold over ≤k rows.
+
+    Reference parity: none; similarity family (SURVEY §2.3), the
+    ranking-aware sibling of `sim_ann_recall_audit`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(emb)  # query_id, vec_id, sim, rank
+    lab = emb.select("vec_id", "label")
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("qlabel"))
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    j = (topk.join(lab, "vec_id").join(F.broadcast(qlab), "query_id")
+         .select("query_id",
+                 (F.col("label") == F.col("qlabel")).cast("long")
+                 .alias("rel"),
+                 F.element_at(disc, F.col("rank").cast("int"))
+                 .alias("d")))
+    per = (j.groupBy("query_id")
+           .agg(F.sum(F.col("rel") * F.col("d")).alias("dcg_q"),
+                F.sum("rel").alias("n_rel")))
+    # IDCG: best ordering of the same set = all rel items first
+    cum = F.array(*[F.lit(sum(_NDCG_DISC[:i]))
+                    for i in range(_NDCG_K + 1)])
+    return (per.select("query_id", "n_rel", "dcg_q",
+                       F.element_at(cum, F.col("n_rel").cast("int") + 1)
+                       .alias("idcg_q"))
+            .withColumn("ndcg_ppm",
+                        F.when(F.col("idcg_q") > 0,
+                               F.expr("dcg_q * 1000000 div idcg_q"))
+                        .otherwise(F.lit(0)))
+            .orderBy("query_id"))
+
+
+def sim_ndcg_eval_sql():
+    topk = similarity.cosine_topk_sql()
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
+    cum = ", ".join(str(sum(_NDCG_DISC[:i])) for i in range(_NDCG_K + 1))
+    return f"""
+WITH topk AS ({topk}),
+disc(i, d) AS (SELECT unnest(range(1, {_NDCG_K} + 1)),
+                      unnest([{disc}])),
+cumd(j, cd) AS (SELECT unnest(range(0, {_NDCG_K} + 1)),
+                       unnest([{cum}])),
+per AS (
+  SELECT t.query_id,
+         sum(CASE WHEN e.label = q.label THEN d.d ELSE 0 END) AS dcg_q,
+         sum(CASE WHEN e.label = q.label THEN 1 ELSE 0 END) AS n_rel
+  FROM topk t
+  JOIN embeddings e ON e.vec_id = t.vec_id
+  JOIN embeddings q ON q.vec_id = t.query_id
+  JOIN disc d ON d.i = t.rank
+  GROUP BY 1
+)
+SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+       CAST(dcg_q AS BIGINT) AS dcg_q, CAST(cd AS BIGINT) AS idcg_q,
+       CASE WHEN cd > 0 THEN dcg_q * 1000000 // cd ELSE 0 END
+         AS ndcg_ppm
+FROM per JOIN cumd ON cumd.j = per.n_rel
+ORDER BY query_id
+"""
+
+
+# 24 hour-angle cos/sin values ×1e6, precomputed once in Python so both
+# engines consume identical integer literals (same rule as _NDCG_DISC).
+_CIRC_COS = [round(1_000_000 * math.cos(2 * math.pi * h / 24))
+             for h in range(24)]
+_CIRC_SIN = [round(1_000_000 * math.sin(2 * math.pi * h / 24))
+             for h in range(24)]
+
+
+def agg_circular_mean_hour(spark, sf_dir):
+    """Circular statistics of event timing — per event type, the mean
+    resultant vector over hour-of-day angles (the CORRECT way to
+    average times of day: the arithmetic mean of 23:00 and 01:00 is
+    noon; the circular mean is midnight). Hour angles use precomputed
+    integer cos/sin literals (1e-6 units), so the resultant sums are
+    exact BIGINTs; R² = cx² + cy² in 1e-12 units measures concentration
+    (0 = uniform around the clock, n² = fully peaked), and the modal
+    hour is reported alongside.
+
+    Scale shape: ONE (type, hour) fold (24 rows per type), literal
+    array lookup, type-grain fold; raw events shuffle once.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    cosa = F.array(*[F.lit(c) for c in _CIRC_COS])
+    sina = F.array(*[F.lit(s) for s in _CIRC_SIN])
+    hc = (_t(spark, sf_dir, "events")
+          .groupBy("event_type", F.hour("ts").alias("h"))
+          .agg(F.count("*").cast("long").alias("c")))
+    per = (hc.select("event_type", "c",
+                     F.element_at(cosa, F.col("h") + 1).alias("cs"),
+                     F.element_at(sina, F.col("h") + 1).alias("sn"),
+                     "h"))
+    agg = (per.groupBy("event_type")
+           .agg(F.sum("c").alias("n_events"),
+                F.sum(F.col("c") * F.col("cs")).alias("cx_q"),
+                F.sum(F.col("c") * F.col("sn")).alias("cy_q"),
+                F.max(F.struct(F.col("c"), (-F.col("h")).alias("nh")))
+                .alias("m")))
+    return (agg.select("event_type", "n_events", "cx_q", "cy_q",
+                       (-F.col("m.nh")).cast("int").alias("modal_hour"))
+            .orderBy("event_type"))
+
+
+def agg_circular_mean_hour_sql():
+    cosl = ", ".join(str(c) for c in _CIRC_COS)
+    sinl = ", ".join(str(s) for s in _CIRC_SIN)
+    return f"""
+WITH trig(h, cs, sn) AS (
+  SELECT unnest(range(0, 24)), unnest([{cosl}]), unnest([{sinl}])
+),
+hc AS (
+  SELECT event_type, hour(ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+best AS (
+  SELECT event_type, h AS modal_hour,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, h ASC) AS rn
+  FROM hc
+)
+SELECT hc.event_type, sum(c) AS n_events,
+       sum(c * t.cs) AS cx_q, sum(c * t.sn) AS cy_q,
+       CAST(max(b.modal_hour) AS INTEGER) AS modal_hour
+FROM hc JOIN trig t ON t.h = hc.h
+JOIN best b ON b.event_type = hc.event_type AND b.rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+PARTITION_GRAIN_THRESHOLD = 400
+
+
+def lake_partition_grain_plan(spark, sf_dir):
+    """Partition-evolution planner — per stream, decide whether the
+    sink's time partitioning should move from daily to hourly grain:
+    if the MEDIAN daily partition exceeds the target task size
+    (`PARTITION_GRAIN_THRESHOLD` rows here; bytes in production), a
+    1000-executor run wants the finer grain (Iceberg partition-spec
+    evolution — the successor spec only applies to new data, which is
+    why the plan, not the rewrite, is the operator). Reports the
+    median daily rows, the projected median hourly rows (exact, from
+    the observed hourly histogram — not daily/24), and the verdict.
+
+    Scale shape: ONE (stream, day) fold + ONE (stream, hour) fold;
+    both medians via row_number on the tiny partition-grain frames.
+
+    Reference parity: sink-side planning beyond the reference;
+    composes with `lake_partition_skew_audit` (skew says salt,
+    this says re-grain)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stream"), "ts")
+
+    def med(frame, col):
+        w = Window.partitionBy("stream").orderBy(col, "k")
+        return (frame
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(
+                    Window.partitionBy("stream")))
+                .where(F.col("rn") == F.expr("(n + 1) div 2"))
+                .select("stream", F.col(col).alias(f"med_{col}")))
+
+    daily = (ev.groupBy("stream", F.to_date("ts").alias("k"))
+             .agg(F.count("*").cast("long").alias("dr")))
+    hourly = (ev.groupBy("stream", F.date_trunc("hour", "ts").alias("k"))
+              .agg(F.count("*").cast("long").alias("hr")))
+    md = med(daily, "dr")
+    mh = med(hourly, "hr")
+    return (md.join(mh, "stream")
+            .select("stream", F.col("med_dr").alias("med_daily_rows"),
+                    F.col("med_hr").alias("med_hourly_rows"),
+                    F.when(F.col("med_dr") > PARTITION_GRAIN_THRESHOLD,
+                           F.lit("hour")).otherwise(F.lit("day"))
+                    .alias("recommended_grain"))
+            .orderBy("stream"))
+
+
+def lake_partition_grain_plan_sql():
+    return f"""
+WITH daily AS (
+  SELECT event_type AS stream, CAST(ts AS DATE) AS k,
+         CAST(count(*) AS BIGINT) AS dr
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT event_type AS stream, date_trunc('hour', ts) AS k,
+         CAST(count(*) AS BIGINT) AS hr
+  FROM events GROUP BY 1, 2
+),
+md AS (
+  SELECT stream, dr AS med_daily_rows FROM (
+    SELECT stream, dr,
+           row_number() OVER (PARTITION BY stream ORDER BY dr, k) AS rn,
+           count(*) OVER (PARTITION BY stream) AS n
+    FROM daily) WHERE rn = (n + 1) // 2
+),
+mh AS (
+  SELECT stream, hr AS med_hourly_rows FROM (
+    SELECT stream, hr,
+           row_number() OVER (PARTITION BY stream ORDER BY hr, k) AS rn,
+           count(*) OVER (PARTITION BY stream) AS n
+    FROM hourly) WHERE rn = (n + 1) // 2
+)
+SELECT md.stream, md.med_daily_rows, mh.med_hourly_rows,
+       CASE WHEN md.med_daily_rows > {PARTITION_GRAIN_THRESHOLD}
+            THEN 'hour' ELSE 'day' END AS recommended_grain
+FROM md JOIN mh ON mh.stream = md.stream
+ORDER BY 1
+"""
+
+
+def window_velocity_accel(spark, sf_dir):
+    """Discrete velocity and acceleration of daily volume per event
+    type — first and second differences of the day-count series, the
+    capacity-planning readout between raw counts and the Holt forecast
+    (`window_holt_linear`): velocity says growing-or-shrinking,
+    acceleration says the trend itself is bending. Exact integers,
+    emitted for days with a full two-day history.
+
+    Scale shape: ONE (type, day) fold; both lags on the tiny day-grain
+    frame.
+
+    Reference parity: none; window family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("c")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (daily
+         .withColumn("v", F.col("c") - F.lag("c", 1).over(w))
+         .withColumn("a", F.col("v") - F.lag("v", 1).over(w)))
+    return (d.where(F.col("a").isNotNull())
+            .select("event_type", "day", F.col("c").alias("n_events"),
+                    F.col("v").alias("velocity"),
+                    F.col("a").alias("acceleration"))
+            .orderBy("event_type", "day"))
+
+
+def window_velocity_accel_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, day, c,
+         c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS v
+  FROM daily
+),
+dd AS (
+  SELECT event_type, day, c, v,
+         v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS a
+  FROM d
+)
+SELECT event_type, day, c AS n_events, v AS velocity, a AS acceleration
+FROM dd WHERE a IS NOT NULL
+ORDER BY event_type, day
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -13552,6 +13833,10 @@ QUERIES = {
     "sql_lateral_top3_orders": sql_lateral_top3_orders,
     "agg_markov_stationary": agg_markov_stationary,
     "cdc_delete_cascade_impact": cdc_delete_cascade_impact,
+    "sim_ndcg_eval": sim_ndcg_eval,
+    "agg_circular_mean_hour": agg_circular_mean_hour,
+    "lake_partition_grain_plan": lake_partition_grain_plan,
+    "window_velocity_accel": window_velocity_accel,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -13910,4 +14195,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "sql_lateral_top3_orders": sql_lateral_top3_orders_sql(),
     "agg_markov_stationary": agg_markov_stationary_sql(),
     "cdc_delete_cascade_impact": cdc_delete_cascade_impact_sql(),
+    "sim_ndcg_eval": sim_ndcg_eval_sql(),
+    "agg_circular_mean_hour": agg_circular_mean_hour_sql(),
+    "lake_partition_grain_plan": lake_partition_grain_plan_sql(),
+    "window_velocity_accel": window_velocity_accel_sql(),
 }
