@@ -13458,6 +13458,269 @@ ORDER BY event_type, day
 """
 
 
+def dedup_lsh_cost_plan(spark, sf_dir):
+    """LSH execution-cost plan — BEFORE expanding any bucket into
+    pairs, the work estimate the dedup coordinator reads: per-band
+    bucket sizes from the production signature+banding stages, folded
+    into Σ c·(c−1)/2 candidate-pair work (with band multiplicity — the
+    actual join fan-out, unlike the `distinct`ed candidate count),
+    the largest bucket, and the share of work concentrated in hot
+    buckets (>16 members) in ppm. A high hot share says raise
+    `max_df`/bands before running `dedup_minhash_lsh` at the next
+    100×.
+
+    Scale shape: the signature kernel runs once (shuffle-free Arrow),
+    ONE (band, bucket) fold, then a scalar reduction over the
+    bucket-grain frame; no pairs are ever materialized.
+
+    Reference parity: none; dedup family (SURVEY §2.3), the planning
+    row ahead of `dedup_minhash_lsh` / `dedup_lsh_band_sweep`."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, n=3, num_hashes=16)
+    banded = dedup._banded(sig, 16, 4)
+    bsz = (banded.groupBy("band", "bucket")
+           .agg(F.count("*").cast("long").alias("c"))
+           .where(F.col("c") > 1))
+    work = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    per = bsz.select("c", work.alias("w"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("w").alias("pair_work"),
+        F.max("c").alias("max_bucket"),
+        F.coalesce(
+            F.expr("sum(CASE WHEN c > 16 THEN w ELSE 0 END)"
+                   " * 1000000 div sum(w)"), F.lit(0))
+        .alias("hot_work_ppm"))
+
+
+def dedup_lsh_cost_plan_sql():
+    num_hashes, bands, n = 16, 4, 3
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "(" + str(bi) + ", " + " || ',' || ".join(
+            f"mh{bi * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)) + ")"
+        for bi in range(bands))
+    coeffs = dedup._minhash_coeffs(num_hashes)
+    mins = ",\n       ".join(
+        f"min((hv * {a} + {b}) % {dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    return dedup.shingle_cte("documents", n) + f"""
+, hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv FROM sh
+), mh AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b.* FROM mh, LATERAL (VALUES {band_structs}) AS b(band, bucket)
+), bsz AS (
+  SELECT band, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1
+),
+per AS (SELECT c, c * (c - 1) // 2 AS w FROM bsz)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets, sum(w) AS pair_work,
+       max(c) AS max_bucket,
+       coalesce(sum(CASE WHEN c > 16 THEN w ELSE 0 END)
+                * 1000000 // sum(w), 0) AS hot_work_ppm
+FROM per
+"""
+
+
+def agg_two_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test — purchase share of all events, first
+    week (Jan 1–7) vs fourth week (Jan 22–28): the conversion-rate A/B
+    gate. Counts fold exactly; the z statistic under the pooled
+    proportion is ONE shared double expression on both engines (the
+    `agg_welch_ttest` contract).
+
+    Scale shape: ONE conditional fold over the two pushed date slices;
+    single row out.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"))
+    w1 = (F.col("day") >= F.lit("2024-01-01")) & \
+         (F.col("day") <= F.lit("2024-01-07"))
+    w4 = (F.col("day") >= F.lit("2024-01-22")) & \
+         (F.col("day") <= F.lit("2024-01-28"))
+    agg = (ev.where(w1 | w4)
+           .agg(F.sum(w1.cast("long")).alias("n1"),
+                F.sum((w1 & (F.col("event_type") == "purchase"))
+                      .cast("long")).alias("x1"),
+                F.sum(w4.cast("long")).alias("n2"),
+                F.sum((w4 & (F.col("event_type") == "purchase"))
+                      .cast("long")).alias("x2")))
+    z = F.expr(
+        "(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) / "
+        "sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) "
+        "* (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) "
+        "* (1.0 / n1 + 1.0 / n2))")
+    return agg.select("n1", "x1", "n2", "x2",
+                      F.round(z, 6).alias("z_score"))
+
+
+def agg_two_proportion_ztest_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN day BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN day BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x1,
+    CAST(sum(CASE WHEN day BETWEEN DATE '2024-01-22' AND DATE '2024-01-28'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN day BETWEEN DATE '2024-01-22' AND DATE '2024-01-28'
+             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x2
+  FROM ev
+  WHERE day BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+     OR day BETWEEN DATE '2024-01-22' AND DATE '2024-01-28'
+)
+SELECT n1, x1, n2, x2,
+       round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) /
+             sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+FROM agg
+"""
+
+
+def sim_triplet_margin_stats(spark, sf_dir):
+    """Triplet-margin report for metric-learning data — per anchor
+    (vec_id < 8): the hardest positive (highest same-label cosine) vs
+    the hardest negative (highest different-label cosine —
+    `sim_hard_negatives`' objective) and the margin between them. A
+    negative margin means the embedding ranks an impostor above every
+    true neighbor — exactly the anchors a contrastive fine-tune should
+    mine. Sims rounded to 1e-6 (the family contract) before the max,
+    so tie behavior is engine-identical.
+
+    Scale shape: anchors broadcast onto ONE corpus pass (Arrow dot
+    kernel), one conditional max-fold per anchor.
+
+    Reference parity: none; similarity family (SURVEY §2.3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("label").alias("qlabel")))
+    from .operators.similarity import _dot
+    scored = (emb.join(F.broadcast(anchors))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id",
+                      (F.col("label") == F.col("qlabel")).alias("same"),
+                      F.round(_dot(F.col("qvec"), F.col("embedding")), 6)
+                      .alias("sim")))
+    per = (scored.groupBy("query_id")
+           .agg(F.max(F.when(F.col("same"), F.col("sim")))
+                .alias("pos_sim"),
+                F.max(F.when(~F.col("same"), F.col("sim")))
+                .alias("neg_sim")))
+    return (per.select("query_id", "pos_sim", "neg_sim",
+                       F.round(F.col("pos_sim") - F.col("neg_sim"), 6)
+                       .alias("margin"))
+            .orderBy("query_id"))
+
+
+def sim_triplet_margin_stats_sql():
+    from .operators.similarity import _DOT
+    dot = _DOT.format(a="q.embedding", b="t.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id,
+         t.label = q.label AS same,
+         round({dot}, 6) AS sim
+  FROM embeddings q JOIN embeddings t ON t.vec_id != q.vec_id
+  WHERE q.vec_id < 8
+),
+per AS (
+  SELECT query_id,
+         max(CASE WHEN same THEN sim END) AS pos_sim,
+         max(CASE WHEN NOT same THEN sim END) AS neg_sim
+  FROM scored GROUP BY 1
+)
+SELECT query_id, pos_sim, neg_sim,
+       round(pos_sim - neg_sim, 6) AS margin
+FROM per ORDER BY query_id
+"""
+
+
+def agg_acf_profile(spark, sf_dir):
+    """Autocorrelation profile — ACF at lags 1..7 of the daily count
+    series per event type (the full weekly correlogram;
+    `agg_autocorr_daily` is the lag-1 cell): a spike at lag 7 is the
+    weekly season, geometric decay is trend. Same exactness contract:
+    DECIMAL(38,0) moment sums, ONE shared double Pearson expression.
+
+    Scale shape: ONE (type, day) fold; the lag join and moment fold
+    run on the |types × days × 7| frame only.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("n"))
+             .localCheckpoint(eager=False))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a = daily.select("event_type", "day",
+                     F.col("n").cast("decimal(38,0)").alias("x"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("day").alias("day2"),
+                     F.col("n").cast("decimal(38,0)").alias("y"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .join(b, (F.col("et2") == F.col("event_type"))
+                   & (F.col("day2") == F.col("day") + F.col("k"))))
+    sums = (pairs.groupBy("event_type", "k")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy")))
+    nd, sx, sy, sxy, sxx, syy = [
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+    return (sums.select(
+        "event_type", F.col("k").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round((nd * sxy - sx * sy)
+                / (F.sqrt(nd * sxx - sx * sx)
+                   * F.sqrt(nd * syy - sy * sy)), 6).alias("acf"))
+        .orderBy("event_type", "lag"))
+
+
+def agg_acf_profile_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(range(1, 8)) AS k),
+pairs AS (
+  SELECT a.event_type, l.k, a.n AS x, b.n AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + l.k
+),
+sums AS (
+  SELECT event_type, k, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag, n AS n_pairs,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE
+                       * sy::DOUBLE)), 6) AS acf
+FROM sums ORDER BY event_type, lag
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -13837,6 +14100,10 @@ QUERIES = {
     "agg_circular_mean_hour": agg_circular_mean_hour,
     "lake_partition_grain_plan": lake_partition_grain_plan,
     "window_velocity_accel": window_velocity_accel,
+    "dedup_lsh_cost_plan": dedup_lsh_cost_plan,
+    "agg_two_proportion_ztest": agg_two_proportion_ztest,
+    "sim_triplet_margin_stats": sim_triplet_margin_stats,
+    "agg_acf_profile": agg_acf_profile,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -14199,4 +14466,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_circular_mean_hour": agg_circular_mean_hour_sql(),
     "lake_partition_grain_plan": lake_partition_grain_plan_sql(),
     "window_velocity_accel": window_velocity_accel_sql(),
+    "dedup_lsh_cost_plan": dedup_lsh_cost_plan_sql(),
+    "agg_two_proportion_ztest": agg_two_proportion_ztest_sql(),
+    "sim_triplet_margin_stats": sim_triplet_margin_stats_sql(),
+    "agg_acf_profile": agg_acf_profile_sql(),
 }
