@@ -13721,6 +13721,237 @@ FROM sums ORDER BY event_type, lag
 """
 
 
+def window_rolling_slope(spark, sf_dir):
+    """7-day rolling OLS slope of daily volume per event type — the
+    local trend detector between the global fit (`agg_ols_trend`) and
+    the smoothed forecast (`window_holt_linear`): each day carries the
+    least-squares slope over its trailing week, in 1e-6 events/day.
+    Moment sums accumulate as exact BIGINTs inside the frame (x is the
+    day index — small integers), the slope is ONE shared double
+    expression per row.
+
+    Scale shape: ONE (type, day) fold; the rolling frame runs on the
+    tiny day-grain series (ROWS BETWEEN 6 PRECEDING), never raw rows.
+
+    Reference parity: none; window family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    wr = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, 0))
+    x = F.col("day")
+    r = (daily
+         .withColumn("cnt", F.count("*").over(wr))
+         .withColumn("sx", F.sum(x).over(wr))
+         .withColumn("sy", F.sum("n").over(wr))
+         .withColumn("sxy", F.sum(x * F.col("n")).over(wr))
+         .withColumn("sxx", F.sum(x * x).over(wr))
+         .where(F.col("cnt") == 7))
+    slope = ((F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             .cast("double")
+             / (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             .cast("double"))
+    return (r.select("event_type", "day",
+                     F.round(slope * 1_000_000).cast("long")
+                     .alias("slope_q"))
+            .orderBy("event_type", "day"))
+
+
+def window_rolling_slope_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day,
+         count(*) OVER w AS cnt,
+         sum(day) OVER w AS sx, sum(n) OVER w AS sy,
+         sum(day * n) OVER w AS sxy, sum(day * day) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(round(CAST(cnt * sxy - sx * sy AS DOUBLE)
+                  / CAST(cnt * sxx - sx * sx AS DOUBLE)
+                  * 1000000) AS BIGINT) AS slope_q
+FROM r WHERE cnt = 7
+ORDER BY event_type, day
+"""
+
+
+def text_simpson_diversity(spark, sf_dir):
+    """Simpson lexical concentration per language — the probability
+    two tokens drawn without replacement are the SAME word,
+    λ = Σ c(c−1) / (n(n−1)) in ppm: the vocabulary-side complement of
+    `agg_hhi_concentration` (HHI squares shares; Simpson's unbiased
+    form stays exactly integer with no squaring of fractions) and of
+    `text_zipf_slope` (slope says how fast ranks decay; λ says how
+    much mass the head actually holds).
+
+    Scale shape: ONE (lang, word) fold, ONE lang-grain moment fold;
+    the ratio is a single integer cross-multiplication.
+
+    Reference parity: none; text family (SURVEY §2.3)."""
+    cnt = (_t(spark, sf_dir, "documents")
+           .select("lang", F.explode(F.split("text", " ")).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("lang", "w")
+           .agg(F.count("*").cast("long").alias("c")))
+    return (cnt.groupBy("lang")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_types"),
+                 F.sum(F.col("c") * (F.col("c") - 1)).alias("rep2"))
+            .select("lang", "n_tokens", "n_types",
+                    F.expr("rep2 * 1000000"
+                           " div (n_tokens * (n_tokens - 1))")
+                    .alias("simpson_ppm"))
+            .orderBy("lang"))
+
+
+def text_simpson_diversity_sql():
+    return """
+WITH cnt AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''
+  GROUP BY 1, 2
+)
+SELECT lang, sum(c) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+       sum(c * (c - 1)) * 1000000
+         // (sum(c) * (sum(c) - 1)) AS simpson_ppm
+FROM cnt GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_not_in_null_semantics(spark, sf_dir):
+    """NOT IN null-semantics parity row — the classic three-valued-
+    logic trap, pinned identically on both engines: customers whose
+    key is NOT IN a subquery that CONTAINS a NULL match NOTHING (the
+    predicate is never TRUE once a NULL is in the list), while the
+    NULL-filtered variant behaves like a plain anti join. Spark plans
+    the first as a null-aware anti join (NAAJ) — this row freezes that
+    semantics so an optimizer change can never silently flip it.
+
+    Scale shape: two anti-join-shaped aggregates over the orders
+    probe; single row out.
+
+    Reference parity: none; SQL-surface family (SURVEY §2.2), sibling
+    of `sql_exists_semi`."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("ni_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ni_orders")
+    return spark.sql("""
+SELECT
+  (SELECT count(*) FROM ni_customer WHERE c_custkey NOT IN
+     (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END FROM ni_orders
+      WHERE o_orderkey % 3 = 0))
+    AS n_with_null_list,
+  (SELECT count(*) FROM ni_customer WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM ni_orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 1000 != 0))
+    AS n_null_filtered
+""")
+
+
+def sql_not_in_null_semantics_sql():
+    return """
+SELECT
+  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+     (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END FROM orders
+      WHERE o_orderkey % 3 = 0))
+    AS n_with_null_list,
+  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 1000 != 0))
+    AS n_null_filtered
+"""
+
+
+def graph_two_hop_reach(spark, sf_dir):
+    """Two-hop reach histogram over the md5 link graph — |N₂(v)|, the
+    friend-of-friend audience size per node (the quantity behind
+    influence estimates and LSH-graph expansion planning), folded into
+    a reach-size histogram. Exact distinct 2-hop set: neighbors'
+    neighbors minus direct neighbors minus self.
+
+    Scale shape: one sym-edge self-join on the middle key (per-node
+    degree is bounded ≤6 in this graph; at scale the join is the
+    standard wedge fan-out, same as `graph_triangle_count`), distinct
+    fold per source, histogram fold on the per-node frame.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    sym = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(und.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst")))
+           .localCheckpoint(eager=False))
+    two = (sym.alias("e1")
+           .join(sym.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+           .select(F.col("e1.src").alias("s"),
+                   F.col("e2.dst").alias("t"))
+           .where(F.col("s") != F.col("t"))
+           .distinct()
+           .join(sym.select(F.col("src").alias("s"),
+                            F.col("dst").alias("t")),
+                 ["s", "t"], "left_anti"))
+    reach = (two.groupBy("s")
+             .agg(F.count("*").cast("long").alias("reach")))
+    return (reach.groupBy("reach")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .orderBy("reach"))
+
+
+def graph_two_hop_reach_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v, u FROM und
+),
+two AS (
+  SELECT DISTINCT e1.src AS s, e2.dst AS t
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  WHERE e1.src != e2.dst
+),
+pruned AS (
+  SELECT s, t FROM two
+  WHERE NOT EXISTS (SELECT 1 FROM sym
+                    WHERE sym.src = two.s AND sym.dst = two.t)
+),
+reach AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS reach FROM pruned GROUP BY 1
+)
+SELECT reach, CAST(count(*) AS BIGINT) AS n_nodes
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -14104,6 +14335,10 @@ QUERIES = {
     "agg_two_proportion_ztest": agg_two_proportion_ztest,
     "sim_triplet_margin_stats": sim_triplet_margin_stats,
     "agg_acf_profile": agg_acf_profile,
+    "window_rolling_slope": window_rolling_slope,
+    "text_simpson_diversity": text_simpson_diversity,
+    "sql_not_in_null_semantics": sql_not_in_null_semantics,
+    "graph_two_hop_reach": graph_two_hop_reach,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -14470,4 +14705,8 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "agg_two_proportion_ztest": agg_two_proportion_ztest_sql(),
     "sim_triplet_margin_stats": sim_triplet_margin_stats_sql(),
     "agg_acf_profile": agg_acf_profile_sql(),
+    "window_rolling_slope": window_rolling_slope_sql(),
+    "text_simpson_diversity": text_simpson_diversity_sql(),
+    "sql_not_in_null_semantics": sql_not_in_null_semantics_sql(),
+    "graph_two_hop_reach": graph_two_hop_reach_sql(),
 }
