@@ -111,8 +111,14 @@ BENCH_QUERIES = [
     "cdc_time_travel",
 ]
 # auto-append anything newly registered so no query is ever silently
-# unbenched (the r3 verdict found 16 missing rows; this closes the class)
-BENCH_QUERIES += [n for n in QUERIES if n not in BENCH_QUERIES]
+# unbenched (the r3 verdict found 16 missing rows; this closes the class).
+# The curated head keeps best-of-2 sampling; the auto-appended tail runs
+# once (the registry is ~300 queries — 2 reps each would double a
+# multi-minute wall for regression data the curated head already
+# provides), and a soft budget drops the whole loop to single-rep if the
+# host is having a bad co-tenant day. Nothing is ever skipped.
+CURATED = set(BENCH_QUERIES)
+BENCH_QUERIES += [n for n in QUERIES if n not in CURATED]
 
 
 def _cpu_burn() -> float:
@@ -234,6 +240,8 @@ def main():
     timings["cdc_replay"] = round(replay["seconds"], 3)
     total += replay["seconds"]
 
+    qbudget = float(os.environ.get("BENCH_QUERY_BUDGET_SECS", "420"))
+    qstart = time.perf_counter()
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         # cache hygiene between queries: a no-op RPC when nothing is
@@ -241,8 +249,10 @@ def main():
         # inflating its neighbors' GC time in the shared JVM (the r3
         # sim-family drift suspect)
         spark.catalog.clearCache()
+        reps = 2 if (name in CURATED
+                     and time.perf_counter() - qstart < qbudget) else 1
         best = None
-        for _ in range(2):  # best-of-2: shared-host interference is bursty
+        for _ in range(reps):  # best-of-2: shared-host interference is bursty
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
