@@ -13952,6 +13952,494 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_shingle_df_profile(spark, sf_dir):
+    """Shingle document-frequency profile — the distribution that
+    justifies the `max_df` hot-shingle cut (`dedup_ngram_jaccard`) and
+    the LSH cost plan: per log2(df) bucket, how many distinct shingles
+    live there and what share of all postings they carry (ppm). A fat
+    high-df tail means boilerplate shingles dominate the inverted
+    index and the cut threshold must drop before the next 100×.
+
+    Scale shape: the shuffle-free Arrow shingle kernel, ONE
+    (shingle)-grain distinct fold, then a ≤64-bucket histogram fold.
+
+    Reference parity: none; dedup family (SURVEY §2.3), the profiling
+    row under `dedup_lsh_cost_plan`."""
+    sh = dedup.shingles(_t(spark, sf_dir, "documents"), n=3)
+    dfreq = (sh.groupBy("shingle")
+             .agg(F.countDistinct("doc_id").cast("long").alias("df")))
+    b = (F.length(F.expr("bin(df)")) - 1).cast("long")
+    buck = (dfreq.groupBy(b.alias("log2_df"))
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum("df").alias("n_postings")))
+    tot = buck.agg(F.sum("n_postings").alias("t"))
+    return (buck.crossJoin(F.broadcast(tot))
+            .select("log2_df", "n_shingles", "n_postings",
+                    F.expr("n_postings * 1000000 div t")
+                    .alias("postings_share_ppm"))
+            .orderBy("log2_df"))
+
+
+def dedup_shingle_df_profile_sql():
+    return dedup.shingle_cte("documents", 3) + """
+, dfreq AS (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM sh GROUP BY 1
+),
+buck AS (
+  SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         sum(df) AS n_postings
+  FROM dfreq GROUP BY 1
+),
+tot AS (SELECT sum(n_postings) AS t FROM buck)
+SELECT log2_df, n_shingles, n_postings,
+       n_postings * 1000000 // t AS postings_share_ppm
+FROM buck CROSS JOIN tot ORDER BY 1
+"""
+
+
+def text_ngram_coverage_curve(spark, sf_dir):
+    """Trigram coverage curve — what share of all trigram POSTINGS
+    (per-document distinct trigrams, the inverted-index grain) the
+    top-{10, 100, 1000} most frequent trigrams cover (ppm): the
+    head-mass readout that says whether n-gram features (LM scoring,
+    novelty, decontamination shingles) can be served from a small
+    broadcast table or need the full distributed index. Complements
+    `text_heaps_law_curve` (vocabulary growth) with occupancy.
+    Posting grain (not raw occurrences) matches the shingle-oracle
+    contract — `shingle_cte` is per-doc distinct.
+
+    Scale shape: one shingle fold to the vocab grain; ranking and the
+    three checkpoint sums run on that frame (at 100 TB: bounded
+    TakeOrdered for the head, one fold for the total).
+
+    Reference parity: none; text family (SURVEY §2.3)."""
+    sh = dedup.shingles(_t(spark, sf_dir, "documents"), n=3).distinct()
+    cnt = (sh.groupBy("shingle")
+           .agg(F.count("*").cast("long").alias("c")))
+    w = Window.orderBy(F.col("c").desc(), "shingle")
+    ranked = cnt.withColumn("rn", F.row_number().over(w))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    ns = spark.range(0, 3).select(
+        F.pow(F.lit(10), F.col("id") + 1).cast("long").alias("top_n"))
+    cov = (ranked.crossJoin(F.broadcast(ns))
+           .where(F.col("rn") <= F.col("top_n"))
+           .groupBy("top_n").agg(F.sum("c").alias("covered")))
+    return (cov.crossJoin(F.broadcast(tot))
+            .select("top_n", "covered", F.col("t").alias("total"),
+                    F.expr("covered * 1000000 div t")
+                    .alias("coverage_ppm"))
+            .orderBy("top_n"))
+
+
+def text_ngram_coverage_curve_sql():
+    return dedup.shingle_cte("documents", 3) + """
+, cnt AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, shingle) AS rn FROM cnt
+),
+tot AS (SELECT sum(c) AS t FROM cnt),
+ns AS (SELECT unnest([10, 100, 1000]) AS top_n)
+SELECT CAST(top_n AS BIGINT) AS top_n, sum(c) AS covered,
+       max(t) AS total, sum(c) * 1000000 // max(t) AS coverage_ppm
+FROM ranked JOIN ns ON rn <= top_n CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sample_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup by down-weighting — instead of dropping near-dups,
+    weight every document 1/|twin-group| (the SoftDeDup idea: keep the
+    data, remove the gradient over-count), with the 6-word template
+    prefix as the twin key (`sample_split_leakage_audit`'s contract).
+    Per language: raw docs, docs in non-trivial twin groups, and the
+    effective corpus size Σ 1e6/g in ppm-docs — what the sampler's
+    epoch accounting should use instead of the raw count.
+
+    Scale shape: ONE content-key fold for group sizes, key-grain join
+    back (same shuffle key), lang fold.
+
+    Reference parity: none; LLM-pipeline sampling family (SURVEY
+    §2.3)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("h"))
+    grp = docs.groupBy("h").agg(F.count("*").cast("long").alias("g"))
+    j = docs.join(grp, "h")
+    return (j.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum((F.col("g") > 1).cast("long")).alias("n_twin_docs"),
+                 F.sum(F.expr("1000000 div g")).alias("effective_ppm_docs"))
+            .orderBy("lang"))
+
+
+def sample_soft_dedup_weights_sql():
+    return """
+WITH docs AS (
+  SELECT doc_id, lang,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS h
+  FROM documents
+),
+grp AS (SELECT h, CAST(count(*) AS BIGINT) AS g FROM docs GROUP BY 1)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_twin_docs,
+       sum(1000000 // g) AS effective_ppm_docs
+FROM docs JOIN grp USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+RICH_CLUB_K = 50
+
+
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient — edge density among the top-50 highest-
+    degree nodes vs the whole graph's density (ppm): rich-club ≫
+    global says the hubs form a connected core (scale-free web graphs
+    do; if the link graph here doesn't, hub-first crawl scheduling
+    buys nothing). Ties in the degree cut broken by node id, so the
+    club is engine-deterministic.
+
+    Scale shape: degree fold, bounded top-K cut, club edges via two
+    semi joins against the (tiny, broadcast) club set; single row.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    wd = Window.orderBy(F.col("d").desc(), "node")
+    club = (deg.withColumn("rn", F.row_number().over(wd))
+            .where(F.col("rn") <= RICH_CLUB_K)
+            .select("node"))
+    e_rich = (und.join(club.withColumnRenamed("node", "u"), "u",
+                       "left_semi")
+              .join(club.withColumnRenamed("node", "v"), "v",
+                    "left_semi")
+              .count())
+    m = und.count()
+    n_nodes = deg.count()
+    poss_rich = RICH_CLUB_K * (RICH_CLUB_K - 1) // 2
+    poss_all = n_nodes * (n_nodes - 1) // 2
+    return spark.createDataFrame(
+        [(RICH_CLUB_K, int(e_rich), poss_rich,
+          int(e_rich) * 1_000_000 // poss_rich,
+          int(m), int(m) * 1_000_000 // poss_all)],
+        "k int, e_rich bigint, possible_rich bigint, "
+        "rich_density_ppm bigint, n_edges bigint, global_density_ppm "
+        "bigint")
+
+
+def graph_rich_club_sql():
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a != b
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY 1
+),
+club AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rn
+    FROM deg) WHERE rn <= {RICH_CLUB_K}
+),
+er AS (
+  SELECT CAST(count(*) AS BIGINT) AS e_rich FROM und
+  WHERE u IN (SELECT node FROM club) AND v IN (SELECT node FROM club)
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg)
+SELECT CAST({RICH_CLUB_K} AS INTEGER) AS k, e_rich,
+       CAST({RICH_CLUB_K * (RICH_CLUB_K - 1) // 2} AS BIGINT)
+         AS possible_rich,
+       e_rich * 1000000 // {RICH_CLUB_K * (RICH_CLUB_K - 1) // 2}
+         AS rich_density_ppm,
+       m AS n_edges,
+       m * 1000000 // (nv * (nv - 1) // 2) AS global_density_ppm
+FROM er CROSS JOIN m CROSS JOIN nv
+"""
+
+
+def window_rolling_median(spark, sf_dir):
+    """Exact rolling median of per-user daily revenue over the trailing
+    7 present days (ROWS frame) — the robust-center companion to
+    `window_rolling_slope` / `window_zscore_outliers`: a median line
+    shrugs off the single-whale day that drags a trailing mean. Exact
+    (not approx-percentile): the frame is ≤7 values, so sorting the
+    collected frame is O(1) per row. Reported as med2x_cents = the sum
+    of the two middle order statistics (== 2×median), keeping the
+    even-count median integer-exact on both engines.
+
+    Scale shape: one (user, day) pre-fold shrinks the stream ~events/
+    day-grain, then ONE user shuffle + in-partition sort; the 7-row
+    collect is bounded so state per row is constant. At 100 TB the
+    pre-fold is the whole story — the window runs on days, not events.
+
+    Reference parity: none; window family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 1_000_000)
+                        .cast("long")).alias("vq")))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("vq").over(w))
+    n = F.size(arr)
+    med2x = (F.element_at(arr, ((n + 1) / 2).cast("int"))
+             + F.element_at(arr, (n / 2 + 1).cast("int")))
+    return (daily.select("user_id", "day",
+                         n.cast("long").alias("n_days_in_frame"),
+                         med2x.alias("med2x_vq"))
+            .orderBy("user_id", "day"))
+
+
+def window_rolling_median_sql():
+    return """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS vq
+  FROM events GROUP BY 1, 2
+), roll AS (
+  SELECT user_id, day,
+         list_sort(list(vq) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+  FROM daily
+)
+SELECT user_id, day, CAST(len(a) AS BIGINT) AS n_days_in_frame,
+       a[(len(a) + 1) // 2] + a[len(a) // 2 + 1] AS med2x_vq
+FROM roll ORDER BY user_id, day
+"""
+
+
+_CMSW_WIDTHS = (64, 256, 1024)
+_CMSW_D = 2
+
+
+def sketch_cms_width_sweep(spark, sf_dir):
+    """Count-min-sketch width sweep — the sizing study behind
+    `sketch_cms_heavy_hitters`: the same d=2 sketch at w ∈ {64, 256,
+    1024}, reporting per width the total overestimate mass Σ(est−exact)
+    and the worst per-key relative error (ppm). CMS error is ~N/w, so
+    the sweep shows the operator's knob: quadrupling width quarters the
+    collision mass, and the table says exactly where the curve flattens
+    for THIS key distribution — the number you need before promising an
+    error bound at 10^10 events.
+
+    Scale shape: one explode to (event × d × |widths|) rows, two keyed
+    folds (register grain is ≤ d·Σw = 2688 rows, broadcast back), and a
+    3-row report. Exact counts ride along per (key, j, pos) group as in
+    the heavy-hitter query, so no second pass over the stream.
+
+    Reference parity: none; sketch family (SURVEY §2.3)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    slots = F.array(*[
+        F.struct(F.lit(w_).alias("w"), F.lit(j).alias("j"),
+                 (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
+                  .cast("long") % w_).alias("pos"))
+        for w_ in _CMSW_WIDTHS for j in range(_CMSW_D)])
+    hashed = ev.select("user_id", F.explode(slots).alias("s"))
+    probes = (hashed.groupBy("user_id", "s.w", "s.j", "s.pos")
+              .agg(F.count("*").alias("exact")))
+    regs = probes.groupBy("w", "j", "pos").agg(F.sum("exact").alias("cnt"))
+    est = (probes.join(F.broadcast(regs), ["w", "j", "pos"])
+           .groupBy("user_id", "w")
+           .agg(F.min("cnt").alias("est"), F.min("exact").alias("exact")))
+    over = F.col("est") - F.col("exact")
+    return (est.groupBy(F.col("w").alias("width"))
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 F.sum(over).alias("overcount_total"),
+                 F.max(F.expr("(est - exact) * 1000000 div exact"))
+                 .alias("max_rel_err_ppm"))
+            .orderBy("width"))
+
+
+def sketch_cms_width_sweep_sql():
+    slices = ", ".join(
+        f"{{'w': {w_}, 'j': {j}, "
+        f"'pos': ('0x' || substr(h, {1 + 8 * j}, 8))::BIGINT % {w_}}}"
+        for w_ in _CMSW_WIDTHS for j in range(_CMSW_D))
+    return f"""
+WITH hashed AS (
+  SELECT user_id, u.w AS w, u.j AS j, u.pos AS pos
+  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       unnest([{slices}]) AS t(u)
+), probes AS (
+  SELECT user_id, w, j, pos, count(*) AS exact
+  FROM hashed GROUP BY 1, 2, 3, 4
+), regs AS (
+  SELECT w, j, pos, sum(exact) AS cnt FROM probes GROUP BY 1, 2, 3
+), est AS (
+  SELECT p.user_id, p.w, min(r.cnt) AS est, min(p.exact) AS exact
+  FROM probes p JOIN regs r USING (w, j, pos)
+  GROUP BY 1, 2
+)
+SELECT CAST(w AS INTEGER) AS width, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(est - exact) AS BIGINT) AS overcount_total,
+       CAST(max((est - exact) * 1000000 // exact) AS BIGINT)
+         AS max_rel_err_ppm
+FROM est GROUP BY 1 ORDER BY 1
+"""
+
+
+def sim_pairwise_diversity(spark, sf_dir):
+    """Intra-class embedding diversity — per label, the MEAN PAIRWISE
+    dot product over all n·(n−1)/2 vector pairs, computed WITHOUT
+    forming pairs: Σ_{i<j} vᵢ·vⱼ = (‖Σv‖² − Σ‖v‖²)/2, so two keyed
+    folds (per-dim component sums + per-row squared norms) replace the
+    O(n²) self-join. High mean ⇒ the class is a tight cap (semdedup
+    will prune hard); near-zero ⇒ the label carries no geometric
+    signal. Components are quantized to 1e-6 ints first, making the
+    huge sums exact and engine-portable; the final ratio is the only
+    float op.
+
+    Scale shape: one posexplode + (label, dim) fold (|labels|·64 rows),
+    one (label) fold, broadcast-size join of the two — no pair blow-up
+    at any n, the trick that keeps this runnable when a label holds
+    10^8 vectors.
+
+    Reference parity: none; similarity family (SURVEY §2.3)."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.select(
+        "label", "vec_id",
+        F.expr("transform(embedding, x -> "
+               "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .alias("qv"))
+    comp = (q.select("label", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("label", "dim").agg(F.sum("x").alias("sv")))
+    s2 = comp.groupBy("label").agg(F.sum(F.col("sv") * F.col("sv"))
+                                   .alias("s2"))
+    norms = (q.select(
+        "label",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+        .alias("nn"))
+        .groupBy("label").agg(F.count("*").cast("long").alias("n"),
+                              F.sum("nn").alias("ss")))
+    num = (F.col("s2") - F.col("ss")).cast("double") / 2e12
+    den = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    return (norms.join(s2, "label")
+            .select("label", "n",
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                    .alias("n_pairs"),
+                    F.round(num / den, 6).alias("mean_pair_dot"))
+            .orderBy("label"))
+
+
+def sim_pairwise_diversity_sql():
+    return """
+WITH q AS (
+  SELECT label, vec_id,
+         list_transform(embedding,
+             x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), comp AS (
+  SELECT label, i - 1 AS dim, sum(qv[i]) AS sv
+  FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) s
+  GROUP BY 1, 2
+), s2 AS (
+  SELECT label, sum(sv * sv) AS s2 FROM comp GROUP BY 1
+), norms AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         sum(list_aggregate(list_transform(qv, x -> x * x), 'sum')) AS ss
+  FROM q GROUP BY 1
+)
+SELECT label, n, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+       round((s2 - ss)::DOUBLE / 2e12 / (n * (n - 1) / 2.0), 6)
+         AS mean_pair_dot
+FROM norms JOIN s2 USING (label) ORDER BY label
+"""
+
+
+def sql_range_vs_rows_frame(spark, sf_dir):
+    """Window-frame semantics pin — RANGE vs ROWS on a tied ORDER key,
+    the SQL:2011 corner every engine must agree on before a windowed
+    query is portable: a RANGE frame includes ALL PEERS of the current
+    row (ties in the ORDER BY key enter the frame together, and a
+    trailing `2 PRECEDING` bound is in VALUE units), while a ROWS frame
+    counts physical rows and therefore needs a total-order tiebreak to
+    be deterministic at all. Events are bucketed to a coarse integer
+    value band (ties guaranteed), then each row reports its peer-group
+    size, the RANGE-trailing sum (value-bounded, peers included) and
+    the ROWS-trailing sum (event_id tiebreak). Both engines must agree
+    bit-for-bit — this pins that they implement the same frame spec.
+
+    Scale shape: ONE shuffle on event_type + in-partition sort shared
+    by all three frames (at 100 TB the partition key becomes
+    (type, day) — same plan). Sums are integer-quantized.
+
+    Reference parity: none; SQL-semantics family (SURVEY §2.2), sibling
+    of `sql_not_in_null_semantics`."""
+    ev = _t(spark, sf_dir, "events")
+    vq = F.round(F.col("value") * 1_000_000).cast("long")
+    base = ev.select("event_id", "event_type", vq.alias("vq"),
+                     F.expr("CAST(round(value * 1000000) AS BIGINT) "
+                            "div 100000000").alias("band"))
+    wr = (Window.partitionBy("event_type").orderBy("band")
+          .rangeBetween(-2, 0))
+    wp = (Window.partitionBy("event_type").orderBy("band")
+          .rangeBetween(0, 0))
+    ww = (Window.partitionBy("event_type").orderBy("band", "event_id")
+          .rowsBetween(-3, 0))
+    return base.select(
+        "event_id", "event_type", "band",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_peers"),
+        F.sum("vq").over(wr).alias("range_sum_vq"),
+        F.sum("vq").over(ww).alias("rows_sum_vq"))
+
+
+def sql_range_vs_rows_frame_sql():
+    return """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         CAST(round(value * 1000000) AS BIGINT) // 100000000 AS band
+  FROM events
+  WHERE round(value * 1000000) >= 0
+  UNION ALL
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         -((-CAST(round(value * 1000000) AS BIGINT)) // 100000000)
+           AS band
+  FROM events
+  WHERE round(value * 1000000) < 0
+)
+SELECT event_id, event_type, band,
+       count(*) OVER (PARTITION BY event_type ORDER BY band
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         AS n_peers,
+       sum(vq) OVER (PARTITION BY event_type ORDER BY band
+                     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS range_sum_vq,
+       sum(vq) OVER (PARTITION BY event_type ORDER BY band, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         AS rows_sum_vq
+FROM base
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -14339,6 +14827,14 @@ QUERIES = {
     "text_simpson_diversity": text_simpson_diversity,
     "sql_not_in_null_semantics": sql_not_in_null_semantics,
     "graph_two_hop_reach": graph_two_hop_reach,
+    "dedup_shingle_df_profile": dedup_shingle_df_profile,
+    "text_ngram_coverage_curve": text_ngram_coverage_curve,
+    "sample_soft_dedup_weights": sample_soft_dedup_weights,
+    "graph_rich_club": graph_rich_club,
+    "window_rolling_median": window_rolling_median,
+    "sketch_cms_width_sweep": sketch_cms_width_sweep,
+    "sim_pairwise_diversity": sim_pairwise_diversity,
+    "sql_range_vs_rows_frame": sql_range_vs_rows_frame,
 }
 
 # the JSONB query's oracle IS its pinned input: decode must reproduce
@@ -14709,4 +15205,12 @@ FROM (VALUES ('binlog.000000', 192), ('binlog.000001', 181)) AS t(file, n)
     "text_simpson_diversity": text_simpson_diversity_sql(),
     "sql_not_in_null_semantics": sql_not_in_null_semantics_sql(),
     "graph_two_hop_reach": graph_two_hop_reach_sql(),
+    "dedup_shingle_df_profile": dedup_shingle_df_profile_sql(),
+    "text_ngram_coverage_curve": text_ngram_coverage_curve_sql(),
+    "sample_soft_dedup_weights": sample_soft_dedup_weights_sql(),
+    "graph_rich_club": graph_rich_club_sql(),
+    "window_rolling_median": window_rolling_median_sql(),
+    "sketch_cms_width_sweep": sketch_cms_width_sweep_sql(),
+    "sim_pairwise_diversity": sim_pairwise_diversity_sql(),
+    "sql_range_vs_rows_frame": sql_range_vs_rows_frame_sql(),
 }
