@@ -249,10 +249,10 @@ def main():
         # inflating its neighbors' GC time in the shared JVM (the r3
         # sim-family drift suspect)
         spark.catalog.clearCache()
-        reps = 2 if (name in CURATED
-                     and time.perf_counter() - qstart < qbudget) else 1
+        n_query_reps = 2 if (name in CURATED
+                             and time.perf_counter() - qstart < qbudget) else 1
         best = None
-        for _ in range(reps):  # best-of-2: shared-host interference is bursty
+        for _ in range(n_query_reps):  # best-of-2: interference is bursty
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
