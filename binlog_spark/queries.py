@@ -14440,12 +14440,343 @@ FROM base
 """
 
 
+def lake_orphan_files_audit(spark, sf_dir):
+    """Orphan-file audit — the planning half of Iceberg
+    ``remove_orphan_files`` / Delta ``VACUUM``: list the storage
+    prefix, anti-join against the current manifest, and report what a
+    vacuum would reclaim. The simulated state is deterministic: live
+    files are the event-derived data files (``event_id div
+    FILE_EVENTS``, bytes = per-event payload sizes); files with
+    ``file_id % 11 == 5`` were logically replaced by a compaction (out
+    of the manifest, still on storage); files with ``file_id % 7 ==
+    3`` additionally left a failed-writer temp object at 2/3 the
+    bytes. Reported per manifest (32 files): live/orphan counts and
+    reclaimable vs live bytes.
+
+    Scale shape: everything runs on the file-stats table (|events| /
+    FILE_EVENTS rows — metadata-sized); the storage-vs-manifest
+    anti-join shuffles file_ids, never data rows. At 100 TB the
+    listing is the slow side in reality; the plan stays |files|.
+
+    Reference parity: none; lake-maintenance family (SURVEY §2.2),
+    sibling of `lake_expire_snapshots` / `lake_compaction_plan`."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        (F.lit(48) + F.length("props")).cast("long").alias("ebytes"))
+    files = (ev.groupBy("file_id")
+             .agg(F.sum("ebytes").alias("bytes"))
+             .localCheckpoint(eager=False))
+    data = files.select("file_id", "bytes",
+                        F.lit("data").alias("kind"))
+    tmp = (files.where(F.col("file_id") % 7 == 3)
+           .select("file_id", F.expr("bytes * 2 div 3").alias("bytes"),
+                   F.lit("tmp").alias("kind")))
+    storage = data.unionByName(tmp)
+    manifest = (files.where(F.col("file_id") % 11 != 5)
+                .select("file_id", F.lit("data").alias("kind")))
+    joined = storage.join(manifest, ["file_id", "kind"], "left_anti") \
+        .withColumn("orphan", F.lit(True))
+    live = storage.join(manifest, ["file_id", "kind"], "left_semi") \
+        .withColumn("orphan", F.lit(False))
+    allf = joined.unionByName(live).withColumn(
+        "manifest_id", F.expr(f"file_id div {MANIFEST_FILES}"))
+    return (allf.groupBy("manifest_id")
+            .agg(F.sum((~F.col("orphan")).cast("long")).alias("n_live"),
+                 F.sum(F.col("orphan").cast("long")).alias("n_orphan"),
+                 F.sum(F.when(F.col("orphan"), F.col("bytes"))
+                       .otherwise(F.lit(0))).alias("reclaim_bytes"),
+                 F.sum(F.when(~F.col("orphan"), F.col("bytes"))
+                       .otherwise(F.lit(0))).alias("live_bytes"))
+            .orderBy("manifest_id"))
+
+
+def lake_orphan_files_audit_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    return f"""
+WITH files AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id,
+         sum(48 + length(props)) AS bytes
+  FROM events GROUP BY 1
+),
+storage AS (
+  SELECT file_id, bytes, 'data' AS kind FROM files
+  UNION ALL
+  SELECT file_id, bytes * 2 // 3 AS bytes, 'tmp' AS kind
+  FROM files WHERE file_id % 7 = 3
+),
+manifest AS (
+  SELECT file_id, 'data' AS kind FROM files WHERE file_id % 11 <> 5
+),
+tagged AS (
+  SELECT s.file_id, s.bytes, s.kind,
+         m.file_id IS NULL AS orphan
+  FROM storage s LEFT JOIN manifest m
+    ON m.file_id = s.file_id AND m.kind = s.kind
+)
+SELECT file_id // {MANIFEST_FILES} AS manifest_id,
+       CAST(sum(CASE WHEN orphan THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       CAST(sum(CASE WHEN orphan THEN bytes ELSE 0 END) AS BIGINT)
+         AS reclaim_bytes,
+       CAST(sum(CASE WHEN orphan THEN 0 ELSE bytes END) AS BIGINT)
+         AS live_bytes
+FROM tagged GROUP BY 1 ORDER BY 1
+"""
+
+
+_MIX_BUDGET_TOKENS = 10_000_000
+_MIX_EPOCH_CAP_MILLI = 4_000  # at most 4 epochs over any one source
+
+
+def mix_token_budget_allocation(spark, sf_dir):
+    """Token-budget allocation across sources — the data-mixing
+    arithmetic of an LLM pre-training run (LLaMA-style mixture
+    tables): given per-source available tokens and sampling weights
+    (here deterministically ∝ floor(sqrt(tokens)·1000)), split a
+    fixed token budget, cap any source at 4 epochs, and redistribute
+    the capped surplus to uncapped sources proportionally (one exact
+    integer round). Emits, per source: available tokens, weight,
+    naive and final allocations, and final milli-epochs.
+
+    Scale shape: ONE per-source fold over documents (map-side
+    combine), then all allocation arithmetic on the |sources|-row
+    frame with broadcast scalar totals — nothing else shuffles.
+
+    Reference parity: none; training-data pipeline family (sibling of
+    `mix_source_weights` / `sample_epoch_schedule`)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.expr("n_chars div 4").alias("toks"))
+    per = (docs.groupBy("source")
+           .agg(F.sum("toks").alias("tokens_available")))
+    per = per.withColumn(
+        "weight_q",
+        F.floor(F.sqrt(F.col("tokens_available").cast("double")) * 1000)
+         .cast("long"))
+    tot = per.agg(F.sum("weight_q").alias("wsum")).collect()[0]["wsum"]
+    per = per.withColumn(
+        "alloc0",
+        F.expr(f"CAST({_MIX_BUDGET_TOKENS} AS BIGINT) * weight_q"
+               f" div {tot}"))
+    cap = F.expr(f"tokens_available * {_MIX_EPOCH_CAP_MILLI} div 1000")
+    per = per.withColumn("capped", F.col("alloc0") > cap) \
+             .withColumn("alloc_capped",
+                         F.when(F.col("capped"), cap)
+                          .otherwise(F.col("alloc0")))
+    sums = per.agg(
+        F.sum(F.when(F.col("capped"),
+                     F.col("alloc0") - F.col("alloc_capped"))
+              .otherwise(F.lit(0))).alias("excess"),
+        F.sum(F.when(~F.col("capped"), F.col("weight_q"))
+              .otherwise(F.lit(0))).alias("wfree")).collect()[0]
+    excess, wfree = sums["excess"], max(sums["wfree"], 1)
+    return (per.select(
+        "source", "tokens_available", "weight_q", "alloc0",
+        F.col("capped"),
+        (F.col("alloc_capped")
+         + F.when(~F.col("capped"),
+                  F.expr(f"CAST({excess} AS BIGINT) * weight_q"
+                         f" div {wfree}")).otherwise(F.lit(0)))
+        .alias("final_alloc"))
+        .withColumn("final_epochs_milli",
+                    F.expr("final_alloc * 1000 div tokens_available"))
+        .orderBy("source"))
+
+
+def mix_token_budget_allocation_sql():
+    return f"""
+WITH per AS (
+  SELECT source, sum(n_chars // 4) AS tokens_available,
+         CAST(floor(sqrt(CAST(sum(n_chars // 4) AS DOUBLE)) * 1000)
+              AS BIGINT) AS weight_q
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(weight_q) AS wsum FROM per),
+a0 AS (
+  SELECT p.*, CAST({_MIX_BUDGET_TOKENS} AS BIGINT) * p.weight_q
+                // t.wsum AS alloc0,
+         p.tokens_available * {_MIX_EPOCH_CAP_MILLI} // 1000 AS cap
+  FROM per p CROSS JOIN tot t
+),
+c AS (
+  SELECT *, alloc0 > cap AS capped,
+         CASE WHEN alloc0 > cap THEN cap ELSE alloc0 END AS alloc_capped
+  FROM a0
+),
+s AS (
+  SELECT sum(CASE WHEN capped THEN alloc0 - alloc_capped ELSE 0 END)
+           AS excess,
+         greatest(sum(CASE WHEN capped THEN 0 ELSE weight_q END), 1)
+           AS wfree
+  FROM c
+),
+fin AS (
+  SELECT c.source, c.tokens_available, c.weight_q, c.alloc0, c.capped,
+         c.alloc_capped + CASE WHEN c.capped THEN 0
+             ELSE CAST(s.excess AS BIGINT) * c.weight_q // s.wfree END
+           AS final_alloc
+  FROM c CROSS JOIN s
+)
+SELECT source, tokens_available, weight_q, alloc0, capped, final_alloc,
+       final_alloc * 1000 // tokens_available AS final_epochs_milli
+FROM fin ORDER BY source
+"""
+
+
+_HILL_M = 200  # tail order statistics per group
+
+
+def agg_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator — the heavy-tail exponent of order
+    values per order priority: with the top m+1 order statistics
+    x₍₁₎ ≥ … ≥ x₍ₘ₊₁₎, hill = (1/m)·Σ ln(x₍ᵢ₎/x₍ₘ₊₁₎) and
+    α = 1/hill. α ≈ 1–2 flags a Pareto-like tail where mean-based
+    capacity planning (shuffle sizing, skew salting) underestimates
+    the largest keys.
+
+    Scale shape: per-group exact top-(m+1) via bounded partial top-k
+    (TakeOrderedAndProject semantics — each partition keeps ≤ m+1
+    rows before the single merge); the log fold runs on
+    |groups|·(m+1) rows only. The tail multiset is order-statistic
+    unique, so tie order never changes the sum.
+
+    Reference parity: none; statistics family (SURVEY §2.2), sibling
+    of `cdc_txn_size_pareto` / `agg_burstiness_fano`."""
+    m = _HILL_M
+    # rank by value with orderkey tiebreak: the (m+1)-multiset of cents
+    # is order-statistic unique, the tiebreak only pins the row_number
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    top = (o.withColumn("rn", F.row_number().over(
+               Window.partitionBy("o_orderpriority")
+               .orderBy(F.col("cents").desc(), F.col("o_orderkey"))))
+           .where(F.col("rn") <= m + 1))
+    thr = (top.where(F.col("rn") == m + 1)
+           .select("o_orderpriority", F.col("cents").alias("xmin")))
+    return (top.where(F.col("rn") <= m)
+            .join(F.broadcast(thr), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("m"),
+                 F.min("xmin").alias("xmin_cents"),
+                 F.round(F.avg(F.log(F.col("cents").cast("double"))
+                               - F.log(F.col("xmin").cast("double"))), 6)
+                  .alias("hill"),
+                 F.round(F.lit(1.0)
+                         / F.avg(F.log(F.col("cents").cast("double"))
+                                 - F.log(F.col("xmin").cast("double"))), 6)
+                  .alias("alpha"))
+            .orderBy("o_orderpriority"))
+
+
+def agg_hill_tail_index_sql():
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY cents DESC, o_orderkey) AS rn
+  FROM o
+),
+thr AS (
+  SELECT o_orderpriority, cents AS xmin FROM top WHERE rn = {_HILL_M + 1}
+)
+SELECT t.o_orderpriority, CAST(count(*) AS BIGINT) AS m,
+       min(h.xmin) AS xmin_cents,
+       round(avg(ln(CAST(t.cents AS DOUBLE))
+                 - ln(CAST(h.xmin AS DOUBLE))), 6) AS hill,
+       round(1.0 / avg(ln(CAST(t.cents AS DOUBLE))
+                       - ln(CAST(h.xmin AS DOUBLE))), 6) AS alpha
+FROM top t JOIN thr h USING (o_orderpriority)
+WHERE t.rn <= {_HILL_M}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_dow_seasonal_decompose(spark, sf_dir):
+    """Additive weekly seasonal decomposition of the daily event-count
+    series per event type: level (per-type mean daily count),
+    day-of-week effect (dow mean − level), and the within-dow
+    variance that remains after removing the seasonal effect — the
+    classical seasonal-means decomposition (`agg_hour_seasonality` is
+    the hour-of-day analogue on values; this is the calendar-week
+    structure of volume).
+
+    Scale shape: ONE (type, day) count fold, then all statistics on
+    the |types × days| daily frame (metadata-sized); DECIMAL(38,0)
+    moment sums keep cross-engine bit-exactness, one double division
+    at the end.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").cast("decimal(38,0)").alias("n"))
+             .localCheckpoint(eager=False))
+    lvl = (daily.groupBy("event_type")
+           .agg(F.sum("n").alias("tsum"),
+                F.count("*").cast("long").alias("tdays")))
+    bydow = (daily.withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
+             .groupBy("event_type", "dow")
+             .agg(F.count("*").cast("long").alias("n_days"),
+                  F.sum("n").alias("dsum"),
+                  F.sum(F.col("n") * F.col("n")).alias("dsumsq")))
+    j = bydow.join(F.broadcast(lvl), "event_type")
+    dmean = F.col("dsum").cast("double") / F.col("n_days")
+    tmean = F.col("tsum").cast("double") / F.col("tdays")
+    dvar = (F.col("dsumsq").cast("double") / F.col("n_days")
+            - dmean * dmean)
+    return (j.select(
+        "event_type", "dow", "n_days",
+        F.round(tmean, 6).alias("level"),
+        F.round(dmean - tmean, 6).alias("dow_effect"),
+        F.round(dvar, 6).alias("within_dow_var"))
+        .orderBy("event_type", "dow"))
+
+
+def agg_dow_seasonal_decompose_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS DECIMAL(38,0)) AS n
+  FROM events GROUP BY 1, 2
+),
+lvl AS (
+  SELECT event_type, sum(n) AS tsum, CAST(count(*) AS BIGINT) AS tdays
+  FROM daily GROUP BY 1
+),
+bydow AS (
+  SELECT event_type, day % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         sum(n) AS dsum, sum(n * n) AS dsumsq
+  FROM daily GROUP BY 1, 2
+)
+SELECT b.event_type, b.dow, b.n_days,
+       round(CAST(l.tsum AS DOUBLE) / l.tdays, 6) AS level,
+       round(CAST(b.dsum AS DOUBLE) / b.n_days
+             - CAST(l.tsum AS DOUBLE) / l.tdays, 6) AS dow_effect,
+       round(CAST(b.dsumsq AS DOUBLE) / b.n_days
+             - (CAST(b.dsum AS DOUBLE) / b.n_days)
+               * (CAST(b.dsum AS DOUBLE) / b.n_days), 6)
+         AS within_dow_var
+FROM bydow b JOIN lvl l USING (event_type)
+ORDER BY b.event_type, b.dow
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
 # driver row — or whose last driver row is stale — register first.
 QUERIES = {
     # --- never driver-sampled before round 4: surface these first ---
+    "lake_orphan_files_audit": lake_orphan_files_audit,
+    "mix_token_budget_allocation": mix_token_budget_allocation,
+    "agg_hill_tail_index": agg_hill_tail_index,
+    "agg_dow_seasonal_decompose": agg_dow_seasonal_decompose,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -14889,6 +15220,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "lake_orphan_files_audit": lake_orphan_files_audit_sql(),
+    "mix_token_budget_allocation": mix_token_budget_allocation_sql(),
+    "agg_hill_tail_index": agg_hill_tail_index_sql(),
+    "agg_dow_seasonal_decompose": agg_dow_seasonal_decompose_sql(),
     "cdc_lww_latest": cdc_lww_latest_sql(),
     "cdc_apply_changelog": cdc_apply_changelog_sql(),
     "cdc_txn_assembly": cdc_txn_assembly_sql(),
