@@ -278,6 +278,46 @@ def bfs_levels(edges: DataFrame, sources: DataFrame,
     return visited
 
 
+def bfs_levels_keyed(edges: DataFrame, sources: DataFrame,
+                     max_rounds: int = 8) -> DataFrame:
+    """Per-source BFS distances: like :func:`bfs_levels` but every
+    source keeps its OWN distance field — ``sources`` is ``(skey,
+    node)`` and the result is ``(skey, node, level)``, the input to
+    closeness/harmonic centrality over a sampled source set. All
+    sources advance in the SAME round (state keyed by (skey, node)),
+    so the join count stays ``max_rounds`` regardless of |sources| —
+    never one BFS sweep per source.
+
+    Same determinism contract as ``bfs_levels``: round R state is
+    identical with or without the early exit, so an oracle unrolling
+    exactly ``max_rounds`` rounds matches.
+
+    Scale shape per round: frontier⋈edges equi-join on the node +
+    anti join against visited on (skey, node); lineage truncated per
+    round. Frontier size is Σ per-source frontiers — bounded by
+    |sources|·|nodes| but in practice by the sampled source count."""
+    sym = (edges.select(F.col("u").alias("esrc"), F.col("v").alias("edst"))
+           .unionAll(edges.select(F.col("v").alias("esrc"),
+                                  F.col("u").alias("edst")))
+           .localCheckpoint(eager=False))
+    visited = (sources.select("skey", "node", F.lit(0).alias("level"))
+               .localCheckpoint(eager=False))
+    frontier = visited.select("skey", "node")
+    for lvl in range(1, max_rounds + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "esrc"), "esrc")
+               .select("skey", F.col("edst").alias("node")).distinct()
+               .join(visited.select("skey", "node"), ["skey", "node"],
+                     "left_anti")
+               .localCheckpoint(eager=False))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = (visited.unionByName(
+            nxt.select("skey", "node", F.lit(lvl).alias("level")))
+            .localCheckpoint(eager=False))
+        frontier = nxt
+    return visited
+
+
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al. 2007,
     the near-linear community baseline) over an undirected edge list

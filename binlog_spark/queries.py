@@ -14767,6 +14767,300 @@ ORDER BY b.event_type, b.dow
 """
 
 
+def dedup_method_agreement(spark, sf_dir):
+    """Method-agreement audit between the two near-dup candidate
+    generators — MinHash-LSH (Jaccard family) vs SimHash bands
+    (Hamming family), at the registered configurations: pair-set
+    overlap counts and the Jaccard of the two pair SETS in ppm. A
+    curation run that switches methods (or runs both and unions)
+    needs exactly this number to predict the candidate-volume change;
+    low agreement on a corpus flags that the two notions of "near"
+    diverge there.
+
+    Scale shape: both generators are the bucket-bounded formulations
+    (one signature pass each, pair fan-out bounded by bucket size);
+    the agreement itself is ONE full-outer join on the candidate-pair
+    key — |pairs|, not |docs|² — into a single-row fold.
+
+    Reference parity: none; dedup family capstone audit (SURVEY
+    §2.3), sibling of `dedup_estimate_calibration`."""
+    docs = _t(spark, sf_dir, "documents")
+    lsh = (dedup.minhash_lsh_candidates(docs, n=3, num_hashes=8, bands=4)
+           .withColumn("in_l", F.lit(1)))
+    sh = (dedup.simhash_near_pairs(docs)
+          .withColumn("in_s", F.lit(1)))
+    j = lsh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_l"), F.lit(0))).alias("n_minhash"),
+        F.sum(F.coalesce(F.col("in_s"), F.lit(0))).alias("n_simhash"),
+        F.sum((F.col("in_l").isNotNull()
+               & F.col("in_s").isNotNull()).cast("long")).alias("n_both"),
+        F.count("*").alias("n_union"),
+        F.expr("sum(CASE WHEN in_l IS NOT NULL AND in_s IS NOT NULL"
+               " THEN 1 ELSE 0 END) * 1000000"
+               " div greatest(count(*), 1)").alias("agreement_ppm"))
+
+
+def dedup_method_agreement_sql():
+    lsh = dedup.minhash_lsh_candidates_sql(n=3, num_hashes=8, bands=4)
+    sh = dedup.simhash_near_pairs_sql()
+    return f"""
+WITH l AS (SELECT doc_a, doc_b, 1 AS in_l FROM ({lsh})),
+s AS (SELECT doc_a, doc_b, 1 AS in_s FROM ({sh})),
+j AS (SELECT * FROM l FULL JOIN s USING (doc_a, doc_b))
+SELECT CAST(sum(coalesce(in_l, 0)) AS BIGINT) AS n_minhash,
+       CAST(sum(coalesce(in_s, 0)) AS BIGINT) AS n_simhash,
+       CAST(sum(CASE WHEN in_l IS NOT NULL AND in_s IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(count(*) AS BIGINT) AS n_union,
+       sum(CASE WHEN in_l IS NOT NULL AND in_s IS NOT NULL
+                THEN 1 ELSE 0 END) * 1000000
+         // greatest(count(*), 1) AS agreement_ppm
+FROM j
+"""
+
+
+_PAD_BATCH = 16          # sequences per training batch
+_PAD_BUCKET_TOKS = 16    # length-bucket width in tokens
+
+
+def sample_length_bucket_padding(spark, sf_dir):
+    """Padding-waste audit of batch composition — the reason training
+    loaders length-bucket: under arrival-order batching every batch
+    pads to its longest member; under bucketed batching (length
+    buckets of 16 tokens, sorted within bucket)
+    near-equal lengths share batches. Emits one row per strategy with
+    batch counts, real vs padded token totals, and waste in ppm — the
+    GPU-hours argument for the bucketed loader.
+
+    Scale shape: the bucketed strategy ranks inside each length
+    bucket (parallel windows); the arrival-order baseline needs a
+    global sequence and uses the range-partitioned two-level rank
+    (`ranking.global_rank` — no single-partition window). Both then
+    fold |batches| rows.
+
+    Reference parity: none; training-data pipeline family, sibling of
+    `pack_sequences_docs` / `mm_shard_packing`."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("n_chars div 4").alias("toks"))
+    # arrival order: batch by global rank over doc_id
+    g = ranking.global_rank(docs, ["doc_id"], out_col="rn")
+    g = g.withColumn("batch", F.expr(f"(rn - 1) div {_PAD_BATCH}"))
+    gb = (g.groupBy("batch")
+          .agg(F.count("*").alias("cnt"), F.max("toks").alias("mx"),
+               F.sum("toks").alias("sm")))
+    # bucketed: length bucket, rank within bucket
+    b = docs.withColumn("bucket", F.expr(f"toks div {_PAD_BUCKET_TOKS}"))
+    wb = Window.partitionBy("bucket").orderBy("toks", "doc_id")
+    bb = (b.withColumn("rn", F.row_number().over(wb))
+          .withColumn("batch", F.expr(f"(rn - 1) div {_PAD_BATCH}"))
+          .groupBy("bucket", "batch")
+          .agg(F.count("*").alias("cnt"), F.max("toks").alias("mx"),
+               F.sum("toks").alias("sm")))
+    def waste(df, name):
+        return df.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").alias("n_batches"),
+            F.sum("cnt").alias("n_docs"),
+            F.sum("sm").alias("real_tokens"),
+            F.sum(F.col("cnt") * F.col("mx")).alias("padded_tokens"),
+            F.expr("(sum(cnt * mx) - sum(sm)) * 1000000"
+                   " div greatest(sum(cnt * mx), 1)").alias("waste_ppm"))
+    return waste(gb, "arrival").unionByName(waste(bb, "bucketed")) \
+        .orderBy("strategy")
+
+
+def sample_length_bucket_padding_sql():
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars // 4 AS toks FROM documents
+),
+g AS (
+  SELECT toks, (row_number() OVER (ORDER BY doc_id) - 1)
+                 // {_PAD_BATCH} AS batch
+  FROM d
+),
+gb AS (
+  SELECT batch, count(*) AS cnt, max(toks) AS mx, sum(toks) AS sm
+  FROM g GROUP BY 1
+),
+b AS (
+  SELECT toks, toks // {_PAD_BUCKET_TOKS} AS bucket,
+         (row_number() OVER (PARTITION BY toks // {_PAD_BUCKET_TOKS}
+                             ORDER BY toks, doc_id) - 1)
+           // {_PAD_BATCH} AS batch
+  FROM d
+),
+bb AS (
+  SELECT bucket, batch, count(*) AS cnt, max(toks) AS mx,
+         sum(toks) AS sm
+  FROM b GROUP BY 1, 2
+),
+w AS (
+  SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(sum(sm) AS BIGINT) AS real_tokens,
+         CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens,
+         (sum(cnt * mx) - sum(sm)) * 1000000
+           // greatest(sum(cnt * mx), 1) AS waste_ppm
+  FROM gb
+  UNION ALL
+  SELECT 'bucketed', CAST(count(*) AS BIGINT),
+         CAST(sum(cnt) AS BIGINT), CAST(sum(sm) AS BIGINT),
+         CAST(sum(cnt * mx) AS BIGINT),
+         (sum(cnt * mx) - sum(sm)) * 1000000
+           // greatest(sum(cnt * mx), 1)
+  FROM bb
+)
+SELECT * FROM w ORDER BY strategy
+"""
+
+
+HC_ROUNDS = 6
+
+
+def graph_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality of a sampled source set over the md5 link
+    graph (same deterministic graph as `graph_bfs_levels`): for each
+    source s, Σᵥ 1/d(s,v) within HC_ROUNDS hops, in integer ppm
+    (Σ 1000000 div d) — the centrality that handles disconnected
+    graphs, used to pick crawl seeds and trusted-page anchors.
+    Sources: doc_id % 100 == 0.
+
+    Scale shape: ONE keyed multi-source BFS
+    (`graph.bfs_levels_keyed`) — all sources advance per round in the
+    same frontier⋈edges join, so the round count (not |sources|)
+    bounds the job count; the centrality fold runs on the (skey,
+    node) visited frame.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    sources = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("skey"), F.col("doc_id").alias("node"))
+    vis = graph.bfs_levels_keyed(und, sources, max_rounds=HC_ROUNDS)
+    return (vis.where(F.col("level") >= 1)
+            .groupBy("skey")
+            .agg(F.count("*").cast("long").alias("n_reached"),
+                 F.sum(F.expr("1000000 div level")).alias("hc_ppm"))
+            .select(F.col("skey").alias("source_id"), "n_reached",
+                    "hc_ppm")
+            .orderBy("source_id"))
+
+
+def graph_harmonic_centrality_sql(rounds: int = HC_ROUNDS) -> str:
+    parts = ["""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM raw WHERE a != b
+  UNION SELECT b, a FROM raw WHERE a != b
+),
+v0 AS MATERIALIZED (
+  SELECT doc_id AS skey, doc_id AS node, 0 AS level
+  FROM documents WHERE doc_id % 100 = 0
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+v{i} AS MATERIALIZED (
+  SELECT skey, node, level FROM v{i - 1}
+  UNION ALL
+  SELECT skey, node, {i} AS level FROM (
+    SELECT DISTINCT f.skey, e.dst AS node
+    FROM sym e JOIN v{i - 1} f ON e.src = f.node AND f.level = {i - 1}
+  ) x WHERE NOT EXISTS (
+    SELECT 1 FROM v{i - 1} p WHERE p.skey = x.skey AND p.node = x.node)
+)""")
+    parts.append(f"""
+SELECT skey AS source_id, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000000 // level) AS BIGINT) AS hc_ppm
+FROM v{rounds} WHERE level >= 1
+GROUP BY 1 ORDER BY 1
+""")
+    return "".join(parts)
+
+
+def sample_curriculum_phases(spark, sf_dir):
+    """Curriculum-learning phase assignment: rank documents by a
+    difficulty proxy (mean token length in milli-chars — longer words
+    ≈ harder text), split the global order into three equal phases
+    (easy → medium → hard thirds), and report each phase's document
+    count, token share and difficulty span — the schedule table a
+    curriculum loader consumes.
+
+    Scale shape: the difficulty score is a map-only expression; the
+    global order uses the range-partitioned two-level rank
+    (`ranking.global_rank`), phase assignment and the report are
+    integer arithmetic on ranked rows + a 3-row fold.
+
+    Reference parity: none; training-data pipeline family, sibling of
+    `sample_epoch_schedule` / `mix_token_budget_allocation`."""
+    from .operators.textnorm import ws_token_count
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        ws_token_count(F.col("text")).alias("ntok"))
+    docs = docs.withColumn(
+        "score_milli",
+        F.expr("n_chars * 1000 div greatest(ntok, 1)"))
+    g = ranking.global_rank(docs, ["score_milli", "doc_id"],
+                            out_col="rn")
+    tot = g.agg(F.count("*").alias("n")).collect()[0]["n"]
+    g = g.withColumn(
+        "phase", F.least(F.lit(3), F.lit(1)
+                         + F.expr(f"(rn - 1) * 3 div {tot}")))
+    toks = g.agg(F.sum(F.expr("n_chars div 4")).alias("t")) \
+        .collect()[0]["t"]
+    return (g.groupBy("phase")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.expr("n_chars div 4")).alias("phase_tokens"),
+                 F.expr(f"sum(n_chars div 4) * 1000000 div {max(toks, 1)}")
+                  .alias("token_share_ppm"),
+                 F.min("score_milli").alias("score_lo"),
+                 F.max("score_milli").alias("score_hi"))
+            .orderBy("phase"))
+
+
+def sample_curriculum_phases_sql():
+    from .operators.textnorm import ws_token_count_sql
+    ntok = ws_token_count_sql("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         n_chars * 1000 // greatest({ntok}, 1) AS score_milli
+  FROM documents
+),
+g AS (
+  SELECT *, row_number() OVER (ORDER BY score_milli, doc_id) AS rn,
+         count(*) OVER () AS tot
+  FROM d
+),
+p AS (
+  SELECT *, least(3, 1 + (rn - 1) * 3 // tot) AS phase FROM g
+),
+t AS (SELECT sum(n_chars // 4) AS toks FROM p)
+SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars // 4) AS BIGINT) AS phase_tokens,
+       sum(n_chars // 4) * 1000000
+         // greatest((SELECT toks FROM t), 1) AS token_share_ppm,
+       min(score_milli) AS score_lo, max(score_milli) AS score_hi
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -14777,6 +15071,10 @@ QUERIES = {
     "mix_token_budget_allocation": mix_token_budget_allocation,
     "agg_hill_tail_index": agg_hill_tail_index,
     "agg_dow_seasonal_decompose": agg_dow_seasonal_decompose,
+    "dedup_method_agreement": dedup_method_agreement,
+    "sample_length_bucket_padding": sample_length_bucket_padding,
+    "graph_harmonic_centrality": graph_harmonic_centrality,
+    "sample_curriculum_phases": sample_curriculum_phases,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -15220,6 +15518,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "dedup_method_agreement": dedup_method_agreement_sql(),
+    "sample_length_bucket_padding": sample_length_bucket_padding_sql(),
+    "graph_harmonic_centrality": graph_harmonic_centrality_sql(),
+    "sample_curriculum_phases": sample_curriculum_phases_sql(),
     "lake_orphan_files_audit": lake_orphan_files_audit_sql(),
     "mix_token_budget_allocation": mix_token_budget_allocation_sql(),
     "agg_hill_tail_index": agg_hill_tail_index_sql(),

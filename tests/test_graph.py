@@ -63,3 +63,29 @@ def test_local_finisher_matches_distributed(spark):
     want = labels(0)                      # fully distributed
     assert labels(1 << 17) == want        # finisher takes over at once
     assert labels(40) == want             # handoff after >=1 star round
+
+
+def test_bfs_levels_keyed_matches_per_source_bfs(spark):
+    # path 0-1-2-3-4 plus isolated pair 10-11; keyed run from sources
+    # {0, 3, 10} must equal three independent bfs_levels sweeps
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "u long, v long")
+    srcs = spark.createDataFrame(
+        [(0, 0), (3, 3), (10, 10)], "skey long, node long")
+    keyed = {(r.skey, r.node): r.level
+             for r in graph.bfs_levels_keyed(edges, srcs, 8).collect()}
+    for s in (0, 3, 10):
+        one = spark.createDataFrame([(s,)], "node long")
+        solo = {r.node: r.level
+                for r in graph.bfs_levels(edges, one, 8).collect()}
+        assert {n: l for (k, n), l in keyed.items() if k == s} == solo
+
+
+def test_bfs_levels_keyed_round_cap(spark):
+    # 6-node path, cap at 2 rounds: each source sees only radius 2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "u long, v long")
+    srcs = spark.createDataFrame([(0, 0)], "skey long, node long")
+    out = {r.node: r.level
+           for r in graph.bfs_levels_keyed(edges, srcs, 2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
