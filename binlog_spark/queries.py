@@ -15061,6 +15061,356 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
+def sketch_quantile_merge_audit(spark, sf_dir, k: int = _QSK_K):
+    """Mergeability pin for the bottom-k quantile sketch: sketch two
+    disjoint halves of the corpus (event_id parity), merge the two
+    k-samples (re-rank, keep k), and emit the merged quantiles NEXT TO
+    the whole-corpus sketch with an equality flag. Bottom-k is exactly
+    mergeable — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+    — which is precisely the property Spark's partial aggregation
+    relies on; this query freezes it as data, so a future sketch
+    refactor that silently breaks merge associativity fails the
+    oracle gate rather than skewing production percentiles.
+
+    Scale shape: same as `sketch_quantile_bottomk` twice — bounded
+    per-partition state, shuffle carries n_partitions × k rows per
+    group; the merge itself is array arithmetic on two k-lists.
+
+    Reference parity: none; sketch family audit (SURVEY §2.2)."""
+    from .operators.folds import bounded_group_topk
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    slim = ev.select("event_type", "event_id", h.alias("h"), "value")
+
+    def ksample(df):
+        partial = bounded_group_topk(
+            df.select("event_type", "h", "value"), "event_type",
+            ["h", "value"], k, "event_type string, h long, value double")
+        return partial.groupBy("event_type").agg(
+            F.slice(F.sort_array(F.collect_list(F.struct("h", "value"))),
+                    1, k).alias("smp"))
+
+    full = ksample(slim)
+    ka = ksample(slim.where(F.col("event_id") % 2 == 0)) \
+        .withColumnRenamed("smp", "smp_a")
+    kb = ksample(slim.where(F.col("event_id") % 2 == 1)) \
+        .withColumnRenamed("smp", "smp_b")
+    merged = (ka.join(kb, "event_type", "full_outer")
+              .select("event_type",
+                      F.slice(F.sort_array(F.concat(
+                          F.coalesce("smp_a", F.array()),
+                          F.coalesce("smp_b", F.array()))), 1, k)
+                      .alias("smp")))
+
+    def quants(df, suffix):
+        vals = F.array_sort(F.transform("smp", lambda x: x["value"]))
+        n = F.size(vals)
+
+        def q_at(q):
+            idx = (F.floor(F.lit(q) * (n - F.lit(1)).cast("double"))
+                   + F.lit(1)).cast("int")
+            return F.element_at(vals, idx)
+
+        return df.select(
+            "event_type", n.cast("long").alias(f"n_{suffix}"),
+            q_at(0.5).alias(f"p50_{suffix}"),
+            q_at(0.9).alias(f"p90_{suffix}"),
+            q_at(0.99).alias(f"p99_{suffix}"))
+
+    f = quants(full, "full")
+    m = quants(merged, "merged")
+    return (f.join(m, "event_type")
+            .withColumn("merge_exact",
+                        (F.col("p50_full") == F.col("p50_merged"))
+                        & (F.col("p90_full") == F.col("p90_merged"))
+                        & (F.col("p99_full") == F.col("p99_merged")))
+            .orderBy("event_type"))
+
+
+def sketch_quantile_merge_audit_sql(k: int = _QSK_K):
+    return f"""
+WITH hashed AS (
+  SELECT event_type, event_id, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+),
+fullr AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY h, value) AS rn
+  FROM hashed
+),
+halfr AS (
+  SELECT event_type, h, value,
+         row_number() OVER (PARTITION BY event_type, event_id % 2
+                            ORDER BY h, value) AS rn
+  FROM hashed
+),
+mergedr AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY h, value) AS rn
+  FROM halfr WHERE rn <= {k}
+),
+fq AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
+         list(value ORDER BY value) AS vals
+  FROM fullr WHERE rn <= {k} GROUP BY 1
+),
+mq AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_merged,
+         list(value ORDER BY value) AS vals
+  FROM mergedr WHERE rn <= {k} GROUP BY 1
+)
+SELECT f.event_type, f.n_full,
+       f.vals[CAST(floor(0.5 * (f.n_full - 1)) AS INT) + 1] AS p50_full,
+       f.vals[CAST(floor(0.9 * (f.n_full - 1)) AS INT) + 1] AS p90_full,
+       f.vals[CAST(floor(0.99 * (f.n_full - 1)) AS INT) + 1] AS p99_full,
+       m.n_merged,
+       m.vals[CAST(floor(0.5 * (m.n_merged - 1)) AS INT) + 1] AS p50_merged,
+       m.vals[CAST(floor(0.9 * (m.n_merged - 1)) AS INT) + 1] AS p90_merged,
+       m.vals[CAST(floor(0.99 * (m.n_merged - 1)) AS INT) + 1] AS p99_merged,
+       f.vals[CAST(floor(0.5 * (f.n_full - 1)) AS INT) + 1]
+         = m.vals[CAST(floor(0.5 * (m.n_merged - 1)) AS INT) + 1]
+       AND f.vals[CAST(floor(0.9 * (f.n_full - 1)) AS INT) + 1]
+         = m.vals[CAST(floor(0.9 * (m.n_merged - 1)) AS INT) + 1]
+       AND f.vals[CAST(floor(0.99 * (f.n_full - 1)) AS INT) + 1]
+         = m.vals[CAST(floor(0.99 * (m.n_merged - 1)) AS INT) + 1]
+         AS merge_exact
+FROM fq f JOIN mq m USING (event_type)
+ORDER BY f.event_type
+"""
+
+
+_TTL_DAYS = 14
+
+
+def window_ttl_expiry_forecast(spark, sf_dir):
+    """State-store TTL expiry forecast: with a 14-day idle TTL, each
+    user's state expires TTL days after their last activity — the
+    per-day expiry histogram plus the remaining-state curve is the
+    capacity plan for a keyed streaming state store (when does state
+    shrink, how much RocksDB stays resident). Days are epoch-anchored
+    integers shared by both engines.
+
+    Scale shape: one shuffle on user_id for the per-user max, then
+    everything runs on the |days|-row expiry frame (the cumulative
+    sum's global window orders metadata, not events).
+
+    Reference parity: none; streaming-state family (SURVEY §2.2),
+    sibling of `cdc_tombstone_retention` / `window_reactivations`."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"))
+    last = ev.groupBy("user_id").agg(F.max("day").alias("last_day"))
+    exp_day = last.select(
+        (F.col("last_day") + _TTL_DAYS).alias("expiry_day"))
+    hist = exp_day.groupBy("expiry_day").agg(
+        F.count("*").alias("n_expiring"))
+    tot = last.count()
+    w = (Window.orderBy("expiry_day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (hist.withColumn(
+        "n_state_remaining", F.lit(tot) - F.sum("n_expiring").over(w))
+        .select("expiry_day", "n_expiring", "n_state_remaining")
+        .orderBy("expiry_day"))
+
+
+def window_ttl_expiry_forecast_sql():
+    return f"""
+WITH last AS (
+  SELECT user_id, max(epoch_us(ts) // 86400000000) AS last_day
+  FROM events GROUP BY 1
+),
+hist AS (
+  SELECT last_day + {_TTL_DAYS} AS expiry_day,
+         CAST(count(*) AS BIGINT) AS n_expiring
+  FROM last GROUP BY 1
+),
+tot AS (SELECT count(*) AS n FROM last)
+SELECT expiry_day, n_expiring,
+       (SELECT n FROM tot)
+         - sum(n_expiring) OVER (ORDER BY expiry_day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS n_state_remaining
+FROM hist ORDER BY expiry_day
+"""
+
+
+_DFT_PERIODS = (7, 3, 2)
+
+
+def _dft_case_sql(col_expr: str, p: int, fn) -> str:
+    """CASE expression mapping ``col_expr % p`` to round(fn(2πr/p)·1e9)
+    — ONE literal table generated here and embedded verbatim in both
+    the Spark plan and the DuckDB oracle (the `agg_circular_mean_hour`
+    shared-trig-literal technique)."""
+    import math as _m
+    vals = [round(fn(2 * _m.pi * r / p) * 1_000_000_000) for r in range(p)]
+    whens = " ".join(f"WHEN {r} THEN {v}" for r, v in enumerate(vals))
+    return f"CASE {col_expr} % {p} {whens} END"
+
+
+def window_periodogram_dft(spark, sf_dir):
+    """Discrete-Fourier periodogram of the daily count series per
+    event type at candidate periods 7/3/2 days — the spectral
+    complement of `agg_acf_profile`: power concentrated at period 7
+    is the weekly season, flat power is noise. Trig coefficients are
+    nanounit integer literals shared verbatim by both engines; the
+    cos/sin dot products accumulate in DECIMAL(38,0) (HUGEINT on the
+    oracle side), so the only doubles are the final normalized power.
+
+    Scale shape: ONE (type, day) count fold; the DFT is a map-side
+    expression over the |types × days × |periods|| frame — no extra
+    shuffle beyond the tiny final group.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    import math as _m
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").cast("decimal(38,0)").alias("n"))
+             .localCheckpoint(eager=False))
+    outs = []
+    for p in _DFT_PERIODS:
+        cosq = F.expr(_dft_case_sql("day", p, _m.cos)).cast("decimal(38,0)")
+        sinq = F.expr(_dft_case_sql("day", p, _m.sin)).cast("decimal(38,0)")
+        g = (daily.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n_days"),
+                  F.sum(F.col("n") * cosq).alias("sc"),
+                  F.sum(F.col("n") * sinq).alias("ss")))
+        sc, ss = F.col("sc").cast("double"), F.col("ss").cast("double")
+        nd = F.col("n_days").cast("double")
+        outs.append(g.select(
+            "event_type", F.lit(p).cast("long").alias("period"), "n_days",
+            F.round((sc * sc + ss * ss) / F.lit(1e18) / (nd * nd), 6)
+             .alias("power")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "period")
+
+
+def window_periodogram_dft_sql():
+    import math as _m
+    parts = ["""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)"""]
+    sels = []
+    for p in _DFT_PERIODS:
+        cos_case = _dft_case_sql("day", p, _m.cos)
+        sin_case = _dft_case_sql("day", p, _m.sin)
+        sels.append(f"""
+SELECT event_type, CAST({p} AS BIGINT) AS period,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round((CAST(sum(n::HUGEINT * ({cos_case})) AS DOUBLE)
+              * CAST(sum(n::HUGEINT * ({cos_case})) AS DOUBLE)
+              + CAST(sum(n::HUGEINT * ({sin_case})) AS DOUBLE)
+              * CAST(sum(n::HUGEINT * ({sin_case})) AS DOUBLE))
+             / 1e18 / (CAST(count(*) AS DOUBLE)
+                       * CAST(count(*) AS DOUBLE)), 6) AS power
+FROM daily GROUP BY event_type""")
+    parts.append(" UNION ALL ".join(sels))
+    parts.append("\nORDER BY event_type, period\n")
+    return "".join(parts)
+
+
+def lake_point_lookup_skip_audit(spark, sf_dir):
+    """Point-lookup file-skipping audit: for a deterministic probe set
+    of user ids (user_id % 31 == 0), how many event-derived data
+    files must be opened under (a) min/max zone maps vs (b) an ideal
+    membership index (the upper bound a per-file Bloom filter
+    approaches) — the number that decides whether adding Blooms to the
+    lake layout is worth the write amplification.
+
+    Scale shape: file stats and exact membership are ONE fold each
+    over (file, user) — the membership frame is |distinct(file,
+    user)|, not |events|; the probe evaluation is a broadcast of the
+    tiny probe list against the |files| stats frame.
+
+    Reference parity: none; lake-layout family (SURVEY §2.2), sibling
+    of `lake_minmax_prune_stats` / `sketch_bloom_fpr_audit`."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        "user_id")
+    fstats = (ev.groupBy("file_id")
+              .agg(F.min("user_id").alias("umin"),
+                   F.max("user_id").alias("umax"))
+              .localCheckpoint(eager=False))
+    member = ev.distinct().localCheckpoint(eager=False)
+    probes = (member.select("user_id").distinct()
+              .where(F.col("user_id") % 31 == 0))
+    n_files = fstats.count()
+    mm = (fstats.crossJoin(F.broadcast(probes))
+          .where((F.col("user_id") >= F.col("umin"))
+                 & (F.col("user_id") <= F.col("umax")))
+          .groupBy("user_id").agg(F.count("*").alias("n_minmax_hit")))
+    ex = (member.join(F.broadcast(probes), "user_id", "left_semi")
+          .groupBy("user_id").agg(F.count("*").alias("n_exact_hit")))
+    return (probes.join(mm, "user_id", "left")
+            .join(ex, "user_id", "left")
+            .select(
+                F.col("user_id").alias("probe_user"),
+                F.lit(n_files).cast("long").alias("n_files"),
+                F.coalesce("n_minmax_hit", F.lit(0)).alias("n_minmax_hit"),
+                F.coalesce("n_exact_hit", F.lit(0)).alias("n_exact_hit"),
+                F.expr(f"(CAST({n_files} AS BIGINT) "
+                       "- coalesce(n_minmax_hit, 0)) * 1000000"
+                       f" div {n_files}").alias("minmax_skip_ppm"),
+                F.expr(f"(CAST({n_files} AS BIGINT) "
+                       "- coalesce(n_exact_hit, 0)) * 1000000"
+                       f" div {n_files}").alias("ideal_skip_ppm"))
+            .orderBy("probe_user"))
+
+
+def lake_point_lookup_skip_audit_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    return f"""
+WITH ev AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id, user_id FROM events
+),
+fstats AS (
+  SELECT file_id, min(user_id) AS umin, max(user_id) AS umax
+  FROM ev GROUP BY 1
+),
+member AS (SELECT DISTINCT file_id, user_id FROM ev),
+probes AS (
+  SELECT DISTINCT user_id FROM member WHERE user_id % 31 = 0
+),
+nf AS (SELECT count(*) AS n_files FROM fstats),
+mm AS (
+  SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_minmax_hit
+  FROM probes p JOIN fstats f
+    ON p.user_id BETWEEN f.umin AND f.umax
+  GROUP BY 1
+),
+ex AS (
+  SELECT m.user_id, CAST(count(*) AS BIGINT) AS n_exact_hit
+  FROM member m JOIN probes p USING (user_id)
+  GROUP BY 1
+)
+SELECT p.user_id AS probe_user,
+       CAST((SELECT n_files FROM nf) AS BIGINT) AS n_files,
+       coalesce(mm.n_minmax_hit, 0) AS n_minmax_hit,
+       coalesce(ex.n_exact_hit, 0) AS n_exact_hit,
+       ((SELECT n_files FROM nf) - coalesce(mm.n_minmax_hit, 0)) * 1000000
+         // (SELECT n_files FROM nf) AS minmax_skip_ppm,
+       ((SELECT n_files FROM nf) - coalesce(ex.n_exact_hit, 0)) * 1000000
+         // (SELECT n_files FROM nf) AS ideal_skip_ppm
+FROM probes p
+LEFT JOIN mm ON mm.user_id = p.user_id
+LEFT JOIN ex ON ex.user_id = p.user_id
+ORDER BY probe_user
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -15075,6 +15425,10 @@ QUERIES = {
     "sample_length_bucket_padding": sample_length_bucket_padding,
     "graph_harmonic_centrality": graph_harmonic_centrality,
     "sample_curriculum_phases": sample_curriculum_phases,
+    "sketch_quantile_merge_audit": sketch_quantile_merge_audit,
+    "window_ttl_expiry_forecast": window_ttl_expiry_forecast,
+    "window_periodogram_dft": window_periodogram_dft,
+    "lake_point_lookup_skip_audit": lake_point_lookup_skip_audit,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -15518,6 +15872,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "sketch_quantile_merge_audit": sketch_quantile_merge_audit_sql(),
+    "window_ttl_expiry_forecast": window_ttl_expiry_forecast_sql(),
+    "window_periodogram_dft": window_periodogram_dft_sql(),
+    "lake_point_lookup_skip_audit": lake_point_lookup_skip_audit_sql(),
     "dedup_method_agreement": dedup_method_agreement_sql(),
     "sample_length_bucket_padding": sample_length_bucket_padding_sql(),
     "graph_harmonic_centrality": graph_harmonic_centrality_sql(),
