@@ -15411,6 +15411,329 @@ ORDER BY probe_user
 """
 
 
+def agg_ratio_delta_method(spark, sf_dir):
+    """Delta-method standard error of a ratio metric — revenue per
+    order by priority with customers as the randomization unit (the
+    A/B-testing workhorse: naive per-order SE understates variance
+    because orders cluster within customers). Per-unit sums
+    accumulate exactly in cents; the only doubles are the final
+    ratio and SE ≈ sqrt((vx − 2R·cxn + R²·vn) / U) / n̄.
+
+    Scale shape: ONE (customer, priority) fold (map-side combine),
+    then the moment fold on the |units| frame — the classic two-level
+    aggregation; nothing beyond those two shuffles.
+
+    Reference parity: none; statistics family (SURVEY §2.2), sibling
+    of `agg_welch_ttest` / `agg_two_proportion_ztest`."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+         .alias("cents"))
+    per = (o.groupBy("o_custkey", "o_orderpriority")
+           .agg(F.sum("cents").alias("x"),
+                F.count("*").cast("decimal(38,0)").alias("n")))
+    mom = (per.groupBy("o_orderpriority")
+           .agg(F.count("*").cast("long").alias("units"),
+                F.sum("x").alias("sx"), F.sum("n").alias("sn"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("n") * F.col("n")).alias("snn"),
+                F.sum(F.col("x") * F.col("n")).alias("sxn")))
+    u = F.col("units").cast("double")
+    sx, sn, sxx, snn, sxn = [F.col(c).cast("double")
+                             for c in ("sx", "sn", "sxx", "snn", "sxn")]
+    r = sx / sn
+    vx = sxx / u - (sx / u) * (sx / u)
+    vn = snn / u - (sn / u) * (sn / u)
+    cxn = sxn / u - (sx / u) * (sn / u)
+    nbar = sn / u
+    se = F.sqrt((vx - F.lit(2.0) * r * cxn + r * r * vn) / u) / nbar
+    return (mom.select(
+        "o_orderpriority", "units",
+        F.round(r, 6).alias("ratio_cents"),
+        F.round(se, 6).alias("se_delta"))
+        .orderBy("o_orderpriority"))
+
+
+def agg_ratio_delta_method_sql():
+    return """
+WITH per AS (
+  SELECT o_custkey, o_orderpriority,
+         sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS x,
+         CAST(count(*) AS DECIMAL(38,0)) AS n
+  FROM orders GROUP BY 1, 2
+),
+mom AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS units,
+         sum(x) AS sx, sum(n) AS sn, sum(x * x) AS sxx,
+         sum(n * n) AS snn, sum(x * n) AS sxn
+  FROM per GROUP BY 1
+)
+SELECT o_orderpriority, units,
+       round(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS ratio_cents,
+       round(sqrt((CAST(sxx AS DOUBLE) / units
+                   - (CAST(sx AS DOUBLE) / units)
+                     * (CAST(sx AS DOUBLE) / units)
+                   - 2.0 * (CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                     * (CAST(sxn AS DOUBLE) / units
+                        - (CAST(sx AS DOUBLE) / units)
+                          * (CAST(sn AS DOUBLE) / units))
+                   + (CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                     * (CAST(snn AS DOUBLE) / units
+                        - (CAST(sn AS DOUBLE) / units)
+                          * (CAST(sn AS DOUBLE) / units))) / units)
+             / (CAST(sn AS DOUBLE) / units), 6) AS se_delta
+FROM mom ORDER BY o_orderpriority
+"""
+
+
+def agg_mutual_information_type_hour(spark, sf_dir):
+    """Mutual information between event type and hour-of-day — the
+    dependence measure behind "is traffic shape type-specific?"
+    (χ² tests significance; MI measures effect size in nats and
+    feeds feature selection). Emitted per type: its additive MI
+    contribution Σₕ p(t,h)·ln(p(t,h)/(p(t)p(h))), from exact integer
+    counts with one double log at the end.
+
+    Scale shape: ONE (type, hour) count fold (|types|×24 cells);
+    marginals broadcast back onto the cell frame.
+
+    Reference parity: none; statistics family (SURVEY §2.2), sibling
+    of `text_lang_source_chi2` / `text_js_divergence`."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hr"))
+    cells = (ev.groupBy("event_type", "hr")
+             .agg(F.count("*").alias("c"))
+             .localCheckpoint(eager=False))
+    tm = cells.groupBy("event_type").agg(F.sum("c").alias("ct"))
+    hm = cells.groupBy("hr").agg(F.sum("c").alias("ch"))
+    n = cells.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    j = (cells.join(F.broadcast(tm), "event_type")
+         .join(F.broadcast(hm), "hr"))
+    c, ct, ch = [F.col(x).cast("double") for x in ("c", "ct", "ch")]
+    nn = F.lit(float(n))
+    term = (c / nn) * F.log((c * nn) / (ct * ch))
+    return (j.groupBy("event_type")
+            .agg(F.sum("c").cast("long").alias("n_events"),
+                 F.round(F.sum(term), 6).alias("mi_contrib_nats"))
+            .orderBy("event_type"))
+
+
+def agg_mutual_information_type_hour_sql():
+    return """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tm AS (SELECT event_type, sum(c) AS ct FROM cells GROUP BY 1),
+hm AS (SELECT hr, sum(c) AS ch FROM cells GROUP BY 1),
+nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells)
+SELECT cells.event_type,
+       CAST(sum(cells.c) AS BIGINT) AS n_events,
+       round(sum((CAST(cells.c AS DOUBLE) / nn.n)
+                 * ln((CAST(cells.c AS DOUBLE) * nn.n)
+                      / (CAST(tm.ct AS DOUBLE)
+                         * CAST(hm.ch AS DOUBLE)))), 6)
+         AS mi_contrib_nats
+FROM cells
+JOIN tm USING (event_type)
+JOIN hm USING (hr)
+CROSS JOIN nn
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_BACKFILL_D0_OFFSET = 10
+_BACKFILL_DAYS = 3
+
+
+def cdc_backfill_plan(spark, sf_dir):
+    """Backfill planning — a corrupted 3-day window must be replayed:
+    which event-derived data files contain affected rows, how many
+    extra events ride along (files span the window boundary —
+    replay amplification), and how many MERGE key-buckets the
+    rewrite touches. The numbers an operator reads before green-
+    lighting a backfill at 100 TB: amplification ≈ 1 means the
+    layout is well-time-clustered; buckets-touched sizes the MERGE.
+
+    Scale shape: file spans + per-(file, day) counts are ONE fold
+    over the scan; the per-day report joins the |files| span frame
+    (broadcast) — no second pass over rows.
+
+    Reference parity: the batch analogue of resuming a dump from an
+    earlier binlog position (`dump/dump.go` start-position replay);
+    lake family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(32)).alias("bucket"))
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    lo = d0 + _BACKFILL_D0_OFFSET
+    hi = lo + _BACKFILL_DAYS  # [lo, hi)
+    fd = (ev.groupBy("file_id", "day")
+          .agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
+    fspan = fd.groupBy("file_id").agg(F.sum("c").alias("f_events"))
+    hit_files = (fd.where((F.col("day") >= lo) & (F.col("day") < hi))
+                 .select("file_id").distinct())
+    sel = hit_files.join(fspan, "file_id")
+    tgt = (ev.where((F.col("day") >= lo) & (F.col("day") < hi))
+           .groupBy("day")
+           .agg(F.count("*").alias("n_events_target"),
+                F.countDistinct("bucket").alias("n_buckets")))
+    per_day_files = (fd.where((F.col("day") >= lo) & (F.col("day") < hi))
+                     .groupBy("day")
+                     .agg(F.countDistinct("file_id").alias("n_files")))
+    sel_tot = sel.agg(F.sum("f_events").alias("t"),
+                      F.count("*").alias("nf")).collect()[0]
+    return (tgt.join(per_day_files, "day")
+            .select(
+                "day", "n_events_target", "n_files", "n_buckets",
+                F.lit(int(sel_tot["nf"])).cast("long")
+                 .alias("n_files_total_replay"),
+                F.lit(int(sel_tot["t"])).cast("long")
+                 .alias("n_events_total_replay"),
+                F.expr(f"CAST({int(sel_tot['t'])} AS BIGINT) * 1000000 "
+                       "div greatest(sum(n_events_target) OVER (), 1)")
+                 .alias("amplification_ppm"))
+            .orderBy("day"))
+
+
+def cdc_backfill_plan_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    return f"""
+WITH ev AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id,
+         epoch_us(ts) // 86400000000 AS day,
+         user_id % 32 AS bucket
+  FROM events
+),
+d0 AS (SELECT min(day) + {_BACKFILL_D0_OFFSET} AS lo,
+              min(day) + {_BACKFILL_D0_OFFSET + _BACKFILL_DAYS} AS hi
+       FROM ev),
+fd AS (
+  SELECT file_id, day, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+fspan AS (SELECT file_id, sum(c) AS f_events FROM fd GROUP BY 1),
+hit AS (
+  SELECT DISTINCT fd.file_id FROM fd CROSS JOIN d0
+  WHERE fd.day >= d0.lo AND fd.day < d0.hi
+),
+sel AS (
+  SELECT CAST(count(*) AS BIGINT) AS nf, sum(f_events) AS t
+  FROM hit JOIN fspan USING (file_id)
+),
+tgt AS (
+  SELECT ev.day, CAST(count(*) AS BIGINT) AS n_events_target,
+         CAST(count(DISTINCT ev.bucket) AS BIGINT) AS n_buckets
+  FROM ev CROSS JOIN d0
+  WHERE ev.day >= d0.lo AND ev.day < d0.hi GROUP BY 1
+),
+pdf AS (
+  SELECT fd.day, CAST(count(DISTINCT fd.file_id) AS BIGINT) AS n_files
+  FROM fd CROSS JOIN d0
+  WHERE fd.day >= d0.lo AND fd.day < d0.hi GROUP BY 1
+),
+tott AS (SELECT sum(n_events_target) AS s FROM tgt)
+SELECT t.day, t.n_events_target, p.n_files, t.n_buckets,
+       s.nf AS n_files_total_replay,
+       CAST(s.t AS BIGINT) AS n_events_total_replay,
+       CAST(s.t AS BIGINT) * 1000000
+         // greatest((SELECT s FROM tott), 1) AS amplification_ppm
+FROM tgt t JOIN pdf p USING (day) CROSS JOIN sel s
+ORDER BY t.day
+"""
+
+
+_TRIM_CUTS_PCT = (1, 5, 10)
+
+
+def agg_trim_sensitivity_sweep(spark, sf_dir):
+    """Trimmed-mean sensitivity sweep — the robustness curve of the
+    per-type mean of `value` as symmetric trimming deepens (1%, 5%,
+    10% off each tail): a mean that keeps moving as the cut grows is
+    tail-driven, one that stabilizes is robust (`agg_winsorized_mean`
+    is the single-cut point; this is the curve). Values are
+    micro-quantized so the kept-set sums are exact integers; the
+    trim boundaries use the same floor(n·c/100) index in both
+    engines.
+
+    Scale shape: one ranked window per type (parallel partitions)
+    reused by all three cuts via a single CASE-free filter join with
+    the broadcast per-type counts; sums on the kept rows only.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vq"))
+    w = Window.partitionBy("event_type").orderBy("vq", "event_id")
+    ranked = (ev.withColumn("rn", F.row_number().over(w))
+              .localCheckpoint(eager=False))
+    cnt = ranked.groupBy("event_type").agg(F.count("*").alias("n"))
+    cuts = spark.createDataFrame(
+        [(c,) for c in _TRIM_CUTS_PCT], "cut_pct long")
+    j = (ranked.join(F.broadcast(cnt), "event_type")
+         .crossJoin(F.broadcast(cuts))
+         .withColumn("k", F.expr("n * cut_pct div 100"))
+         .where((F.col("rn") > F.col("k"))
+                & (F.col("rn") <= F.col("n") - F.col("k"))))
+    full = (ev.groupBy("event_type")
+            .agg((F.sum("vq").cast("double") / F.count("*")
+                  / F.lit(1e6)).alias("mean_full")))
+    return (j.groupBy("event_type", "cut_pct")
+            .agg(F.count("*").alias("n_kept"),
+                 F.round(F.sum("vq").cast("double") / F.count("*")
+                         / F.lit(1e6), 6).alias("trimmed_mean"))
+            .join(F.broadcast(full), "event_type")
+            .select("event_type", "cut_pct", "n_kept", "trimmed_mean",
+                    F.round(F.col("trimmed_mean")
+                            - F.round(F.col("mean_full"), 6), 6)
+                    .alias("shift_vs_full"))
+            .orderBy("event_type", "cut_pct"))
+
+
+def agg_trim_sensitivity_sweep_sql():
+    cuts = ", ".join(str(c) for c in _TRIM_CUTS_PCT)
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY vq, event_id) AS rn
+  FROM ev
+),
+cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1),
+cuts AS (SELECT unnest([{cuts}]) AS cut_pct),
+kept AS (
+  SELECT r.event_type, c.cut_pct, r.vq
+  FROM ranked r JOIN cnt n USING (event_type) CROSS JOIN cuts c
+  WHERE r.rn > n.n * c.cut_pct // 100
+    AND r.rn <= n.n - n.n * c.cut_pct // 100
+),
+fm AS (
+  SELECT event_type,
+         CAST(sum(vq) AS DOUBLE) / count(*) / 1e6 AS mean_full
+  FROM ev GROUP BY 1
+)
+SELECT k.event_type, CAST(k.cut_pct AS BIGINT) AS cut_pct,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(k.vq) AS DOUBLE) / count(*) / 1e6, 6)
+         AS trimmed_mean,
+       round(round(CAST(sum(k.vq) AS DOUBLE) / count(*) / 1e6, 6)
+             - round(f.mean_full, 6), 6) AS shift_vs_full
+FROM kept k JOIN fm f USING (event_type)
+GROUP BY k.event_type, k.cut_pct, f.mean_full
+ORDER BY k.event_type, k.cut_pct
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -15429,6 +15752,10 @@ QUERIES = {
     "window_ttl_expiry_forecast": window_ttl_expiry_forecast,
     "window_periodogram_dft": window_periodogram_dft,
     "lake_point_lookup_skip_audit": lake_point_lookup_skip_audit,
+    "agg_ratio_delta_method": agg_ratio_delta_method,
+    "agg_mutual_information_type_hour": agg_mutual_information_type_hour,
+    "cdc_backfill_plan": cdc_backfill_plan,
+    "agg_trim_sensitivity_sweep": agg_trim_sensitivity_sweep,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -15872,6 +16199,11 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "agg_ratio_delta_method": agg_ratio_delta_method_sql(),
+    "agg_mutual_information_type_hour":
+        agg_mutual_information_type_hour_sql(),
+    "cdc_backfill_plan": cdc_backfill_plan_sql(),
+    "agg_trim_sensitivity_sweep": agg_trim_sensitivity_sweep_sql(),
     "sketch_quantile_merge_audit": sketch_quantile_merge_audit_sql(),
     "window_ttl_expiry_forecast": window_ttl_expiry_forecast_sql(),
     "window_periodogram_dft": window_periodogram_dft_sql(),
