@@ -15734,6 +15734,332 @@ ORDER BY k.event_type, k.cut_pct
 """
 
 
+_HLL_SWEEP_P = (4, 6, 8)
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def sketch_hll_precision_sweep(spark, sf_dir):
+    """HLL precision sweep — estimate error vs register count at p =
+    4/6/8 (16/64/256 registers) per event type: the memory-accuracy
+    frontier a planner reads before choosing sketch precision for a
+    billion-key distinct count (`sketch_cms_width_sweep` is the
+    count-min analogue). Same 60-bit md5 hash as the registered HLL;
+    alpha constants embedded as shared literals; linear-counting
+    correction applied below the 2.5m threshold exactly as in
+    `sketch_hll_estimate`.
+
+    Scale shape: one register fold per p (shuffle carries ≤ m rows
+    per group each) + the exact-count fold for the error column —
+    bounded state throughout.
+
+    Reference parity: none; sketch family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    outs = []
+    for p in _HLL_SWEEP_P:
+        m = 1 << p
+        wbits = 60 - p
+        alpha = _hll_alpha(m)
+        bucket = F.shiftright(h, wbits)
+        w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+        rho = (F.when(w == 0, F.lit(wbits + 1))
+               .otherwise(F.lit(wbits + 1) - F.length(F.bin(w))))
+        regs = (ev.select("event_type", bucket.alias("bucket"),
+                          rho.cast("int").alias("rho"))
+                .groupBy("event_type", "bucket")
+                .agg(F.max("rho").alias("max_rho")))
+        per = (regs.groupBy("event_type")
+               .agg(F.count("*").alias("used"),
+                    F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                    .alias("hsum")))
+        raw = F.lit(alpha * m * m) / ((F.lit(float(m)) - F.col("used"))
+                                      + F.col("hsum"))
+        lc = F.lit(float(m)) * F.log(F.lit(float(m))
+                                     / (F.lit(float(m)) - F.col("used")))
+        est = F.when((raw <= F.lit(2.5 * m)) & (F.col("used") < m), lc) \
+            .otherwise(raw)
+        outs.append(per.select(
+            "event_type", F.lit(p).cast("long").alias("p"),
+            F.lit(m).cast("long").alias("m"),
+            F.col("used").cast("long").alias("registers_used"),
+            F.round(est, 4).alias("estimate")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (out.join(F.broadcast(exact), "event_type")
+            .withColumn("err_pct",
+                        F.round(F.abs(F.col("estimate")
+                                      / F.col("exact_users").cast("double")
+                                      - 1) * 100, 6))
+            .orderBy("event_type", "p"))
+
+
+def sketch_hll_precision_sweep_sql():
+    sels = []
+    for p in _HLL_SWEEP_P:
+        m = 1 << p
+        wbits = 60 - p
+        mask = (1 << wbits) - 1
+        alpha = _hll_alpha(m)
+        sels.append(f"""
+SELECT event_type, CAST({p} AS BIGINT) AS p, CAST({m} AS BIGINT) AS m,
+       CAST(used AS BIGINT) AS registers_used,
+       round(CASE WHEN {alpha * m * m} / (({m} - used) + hsum)
+                       <= {2.5 * m} AND used < {m}
+                  THEN {m} * ln({m} / ({m} - used))
+                  ELSE {alpha * m * m} / (({m} - used) + hsum)
+             END, 4) AS estimate
+FROM (
+  SELECT event_type, count(*) AS used,
+         sum(power(2.0, -max_rho)) AS hsum
+  FROM (
+    SELECT event_type, h >> {wbits} AS bucket,
+           CAST(max(CASE WHEN h & {mask} = 0 THEN {wbits + 1}
+                         ELSE {wbits + 1} - length(bin(h & {mask})) END)
+                AS INTEGER) AS max_rho
+    FROM hh GROUP BY 1, 2
+  ) GROUP BY 1
+)""")
+    union = " UNION ALL ".join(sels)
+    return f"""
+WITH hh AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+),
+sweep AS ({union})
+SELECT s.event_type, s.p, s.m, s.registers_used, s.estimate,
+       CAST(e.exact_users AS BIGINT) AS exact_users,
+       round(abs(s.estimate / CAST(e.exact_users AS DOUBLE) - 1) * 100, 6)
+         AS err_pct
+FROM sweep s JOIN exact e USING (event_type)
+ORDER BY s.event_type, s.p
+"""
+
+
+def graph_motif_ffl(spark, sf_dir):
+    """Directed feed-forward-loop census on the raw md5 link graph
+    (a→b kept directed, unlike the symmetrized rows): wedges a→b→c
+    with the shortcut a→c are the FFL motif — the over-represented
+    triad in real information networks, and the directed sibling of
+    `graph_triangle_count`. One row: edges, wedges, FFLs, and the
+    closure rate in ppm.
+
+    Scale shape: the wedge join is keyed on the wedge midpoint, the
+    closure test is a semi join back on (a, c) — both standard
+    shuffles. At web scale the midpoint join needs the usual
+    high-degree cap (drop hubs above a degree bound before pairing),
+    which this census itself is the tool for sizing.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    edges = (docs.select(F.col("doc_id").alias("a"),
+                         F.explode(F.array(*dsts)).alias("b"))
+             .where(F.col("a") != F.col("b"))
+             .distinct()
+             .localCheckpoint(eager=False))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = (edges.join(e2, "b")
+              .where(F.col("a") != F.col("c"))
+              .select("a", "b", "c"))
+    closed = wedges.join(
+        edges.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"], "left_semi")
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_ffl = closed.count()
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_ffl,
+          n_ffl * 1_000_000 // max(n_wedges, 1))],
+        "n_edges long, n_wedges long, n_ffl long, closure_ppm long")
+
+
+def graph_motif_ffl_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+edges AS (SELECT DISTINCT a, b FROM raw WHERE a != b),
+wedges AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+  WHERE e1.a != e2.b
+),
+ffl AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = w.a AND e.b = w.c)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM ffl) AS n_ffl,
+       (SELECT count(*) FROM ffl) * 1000000
+         // greatest((SELECT count(*) FROM wedges), 1) AS closure_ppm
+"""
+
+
+def cdc_gdpr_erasure_plan(spark, sf_dir):
+    """Key-erasure (GDPR right-to-be-forgotten) dry run for a probe
+    set of users (user_id % 97 == 0): per user, the rows to delete,
+    the data files and MERGE bucket containing them, and the rewrite
+    amplification — how many co-resident events the COW rewrite of
+    those files carries along. The key-based sibling of the
+    time-based `cdc_backfill_plan`; together they are the two rewrite
+    shapes a lake operator costs out.
+
+    Scale shape: per-(file, user) counts and file spans are ONE fold
+    each; the probe evaluation joins the tiny probe frame (broadcast)
+    — rows are never rescanned per user.
+
+    Reference parity: none; CDC-lake operations family (SURVEY §2.2),
+    sibling of `cdc_delete_cascade_impact` (the FK fan-out half).
+
+    Note: deletes-by-key at scale favor merge-on-read deletion
+    vectors (`lake_mor_deletes`) precisely because this COW
+    amplification is typically large — this query produces that
+    argument as data."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        "user_id")
+    fu = (ev.groupBy("file_id", "user_id")
+          .agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
+    fspan = fu.groupBy("file_id").agg(F.sum("c").alias("f_events"))
+    probes = (fu.select("user_id").distinct()
+              .where(F.col("user_id") % 97 == 0))
+    mine = fu.join(F.broadcast(probes), "user_id")
+    per_user = (mine.groupBy("user_id")
+                .agg(F.sum("c").alias("n_rows"),
+                     F.countDistinct("file_id").alias("n_files")))
+    in_files = (mine.select("user_id", "file_id")
+                .join(fspan, "file_id")
+                .groupBy("user_id")
+                .agg(F.sum("f_events").alias("n_events_in_files")))
+    return (per_user.join(in_files, "user_id")
+            .select(
+                F.col("user_id").alias("erase_user"),
+                F.pmod(F.col("user_id"), F.lit(32)).cast("long")
+                 .alias("bucket"),
+                "n_rows", "n_files", "n_events_in_files",
+                F.expr("n_events_in_files * 1000000 div n_rows")
+                 .alias("amplification_ppm"))
+            .orderBy("erase_user"))
+
+
+def cdc_gdpr_erasure_plan_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    return f"""
+WITH ev AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id, user_id FROM events
+),
+fu AS (
+  SELECT file_id, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+fspan AS (SELECT file_id, sum(c) AS f_events FROM fu GROUP BY 1),
+probes AS (SELECT DISTINCT user_id FROM fu WHERE user_id % 97 = 0),
+mine AS (SELECT fu.* FROM fu JOIN probes USING (user_id)),
+pu AS (
+  SELECT user_id, sum(c) AS n_rows,
+         CAST(count(DISTINCT file_id) AS BIGINT) AS n_files
+  FROM mine GROUP BY 1
+),
+inf AS (
+  SELECT m.user_id, sum(f.f_events) AS n_events_in_files
+  FROM (SELECT DISTINCT user_id, file_id FROM mine) m
+  JOIN fspan f USING (file_id)
+  GROUP BY 1
+)
+SELECT p.user_id AS erase_user, p.user_id % 32 AS bucket,
+       CAST(p.n_rows AS BIGINT) AS n_rows, p.n_files,
+       CAST(i.n_events_in_files AS BIGINT) AS n_events_in_files,
+       CAST(i.n_events_in_files AS BIGINT) * 1000000
+         // p.n_rows AS amplification_ppm
+FROM pu p JOIN inf i USING (user_id)
+ORDER BY erase_user
+"""
+
+
+_FH_DIMS = 64
+
+
+def text_feature_hashing_audit(spark, sf_dir):
+    """Feature-hashing (hashing-trick) collision audit: tokens map to
+    64 dimensions via md5, and the per-dimension load and distinct-
+    token fan-in measure what a hashed bag-of-words representation
+    loses — dims with many distinct tokens conflate unrelated
+    features. The audit a practitioner runs before choosing the
+    hashed-vectorizer width.
+
+    Scale shape: explode → ONE (dim, token) fold → ONE dim fold; the
+    64-row result frame is metadata-sized. Token split uses the
+    shared cross-engine whitespace class (`operators/textnorm`).
+
+    Reference parity: none; text/featurization family (SURVEY §2.3),
+    sibling of `text_inverted_postings` / `tok_vocab_coverage`."""
+    from .operators.textnorm import WS_REGEX
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.coalesce("text", F.lit("")),
+                                      WS_REGEX)).alias("tok"))
+            .where(F.col("tok") != ""))
+    dim = (F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long")
+           % _FH_DIMS)
+    dt = (toks.select(dim.alias("dim"), "tok")
+          .groupBy("dim", "tok").agg(F.count("*").alias("c")))
+    tot = toks.count()
+    return (dt.groupBy("dim")
+            .agg(F.sum("c").alias("n_occurrences"),
+                 F.count("*").alias("n_distinct_tokens"))
+            .withColumn("load_ppm",
+                        F.expr(f"n_occurrences * 1000000 div {max(tot, 1)}"))
+            .orderBy("dim"))
+
+
+def text_feature_hashing_audit_sql():
+    from .operators.textnorm import WS_REGEX
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '{WS_REGEX}'))
+           AS tok
+  FROM documents
+),
+nz AS (SELECT tok FROM toks WHERE tok <> ''),
+dt AS (
+  SELECT ('0x' || substr(md5(tok), 1, 7))::BIGINT % {_FH_DIMS} AS dim,
+         tok, CAST(count(*) AS BIGINT) AS c
+  FROM nz GROUP BY 1, 2
+),
+tot AS (SELECT count(*) AS t FROM nz)
+SELECT dim, CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       sum(c) * 1000000 // greatest((SELECT t FROM tot), 1) AS load_ppm
+FROM dt GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -15756,6 +16082,10 @@ QUERIES = {
     "agg_mutual_information_type_hour": agg_mutual_information_type_hour,
     "cdc_backfill_plan": cdc_backfill_plan,
     "agg_trim_sensitivity_sweep": agg_trim_sensitivity_sweep,
+    "sketch_hll_precision_sweep": sketch_hll_precision_sweep,
+    "graph_motif_ffl": graph_motif_ffl,
+    "cdc_gdpr_erasure_plan": cdc_gdpr_erasure_plan,
+    "text_feature_hashing_audit": text_feature_hashing_audit,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -16199,6 +16529,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "sketch_hll_precision_sweep": sketch_hll_precision_sweep_sql(),
+    "graph_motif_ffl": graph_motif_ffl_sql(),
+    "cdc_gdpr_erasure_plan": cdc_gdpr_erasure_plan_sql(),
+    "text_feature_hashing_audit": text_feature_hashing_audit_sql(),
     "agg_ratio_delta_method": agg_ratio_delta_method_sql(),
     "agg_mutual_information_type_hour":
         agg_mutual_information_type_hour_sql(),
