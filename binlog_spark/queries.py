@@ -16060,6 +16060,309 @@ FROM dt GROUP BY 1 ORDER BY 1
 """
 
 
+_RESTATE_DELAYS_S = (60, 300, 600)
+
+
+def cdc_late_restatement_fanout(spark, sf_dir):
+    """Watermark-budget restatement curve: under the same
+    deterministic jittered-arrival model as
+    `cdc_watermark_delay_audit`, events later than a candidate
+    watermark delay D arrive after their hourly window closed — each
+    forces a restatement of that (type, hour) continuous-aggregate
+    partition. Per (type, D ∈ 60/300/600 s): how many events land
+    beyond the watermark and how many closed windows they re-open —
+    the restatement budget that picks ``withWatermark`` for
+    `rollup_incremental_events`-style aggregates.
+
+    Scale shape: one running-max window per type partition (arrival
+    order), then the sweep is a broadcast 3-row cross join folded to
+    |types × delays|.
+
+    Reference parity: none; streaming watermark family (SURVEY
+    §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("es"))
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7),
+               16, 10).cast("long")
+    arr = ev.withColumn("aes", F.col("es") + h % WATERMARK_MAX_DELAY_S)
+    wa = (Window.partitionBy("event_type").orderBy("aes", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    late = arr.withColumn("lateness",
+                          F.max("es").over(wa) - F.col("es")) \
+              .withColumn("hour", F.expr("es div 3600"))
+    delays = spark.createDataFrame(
+        [(d,) for d in _RESTATE_DELAYS_S], "delay_s long")
+    tot = late.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    j = (late.crossJoin(F.broadcast(delays))
+         .where(F.col("lateness") > F.col("delay_s")))
+    return (j.groupBy("event_type", "delay_s")
+            .agg(F.count("*").alias("n_late_beyond"),
+                 F.countDistinct("hour").alias("n_windows_restated"))
+            .join(F.broadcast(tot), "event_type")
+            .withColumn("restate_ppm",
+                        F.expr("n_late_beyond * 1000000 div n_events"))
+            .select("event_type", "delay_s", "n_late_beyond",
+                    "n_windows_restated", "restate_ppm")
+            .orderBy("event_type", "delay_s"))
+
+
+def cdc_late_restatement_fanout_sql():
+    delays = ", ".join(str(d) for d in _RESTATE_DELAYS_S)
+    return f"""
+WITH ev AS (
+  -- floor to whole seconds: Spark's unix_timestamp truncates, DuckDB's
+  -- epoch() keeps microseconds
+  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT
+             % {WATERMARK_MAX_DELAY_S} AS aes
+  FROM events
+),
+late AS (
+  SELECT event_type, event_id, es // 3600 AS hour,
+         max(es) OVER (PARTITION BY event_type ORDER BY aes, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - es AS lateness
+  FROM ev
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1),
+delays AS (SELECT unnest([{delays}]) AS delay_s)
+SELECT l.event_type, CAST(d.delay_s AS BIGINT) AS delay_s,
+       CAST(count(*) AS BIGINT) AS n_late_beyond,
+       CAST(count(DISTINCT l.hour) AS BIGINT) AS n_windows_restated,
+       count(*) * 1000000 // max(t.n_events) AS restate_ppm
+FROM late l CROSS JOIN delays d JOIN tot t USING (event_type)
+WHERE l.lateness > d.delay_s
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def window_arrival_reorder_depth(spark, sf_dir):
+    """Reorder-displacement profile: under the shared jittered-arrival
+    model, each event's forward displacement (arrival rank − event-
+    time rank within its stream) is how many positions an in-order
+    re-emitter must hold it — max and p99 displacement size the
+    reorder buffer, the row-count complement of the time-based
+    `cdc_watermark_delay_audit`. Quantiles use the deterministic
+    index rule, ties by event_id.
+
+    Scale shape: two ranked windows on the per-type partition + one
+    type-grain fold — same shape as the watermark audit.
+
+    Reference parity: the reference never reorders (single connection,
+    `row_streamer.go:120`); this sizes the buffer a parallel consumer
+    needs to restore its order (SURVEY §2.2 streaming)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("es"))
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7),
+               16, 10).cast("long")
+    arr = ev.withColumn("aes", F.col("es") + h % WATERMARK_MAX_DELAY_S)
+    we = Window.partitionBy("event_type").orderBy("es", "event_id")
+    wa = Window.partitionBy("event_type").orderBy("aes", "event_id")
+    d = (arr.withColumn("re", F.row_number().over(we))
+         .withColumn("ra", F.row_number().over(wa))
+         .withColumn("disp", F.greatest(F.col("ra") - F.col("re"),
+                                        F.lit(0))))
+    wr = Window.partitionBy("event_type").orderBy("disp", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (d.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(wn)))
+    return (ranked.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("disp") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_displaced"),
+                 F.max("disp").cast("long").alias("max_displacement"),
+                 F.max(F.when(F.col("rn") == F.expr(
+                     "(n * 99 + 99) div 100"), F.col("disp")))
+                 .cast("long").alias("p99_displacement"))
+            .orderBy("event_type"))
+
+
+def window_arrival_reorder_depth_sql():
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT
+             % {WATERMARK_MAX_DELAY_S} AS aes
+  FROM events
+),
+d AS (
+  SELECT event_type, event_id,
+         greatest(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY aes, event_id)
+                  - row_number() OVER (PARTITION BY event_type
+                                       ORDER BY es, event_id), 0) AS disp
+  FROM ev
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY disp, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN disp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_displaced,
+       CAST(max(disp) AS BIGINT) AS max_displacement,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN disp END)
+            AS BIGINT) AS p99_displacement
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def sim_ivf_cell_balance(spark, sf_dir):
+    """IVF index-build health: per-cell population and quantization
+    error of the k-means coarse quantizer (k = 8, the registered
+    `sim_kmeans_assign` configuration) — skewed cells make probe cost
+    unpredictable and fat cells defeat the inverted list's pruning;
+    this is the audit run after building an IVF index and before
+    trusting `sim_ivf_probe_sweep`'s recall numbers. Distances are
+    micro-quantized per row BEFORE summing, so the per-cell mean is
+    exact integer arithmetic (a double sum over rows would be
+    partition-order dependent).
+
+    Scale shape: the assignment is the shuffle-free broadcast-
+    centroid Arrow kernel; the audit adds ONE |cells|-row fold.
+
+    Reference parity: none; similarity family (SURVEY §2.3)."""
+    asn = similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"))
+    tot = asn.count()
+    dq = F.floor(F.col("dist") * 1_000_000).cast("long")
+    per = (asn.select("cluster", dq.alias("dq"))
+           .groupBy("cluster")
+           .agg(F.count("*").alias("n_points"),
+                F.sum("dq").alias("sdq")))
+    cells = spark.range(8).select(F.col("id").cast("long").alias("cluster"))
+    return (cells.join(per.withColumn("cluster",
+                                      F.col("cluster").cast("long")),
+                       "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce("n_points", F.lit(0)).alias("n_points"),
+                F.expr(f"coalesce(n_points, 0) * 1000000"
+                       f" div {max(tot, 1)}").alias("load_ppm"),
+                F.round(F.col("sdq").cast("double") / F.col("n_points")
+                        / F.lit(1e6), 6).alias("mean_sq_dist"))
+            .orderBy("cluster"))
+
+
+def sim_ivf_cell_balance_sql():
+    inner = similarity.kmeans_assign_sql()
+    return f"""
+WITH asn AS ({inner}),
+tot AS (SELECT count(*) AS t FROM asn),
+per AS (
+  SELECT CAST(cluster AS BIGINT) AS cluster,
+         CAST(count(*) AS BIGINT) AS n_points,
+         sum(CAST(floor(dist * 1000000) AS BIGINT)) AS sdq
+  FROM asn GROUP BY cluster
+),
+cells AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS cluster)
+SELECT c.cluster,
+       coalesce(p.n_points, 0) AS n_points,
+       coalesce(p.n_points, 0) * 1000000
+         // greatest((SELECT t FROM tot), 1) AS load_ppm,
+       round(CAST(p.sdq AS DOUBLE) / p.n_points / 1e6, 6)
+         AS mean_sq_dist
+FROM cells c LEFT JOIN per p USING (cluster)
+ORDER BY c.cluster
+"""
+
+
+_PSI_BAND_VQ = 20_000_000  # 20 value-units per band (micro-quantized)
+
+
+def agg_value_psi_drift(spark, sf_dir):
+    """Population Stability Index of the value distribution, week 1 vs
+    week 4, per event type — the ML-ops drift gate (PSI < 0.1 stable,
+    > 0.25 investigate) computed on fixed value bands with add-one
+    smoothing over the union band set, so empty bands are handled
+    identically in both engines. `drift_value_histogram` shows the
+    shapes; this emits the decision statistic.
+
+    Scale shape: ONE (type, band, week) count fold; the PSI fold runs
+    on the |types × bands| frame.
+
+    Reference parity: none; statistics/drift family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    ev = ev.withColumn("wk", F.expr(f"(day - {d0}) div 7")) \
+           .where(F.col("wk").isin(0, 3)) \
+           .withColumn("band", F.expr(
+               f"CASE WHEN vq >= 0 THEN vq div {_PSI_BAND_VQ} "
+               f"ELSE -((-vq) div {_PSI_BAND_VQ}) - 1 END"))
+    cells = (ev.groupBy("event_type", "band", "wk")
+             .agg(F.count("*").alias("c")))
+    piv = (cells.groupBy("event_type", "band")
+           .agg(F.sum(F.when(F.col("wk") == 0, F.col("c"))
+                      .otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("wk") == 3, F.col("c"))
+                      .otherwise(0)).alias("c2")))
+    tots = (piv.groupBy("event_type")
+            .agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+                 F.count("*").alias("nb")))
+    j = piv.join(F.broadcast(tots), "event_type")
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("nb"))
+    p2 = (F.col("c2") + 1).cast("double") / (F.col("n2") + F.col("nb"))
+    return (j.groupBy("event_type")
+            .agg(F.max("nb").cast("long").alias("n_bands"),
+                 F.sum("c1").cast("long").alias("n_week1"),
+                 F.sum("c2").cast("long").alias("n_week4"),
+                 F.round(F.sum((p2 - p1) * F.log(p2 / p1)), 6)
+                 .alias("psi"))
+            .orderBy("event_type"))
+
+
+def agg_value_psi_drift_sql():
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events)) // 7
+           AS wk,
+         CASE WHEN CAST(round(value * 1000000) AS BIGINT) >= 0
+              THEN CAST(round(value * 1000000) AS BIGINT)
+                     // {_PSI_BAND_VQ}
+              ELSE -((-CAST(round(value * 1000000) AS BIGINT))
+                     // {_PSI_BAND_VQ}) - 1 END AS band
+  FROM events
+),
+cells AS (
+  SELECT event_type, band, wk, CAST(count(*) AS BIGINT) AS c
+  FROM ev WHERE wk IN (0, 3) GROUP BY 1, 2, 3
+),
+piv AS (
+  SELECT event_type, band,
+         sum(CASE WHEN wk = 0 THEN c ELSE 0 END) AS c1,
+         sum(CASE WHEN wk = 3 THEN c ELSE 0 END) AS c2
+  FROM cells GROUP BY 1, 2
+),
+tots AS (
+  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM piv GROUP BY 1
+)
+SELECT p.event_type, max(t.nb) AS n_bands,
+       CAST(sum(p.c1) AS BIGINT) AS n_week1,
+       CAST(sum(p.c2) AS BIGINT) AS n_week4,
+       round(sum((CAST(p.c2 + 1 AS DOUBLE) / (t.n2 + t.nb)
+                  - CAST(p.c1 + 1 AS DOUBLE) / (t.n1 + t.nb))
+                 * ln((CAST(p.c2 + 1 AS DOUBLE) / (t.n2 + t.nb))
+                      / (CAST(p.c1 + 1 AS DOUBLE) / (t.n1 + t.nb)))), 6)
+         AS psi
+FROM piv p JOIN tots t USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -16086,6 +16389,10 @@ QUERIES = {
     "graph_motif_ffl": graph_motif_ffl,
     "cdc_gdpr_erasure_plan": cdc_gdpr_erasure_plan,
     "text_feature_hashing_audit": text_feature_hashing_audit,
+    "cdc_late_restatement_fanout": cdc_late_restatement_fanout,
+    "window_arrival_reorder_depth": window_arrival_reorder_depth,
+    "sim_ivf_cell_balance": sim_ivf_cell_balance,
+    "agg_value_psi_drift": agg_value_psi_drift,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -16529,6 +16836,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "cdc_late_restatement_fanout": cdc_late_restatement_fanout_sql(),
+    "window_arrival_reorder_depth": window_arrival_reorder_depth_sql(),
+    "sim_ivf_cell_balance": sim_ivf_cell_balance_sql(),
+    "agg_value_psi_drift": agg_value_psi_drift_sql(),
     "sketch_hll_precision_sweep": sketch_hll_precision_sweep_sql(),
     "graph_motif_ffl": graph_motif_ffl_sql(),
     "cdc_gdpr_erasure_plan": cdc_gdpr_erasure_plan_sql(),
