@@ -16363,6 +16363,351 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def cdc_causal_consistency_audit(spark, sf_dir):
+    """Per-key causal (session) consistency under parallel delivery:
+    with the shared jittered-arrival model, a user's OWN event stream
+    can arrive out of event-time order — each adjacent arrival pair
+    that steps backwards in event time is a session-consistency
+    violation a per-key re-sequencer must absorb. Per type: users
+    affected, violation pairs, and the worst per-user count — the
+    argument for key-hash (not round-robin) partition routing, which
+    preserves per-key order for free.
+
+    Scale shape: one lag window per (type, user) partition + two
+    small folds; nothing global.
+
+    Reference parity: the reference's single connection IS the causal
+    order (`row_streamer.go:120`); this audits what a parallelized
+    consumer gives up (SURVEY §2.2 streaming)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"))
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7),
+               16, 10).cast("long")
+    arr = ev.withColumn("aes", F.col("es") + h % WATERMARK_MAX_DELAY_S)
+    w = Window.partitionBy("event_type", "user_id") \
+        .orderBy("aes", "event_id")
+    v = arr.withColumn(
+        "viol", (F.lag("es").over(w) > F.col("es")).cast("long"))
+    per_user = (v.groupBy("event_type", "user_id")
+                .agg(F.sum(F.coalesce("viol", F.lit(0)))
+                     .alias("n_viol")))
+    return (per_user.groupBy("event_type")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum((F.col("n_viol") > 0).cast("long"))
+                 .alias("n_violating_users"),
+                 F.sum("n_viol").cast("long").alias("n_violation_pairs"),
+                 F.max("n_viol").cast("long").alias("worst_user_pairs"))
+            .orderBy("event_type"))
+
+
+def cdc_causal_consistency_audit_sql():
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                             1, 7))::BIGINT
+             % {WATERMARK_MAX_DELAY_S} AS aes
+  FROM events
+),
+v AS (
+  SELECT event_type, user_id,
+         CASE WHEN lag(es) OVER (PARTITION BY event_type, user_id
+                                 ORDER BY aes, event_id) > es
+              THEN 1 ELSE 0 END AS viol
+  FROM ev
+),
+pu AS (
+  SELECT event_type, user_id, sum(viol) AS n_viol
+  FROM v GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_users,
+       CAST(sum(n_viol) AS BIGINT) AS n_violation_pairs,
+       CAST(max(n_viol) AS BIGINT) AS worst_user_pairs
+FROM pu GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_growth_accounting(spark, sf_dir):
+    """Daily growth accounting — the canonical DAU decomposition:
+    every active day of a user is NEW (first day ever), RETAINED
+    (also active the previous day) or RESURRECTED (active before,
+    but not yesterday); CHURNED counts yesterday's actives missing
+    today. new + retained + resurrected = DAU, and DAU_t − DAU_{t−1}
+    = new + resurrected − churned — the identity growth teams audit
+    weekly (`window_retention_cohorts` is the cohort view; this is
+    the day-over-day ledger).
+
+    Scale shape: ONE (user, day) distinct fold, a lag window per
+    user partition, then a |days| fold; churn re-aggregates the same
+    lagged frame shifted by one day — no second scan.
+
+    Reference parity: none; product-analytics window family (SURVEY
+    §2.2)."""
+    ud = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  (F.unix_micros(F.col("ts").cast("timestamp"))
+                   / F.lit(86_400_000_000)).cast("long").alias("day"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagd = ud.withColumn("prev", F.lag("day").over(w))
+    cls = lagd.select(
+        "day",
+        F.when(F.col("prev").isNull(), F.lit("new"))
+         .when(F.col("prev") == F.col("day") - 1, F.lit("retained"))
+         .otherwise(F.lit("resurrected")).alias("cls"))
+    act = (cls.groupBy("day")
+           .agg(F.sum((F.col("cls") == "new").cast("long")).alias("n_new"),
+                F.sum((F.col("cls") == "retained").cast("long"))
+                .alias("n_retained"),
+                F.sum((F.col("cls") == "resurrected").cast("long"))
+                .alias("n_resurrected"),
+                F.count("*").alias("dau")))
+    nxt = ud.withColumn("nxt", F.lead("day").over(w))
+    churn = (nxt.where(F.col("nxt").isNull()
+                       | (F.col("nxt") > F.col("day") + 1))
+             .groupBy((F.col("day") + 1).alias("day"))
+             .agg(F.count("*").alias("n_churned")))
+    return (act.join(churn, "day", "left")
+            .select("day", "dau", "n_new", "n_retained", "n_resurrected",
+                    F.coalesce("n_churned", F.lit(0)).alias("n_churned"))
+            .orderBy("day"))
+
+
+def window_growth_accounting_sql():
+    return """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+lagd AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+  FROM ud
+),
+act AS (
+  SELECT day,
+         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+         CAST(count(*) AS BIGINT) AS dau
+  FROM lagd GROUP BY 1
+),
+churn AS (
+  SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+  FROM lagd WHERE nxt IS NULL OR nxt > day + 1
+  GROUP BY 1
+)
+SELECT a.day, a.dau, a.n_new, a.n_retained, a.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM act a LEFT JOIN churn c USING (day)
+ORDER BY a.day
+"""
+
+
+_ECE_BINS = 10
+
+
+def agg_calibration_ece(spark, sf_dir):
+    """Expected calibration error of a deterministic pseudo-scorer —
+    the model-eval metric computed AT SCALE on the engine rather than
+    in a notebook: a hash-derived "purchase propensity" in [0, 1) is
+    binned into 10 equal-width confidence bins; per bin the mean
+    predicted score and the observed purchase rate give the
+    reliability table, and ECE = Σ (nᵦ/N)·|acc − conf|. The pipeline
+    shape (bin fold + weighted absolute gap) is exactly what a real
+    scored-events table needs; the hash scorer keeps it
+    oracle-exact.
+
+    Scale shape: map-only scoring, ONE 10-bin fold, one scalar fold.
+    Score and observed rates use exact integer sums; the only doubles
+    are the final divisions.
+
+    Reference parity: none; eval family (SURVEY §2.3), sibling of
+    `sim_ndcg_eval` / `sim_cluster_purity`."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    score_milli = (F.conv(F.substring(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                       F.col("event_id").cast("string"))), 1, 7),
+        16, 10).cast("long") % 1000)
+    d = ev.select(
+        score_milli.alias("sm"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"))
+    d = d.withColumn("bin", F.expr(f"sm * {_ECE_BINS} div 1000"))
+    tot = d.count()
+    per = (d.groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.sum("sm").alias("ssm"), F.sum("y").alias("sy")))
+    conf = F.col("ssm").cast("double") / F.col("n") / 1000.0
+    acc = F.col("sy").cast("double") / F.col("n")
+    return (per.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").alias("n_events"),
+        F.round(conf, 6).alias("mean_confidence"),
+        F.round(acc, 6).alias("observed_rate"),
+        F.round(F.abs(acc - conf) * F.col("n").cast("double")
+                / F.lit(float(tot)), 6).alias("ece_contrib"))
+        .orderBy("bin"))
+
+
+def agg_calibration_ece_sql():
+    return f"""
+WITH d AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                             || CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+           % 1000 AS sm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM d),
+per AS (
+  SELECT sm * {_ECE_BINS} // 1000 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(sm) AS ssm, sum(y) AS sy
+  FROM d GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n AS n_events,
+       round(CAST(ssm AS DOUBLE) / n / 1000.0, 6) AS mean_confidence,
+       round(CAST(sy AS DOUBLE) / n, 6) AS observed_rate,
+       round(abs(CAST(sy AS DOUBLE) / n
+                 - CAST(ssm AS DOUBLE) / n / 1000.0)
+             * CAST(n AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS ece_contrib
+FROM per ORDER BY bin
+"""
+
+
+_SVM_HASHES = 16  # minhash functions for the source-vocab sketch
+
+
+def sketch_source_vocab_minhash(spark, sf_dir):
+    """Source-pair vocabulary similarity via MERGEABLE MinHash — the
+    sketch version of the exact `text_vocab_overlap`: each source's
+    token-set signature is 16 mins (computable with bounded state on
+    any shard split and merged by MIN — the property that lets 1000
+    executors sketch a trillion tokens), pairwise estimated Jaccard =
+    matching-coordinate fraction, emitted NEXT TO the exact Jaccard
+    so the driver pins both the sketch arithmetic and its error.
+
+    Scale shape: ONE (source, token-hash) fold with min-combine, a
+    |sources|²-pair broadcast comparison (|sources| is small by
+    construction — it is the mixture dimension), and the exact column
+    reuses the same distinct-token frame.
+
+    Reference parity: none; sketch × text family (SURVEY §2.3)."""
+    from .operators.dedup import MINHASH_P, _minhash_coeffs
+    from .operators.textnorm import WS_REGEX
+    toks = (_t(spark, sf_dir, "documents")
+            .select("source",
+                    F.explode(F.split(F.coalesce("text", F.lit("")),
+                                      WS_REGEX)).alias("tok"))
+            .where(F.col("tok") != "")
+            .distinct()
+            .localCheckpoint(eager=False))
+    hv = F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long")
+    coeffs = _minhash_coeffs(_SVM_HASHES)
+    mins = [F.min((hv * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            .alias(f"mh{i}") for i, (a, b) in enumerate(coeffs)]
+    sig = toks.groupBy("source").agg(*mins)
+    a = sig.select([F.col("source").alias("src_a")]
+                   + [F.col(f"mh{i}").alias(f"a{i}")
+                      for i in range(_SVM_HASHES)])
+    b = sig.select([F.col("source").alias("src_b")]
+                   + [F.col(f"mh{i}").alias(f"b{i}")
+                      for i in range(_SVM_HASHES)])
+    pairs = (a.crossJoin(F.broadcast(b))
+             .where(F.col("src_a") < F.col("src_b")))
+    match = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+                for i in range(_SVM_HASHES))
+    est_ppm = (match * 1_000_000 / F.lit(_SVM_HASHES)).cast("long")
+    va = toks.select(F.col("source").alias("src_a"),
+                     F.col("tok").alias("ta"))
+    vb = toks.select(F.col("source").alias("src_b"),
+                     F.col("tok").alias("tb"))
+    inter = (va.join(vb, (F.col("ta") == F.col("tb"))
+                     & (F.col("src_a") < F.col("src_b")))
+             .groupBy("src_a", "src_b").agg(F.count("*").alias("ni")))
+    sizes = toks.groupBy("source").agg(F.count("*").alias("nv"))
+    exact = (inter
+             .join(sizes.select(F.col("source").alias("src_a"),
+                                F.col("nv").alias("na")), "src_a")
+             .join(sizes.select(F.col("source").alias("src_b"),
+                                F.col("nv").alias("nb")), "src_b")
+             .select("src_a", "src_b",
+                     F.expr("ni * 1000000 div (na + nb - ni)")
+                     .alias("exact_ppm")))
+    return (pairs.select("src_a", "src_b", est_ppm.alias("est_ppm"))
+            .join(exact, ["src_a", "src_b"], "left")
+            .select("src_a", "src_b", "est_ppm",
+                    F.coalesce("exact_ppm", F.lit(0)).alias("exact_ppm"),
+                    F.abs(F.col("est_ppm")
+                          - F.coalesce("exact_ppm", F.lit(0)))
+                    .alias("abs_err_ppm"))
+            .orderBy("src_a", "src_b"))
+
+
+def sketch_source_vocab_minhash_sql():
+    from .operators.dedup import MINHASH_P, _minhash_coeffs
+    from .operators.textnorm import WS_REGEX
+    coeffs = _minhash_coeffs(_SVM_HASHES)
+    mins = ",\n         ".join(
+        f"min((hv * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    match = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_SVM_HASHES))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(coalesce(text, ''), '{WS_REGEX}'))
+           AS tok
+  FROM documents
+),
+nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+h AS (
+  SELECT source, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS hv FROM nz
+),
+sig AS (
+  SELECT source, {mins}
+  FROM h GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(({match}) * 1000000 / {_SVM_HASHES} AS BIGINT) AS est_ppm
+  FROM sig a JOIN sig b ON a.source < b.source
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+          FROM nz GROUP BY 1),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         CAST(count(*) AS BIGINT) AS ni
+  FROM nz x JOIN nz y ON x.tok = y.tok AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.est_ppm,
+       coalesce(i.ni * 1000000 // (sa.nv + sb.nv - i.ni), 0)
+         AS exact_ppm,
+       abs(p.est_ppm - coalesce(i.ni * 1000000
+                                // (sa.nv + sb.nv - i.ni), 0))
+         AS abs_err_ppm
+FROM pairs p
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -16393,6 +16738,10 @@ QUERIES = {
     "window_arrival_reorder_depth": window_arrival_reorder_depth,
     "sim_ivf_cell_balance": sim_ivf_cell_balance,
     "agg_value_psi_drift": agg_value_psi_drift,
+    "cdc_causal_consistency_audit": cdc_causal_consistency_audit,
+    "window_growth_accounting": window_growth_accounting,
+    "agg_calibration_ece": agg_calibration_ece,
+    "sketch_source_vocab_minhash": sketch_source_vocab_minhash,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -16836,6 +17185,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "cdc_causal_consistency_audit": cdc_causal_consistency_audit_sql(),
+    "window_growth_accounting": window_growth_accounting_sql(),
+    "agg_calibration_ece": agg_calibration_ece_sql(),
+    "sketch_source_vocab_minhash": sketch_source_vocab_minhash_sql(),
     "cdc_late_restatement_fanout": cdc_late_restatement_fanout_sql(),
     "window_arrival_reorder_depth": window_arrival_reorder_depth_sql(),
     "sim_ivf_cell_balance": sim_ivf_cell_balance_sql(),
