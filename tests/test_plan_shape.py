@@ -724,3 +724,51 @@ def test_bitmap_distinct_two_combinable_folds(spark, sf_dir):
     assert _n_nodes(plan, "Window") == 0, plan
     assert plans.has_partial_aggregate(df), plan
     assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_method_agreement_pair_join_no_cartesian(spark, sf_dir):
+    from binlog_spark.queries import dedup_method_agreement
+    df = dedup_method_agreement(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the two candidate generators meet in an equi full-outer join on the
+    # pair key — a nested-loop/cartesian here would be |pairs|^2
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_backfill_and_erasure_plans_broadcast_probe_side(spark, sf_dir):
+    from binlog_spark.queries import cdc_gdpr_erasure_plan
+    df = cdc_gdpr_erasure_plan(spark, sf_dir)
+    # the probe list joins broadcast — file stats never shuffle onto a
+    # per-user key
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
+
+
+def test_periodogram_is_jvm_only_two_level_fold(spark, sf_dir):
+    from binlog_spark.queries import window_periodogram_dft
+    df = window_periodogram_dft(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+    assert plans.has_partial_aggregate(df), plan
+
+
+def test_growth_accounting_single_user_day_exchange(spark, sf_dir):
+    from binlog_spark.queries import window_growth_accounting
+    df = window_growth_accounting(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    import re
+    # the lag/lead windows run per user partition: every
+    # windowspecdefinition must lead with a partition column — an
+    # unpartitioned spec starts straight with an ordered column
+    # ("windowspecdefinition(day#3L ASC ...") and would funnel all
+    # users through one task
+    assert "windowspecdefinition(" in plan, plan
+    assert not re.search(
+        r"windowspecdefinition\([A-Za-z_]+#\d+L? (ASC|DESC)", plan), plan
+
+
+def test_hll_sweep_register_folds_partial(spark, sf_dir):
+    from binlog_spark.queries import sketch_hll_precision_sweep
+    df = sketch_hll_precision_sweep(spark, sf_dir)
+    assert plans.has_partial_aggregate(df), plans.physical_plan(df)
