@@ -16708,6 +16708,321 @@ ORDER BY p.src_a, p.src_b
 """
 
 
+def cdc_scd2_integrity_audit(spark, sf_dir):
+    """Integrity audit of the SCD2 history table (`cdc_scd2_history`'s
+    output, rebuilt here): per-key validity intervals must never
+    overlap, gaps may exist ONLY where a delete closed a version, and
+    each key carries at most one open (is_current) row. Emits the
+    violation ledger a dimension consumer checks before trusting
+    point-in-time joins — on a correct builder overlaps are zero BY
+    CONSTRUCTION, and this row freezes that invariant against a
+    future history-builder refactor.
+
+    Scale shape: one lead window on the (already key-partitioned)
+    history + a single fold; the audit co-locates with the history
+    build's own shuffle.
+
+    Reference parity: none; CDC-lake family (SURVEY §2.2), the QA
+    half of `cdc_scd2_history` / `join_scd2_pointintime`."""
+    hist = cdc_scd2_history(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    lagged = hist.withColumn("nxt_from", F.lead("valid_from").over(w))
+    per_key = (lagged.groupBy("user_id")
+               .agg(F.count("*").alias("n_versions"),
+                    F.sum((F.col("nxt_from") < F.col("valid_to"))
+                          .cast("long")).alias("n_overlaps"),
+                    F.sum((F.col("nxt_from") > F.col("valid_to"))
+                          .cast("long")).alias("n_gaps"),
+                    F.sum("is_current").alias("n_open")))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_versions"),
+        F.sum(F.coalesce("n_overlaps", F.lit(0))).cast("long")
+         .alias("n_overlap_pairs"),
+        F.sum(F.coalesce("n_gaps", F.lit(0))).cast("long")
+         .alias("n_gap_pairs"),
+        F.sum((F.col("n_open") > 1).cast("long")).alias("n_multi_open"),
+        F.sum((F.col("n_open") == 0).cast("long")).alias("n_closed_keys"))
+
+
+def cdc_scd2_integrity_audit_sql():
+    inner = cdc_scd2_history_sql()
+    return f"""
+WITH hist AS ({inner}),
+lagged AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS nxt_from
+  FROM hist
+),
+pk AS (
+  SELECT user_id, count(*) AS n_versions,
+         sum(CASE WHEN nxt_from < valid_to THEN 1 ELSE 0 END)
+           AS n_overlaps,
+         sum(CASE WHEN nxt_from > valid_to THEN 1 ELSE 0 END) AS n_gaps,
+         sum(is_current) AS n_open
+  FROM lagged GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_versions) AS BIGINT) AS n_versions,
+       CAST(sum(coalesce(n_overlaps, 0)) AS BIGINT) AS n_overlap_pairs,
+       CAST(sum(coalesce(n_gaps, 0)) AS BIGINT) AS n_gap_pairs,
+       CAST(sum(CASE WHEN n_open > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_open,
+       CAST(sum(CASE WHEN n_open = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed_keys
+FROM pk
+"""
+
+
+_ITS_BREAK_OFFSET = 15  # break day relative to the first day
+
+
+def agg_its_break_effect(spark, sf_dir):
+    """Interrupted-time-series effect estimate: split the daily count
+    series per event type at a deterministic break day (first day +
+    15), fit OLS level+trend to each segment with t recentered at the
+    break, and report the level jump and slope change at the break —
+    the simplest causal read of "did the deploy/backfill change the
+    series". Moment sums are exact BIGINTs (days and counts are
+    integers); the 2×2 solve is the only double arithmetic.
+
+    Scale shape: ONE (type, day) count fold, then the regression
+    moments fold on the |types × days| frame — same as
+    `agg_ols_trend` twice.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("y"))
+             .localCheckpoint(eager=False))
+    d0 = daily.agg(F.min("day").alias("d")).collect()[0]["d"]
+    brk = d0 + _ITS_BREAK_OFFSET
+    t = (F.col("day") - F.lit(brk)).alias("t")
+    seg = daily.select(
+        "event_type", t, "y",
+        (F.col("day") < brk).cast("int").alias("pre"))
+    mom = (seg.groupBy("event_type", "pre")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("t").alias("st"), F.sum("y").alias("sy"),
+                F.sum(F.col("t") * F.col("t")).alias("stt"),
+                F.sum(F.col("t") * F.col("y")).alias("sty")))
+    n, st, sy, stt, sty = [F.col(c).cast("double")
+                           for c in ("n", "st", "sy", "stt", "sty")]
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    icept = (sy - slope * st) / n  # value AT the break (t = 0)
+    fit = mom.select("event_type", "pre",
+                     F.col("n"),
+                     F.round(slope, 6).alias("slope"),
+                     F.round(icept, 6).alias("level_at_break"))
+    pre = (fit.where(F.col("pre") == 1)
+           .select("event_type", F.col("n").alias("n_pre"),
+                   F.col("slope").alias("pre_slope"),
+                   F.col("level_at_break").alias("pre_level")))
+    post = (fit.where(F.col("pre") == 0)
+            .select("event_type", F.col("n").alias("n_post"),
+                    F.col("slope").alias("post_slope"),
+                    F.col("level_at_break").alias("post_level")))
+    return (pre.join(post, "event_type")
+            .select("event_type", "n_pre", "n_post",
+                    "pre_slope", "post_slope",
+                    F.round(F.col("post_level") - F.col("pre_level"), 6)
+                    .alias("level_change"),
+                    F.round(F.col("post_slope") - F.col("pre_slope"), 6)
+                    .alias("trend_change"))
+            .orderBy("event_type"))
+
+
+def agg_its_break_effect_sql():
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+brk AS (SELECT min(day) + {_ITS_BREAK_OFFSET} AS b FROM daily),
+seg AS (
+  SELECT event_type, day - (SELECT b FROM brk) AS t, y,
+         CASE WHEN day < (SELECT b FROM brk) THEN 1 ELSE 0 END AS pre
+  FROM daily
+),
+mom AS (
+  SELECT event_type, pre, CAST(count(*) AS BIGINT) AS n,
+         sum(t) AS st, sum(y) AS sy, sum(t * t) AS stt,
+         sum(t * y) AS sty
+  FROM seg GROUP BY 1, 2
+),
+fit AS (
+  SELECT event_type, pre, n,
+         round((n * sty - st * sy) / CAST(n * stt - st * st AS DOUBLE), 6)
+           AS slope,
+         round((sy - (n * sty - st * sy)
+                     / CAST(n * stt - st * st AS DOUBLE) * st)
+               / CAST(n AS DOUBLE), 6) AS level_at_break
+  FROM mom
+)
+SELECT a.event_type, a.n AS n_pre, b.n AS n_post,
+       a.slope AS pre_slope, b.slope AS post_slope,
+       round(b.level_at_break - a.level_at_break, 6) AS level_change,
+       round(b.slope - a.slope, 6) AS trend_change
+FROM fit a JOIN fit b ON a.event_type = b.event_type
+WHERE a.pre = 1 AND b.pre = 0
+ORDER BY a.event_type
+"""
+
+
+_TEMP_SWEEP_SCALE = 1_000_000
+
+
+def mix_temperature_sweep(spark, sf_dir):
+    """Temperature-sampling sweep over sources — how the mixture
+    flattens as T rises: per (source, T ∈ 1/2/4), the p^(1/T)
+    weight, normalized share, and upsample factor vs the natural
+    share (`mix_source_weights` is the single-T row; this is the
+    curve a data-mixing ablation reads). The T = 2 and T = 4
+    exponents are computed as sqrt and sqrt∘sqrt — IEEE-exact in both
+    engines, unlike a general pow.
+
+    Scale shape: ONE source-count fold, then pure arithmetic on the
+    |sources × 3| frame with broadcast totals.
+
+    Reference parity: none; training-data pipeline family (SURVEY
+    §2.3)."""
+    counts = (_t(spark, sf_dir, "documents")
+              .groupBy("source").agg(F.count("*").alias("n")))
+    tot = counts.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    pq = F.expr(f"n * {_TEMP_SWEEP_SCALE} div {tot}")  # natural ppm
+    rows = []
+    for temp, expr_w in ((1, pq.cast("double")),
+                         (2, F.sqrt(pq.cast("double"))),
+                         (4, F.sqrt(F.sqrt(pq.cast("double"))))):
+        rows.append(counts.select(
+            "source", F.lit(temp).cast("long").alias("temperature"),
+            "n",
+            F.floor(expr_w * 1000).cast("long").alias("weight_q")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    wsum = Window.partitionBy("temperature")
+    return (out.withColumn("wtot", F.sum("weight_q").over(wsum))
+            .select("source", "temperature", F.col("n").alias("n_docs"),
+                    "weight_q",
+                    F.round(F.col("weight_q")
+                            / F.col("wtot").cast("double"), 6)
+                    .alias("share"),
+                    F.round((F.col("weight_q") * F.lit(float(tot)))
+                            / (F.col("wtot") * F.col("n")).cast("double"),
+                            6).alias("upsample"))
+            .orderBy("source", "temperature"))
+
+
+def mix_temperature_sweep_sql():
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n) AS t FROM counts),
+sw AS (
+  SELECT c.source, c.n, v.temperature,
+         CAST(floor(CASE v.temperature
+                    WHEN 1 THEN CAST(c.n * {_TEMP_SWEEP_SCALE}
+                                     // t.t AS DOUBLE)
+                    WHEN 2 THEN sqrt(CAST(c.n * {_TEMP_SWEEP_SCALE}
+                                          // t.t AS DOUBLE))
+                    ELSE sqrt(sqrt(CAST(c.n * {_TEMP_SWEEP_SCALE}
+                                        // t.t AS DOUBLE)))
+                    END * 1000) AS BIGINT) AS weight_q
+  FROM counts c CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest([1, 2, 4]) AS temperature) v
+)
+SELECT source, CAST(temperature AS BIGINT) AS temperature,
+       n AS n_docs, weight_q,
+       round(weight_q / CAST(sum(weight_q) OVER (PARTITION BY temperature)
+                             AS DOUBLE), 6) AS share,
+       round(weight_q * CAST((SELECT t FROM tot) AS DOUBLE)
+             / CAST(sum(weight_q) OVER (PARTITION BY temperature)
+                    * n AS DOUBLE), 6) AS upsample
+FROM sw ORDER BY source, temperature
+"""
+
+
+_RECALL_KS = (1, 5, 10, 20)
+
+
+def sim_recall_at_k_curve(spark, sf_dir):
+    """Recall@k curve of the LSH hyperplane index — recall at k =
+    1/5/10/20 per query from ONE k=20 retrieval on each side
+    (`sim_ann_recall_audit` is the fixed-k point; the curve shows
+    where the approximate index starts losing the head, which picks
+    the k an application can afford). Both sides reuse their
+    production plans; the curve is rank arithmetic on the two
+    20-row-per-query results.
+
+    Scale shape: broadcast queries + bounded partial top-k on both
+    sides; the sweep is a 4-row broadcast against the |queries|×20
+    joined frame.
+
+    Reference parity: none; similarity-eval family (SURVEY §2.3)."""
+    from .operators.similarity import cosine_topk, lsh_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    kmax = max(_RECALL_KS)
+    exact = (cosine_topk(emb, n_queries=5, k=kmax)
+             .select("query_id", "vec_id",
+                     F.col("rank").alias("erank"))
+             .localCheckpoint(eager=False))
+    ann = (lsh_ann_topk(spark, emb, n_queries=5, k=kmax)
+           .select("query_id", "vec_id", F.col("rank").alias("arank"))
+           .localCheckpoint(eager=False))
+    hits = ann.join(exact, ["query_id", "vec_id"])
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k long")
+    j = (hits.crossJoin(F.broadcast(ks))
+         .where((F.col("arank") <= F.col("k"))
+                & (F.col("erank") <= F.col("k"))))
+    base = (ann.select("query_id").distinct()
+            .crossJoin(F.broadcast(ks)))
+    got = (j.groupBy("query_id", "k")
+           .agg(F.count("*").alias("n_hits")))
+    return (base.join(got, ["query_id", "k"], "left")
+            .select("query_id", "k",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.expr("coalesce(n_hits, 0) * 1000000 div k")
+                    .alias("recall_ppm"))
+            .orderBy("query_id", "k"))
+
+
+def sim_recall_at_k_curve_sql():
+    kmax = max(_RECALL_KS)
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    exact = similarity.cosine_topk_sql(n_queries=5, k=kmax)
+    ann = similarity.lsh_ann_topk_sql(n_queries=5, k=kmax)
+    return f"""
+WITH exact AS (SELECT query_id, vec_id, rank AS erank FROM ({exact})),
+ann AS (SELECT query_id, vec_id, rank AS arank FROM ({ann})),
+ks AS (SELECT unnest([{ks}]) AS k),
+hits AS (
+  SELECT a.query_id, a.vec_id, a.arank, e.erank
+  FROM ann a JOIN exact e USING (query_id, vec_id)
+),
+got AS (
+  SELECT h.query_id, k.k, CAST(count(*) AS BIGINT) AS n_hits
+  FROM hits h CROSS JOIN ks k
+  WHERE h.arank <= k.k AND h.erank <= k.k
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT DISTINCT query_id, k.k
+  FROM ann CROSS JOIN ks k
+)
+SELECT b.query_id, CAST(b.k AS BIGINT) AS k,
+       coalesce(g.n_hits, 0) AS n_hits,
+       coalesce(g.n_hits, 0) * 1000000 // b.k AS recall_ppm
+FROM base b LEFT JOIN got g ON g.query_id = b.query_id AND g.k = b.k
+ORDER BY b.query_id, b.k
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -16742,6 +17057,10 @@ QUERIES = {
     "window_growth_accounting": window_growth_accounting,
     "agg_calibration_ece": agg_calibration_ece,
     "sketch_source_vocab_minhash": sketch_source_vocab_minhash,
+    "cdc_scd2_integrity_audit": cdc_scd2_integrity_audit,
+    "agg_its_break_effect": agg_its_break_effect,
+    "mix_temperature_sweep": mix_temperature_sweep,
+    "sim_recall_at_k_curve": sim_recall_at_k_curve,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -17185,6 +17504,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "cdc_scd2_integrity_audit": cdc_scd2_integrity_audit_sql(),
+    "agg_its_break_effect": agg_its_break_effect_sql(),
+    "mix_temperature_sweep": mix_temperature_sweep_sql(),
+    "sim_recall_at_k_curve": sim_recall_at_k_curve_sql(),
     "cdc_causal_consistency_audit": cdc_causal_consistency_audit_sql(),
     "window_growth_accounting": window_growth_accounting_sql(),
     "agg_calibration_ece": agg_calibration_ece_sql(),
