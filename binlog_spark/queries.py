@@ -17023,6 +17023,287 @@ ORDER BY b.query_id, b.k
 """
 
 
+def window_forecast_backtest_naive(spark, sf_dir):
+    """Forecast-model backtest on the daily count series per type:
+    naive-1 (tomorrow = today) vs seasonal-naive-7 (tomorrow = same
+    weekday last week), scored by MAE and MAPE over every day both
+    models can predict — the baseline table any capacity-forecast
+    model must beat before it earns a deploy (`window_holt_linear` is
+    a candidate model; this is the bar it is measured against).
+    Errors are exact integer |differences|; only the final divisions
+    are double.
+
+    Scale shape: ONE (type, day) fold, two lag joins on the day-grain
+    frame, one fold per model — all metadata-sized after the first
+    aggregation.
+
+    Reference parity: none; forecasting family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("y"))
+             .localCheckpoint(eager=False))
+    outs = []
+    for lag, mname in ((1, "naive_1"), (7, "seasonal_naive_7")):
+        pred = daily.select("event_type",
+                            (F.col("day") + lag).alias("day"),
+                            F.col("y").alias("yhat"))
+        j = daily.join(pred, ["event_type", "day"])
+        outs.append(
+            j.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum(F.abs(F.col("y") - F.col("yhat"))).alias("sae"),
+                 F.sum(F.abs(F.col("y") - F.col("yhat"))
+                       .cast("double") / F.col("y")).alias("sape"))
+            .select("event_type", F.lit(mname).alias("model"), "n_days",
+                    F.round(F.col("sae").cast("double")
+                            / F.col("n_days"), 6).alias("mae"),
+                    F.round(F.col("sape") / F.col("n_days") * 100, 6)
+                    .alias("mape_pct")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "model")
+
+
+def window_forecast_backtest_naive_sql():
+    sels = []
+    for lag, mname in ((1, "naive_1"), (7, "seasonal_naive_7")):
+        sels.append(f"""
+SELECT a.event_type, '{mname}' AS model,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(abs(a.y - p.y)) AS DOUBLE) / count(*), 6) AS mae,
+       round(sum(CAST(abs(a.y - p.y) AS DOUBLE) / a.y)
+             / count(*) * 100, 6) AS mape_pct
+FROM daily a JOIN daily p
+  ON p.event_type = a.event_type AND p.day = a.day - {lag}
+GROUP BY 1""")
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+)""" + " UNION ALL ".join(sels) + "\nORDER BY event_type, model\n"
+
+
+def sql_except_all_bag_semantics(spark, sf_dir):
+    """EXCEPT ALL multiset-semantics pin: bag difference subtracts
+    MULTIPLICITIES (a row appearing 3× minus 1× survives 2×), unlike
+    EXCEPT's set semantics where it vanishes — the SQL-surface trap
+    sibling of `sql_not_in_null_semantics`. The query materializes
+    both answers over the same pair of derived bags (order priorities
+    seen per week, weeks 0-1 vs week 2+) and emits per-priority
+    surviving multiplicities, freezing Spark's EXCEPT ALL rewrite
+    (generate + replicate_rows) against optimizer drift.
+
+    Scale shape: EXCEPT ALL compiles to a count-aggregate + generator
+    — one shuffle per side on the full row; no row-at-a-time logic.
+
+    Reference parity: none; SQL-semantics family (SURVEY §2.2)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(50)).alias("ckey"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+         / F.lit(86_400_000_000 * 7)).cast("long").alias("wk"))
+    w0 = o.agg(F.min("wk").alias("w")).collect()[0]["w"]
+    early = o.where(F.col("wk") < w0 + 2).select("ckey")
+    late = (o.where((F.col("wk") >= w0 + 2) & (F.col("wk") < w0 + 4))
+            .select("ckey"))
+    bag = early.exceptAll(late).groupBy("ckey").agg(
+        F.count("*").alias("n_bag_surviving"))
+    st = (early.select("ckey").distinct()
+          .subtract(late.select("ckey").distinct())
+          .withColumn("set_survives", F.lit(1)))
+    return (bag.join(st, "ckey", "full_outer")
+            .select("ckey",
+                    F.coalesce("n_bag_surviving", F.lit(0))
+                    .alias("n_bag_surviving"),
+                    F.coalesce("set_survives", F.lit(0)).cast("long")
+                    .alias("set_survives"))
+            .orderBy("ckey"))
+
+
+def sql_except_all_bag_semantics_sql():
+    return """
+WITH o AS (
+  SELECT o_custkey % 50 AS ckey,
+         epoch_us(o_orderdate) // (86400000000 * 7) AS wk
+  FROM orders
+),
+w0 AS (SELECT min(wk) AS w FROM o),
+early AS (SELECT ckey FROM o WHERE wk < (SELECT w FROM w0) + 2),
+late AS (SELECT ckey FROM o
+         WHERE wk >= (SELECT w FROM w0) + 2
+           AND wk < (SELECT w FROM w0) + 4),
+bag AS (
+  SELECT ckey, CAST(count(*) AS BIGINT) AS n_bag_surviving
+  FROM (SELECT ckey FROM early
+        EXCEPT ALL
+        SELECT ckey FROM late)
+  GROUP BY 1
+),
+st AS (
+  SELECT ckey, 1 AS set_survives
+  FROM (SELECT ckey FROM early EXCEPT SELECT ckey FROM late)
+)
+SELECT coalesce(b.ckey, s.ckey) AS ckey,
+       coalesce(b.n_bag_surviving, 0) AS n_bag_surviving,
+       CAST(coalesce(s.set_survives, 0) AS BIGINT) AS set_survives
+FROM bag b FULL JOIN st s USING (ckey)
+ORDER BY ckey
+"""
+
+
+_NEG_SAMPLE_TOPK = 50
+
+
+def sample_negative_sampling_dist(spark, sf_dir):
+    """word2vec-style negative-sampling distribution: p(token) ∝
+    count^0.75 over the corpus vocabulary (the smoothing that keeps
+    frequent tokens from dominating the negatives), emitted for the
+    top-50 tokens by count. The ¾ power is computed as
+    sqrt(x·sqrt(x)) — an IEEE-exact composition both engines round
+    identically, unlike a general pow. The denominator sums over the
+    WHOLE vocabulary, not just the emitted head.
+
+    Scale shape: one token-count fold, one bounded top-k, and a
+    broadcast scalar total; the ¾-power weights are map-side.
+
+    Reference parity: none; training-data pipeline family (SURVEY
+    §2.3), sibling of `text_rarity_score` / `tok_vocab_coverage`."""
+    from .operators.folds import bounded_group_topk
+    from .operators.textnorm import WS_REGEX
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.coalesce("text", F.lit("")),
+                                      WS_REGEX)).alias("tok"))
+            .where(F.col("tok") != ""))
+    counts = (toks.groupBy("tok").agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
+    w34 = F.sqrt(F.col("c").cast("double")
+                 * F.sqrt(F.col("c").cast("double")))
+    wq = F.floor(w34 * 1000).cast("long")
+    tot = counts.select(F.sum(wq).alias("t")).collect()[0]["t"]
+    top = (counts.withColumn("g", F.lit(1))
+           .withColumn("negc", -F.col("c"))
+           .transform(lambda df: bounded_group_topk(
+               df.select("g", "negc", "tok", "c"), "g",
+               ["negc", "tok"], _NEG_SAMPLE_TOPK,
+               "g int, negc long, tok string, c long"))
+           .drop("g", "negc"))
+    top = (top.withColumn("rn", F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("tok"))))
+        .where(F.col("rn") <= _NEG_SAMPLE_TOPK))
+    return (top.select(
+        "tok", F.col("c").alias("count"),
+        F.floor(F.sqrt(F.col("c").cast("double")
+                       * F.sqrt(F.col("c").cast("double"))) * 1000)
+         .cast("long").alias("weight_q"),
+        F.expr(f"CAST(floor(sqrt(CAST(c AS DOUBLE)"
+               f" * sqrt(CAST(c AS DOUBLE))) * 1000) AS BIGINT)"
+               f" * 1000000 div {max(tot, 1)}").alias("sample_ppm"))
+        .orderBy(F.col("count").desc(), "tok"))
+
+
+def sample_negative_sampling_dist_sql():
+    from .operators.textnorm import WS_REGEX
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '{WS_REGEX}'))
+           AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE tok <> '' GROUP BY 1
+),
+tot AS (
+  SELECT sum(CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+                        * 1000) AS BIGINT)) AS t
+  FROM counts
+),
+top AS (
+  SELECT tok, c,
+         row_number() OVER (ORDER BY c DESC, tok) AS rn
+  FROM counts
+)
+SELECT tok, c AS count,
+       CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+                  * 1000) AS BIGINT) AS weight_q,
+       CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+                  * 1000) AS BIGINT) * 1000000
+         // greatest((SELECT t FROM tot), 1) AS sample_ppm
+FROM top WHERE rn <= {_NEG_SAMPLE_TOPK}
+ORDER BY count DESC, tok
+"""
+
+
+def agg_lorenz_curve_deciles(spark, sf_dir):
+    """Lorenz curve of revenue concentration by customer decile — the
+    curve whose area is `sql_gini_revenue`'s scalar: customers ranked
+    by total spend, split into 10 equal-count deciles, each with its
+    exact revenue share and the cumulative share (the classic
+    "bottom 50% hold X%" table). Revenue sums are exact cents; decile
+    boundaries use the same integer rank arithmetic in both engines.
+
+    Scale shape: one customer fold, the range-partitioned two-level
+    global rank (`ranking.global_rank` — no single-task window), and
+    a 10-row fold + cumulative window on the decile frame.
+
+    Reference parity: none; statistics family (SURVEY §2.2), the
+    curve behind `sql_gini_revenue` / `agg_hhi_concentration`."""
+    per = (_t(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("cents")))
+    g = ranking.global_rank(per, ["cents", "o_custkey"], out_col="rn")
+    n = g.agg(F.count("*").alias("n")).collect()[0]["n"]
+    g = g.withColumn("decile",
+                     F.least(F.lit(9), F.expr(f"(rn - 1) * 10 div {n}")))
+    tot = g.agg(F.sum("cents").alias("t")).collect()[0]["t"]
+    dec = (g.groupBy("decile")
+           .agg(F.count("*").alias("n_customers"),
+                F.sum("cents").alias("cents")))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_customers",
+        F.expr(f"cents * 1000000 div {max(tot, 1)}").alias("share_ppm"),
+        F.expr(f"sum(cents) OVER (ORDER BY decile ROWS BETWEEN"
+               f" UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+               f" div {max(tot, 1)}").alias("cum_share_ppm"))
+        .orderBy("decile"))
+
+
+def agg_lorenz_curve_deciles_sql():
+    return """
+WITH per AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+n AS (SELECT count(*) AS n FROM per),
+t AS (SELECT sum(cents) AS t FROM per),
+g AS (
+  SELECT cents,
+         least(9, (row_number() OVER (ORDER BY cents, o_custkey) - 1)
+                  * 10 // (SELECT n FROM n)) AS decile
+  FROM per
+),
+dec AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(cents) AS cents
+  FROM g GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+       cents * 1000000 // greatest((SELECT t FROM t), 1) AS share_ppm,
+       sum(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) * 1000000
+         // greatest((SELECT t FROM t), 1) AS cum_share_ppm
+FROM dec ORDER BY decile
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -17061,6 +17342,10 @@ QUERIES = {
     "agg_its_break_effect": agg_its_break_effect,
     "mix_temperature_sweep": mix_temperature_sweep,
     "sim_recall_at_k_curve": sim_recall_at_k_curve,
+    "window_forecast_backtest_naive": window_forecast_backtest_naive,
+    "sql_except_all_bag_semantics": sql_except_all_bag_semantics,
+    "sample_negative_sampling_dist": sample_negative_sampling_dist,
+    "agg_lorenz_curve_deciles": agg_lorenz_curve_deciles,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -17504,6 +17789,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "window_forecast_backtest_naive": window_forecast_backtest_naive_sql(),
+    "sql_except_all_bag_semantics": sql_except_all_bag_semantics_sql(),
+    "sample_negative_sampling_dist": sample_negative_sampling_dist_sql(),
+    "agg_lorenz_curve_deciles": agg_lorenz_curve_deciles_sql(),
     "cdc_scd2_integrity_audit": cdc_scd2_integrity_audit_sql(),
     "agg_its_break_effect": agg_its_break_effect_sql(),
     "mix_temperature_sweep": mix_temperature_sweep_sql(),
