@@ -17304,6 +17304,316 @@ FROM dec ORDER BY decile
 """
 
 
+_BUCKET_SWEEP = (8, 32, 128)
+
+
+def lake_bucket_granularity_sweep(spark, sf_dir):
+    """MERGE bucket-granularity sweep: replaying the last day's
+    changes into a COW lake bucketed at 8/32/128 buckets, how many
+    buckets does the batch touch and how many resident rows ride the
+    rewrite — the write-amplification-vs-file-count tradeoff that
+    picks ``n_buckets`` for the real `LakeTable` (registered at 32).
+    Coarse buckets amplify writes; fine buckets multiply files the
+    next compaction must stitch.
+
+    Scale shape: ONE (bucket-at-each-width, is-batch) fold via a
+    3-row broadcast sweep over the per-user day split — rows are
+    scanned once, never per width.
+
+    Reference parity: none; lake family (SURVEY §2.2), the sizing
+    input behind `operators/merge.py`'s bucketed COW MERGE."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"))
+    dmax = ev.agg(F.max("day").alias("d")).collect()[0]["d"]
+    widths = spark.createDataFrame(
+        [(w,) for w in _BUCKET_SWEEP], "n_buckets long")
+    j = (ev.crossJoin(F.broadcast(widths))
+         .select("n_buckets",
+                 F.pmod(F.col("user_id"), F.col("n_buckets"))
+                 .alias("bucket"),
+                 (F.col("day") == dmax).cast("long").alias("is_batch")))
+    per_bucket = (j.groupBy("n_buckets", "bucket")
+                  .agg(F.sum("is_batch").alias("batch_rows"),
+                       F.count("*").alias("all_rows")))
+    touched = per_bucket.where(F.col("batch_rows") > 0)
+    return (touched.groupBy("n_buckets")
+            .agg(F.count("*").alias("n_buckets_touched"),
+                 F.sum("batch_rows").cast("long").alias("batch_rows"),
+                 F.sum("all_rows").cast("long").alias("rows_rewritten"))
+            .withColumn("amplification_ppm",
+                        F.expr("rows_rewritten * 1000000"
+                               " div greatest(batch_rows, 1)"))
+            .orderBy("n_buckets"))
+
+
+def lake_bucket_granularity_sweep_sql():
+    widths = ", ".join(str(w) for w in _BUCKET_SWEEP)
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+dmax AS (SELECT max(day) AS d FROM ev),
+j AS (
+  SELECT w.n_buckets, e.user_id % w.n_buckets AS bucket,
+         CASE WHEN e.day = (SELECT d FROM dmax) THEN 1 ELSE 0 END
+           AS is_batch
+  FROM ev e CROSS JOIN (SELECT unnest([{widths}]) AS n_buckets) w
+),
+pb AS (
+  SELECT n_buckets, bucket, sum(is_batch) AS batch_rows,
+         CAST(count(*) AS BIGINT) AS all_rows
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS n_buckets_touched,
+       CAST(sum(batch_rows) AS BIGINT) AS batch_rows,
+       CAST(sum(all_rows) AS BIGINT) AS rows_rewritten,
+       sum(all_rows) * 1000000 // greatest(sum(batch_rows), 1)
+         AS amplification_ppm
+FROM pb WHERE batch_rows > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_WILSON_Z = 1.96
+
+
+def window_funnel_wilson_ci(spark, sf_dir):
+    """Funnel step conversions with Wilson 95% intervals — the
+    uncertainty a growth team needs before acting on a step's drop
+    (`window_funnel_steps` gives the counts; a 20-user step can swing
+    wildly). Per step transition: users in, users converted, the
+    exact rate, and the Wilson score bounds (z = 1.96 shared
+    literal) — the interval that behaves at small n and p near 0/1,
+    unlike the normal approximation.
+
+    Scale shape: reuses the funnel's single-shuffle conditional-min
+    cascade; the CI arithmetic runs on the 3-row depth frame.
+
+    Reference parity: none; product-analytics family (SURVEY §2.2)."""
+    depths = window_funnel_steps(spark, sf_dir)
+    rows = {r["step_reached"]: r["n_users"] for r in depths.collect()}
+    reached = {}
+    for k in (1, 2, 3):
+        reached[k] = sum(v for d, v in rows.items() if d >= k)
+    out = []
+    z = _WILSON_Z
+    for k in (2, 3):
+        n, x = reached[k - 1], reached[k]
+        import math as _m
+        p = x / n if n else 0.0
+        denom = 1 + z * z / n if n else 1.0
+        center = (p + z * z / (2 * n)) / denom if n else 0.0
+        half = (z * _m.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+                / denom) if n else 0.0
+        out.append((f"step{k - 1}_to_{k}", n, x,
+                    round(p, 6), round(center - half, 6),
+                    round(center + half, 6)))
+    return spark.createDataFrame(
+        out, "transition string, n_in long, n_converted long, "
+             "rate double, wilson_lo double, wilson_hi double")
+
+
+def window_funnel_wilson_ci_sql():
+    inner = window_funnel_steps_sql()
+    z = _WILSON_Z
+    return f"""
+WITH depths AS ({inner}),
+reached AS (
+  SELECT k.k,
+         CAST(sum(CASE WHEN d.step_reached >= k.k
+                       THEN d.n_users ELSE 0 END) AS BIGINT) AS n
+  FROM depths d CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+  GROUP BY 1
+),
+tr AS (
+  SELECT 'step' || CAST(a.k AS VARCHAR) || '_to_'
+           || CAST(b.k AS VARCHAR) AS transition,
+         a.n AS n_in, b.n AS n_converted,
+         CAST(b.n AS DOUBLE) / a.n AS p
+  FROM reached a JOIN reached b ON b.k = a.k + 1
+)
+SELECT transition, n_in, n_converted, round(p, 6) AS rate,
+       round(((p + {z} * {z} / (2 * n_in))
+              - {z} * sqrt(p * (1 - p) / n_in
+                           + {z} * {z} / (4.0 * n_in * n_in)))
+             / (1 + {z} * {z} / n_in), 6) AS wilson_lo,
+       round(((p + {z} * {z} / (2 * n_in))
+              + {z} * sqrt(p * (1 - p) / n_in
+                           + {z} * {z} / (4.0 * n_in * n_in)))
+             / (1 + {z} * {z} / n_in), 6) AS wilson_hi
+FROM tr ORDER BY transition
+"""
+
+
+def agg_cuped_variance_reduction(spark, sf_dir):
+    """CUPED variance reduction — the experimentation-platform
+    workhorse (Deng et al. 2013): using each user's pre-period metric
+    as a covariate, θ = cov(Y, X)/var(X) and the adjusted metric
+    Y − θX has variance var(Y)·(1 − ρ²); the reported reduction is
+    how much smaller an A/B test this data supports. Pre = weeks
+    0-1, post = weeks 2-3 of per-user summed value (micro-quantized,
+    so all moments are exact integers; missing periods count as 0 —
+    the standard CUPED convention).
+
+    Scale shape: ONE user-grain fold (map-side combine) building
+    both period sums in one pass, then a moment fold on the |users|
+    frame — the delta-method shape with a covariate.
+
+    Reference parity: none; statistics family (SURVEY §2.2), the
+    third leg of `agg_welch_ttest` / `agg_ratio_delta_method`."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    per = (ev.withColumn("wk", F.expr(f"(day - {d0}) div 7"))
+           .where(F.col("wk") < 4)
+           .groupBy("event_type", "user_id")
+           .agg(F.sum(F.when(F.col("wk") < 2, F.col("vq"))
+                      .otherwise(0)).cast("decimal(38,0)").alias("x"),
+                F.sum(F.when(F.col("wk") >= 2, F.col("vq"))
+                      .otherwise(0)).cast("decimal(38,0)").alias("y")))
+    mom = (per.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    n = F.col("n").cast("double")
+    sx, sy, sxx, syy, sxy = [F.col(c).cast("double")
+                             for c in ("sx", "sy", "sxx", "syy", "sxy")]
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    cxy = sxy / n - (sx / n) * (sy / n)
+    theta = cxy / vx
+    red = (cxy * cxy) / (vx * vy)  # rho^2 = fraction of var removed
+    return (mom.select(
+        "event_type", F.col("n").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(red * 100, 6).alias("var_reduction_pct"))
+        .orderBy("event_type"))
+
+
+def agg_cuped_variance_reduction_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, user_id,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events)) // 7
+           AS wk,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+per AS (
+  SELECT event_type, user_id,
+         CAST(sum(CASE WHEN wk < 2 THEN vq ELSE 0 END)
+              AS DECIMAL(38,0)) AS x,
+         CAST(sum(CASE WHEN wk >= 2 THEN vq ELSE 0 END)
+              AS DECIMAL(38,0)) AS y
+  FROM ev WHERE wk < 4 GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM per GROUP BY 1
+)
+SELECT event_type, n AS n_users,
+       round((CAST(sxy AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / (CAST(sxx AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+             6) AS theta,
+       round((CAST(sxy AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             * (CAST(sxy AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / ((CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                * (CAST(syy AS DOUBLE) / n
+                   - (CAST(sy AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n))) * 100, 6)
+         AS var_reduction_pct
+FROM mom ORDER BY event_type
+"""
+
+
+_SLO_BUDGET_PPM = 250_000  # error budget: 25% of events may be errors
+_SLO_BURN_THRESHOLD_MILLI = 1200  # alert at 1.2x budget on BOTH windows
+
+
+def window_slo_burn_rate(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    pattern): per hour, the error-event rate over the short window
+    (that hour) and the long window (trailing 6 h), each as a
+    burn-rate multiple of the error budget; the alert fires only when
+    BOTH exceed 1.2× — the short window gives speed, the long window
+    kills flapping. Emits the full evaluation table (every hour, both
+    burn rates, the alert flag) — what an alerting backtest replays.
+
+    Scale shape: ONE (hour) count fold, a 6-row trailing RANGE window
+    on the hour-grain frame, integer ppm arithmetic throughout.
+
+    Reference parity: none; streaming-ops family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)")
+         .alias("hr"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"))
+    hourly = (ev.groupBy("hr")
+              .agg(F.count("*").alias("n"), F.sum("is_err").alias("e")))
+    w6 = (Window.orderBy("hr").rangeBetween(-5, 0))
+    j = (hourly
+         .withColumn("n6", F.sum("n").over(w6))
+         .withColumn("e6", F.sum("e").over(w6)))
+    short_ppm = F.expr("e * 1000000 div n")
+    long_ppm = F.expr("e6 * 1000000 div n6")
+    burn_s = F.expr(f"(e * 1000000 div n) * 1000 div {_SLO_BUDGET_PPM}")
+    burn_l = F.expr(f"(e6 * 1000000 div n6) * 1000 div {_SLO_BUDGET_PPM}")
+    return (j.select(
+        "hr", "n", F.col("e").cast("long").alias("n_errors"),
+        short_ppm.alias("err_ppm_1h"), long_ppm.alias("err_ppm_6h"),
+        burn_s.alias("burn_milli_1h"), burn_l.alias("burn_milli_6h"),
+        ((burn_s > _SLO_BURN_THRESHOLD_MILLI)
+         & (burn_l > _SLO_BURN_THRESHOLD_MILLI)).cast("long")
+        .alias("would_alert"))
+        .orderBy("hr"))
+
+
+def window_slo_burn_rate_sql():
+    return f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT hr, n, e,
+         sum(n) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING
+                      AND CURRENT ROW) AS n6,
+         sum(e) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING
+                      AND CURRENT ROW) AS e6
+  FROM hourly
+)
+SELECT hr, n, e AS n_errors,
+       e * 1000000 // n AS err_ppm_1h,
+       e6 * 1000000 // n6 AS err_ppm_6h,
+       (e * 1000000 // n) * 1000 // {_SLO_BUDGET_PPM} AS burn_milli_1h,
+       (e6 * 1000000 // n6) * 1000 // {_SLO_BUDGET_PPM} AS burn_milli_6h,
+       CAST(CASE WHEN (e * 1000000 // n) * 1000
+                      // {_SLO_BUDGET_PPM} > {_SLO_BURN_THRESHOLD_MILLI}
+                  AND (e6 * 1000000 // n6) * 1000
+                      // {_SLO_BUDGET_PPM} > {_SLO_BURN_THRESHOLD_MILLI}
+            THEN 1 ELSE 0 END AS BIGINT) AS would_alert
+FROM j ORDER BY hr
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -17346,6 +17656,10 @@ QUERIES = {
     "sql_except_all_bag_semantics": sql_except_all_bag_semantics,
     "sample_negative_sampling_dist": sample_negative_sampling_dist,
     "agg_lorenz_curve_deciles": agg_lorenz_curve_deciles,
+    "lake_bucket_granularity_sweep": lake_bucket_granularity_sweep,
+    "window_funnel_wilson_ci": window_funnel_wilson_ci,
+    "agg_cuped_variance_reduction": agg_cuped_variance_reduction,
+    "window_slo_burn_rate": window_slo_burn_rate,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -17789,6 +18103,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "lake_bucket_granularity_sweep": lake_bucket_granularity_sweep_sql(),
+    "window_funnel_wilson_ci": window_funnel_wilson_ci_sql(),
+    "agg_cuped_variance_reduction": agg_cuped_variance_reduction_sql(),
+    "window_slo_burn_rate": window_slo_burn_rate_sql(),
     "window_forecast_backtest_naive": window_forecast_backtest_naive_sql(),
     "sql_except_all_bag_semantics": sql_except_all_bag_semantics_sql(),
     "sample_negative_sampling_dist": sample_negative_sampling_dist_sql(),
