@@ -17614,6 +17614,318 @@ FROM j ORDER BY hr
 """
 
 
+_MB_SIZES = (100, 1000, 10000)
+
+
+def cdc_microbatch_fold_savings(spark, sf_dir):
+    """Microbatch pre-fold savings sweep: at trigger sizes of
+    100/1k/10k events per batch (batch = event_id div N — the
+    arrival-ordered microbatch), how many changes collapse when each
+    batch is folded to one row per key before the MERGE — the number
+    that justifies `lww.fold_changes_prefold` and picks the trigger
+    interval (big batches fold more but add latency). Reported per
+    batch size: batches, changes, post-fold rows, savings ppm, and
+    the share of batches with any fold at all.
+
+    Scale shape: ONE (size, batch, key) fold via a 3-row broadcast
+    sweep — rows scanned once; all curves from the same pass.
+
+    Reference parity: the reference applies row-at-a-time
+    (`row_streamer.go` handler loop) — folding is this engine's
+    batch-apply advantage, measured here (SURVEY §2.1 P28/P29)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    sizes = spark.createDataFrame(
+        [(n,) for n in _MB_SIZES], "batch_size long")
+    j = (ev.crossJoin(F.broadcast(sizes))
+         .select("batch_size",
+                 F.expr("event_id div batch_size").alias("batch"),
+                 "user_id"))
+    per_key = (j.groupBy("batch_size", "batch", "user_id")
+               .agg(F.count("*").alias("c")))
+    per_batch = (per_key.groupBy("batch_size", "batch")
+                 .agg(F.sum("c").alias("changes"),
+                      F.count("*").alias("keys")))
+    return (per_batch.groupBy("batch_size")
+            .agg(F.count("*").alias("n_batches"),
+                 F.sum("changes").cast("long").alias("n_changes"),
+                 F.sum("keys").cast("long").alias("n_folded_rows"),
+                 F.sum((F.col("changes") > F.col("keys")).cast("long"))
+                 .alias("n_batches_with_fold"))
+            .withColumn("savings_ppm",
+                        F.expr("(n_changes - n_folded_rows) * 1000000"
+                               " div n_changes"))
+            .orderBy("batch_size"))
+
+
+def cdc_microbatch_fold_savings_sql():
+    sizes = ", ".join(str(n) for n in _MB_SIZES)
+    return f"""
+WITH j AS (
+  SELECT s.batch_size, e.event_id // s.batch_size AS batch, e.user_id
+  FROM events e
+  CROSS JOIN (SELECT unnest([{sizes}]) AS batch_size) s
+),
+pk AS (
+  SELECT batch_size, batch, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM j GROUP BY 1, 2, 3
+),
+pb AS (
+  SELECT batch_size, batch, sum(c) AS changes,
+         CAST(count(*) AS BIGINT) AS keys
+  FROM pk GROUP BY 1, 2
+)
+SELECT CAST(batch_size AS BIGINT) AS batch_size,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(changes) AS BIGINT) AS n_changes,
+       CAST(sum(keys) AS BIGINT) AS n_folded_rows,
+       CAST(sum(CASE WHEN changes > keys THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batches_with_fold,
+       (sum(changes) - sum(keys)) * 1000000 // sum(changes)
+         AS savings_ppm
+FROM pb GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_anomaly_mad_days(spark, sf_dir):
+    """Series-level anomaly days by robust z-score: per event type,
+    days whose count sits more than 3 MAD-sigmas from the type's
+    median daily count (median and MAD are exact order statistics —
+    the deterministic index rule — so the flags are bit-stable;
+    `sql_mad_outliers` is the value-grain sibling, this is the
+    day-grain monitor an on-call reads). Score is in milli-MADs,
+    integer arithmetic end to end.
+
+    Scale shape: ONE (type, day) fold, two ranked windows on the
+    |types × days| frame for median and MAD, then a map-side flag.
+
+    Reference parity: none; monitoring family (SURVEY §2.2), sibling
+    of `window_slo_burn_rate` / `agg_cusum_changepoint`."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("y"))
+             .localCheckpoint(eager=False))
+    wr = Window.partitionBy("event_type").orderBy("y", "day")
+    wn = Window.partitionBy("event_type")
+    med = (daily.withColumn("rn", F.row_number().over(wr))
+           .withColumn("n", F.count("*").over(wn))
+           .where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("y").alias("med")))
+    dev = (daily.join(F.broadcast(med), "event_type")
+           .withColumn("ad", F.abs(F.col("y") - F.col("med"))))
+    wr2 = Window.partitionBy("event_type").orderBy("ad", "day")
+    mad = (dev.withColumn("rn", F.row_number().over(wr2))
+           .withColumn("n", F.count("*").over(wn))
+           .where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("ad").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .withColumn("score_milli",
+                        F.expr("ad * 1000 div greatest(mad, 1)"))
+            .where(F.col("score_milli") > 3000)
+            .select("event_type", "day", "y", "med", "mad",
+                    "score_milli")
+            .orderBy("event_type", "day"))
+
+
+def window_anomaly_mad_days_sql():
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, y AS med FROM (
+    SELECT event_type, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY y, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT d.event_type, d.day, d.y, m.med, abs(d.y - m.med) AS ad
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ad, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type, d.day, d.y, d.med, m.mad,
+       d.ad * 1000 // greatest(m.mad, 1) AS score_milli
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.ad * 1000 // greatest(m.mad, 1) > 3000
+ORDER BY d.event_type, d.day
+"""
+
+
+def sketch_cms_merge_pin(spark, sf_dir):
+    """Count-min MERGEABILITY pin — registers of two disjoint shards
+    (event-id parity) merge by ELEMENTWISE ADD into exactly the
+    whole-stream registers (linearity is what lets 1000 executors'
+    partial sketches combine with no error beyond each sketch's own
+    ε·N). Emits per hash row j: cells used, merged vs whole register
+    sums, and the count of equal cells — completing the merge-pin
+    family (`sketch_hll_merge` MAX-merge, `sketch_quantile_merge_
+    audit` rank-merge, this ADD-merge).
+
+    Scale shape: three register folds (each d×w bounded state), one
+    d-row report fold.
+
+    Reference parity: none; sketch family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def regs_from(df):
+        h = F.md5(F.col("user_id").cast("string"))
+        slots = F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
+                      .cast("long") % _CMS_W).alias("pos"))
+            for j in range(_CMS_D)])
+        return (df.select(F.explode(slots).alias("s"))
+                .groupBy("s.j", "s.pos")
+                .agg(F.count("*").alias("cnt")))
+
+    a = regs_from(ev.where(F.col("event_id") % 2 == 0)) \
+        .withColumnRenamed("cnt", "ca")
+    b = regs_from(ev.where(F.col("event_id") % 2 == 1)) \
+        .withColumnRenamed("cnt", "cb")
+    merged = (a.join(b, ["j", "pos"], "full_outer")
+              .select("j", "pos",
+                      (F.coalesce("ca", F.lit(0))
+                       + F.coalesce("cb", F.lit(0))).alias("cm")))
+    whole = regs_from(ev)
+    return (merged.join(whole, ["j", "pos"], "full_outer")
+            .groupBy("j")
+            .agg(F.count("*").cast("long").alias("cells_used"),
+                 F.sum("cm").cast("long").alias("sum_merged"),
+                 F.sum("cnt").cast("long").alias("sum_whole"),
+                 F.sum((F.col("cm") == F.col("cnt")).cast("long"))
+                 .alias("n_equal_cells"))
+            .orderBy("j"))
+
+
+def sketch_cms_merge_pin_sql():
+    slot = ("('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+            "1 + 8 * jj.j, 8))::BIGINT % " + str(_CMS_W))
+    js = ", ".join(str(j) for j in range(_CMS_D))
+    shard = f"""
+  SELECT jj.j, {slot} AS pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN (SELECT unnest([{js}]) AS j) jj
+  WHERE event_id % 2 = {{par}} GROUP BY 1, 2
+"""
+    return f"""
+WITH a AS ({shard.format(par=0)}), b AS ({shard.format(par=1)}),
+merged AS (
+  SELECT coalesce(a.j, b.j) AS j, coalesce(a.pos, b.pos) AS pos,
+         coalesce(a.cnt, 0) + coalesce(b.cnt, 0) AS cm
+  FROM a FULL JOIN b ON a.j = b.j AND a.pos = b.pos
+),
+whole AS (
+  SELECT jj.j, {slot} AS pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN (SELECT unnest([{js}]) AS j) jj
+  GROUP BY 1, 2
+)
+SELECT coalesce(m.j, w.j) AS j,
+       CAST(count(*) AS BIGINT) AS cells_used,
+       CAST(sum(m.cm) AS BIGINT) AS sum_merged,
+       CAST(sum(w.cnt) AS BIGINT) AS sum_whole,
+       CAST(sum(CASE WHEN m.cm = w.cnt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal_cells
+FROM merged m FULL JOIN whole w ON m.j = w.j AND m.pos = w.pos
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sketch_bloom_merge_pin(spark, sf_dir):
+    """Bloom-filter MERGEABILITY pin — the bitsets of two disjoint
+    shards OR-merge into exactly the whole-stream bitset (the
+    property that lets per-partition Blooms union into a table-level
+    pre-filter with zero extra false positives). Emits per event
+    type: bits set in each shard, in the OR-merge, in the whole
+    build, and the equality flag — the fourth and final merge-algebra
+    pin (ADD for CMS, MAX for HLL, rank-merge for bottom-k, OR for
+    Bloom).
+
+    Scale shape: three bounded bit-position folds (≤ m positions per
+    group each) + one |types|-row report.
+
+    Reference parity: none; sketch family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def bits_from(df):
+        h = F.md5(F.col("user_id").cast("string"))
+        pos = F.array(*[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % _BLOOM_M for i in range(_BLOOM_K)])
+        return (df.select("event_type", F.explode(pos).alias("pos"))
+                .distinct())
+
+    a = bits_from(ev.where(F.col("event_id") % 2 == 0))
+    b = bits_from(ev.where(F.col("event_id") % 2 == 1))
+    merged = a.unionByName(b).distinct()
+    whole = bits_from(ev)
+    cnt = lambda df, name: df.groupBy("event_type").agg(  # noqa: E731
+        F.count("*").alias(name))
+    return (cnt(a, "bits_a")
+            .join(cnt(b, "bits_b"), "event_type", "full_outer")
+            .join(cnt(merged, "bits_merged"), "event_type", "full_outer")
+            .join(cnt(whole, "bits_whole"), "event_type", "full_outer")
+            .select("event_type",
+                    F.coalesce("bits_a", F.lit(0)).alias("bits_a"),
+                    F.coalesce("bits_b", F.lit(0)).alias("bits_b"),
+                    F.coalesce("bits_merged", F.lit(0))
+                    .alias("bits_merged"),
+                    F.coalesce("bits_whole", F.lit(0))
+                    .alias("bits_whole"),
+                    (F.col("bits_merged") == F.col("bits_whole"))
+                    .cast("long").alias("merge_exact"))
+            .orderBy("event_type"))
+
+
+def sketch_bloom_merge_pin_sql():
+    ks = ", ".join(str(i) for i in range(_BLOOM_K))
+    bits = (f"""
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * kk.i, 8))
+           ::BIGINT % {_BLOOM_M} AS pos
+  FROM events CROSS JOIN (SELECT unnest([{ks}]) AS i) kk
+  {{where}}
+""")
+    return f"""
+WITH a AS ({bits.format(where='WHERE event_id % 2 = 0')}),
+b AS ({bits.format(where='WHERE event_id % 2 = 1')}),
+merged AS (SELECT DISTINCT * FROM (SELECT * FROM a UNION SELECT * FROM b)),
+whole AS ({bits.format(where='')}),
+ca AS (SELECT event_type, CAST(count(*) AS BIGINT) AS bits_a
+       FROM a GROUP BY 1),
+cb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS bits_b
+       FROM b GROUP BY 1),
+cm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS bits_merged
+       FROM merged GROUP BY 1),
+cw AS (SELECT event_type, CAST(count(*) AS BIGINT) AS bits_whole
+       FROM whole GROUP BY 1)
+SELECT cw.event_type,
+       coalesce(ca.bits_a, 0) AS bits_a,
+       coalesce(cb.bits_b, 0) AS bits_b,
+       coalesce(cm.bits_merged, 0) AS bits_merged,
+       coalesce(cw.bits_whole, 0) AS bits_whole,
+       CAST(CASE WHEN cm.bits_merged = cw.bits_whole THEN 1 ELSE 0 END
+            AS BIGINT) AS merge_exact
+FROM cw
+LEFT JOIN ca USING (event_type)
+LEFT JOIN cb USING (event_type)
+LEFT JOIN cm USING (event_type)
+ORDER BY cw.event_type
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -17660,6 +17972,10 @@ QUERIES = {
     "window_funnel_wilson_ci": window_funnel_wilson_ci,
     "agg_cuped_variance_reduction": agg_cuped_variance_reduction,
     "window_slo_burn_rate": window_slo_burn_rate,
+    "cdc_microbatch_fold_savings": cdc_microbatch_fold_savings,
+    "window_anomaly_mad_days": window_anomaly_mad_days,
+    "sketch_cms_merge_pin": sketch_cms_merge_pin,
+    "sketch_bloom_merge_pin": sketch_bloom_merge_pin,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -18103,6 +18419,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "cdc_microbatch_fold_savings": cdc_microbatch_fold_savings_sql(),
+    "window_anomaly_mad_days": window_anomaly_mad_days_sql(),
+    "sketch_cms_merge_pin": sketch_cms_merge_pin_sql(),
+    "sketch_bloom_merge_pin": sketch_bloom_merge_pin_sql(),
     "lake_bucket_granularity_sweep": lake_bucket_granularity_sweep_sql(),
     "window_funnel_wilson_ci": window_funnel_wilson_ci_sql(),
     "agg_cuped_variance_reduction": agg_cuped_variance_reduction_sql(),
