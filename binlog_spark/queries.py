@@ -17926,6 +17926,296 @@ ORDER BY cw.event_type
 """
 
 
+def cdc_lww_tiebreak_semantics(spark, sf_dir):
+    """LWW ordering-key semantics pin: last-write-wins by COMMIT order
+    (event_id — what the binlog stream gives) versus by EVENT TIME
+    (ts, id tiebreak — what an event-time processor might naively
+    pick) produce different winners exactly where a key's stream
+    arrives time-disordered. Per type: keys, keys whose winner
+    diverges, and the divergence rate — the number that forces the
+    "order by what?" decision into the sink's contract
+    (`cdc_lww_latest` pins commit order; this measures what choosing
+    otherwise would silently change).
+
+    Scale shape: two max_by folds over the SAME (type, key)
+    partitioning — Catalyst reuses the exchange; the compare is
+    row-wise on the folded frame.
+
+    Reference parity: the reference replays in binlog (commit) order
+    only (`row_streamer.go:120`); the divergence quantifies why that
+    contract matters (SURVEY §2.1 P27-P29)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    by_id = (ev.groupBy("event_type", "user_id")
+             .agg(F.max_by("vq", F.col("event_id")).alias("w_commit")))
+    by_ts = (ev.groupBy("event_type", "user_id")
+             .agg(F.max_by("vq", F.struct(F.col("es"), F.col("event_id")))
+                  .alias("w_event_time")))
+    j = by_id.join(by_ts, ["event_type", "user_id"])
+    return (j.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 F.sum((F.col("w_commit") != F.col("w_event_time"))
+                       .cast("long")).alias("n_divergent"))
+            .withColumn("divergence_ppm",
+                        F.expr("n_divergent * 1000000 div n_keys"))
+            .orderBy("event_type"))
+
+
+def cdc_lww_tiebreak_semantics_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+by_id AS (
+  SELECT event_type, user_id, vq AS w_commit FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+by_ts AS (
+  SELECT event_type, user_id, vq AS w_event_time FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY es DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT i.event_type, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN i.w_commit != t.w_event_time
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_divergent,
+       sum(CASE WHEN i.w_commit != t.w_event_time THEN 1 ELSE 0 END)
+         * 1000000 // count(*) AS divergence_ppm
+FROM by_id i JOIN by_ts t USING (event_type, user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def graph_lang_assortativity(spark, sf_dir):
+    """Attribute (language) assortativity of the md5 link graph —
+    Newman's r over the lang×lang edge-mixing matrix: r = (Σeᵢᵢ −
+    Σaᵢbᵢ)/(1 − Σaᵢbᵢ), where e is the directed edge fraction
+    matrix and a/b its marginals. r → 1 means pages link within
+    their language (the real web's behavior), r ≈ 0 random mixing —
+    the `graph_degree_assortativity` sibling on a categorical
+    attribute. Counts are exact; the three Σ terms are single double
+    expressions in ppm-normalized arithmetic.
+
+    Scale shape: edges join the broadcast (doc → lang) map twice,
+    then ONE |langs|² mixing fold — no iteration.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    edges = (docs.select(F.col("doc_id").alias("a"),
+                         F.explode(F.array(*dsts)).alias("b"))
+             .where(F.col("a") != F.col("b"))
+             .distinct())
+    lang = docs.select("doc_id", "lang")
+    e = (edges
+         .join(F.broadcast(lang.select(F.col("doc_id").alias("a"),
+                                       F.col("lang").alias("la"))), "a")
+         .join(F.broadcast(lang.select(F.col("doc_id").alias("b"),
+                                       F.col("lang").alias("lb"))), "b"))
+    mix = e.groupBy("la", "lb").agg(F.count("*").alias("c")) \
+        .localCheckpoint(eager=False)
+    tot = mix.agg(F.sum("c").alias("t")).collect()[0]["t"]
+    diag = (mix.where(F.col("la") == F.col("lb"))
+            .agg(F.sum("c").alias("d")).collect()[0]["d"] or 0)
+    marg = (mix.groupBy("la").agg(F.sum("c").alias("ca"))
+            .join(mix.groupBy("lb").agg(F.sum("c").alias("cb"))
+                  .withColumnRenamed("lb", "la"), "la", "full_outer")
+            .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                    F.coalesce("cb", F.lit(0)).alias("cb")))
+    ab = marg.agg(F.sum(F.col("ca") * F.col("cb")).alias("s")) \
+        .collect()[0]["s"]
+    tr = diag / tot
+    sab = ab / (tot * tot)
+    r = (tr - sab) / (1 - sab) if sab != 1 else 0.0
+    return spark.createDataFrame(
+        [(int(tot), int(diag), round(tr, 6), round(sab, 6), round(r, 6))],
+        "n_edges long, n_same_lang long, frac_same double, "
+        "expected_same double, assortativity double")
+
+
+def graph_lang_assortativity_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+),
+edges AS (SELECT DISTINCT a, b FROM raw WHERE a != b),
+e AS (
+  SELECT da.lang AS la, db.lang AS lb
+  FROM edges
+  JOIN documents da ON da.doc_id = edges.a
+  JOIN documents db ON db.doc_id = edges.b
+),
+mix AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS t FROM mix),
+diag AS (SELECT coalesce(sum(c), 0) AS d FROM mix WHERE la = lb),
+ma AS (SELECT la AS l, sum(c) AS ca FROM mix GROUP BY 1),
+mb AS (SELECT lb AS l, sum(c) AS cb FROM mix GROUP BY 1),
+ab AS (
+  SELECT sum(coalesce(ma.ca, 0) * coalesce(mb.cb, 0)) AS s
+  FROM ma FULL JOIN mb USING (l)
+)
+SELECT CAST(t.t AS BIGINT) AS n_edges,
+       CAST(d.d AS BIGINT) AS n_same_lang,
+       round(CAST(d.d AS DOUBLE) / t.t, 6) AS frac_same,
+       round(CAST(ab.s AS DOUBLE) / (CAST(t.t AS DOUBLE) * t.t), 6)
+         AS expected_same,
+       round((CAST(d.d AS DOUBLE) / t.t
+              - CAST(ab.s AS DOUBLE) / (CAST(t.t AS DOUBLE) * t.t))
+             / (1 - CAST(ab.s AS DOUBLE)
+                    / (CAST(t.t AS DOUBLE) * t.t)), 6)
+         AS assortativity
+FROM tot t CROSS JOIN diag d CROSS JOIN ab
+"""
+
+
+def agg_eb_shrunk_rates(spark, sf_dir):
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    rates — the league-table correction: raw rates of low-activity
+    users are noise, so fit a Beta(α, β) prior by method of moments
+    on the observed per-user rates and report, per activity decile,
+    the mean raw vs mean shrunk rate ((x+α)/(n+α+β)) — small-n
+    deciles pull hard toward the prior, big-n deciles barely move.
+    The moment fit uses exact integer count sums; α and β are two
+    shared double expressions.
+
+    Scale shape: ONE user fold, a moment fold, then the decile
+    report via the two-level global rank — no per-user Python.
+
+    Reference parity: none; statistics family (SURVEY §2.2), sibling
+    of `agg_cuped_variance_reduction`."""
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                F.sum((F.col("event_type") == "purchase").cast("long"))
+                .alias("x"))
+           .localCheckpoint(eager=False))
+    mom = per.select(
+        F.count("*").alias("u"),
+        F.sum(F.col("x").cast("double") / F.col("n")).alias("sr"),
+        F.sum((F.col("x").cast("double") / F.col("n"))
+              * (F.col("x").cast("double") / F.col("n"))).alias("srr")
+    ).collect()[0]
+    u = mom["u"]
+    m = mom["sr"] / u
+    v = mom["srr"] / u - m * m
+    k = m * (1 - m) / v - 1 if v > 0 else 1.0
+    alpha, beta = m * k, (1 - m) * k
+    g = ranking.global_rank(per, ["n", "user_id"], out_col="rn")
+    g = g.withColumn("decile",
+                     F.least(F.lit(9), F.expr(f"(rn - 1) * 10 div {u}")))
+    raw = F.col("x").cast("double") / F.col("n")
+    shrunk = (F.col("x").cast("double") + F.lit(alpha)) \
+        / (F.col("n").cast("double") + F.lit(alpha + beta))
+    return (g.groupBy("decile")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("n").cast("long").alias("n_events"),
+                 F.round(F.avg(raw) * 1000, 6).alias("mean_raw_milli"),
+                 F.round(F.avg(shrunk) * 1000, 6)
+                 .alias("mean_shrunk_milli"))
+            .withColumn("decile", F.col("decile").cast("long"))
+            .orderBy("decile"))
+
+
+def agg_eb_shrunk_rates_sql():
+    return """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS u,
+         sum(CAST(x AS DOUBLE) / n) AS sr,
+         sum((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n)) AS srr
+  FROM per
+),
+prior AS (
+  SELECT u,
+         (sr / u) * ((sr / u) * (1 - sr / u)
+                     / (srr / u - (sr / u) * (sr / u)) - 1) AS alpha,
+         (1 - sr / u) * ((sr / u) * (1 - sr / u)
+                         / (srr / u - (sr / u) * (sr / u)) - 1) AS beta
+  FROM mom
+),
+g AS (
+  SELECT p.*, least(9, (row_number() OVER (ORDER BY p.n, p.user_id) - 1)
+                       * 10 // (SELECT u FROM mom)) AS decile
+  FROM per p
+)
+SELECT CAST(g.decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(g.n) AS BIGINT) AS n_events,
+       round(avg(CAST(g.x AS DOUBLE) / g.n) * 1000, 6)
+         AS mean_raw_milli,
+       round(avg((CAST(g.x AS DOUBLE) + pr.alpha)
+                 / (CAST(g.n AS DOUBLE) + pr.alpha + pr.beta)) * 1000, 6)
+         AS mean_shrunk_milli
+FROM g CROSS JOIN prior pr
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_ARRIVAL_DELAY_BUCKET_S = 120
+
+
+def cdc_eventtime_arrival_matrix(spark, sf_dir):
+    """Event-time × arrival-delay joint matrix — the 2-D histogram
+    streaming papers draw when explaining watermarks: rows are
+    hour-of-day of the EVENT time, columns are arrival-delay buckets
+    (120 s grain under the shared jitter model), cells are counts.
+    `cdc_watermark_delay_audit` reports the delay marginal; the
+    joint shows whether late data clusters at specific hours (it
+    does when transport congests at peak) — which argues for
+    time-varying watermark policies.
+
+    Scale shape: map-only bucketing + ONE (hour, bucket) fold —
+    24×5 cells.
+
+    Reference parity: none; streaming watermark family (SURVEY
+    §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("es"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hr"))
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7),
+               16, 10).cast("long")
+    d = ev.withColumn("delay", h % WATERMARK_MAX_DELAY_S)
+    return (d.groupBy("hr",
+                      F.expr(f"delay div {_ARRIVAL_DELAY_BUCKET_S}")
+                      .alias("delay_bucket"))
+            .agg(F.count("*").alias("n_events"))
+            .orderBy("hr", "delay_bucket"))
+
+
+def cdc_eventtime_arrival_matrix_sql():
+    return f"""
+SELECT CAST(hour(ts) AS BIGINT) AS hr,
+       (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+        % {WATERMARK_MAX_DELAY_S}) // {_ARRIVAL_DELAY_BUCKET_S}
+         AS delay_bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -17976,6 +18266,10 @@ QUERIES = {
     "window_anomaly_mad_days": window_anomaly_mad_days,
     "sketch_cms_merge_pin": sketch_cms_merge_pin,
     "sketch_bloom_merge_pin": sketch_bloom_merge_pin,
+    "cdc_lww_tiebreak_semantics": cdc_lww_tiebreak_semantics,
+    "graph_lang_assortativity": graph_lang_assortativity,
+    "agg_eb_shrunk_rates": agg_eb_shrunk_rates,
+    "cdc_eventtime_arrival_matrix": cdc_eventtime_arrival_matrix,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -18419,6 +18713,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "cdc_lww_tiebreak_semantics": cdc_lww_tiebreak_semantics_sql(),
+    "graph_lang_assortativity": graph_lang_assortativity_sql(),
+    "agg_eb_shrunk_rates": agg_eb_shrunk_rates_sql(),
+    "cdc_eventtime_arrival_matrix": cdc_eventtime_arrival_matrix_sql(),
     "cdc_microbatch_fold_savings": cdc_microbatch_fold_savings_sql(),
     "window_anomaly_mad_days": window_anomaly_mad_days_sql(),
     "sketch_cms_merge_pin": sketch_cms_merge_pin_sql(),
