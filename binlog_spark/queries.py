@@ -18216,6 +18216,253 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_ROLL_CORR_PAIR = ("view", "purchase")
+_ROLL_CORR_DAYS = 14
+
+
+def window_rolling_corr_pair(spark, sf_dir):
+    """Trailing 14-day Pearson correlation between two metric series —
+    daily view counts vs daily purchase counts: the co-movement
+    monitor behind "did the funnel decouple this week?". Counts
+    accumulate in exact BIGINTs inside a RANGE frame on the day
+    grain; each row's correlation is ONE shared double expression, so
+    both engines emit identical bits.
+
+    Scale shape: ONE (type, day) fold, a pivot to two columns on the
+    |days| frame, then six trailing-RANGE sums on that tiny frame.
+
+    Reference parity: none; time-series family (SURVEY §2.2), the
+    two-series sibling of `agg_autocorr_daily` / `window_rolling_slope`."""
+    a, b = _ROLL_CORR_PAIR
+    daily = (_t(spark, sf_dir, "events")
+             .where(F.col("event_type").isin(a, b))
+             .groupBy((F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.sum((F.col("event_type") == a).cast("long"))
+                  .alias("x"),
+                  F.sum((F.col("event_type") == b).cast("long"))
+                  .alias("y")))
+    w = (Window.orderBy("day")
+         .rangeBetween(-(_ROLL_CORR_DAYS - 1), 0))
+    m = (daily
+         .withColumn("n", F.count("*").over(w))
+         .withColumn("sx", F.sum("x").over(w))
+         .withColumn("sy", F.sum("y").over(w))
+         .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+         .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(w))
+         .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+         .where(F.col("n") >= 7))
+    n, sx, sy, sxx, syy, sxy = [F.col(c).cast("double")
+                                for c in ("n", "sx", "sy", "sxx",
+                                          "syy", "sxy")]
+    return (m.select(
+        "day", F.col("n").cast("long").alias("n_days"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx)
+                   * F.sqrt(n * syy - sy * sy)), 6).alias("corr"))
+        .orderBy("day"))
+
+
+def window_rolling_corr_pair_sql():
+    a, b = _ROLL_CORR_PAIR
+    d = _ROLL_CORR_DAYS - 1
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events WHERE event_type IN ('{a}', '{b}') GROUP BY 1
+),
+m AS (
+  SELECT day,
+         count(*) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN {d} PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+FROM m WHERE n >= 7 ORDER BY day
+"""
+
+
+_CKPT_INTERVALS = (1000, 10000, 100000)
+_CKPT_CRASH_STRIDE = 977  # deterministic crash probe points
+
+
+def cdc_checkpoint_interval_sweep(spark, sf_dir):
+    """Checkpoint-interval sizing sweep: committing the resume cursor
+    every N events costs N/2 expected re-replay after a crash —
+    measured here exactly by probing a deterministic crash set (every
+    977th event) against intervals of 1k/10k/100k: per interval, the
+    checkpoint-write count and the mean/max events replayed — the
+    RTO-versus-overhead curve that picks the cursor cadence for
+    `streaming/pipeline.py`'s per-batch commit.
+
+    Scale shape: the probe set is a pushed filter on the scan; the
+    sweep is a 3-row broadcast; everything folds map-side.
+
+    Reference parity: the reference commits its position per event
+    batch (`dump/dump.go` master-status tracking); this sizes that
+    cadence honestly (SURVEY §2.1 P29)."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    mx = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+    probes = ev.where(F.col("event_id") % _CKPT_CRASH_STRIDE == 0)
+    ivs = spark.createDataFrame(
+        [(n,) for n in _CKPT_INTERVALS], "interval long")
+    j = (probes.crossJoin(F.broadcast(ivs))
+         .select("interval",
+                 F.expr("event_id % interval").alias("replay")))
+    return (j.groupBy("interval")
+            .agg(F.count("*").alias("n_crash_probes"),
+                 F.round(F.avg(F.col("replay").cast("double")), 6)
+                 .alias("mean_replay_events"),
+                 F.max("replay").cast("long").alias("max_replay_events"))
+            .withColumn("n_checkpoints",
+                        F.expr(f"CAST({mx} AS BIGINT) div interval + 1"))
+            .orderBy("interval"))
+
+
+def cdc_checkpoint_interval_sweep_sql():
+    ivs = ", ".join(str(n) for n in _CKPT_INTERVALS)
+    return f"""
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+probes AS (
+  SELECT event_id FROM events WHERE event_id % {_CKPT_CRASH_STRIDE} = 0
+),
+j AS (
+  SELECT i.interval, p.event_id % i.interval AS replay
+  FROM probes p CROSS JOIN (SELECT unnest([{ivs}]) AS interval) i
+)
+SELECT CAST(interval AS BIGINT) AS interval,
+       CAST(count(*) AS BIGINT) AS n_crash_probes,
+       round(avg(CAST(replay AS DOUBLE)), 6) AS mean_replay_events,
+       CAST(max(replay) AS BIGINT) AS max_replay_events,
+       (SELECT m FROM mx) // interval + 1 AS n_checkpoints
+FROM j GROUP BY interval ORDER BY 1
+"""
+
+
+_NORM_SCALE = 65536  # 2^16 — same quantization as kmeans_assign
+
+
+def sim_embedding_norm_audit(spark, sf_dir):
+    """Embedding-norm QA per label: min/mean/max L2 norm plus the
+    count of degenerate (near-zero) vectors — the first check on any
+    embedding table (an unnormalized or zeroed batch silently ruins
+    every cosine downstream; `sim_cosine_topk` assumes unit-ish
+    norms). Components quantize at 2^16 (exact in float64), squared
+    sums are ORDER-FREE integers via aggregate, so the statistics are
+    bit-identical cross-engine.
+
+    Scale shape: map-only array fold per row + ONE |labels| fold.
+
+    Reference parity: none; similarity family QA (SURVEY §2.3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        f"aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc"
+        f" + CAST(floor(CAST(x AS DOUBLE) * {_NORM_SCALE}) AS BIGINT)"
+        f" * CAST(floor(CAST(x AS DOUBLE) * {_NORM_SCALE}) AS BIGINT))")
+    d = emb.select("label", sq.alias("sq"))
+    norm = F.sqrt(F.col("sq").cast("double")) / F.lit(float(_NORM_SCALE))
+    d = d.withColumn("norm_q", F.floor(norm * 1_000_000).cast("long"))
+    return (d.groupBy("label")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.min("norm_q").alias("min_norm_micro"),
+                 F.floor(F.sum("norm_q") / F.count("*"))
+                 .cast("long").alias("mean_norm_micro"),
+                 F.max("norm_q").alias("max_norm_micro"),
+                 F.sum((F.col("norm_q") < 1000).cast("long"))
+                 .alias("n_degenerate"))
+            .withColumn("label", F.col("label").cast("long"))
+            .orderBy("label"))
+
+
+def sim_embedding_norm_audit_sql():
+    return f"""
+WITH d AS (
+  SELECT label,
+         CAST(floor(sqrt(CAST(list_aggregate(
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {_NORM_SCALE})
+                      AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * {_NORM_SCALE})
+                        AS BIGINT)),
+             'sum') AS DOUBLE)) / {_NORM_SCALE} * 1000000) AS BIGINT)
+           AS norm_q
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       min(norm_q) AS min_norm_micro,
+       CAST(floor(sum(norm_q) / count(*)) AS BIGINT)
+         AS mean_norm_micro,
+       max(norm_q) AS max_norm_micro,
+       CAST(sum(CASE WHEN norm_q < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_churn_hazard_by_tenure(spark, sf_dir):
+    """Discrete churn hazard by tenure week: h(w) = users whose LAST
+    activity fell in tenure week w ÷ users who reached tenure week w
+    — the conditional-churn view that `window_survival_curve` (the
+    unconditional S(k)) cannot show: a hazard spike at week 1 is an
+    onboarding problem, a flat hazard is a subscription business.
+    Pure integer arithmetic from one user fold.
+
+    Scale shape: ONE user min/max fold, a ≤|weeks| histogram, and a
+    reverse-cumulative window on the tiny week frame.
+
+    Reference parity: none; cohort family (SURVEY §2.2)."""
+    span = (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.datediff(F.max(F.to_date("ts")),
+                            F.min(F.to_date("ts"))).alias("days")))
+    hist = (span.groupBy(F.expr("days div 7").alias("tenure_wk"))
+            .agg(F.count("*").cast("long").alias("churned_here")))
+    w = (Window.orderBy(F.col("tenure_wk"))
+         .rowsBetween(0, Window.unboundedFollowing))
+    return (hist.withColumn("at_risk", F.sum("churned_here").over(w))
+            .select(F.col("tenure_wk").cast("long").alias("tenure_wk"),
+                    "churned_here", "at_risk",
+                    F.expr("churned_here * 1000000 div at_risk")
+                    .alias("hazard_ppm"))
+            .orderBy("tenure_wk"))
+
+
+def window_churn_hazard_by_tenure_sql():
+    return """
+WITH span AS (
+  SELECT user_id,
+         date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+           AS days
+  FROM events GROUP BY 1
+),
+hist AS (
+  SELECT days // 7 AS tenure_wk,
+         CAST(count(*) AS BIGINT) AS churned_here
+  FROM span GROUP BY 1
+)
+SELECT CAST(tenure_wk AS BIGINT) AS tenure_wk, churned_here,
+       sum(churned_here) OVER (ORDER BY tenure_wk
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS at_risk,
+       churned_here * 1000000
+         // sum(churned_here) OVER (ORDER BY tenure_wk
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING)
+         AS hazard_ppm
+FROM hist ORDER BY tenure_wk
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -18270,6 +18517,10 @@ QUERIES = {
     "graph_lang_assortativity": graph_lang_assortativity,
     "agg_eb_shrunk_rates": agg_eb_shrunk_rates,
     "cdc_eventtime_arrival_matrix": cdc_eventtime_arrival_matrix,
+    "window_rolling_corr_pair": window_rolling_corr_pair,
+    "cdc_checkpoint_interval_sweep": cdc_checkpoint_interval_sweep,
+    "sim_embedding_norm_audit": sim_embedding_norm_audit,
+    "window_churn_hazard_by_tenure": window_churn_hazard_by_tenure,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -18713,6 +18964,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "window_rolling_corr_pair": window_rolling_corr_pair_sql(),
+    "cdc_checkpoint_interval_sweep": cdc_checkpoint_interval_sweep_sql(),
+    "sim_embedding_norm_audit": sim_embedding_norm_audit_sql(),
+    "window_churn_hazard_by_tenure": window_churn_hazard_by_tenure_sql(),
     "cdc_lww_tiebreak_semantics": cdc_lww_tiebreak_semantics_sql(),
     "graph_lang_assortativity": graph_lang_assortativity_sql(),
     "agg_eb_shrunk_rates": agg_eb_shrunk_rates_sql(),
