@@ -18469,58 +18469,6 @@ FROM hist ORDER BY tenure_wk
 # driver row — or whose last driver row is stale — register first.
 QUERIES = {
     # --- never driver-sampled before round 4: surface these first ---
-    "lake_orphan_files_audit": lake_orphan_files_audit,
-    "mix_token_budget_allocation": mix_token_budget_allocation,
-    "agg_hill_tail_index": agg_hill_tail_index,
-    "agg_dow_seasonal_decompose": agg_dow_seasonal_decompose,
-    "dedup_method_agreement": dedup_method_agreement,
-    "sample_length_bucket_padding": sample_length_bucket_padding,
-    "graph_harmonic_centrality": graph_harmonic_centrality,
-    "sample_curriculum_phases": sample_curriculum_phases,
-    "sketch_quantile_merge_audit": sketch_quantile_merge_audit,
-    "window_ttl_expiry_forecast": window_ttl_expiry_forecast,
-    "window_periodogram_dft": window_periodogram_dft,
-    "lake_point_lookup_skip_audit": lake_point_lookup_skip_audit,
-    "agg_ratio_delta_method": agg_ratio_delta_method,
-    "agg_mutual_information_type_hour": agg_mutual_information_type_hour,
-    "cdc_backfill_plan": cdc_backfill_plan,
-    "agg_trim_sensitivity_sweep": agg_trim_sensitivity_sweep,
-    "sketch_hll_precision_sweep": sketch_hll_precision_sweep,
-    "graph_motif_ffl": graph_motif_ffl,
-    "cdc_gdpr_erasure_plan": cdc_gdpr_erasure_plan,
-    "text_feature_hashing_audit": text_feature_hashing_audit,
-    "cdc_late_restatement_fanout": cdc_late_restatement_fanout,
-    "window_arrival_reorder_depth": window_arrival_reorder_depth,
-    "sim_ivf_cell_balance": sim_ivf_cell_balance,
-    "agg_value_psi_drift": agg_value_psi_drift,
-    "cdc_causal_consistency_audit": cdc_causal_consistency_audit,
-    "window_growth_accounting": window_growth_accounting,
-    "agg_calibration_ece": agg_calibration_ece,
-    "sketch_source_vocab_minhash": sketch_source_vocab_minhash,
-    "cdc_scd2_integrity_audit": cdc_scd2_integrity_audit,
-    "agg_its_break_effect": agg_its_break_effect,
-    "mix_temperature_sweep": mix_temperature_sweep,
-    "sim_recall_at_k_curve": sim_recall_at_k_curve,
-    "window_forecast_backtest_naive": window_forecast_backtest_naive,
-    "sql_except_all_bag_semantics": sql_except_all_bag_semantics,
-    "sample_negative_sampling_dist": sample_negative_sampling_dist,
-    "agg_lorenz_curve_deciles": agg_lorenz_curve_deciles,
-    "lake_bucket_granularity_sweep": lake_bucket_granularity_sweep,
-    "window_funnel_wilson_ci": window_funnel_wilson_ci,
-    "agg_cuped_variance_reduction": agg_cuped_variance_reduction,
-    "window_slo_burn_rate": window_slo_burn_rate,
-    "cdc_microbatch_fold_savings": cdc_microbatch_fold_savings,
-    "window_anomaly_mad_days": window_anomaly_mad_days,
-    "sketch_cms_merge_pin": sketch_cms_merge_pin,
-    "sketch_bloom_merge_pin": sketch_bloom_merge_pin,
-    "cdc_lww_tiebreak_semantics": cdc_lww_tiebreak_semantics,
-    "graph_lang_assortativity": graph_lang_assortativity,
-    "agg_eb_shrunk_rates": agg_eb_shrunk_rates,
-    "cdc_eventtime_arrival_matrix": cdc_eventtime_arrival_matrix,
-    "window_rolling_corr_pair": window_rolling_corr_pair,
-    "cdc_checkpoint_interval_sweep": cdc_checkpoint_interval_sweep,
-    "sim_embedding_norm_audit": sim_embedding_norm_audit,
-    "window_churn_hazard_by_tenure": window_churn_hazard_by_tenure,
     # wire-format CDC pipeline entry paths (pinned literal oracles)
     "cdc_bootstrap_catchup": cdc_bootstrap_catchup,
     "cdc_schema_evolution": cdc_schema_evolution,
@@ -18667,6 +18615,62 @@ QUERIES = {
     "lake_overlap_depth": lake_overlap_depth,
     "drift_value_histogram": drift_value_histogram,
     "agg_decayed_counts": agg_decayed_counts,
+    # --- round-4 THIS-session additions: locally oracle-green at
+    # sf0.001+sf0.01; queued behind the earlier never-sampled block
+    # so the driver's 50-row window lands on the r3 evidence gap
+    # first (VERDICT r3 item 1); these surface in round 5 ---
+    "lake_orphan_files_audit": lake_orphan_files_audit,
+    "mix_token_budget_allocation": mix_token_budget_allocation,
+    "agg_hill_tail_index": agg_hill_tail_index,
+    "agg_dow_seasonal_decompose": agg_dow_seasonal_decompose,
+    "dedup_method_agreement": dedup_method_agreement,
+    "sample_length_bucket_padding": sample_length_bucket_padding,
+    "graph_harmonic_centrality": graph_harmonic_centrality,
+    "sample_curriculum_phases": sample_curriculum_phases,
+    "sketch_quantile_merge_audit": sketch_quantile_merge_audit,
+    "window_ttl_expiry_forecast": window_ttl_expiry_forecast,
+    "window_periodogram_dft": window_periodogram_dft,
+    "lake_point_lookup_skip_audit": lake_point_lookup_skip_audit,
+    "agg_ratio_delta_method": agg_ratio_delta_method,
+    "agg_mutual_information_type_hour": agg_mutual_information_type_hour,
+    "cdc_backfill_plan": cdc_backfill_plan,
+    "agg_trim_sensitivity_sweep": agg_trim_sensitivity_sweep,
+    "sketch_hll_precision_sweep": sketch_hll_precision_sweep,
+    "graph_motif_ffl": graph_motif_ffl,
+    "cdc_gdpr_erasure_plan": cdc_gdpr_erasure_plan,
+    "text_feature_hashing_audit": text_feature_hashing_audit,
+    "cdc_late_restatement_fanout": cdc_late_restatement_fanout,
+    "window_arrival_reorder_depth": window_arrival_reorder_depth,
+    "sim_ivf_cell_balance": sim_ivf_cell_balance,
+    "agg_value_psi_drift": agg_value_psi_drift,
+    "cdc_causal_consistency_audit": cdc_causal_consistency_audit,
+    "window_growth_accounting": window_growth_accounting,
+    "agg_calibration_ece": agg_calibration_ece,
+    "sketch_source_vocab_minhash": sketch_source_vocab_minhash,
+    "cdc_scd2_integrity_audit": cdc_scd2_integrity_audit,
+    "agg_its_break_effect": agg_its_break_effect,
+    "mix_temperature_sweep": mix_temperature_sweep,
+    "sim_recall_at_k_curve": sim_recall_at_k_curve,
+    "window_forecast_backtest_naive": window_forecast_backtest_naive,
+    "sql_except_all_bag_semantics": sql_except_all_bag_semantics,
+    "sample_negative_sampling_dist": sample_negative_sampling_dist,
+    "agg_lorenz_curve_deciles": agg_lorenz_curve_deciles,
+    "lake_bucket_granularity_sweep": lake_bucket_granularity_sweep,
+    "window_funnel_wilson_ci": window_funnel_wilson_ci,
+    "agg_cuped_variance_reduction": agg_cuped_variance_reduction,
+    "window_slo_burn_rate": window_slo_burn_rate,
+    "cdc_microbatch_fold_savings": cdc_microbatch_fold_savings,
+    "window_anomaly_mad_days": window_anomaly_mad_days,
+    "sketch_cms_merge_pin": sketch_cms_merge_pin,
+    "sketch_bloom_merge_pin": sketch_bloom_merge_pin,
+    "cdc_lww_tiebreak_semantics": cdc_lww_tiebreak_semantics,
+    "graph_lang_assortativity": graph_lang_assortativity,
+    "agg_eb_shrunk_rates": agg_eb_shrunk_rates,
+    "cdc_eventtime_arrival_matrix": cdc_eventtime_arrival_matrix,
+    "window_rolling_corr_pair": window_rolling_corr_pair,
+    "cdc_checkpoint_interval_sweep": cdc_checkpoint_interval_sweep,
+    "sim_embedding_norm_audit": sim_embedding_norm_audit,
+    "window_churn_hazard_by_tenure": window_churn_hazard_by_tenure,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
