@@ -18463,6 +18463,323 @@ FROM hist ORDER BY tenure_wk
 """
 
 
+def agg_quantile_shift_deciles(spark, sf_dir):
+    """Quantile treatment effect profile — week-1 vs week-4 value
+    distributions compared at every decile (exact order statistics,
+    deterministic index rule): where `agg_value_psi_drift` says THAT
+    the distribution moved, this says WHERE — a tail-only shift and a
+    uniform shift have very different causes. Values micro-quantized;
+    per (type, decile): both quantiles and the shift.
+
+    Scale shape: two ranked windows per (type, week) partition, a
+    9-row-per-group index filter, one join on the tiny decile frame.
+
+    Reference parity: none; statistics/drift family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    ev = (ev.withColumn("wk", F.expr(f"(day - {d0}) div 7"))
+          .where(F.col("wk").isin(0, 3)))
+    wr = Window.partitionBy("event_type", "wk").orderBy("vq", "event_id")
+    wn = Window.partitionBy("event_type", "wk")
+    ranked = (ev.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(wn)))
+    decs = spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
+    q = (ranked.crossJoin(F.broadcast(decs))
+         .where(F.col("rn") == F.expr("(n * d) div 10 + 1"))
+         .select("event_type", "wk", "d", "vq"))
+    a = (q.where(F.col("wk") == 0)
+         .select("event_type", "d", F.col("vq").alias("q_week1")))
+    b = (q.where(F.col("wk") == 3)
+         .select("event_type", "d", F.col("vq").alias("q_week4")))
+    return (a.join(b, ["event_type", "d"])
+            .select("event_type", F.col("d").alias("decile"),
+                    "q_week1", "q_week4",
+                    (F.col("q_week4") - F.col("q_week1"))
+                    .alias("shift_micro"))
+            .orderBy("event_type", "decile"))
+
+
+def agg_quantile_shift_deciles_sql():
+    return """
+WITH ev AS (
+  SELECT event_type, event_id,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events)) // 7
+           AS wk,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+ranked AS (
+  SELECT event_type, wk, vq,
+         row_number() OVER (PARTITION BY event_type, wk
+                            ORDER BY vq, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, wk) AS n
+  FROM ev WHERE wk IN (0, 3)
+),
+q AS (
+  SELECT r.event_type, r.wk, d.d, r.vq
+  FROM ranked r CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+  WHERE r.rn = (r.n * d.d) // 10 + 1
+)
+SELECT a.event_type, CAST(a.d AS BIGINT) AS decile,
+       a.vq AS q_week1, b.vq AS q_week4,
+       b.vq - a.vq AS shift_micro
+FROM q a JOIN q b ON a.event_type = b.event_type AND a.d = b.d
+WHERE a.wk = 0 AND b.wk = 3
+ORDER BY a.event_type, decile
+"""
+
+
+def sim_label_noise_pairs(spark, sf_dir):
+    """Label-noise detection via near-duplicates: embedding pairs the
+    LSH near-dup detector calls "the same thing" but whose labels
+    disagree — the standard curation signal for mislabeled examples
+    (Northcutt-style confident learning's cheap cousin). Per label
+    pair: candidate near-dup pairs and how many disagree; the summary
+    a labeling team triages.
+
+    Scale shape: reuses `sim_lsh_near_dup`'s bucketed pair generator
+    (no new pair fan-out), joins the tiny (vec → label) dim broadcast
+    twice, ONE |label-pairs| fold.
+
+    Reference parity: none; similarity/curation family (SURVEY
+    §2.3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_dup_pairs(spark, emb, threshold=0.35)
+    lab = emb.select("vec_id", "label")
+    j = (pairs
+         .join(F.broadcast(lab.select(F.col("vec_id").alias("id_a"),
+                                      F.col("label").alias("la"))),
+               "id_a")
+         .join(F.broadcast(lab.select(F.col("vec_id").alias("id_b"),
+                                      F.col("label").alias("lb"))),
+               "id_b"))
+    return (j.select(F.least("la", "lb").cast("long").alias("label_lo"),
+                     F.greatest("la", "lb").cast("long").alias("label_hi"))
+            .groupBy("label_lo", "label_hi")
+            .agg(F.count("*").alias("n_pairs"))
+            .withColumn("labels_disagree",
+                        (F.col("label_lo") != F.col("label_hi"))
+                        .cast("long"))
+            .orderBy("label_lo", "label_hi"))
+
+
+def sim_label_noise_pairs_sql():
+    inner = similarity.lsh_near_dup_pairs_sql(threshold=0.35)
+    return f"""
+WITH pairs AS ({inner}),
+j AS (
+  SELECT least(ea.label, eb.label) AS label_lo,
+         greatest(ea.label, eb.label) AS label_hi
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
+)
+SELECT CAST(label_lo AS BIGINT) AS label_lo,
+       CAST(label_hi AS BIGINT) AS label_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN label_lo != label_hi THEN 1 ELSE 0 END AS BIGINT)
+         AS labels_disagree
+FROM j GROUP BY label_lo, label_hi ORDER BY 1, 2
+"""
+
+
+_SESSION_GAP_SWEEP_S = (900, 1800, 3600)
+
+
+def window_session_gap_sweep(spark, sf_dir):
+    """Sessionization-gap sensitivity sweep: the session count and
+    mean session length at 15/30/60-minute idle gaps — the parameter
+    curve behind `window_gap_sessions`' single choice (too-small gaps
+    fragment intent, too-large ones merge visits; the knee of this
+    curve is the defensible setting). One lag per user partition
+    feeds all three thresholds.
+
+    Scale shape: ONE lag window per user partition + a 3-row
+    broadcast sweep folded per (threshold); the gap column is
+    computed once.
+
+    Reference parity: none; sessionization family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    d = ev.withColumn("gap", F.col("es") - F.lag("es").over(w))
+    ths = spark.createDataFrame(
+        [(t,) for t in _SESSION_GAP_SWEEP_S], "gap_s long")
+    j = d.crossJoin(F.broadcast(ths))
+    per_user = (j.groupBy("gap_s", "user_id")
+                .agg(F.count("*").alias("n_events"),
+                     (F.sum((F.coalesce("gap", F.lit(9_999_999))
+                             > F.col("gap_s")).cast("long")))
+                     .alias("n_sessions")))
+    return (per_user.groupBy("gap_s")
+            .agg(F.sum("n_sessions").cast("long").alias("n_sessions"),
+                 F.sum("n_events").cast("long").alias("n_events"))
+            .withColumn("mean_events_per_session_milli",
+                        F.expr("n_events * 1000 div n_sessions"))
+            .orderBy("gap_s"))
+
+
+def window_session_gap_sweep_sql():
+    ths = ", ".join(str(t) for t in _SESSION_GAP_SWEEP_S)
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         es - lag(es) OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS gap
+  FROM ev
+),
+j AS (
+  SELECT t.gap_s, d.user_id,
+         CASE WHEN coalesce(d.gap, 9999999) > t.gap_s
+              THEN 1 ELSE 0 END AS new_sess
+  FROM d CROSS JOIN (SELECT unnest([{ths}]) AS gap_s) t
+)
+SELECT CAST(gap_s AS BIGINT) AS gap_s,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events,
+       count(*) * 1000 // sum(new_sess)
+         AS mean_events_per_session_milli
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+_HAAR_DAYS = 16
+
+
+def window_haar_energy_levels(spark, sf_dir):
+    """Haar wavelet energy decomposition of the first 16 days of the
+    per-type count series: detail energy at scales 1/2/4/8 days plus
+    the scale-16 approximation energy — variance localized by scale
+    (the DFT periodogram localizes by frequency; Haar answers "is
+    the volatility day-to-day or week-to-week?"). The transform is
+    pairwise integer sums/differences, so every energy is an exact
+    BIGINT (×2^level normalization deferred to a ppm share).
+
+    Scale shape: ONE (type, day) fold, then the 4-level transform as
+    array expressions on a 16-element collected-per-type array —
+    |types| rows of bounded width, no iteration over data.
+
+    Reference parity: none; time-series family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("y")))
+    d0 = daily.agg(F.min("day").alias("d")).collect()[0]["d"]
+    first = (daily.where((F.col("day") >= d0)
+                         & (F.col("day") < d0 + _HAAR_DAYS))
+             .withColumn("idx", F.col("day") - d0))
+    arr = (first.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "y")))
+                .alias("s"))
+           .select("event_type",
+                   F.expr("transform(s, p -> p.y)").alias("a0")))
+    # level k: pairwise sums/differences of level k-1 approximation
+    lvl = arr
+    energies = []
+    cur = "a0"
+    for k in range(1, 5):
+        lvl = lvl.withColumn(
+            f"d{k}", F.expr(
+                f"transform(sequence(0, size({cur}) div 2 - 1),"
+                f" i -> element_at({cur}, CAST(2*i+1 AS INT))"
+                f" - element_at({cur}, CAST(2*i+2 AS INT)))"))
+        lvl = lvl.withColumn(
+            f"a{k}", F.expr(
+                f"transform(sequence(0, size({cur}) div 2 - 1),"
+                f" i -> element_at({cur}, CAST(2*i+1 AS INT))"
+                f" + element_at({cur}, CAST(2*i+2 AS INT)))"))
+        energies.append(
+            F.expr(f"aggregate(d{k}, CAST(0 AS BIGINT),"
+                   f" (acc, x) -> acc + x * x)").alias(f"e{k}"))
+        cur = f"a{k}"
+    energies.append(
+        F.expr("aggregate(a4, CAST(0 AS BIGINT),"
+               " (acc, x) -> acc + x * x)").alias("e_approx"))
+    e = lvl.select("event_type", *energies)
+    tot = (F.col("e1") + F.col("e2") + F.col("e3") + F.col("e4")
+           + F.col("e_approx"))
+    return (e.select(
+        "event_type", "e1", "e2", "e3", "e4", "e_approx",
+        F.expr("e1 * 1000000 div greatest(e1 + e2 + e3 + e4"
+               " + e_approx, 1)").alias("fine_share_ppm"))
+        .orderBy("event_type"))
+
+
+def window_haar_energy_levels_sql():
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(day) AS d FROM daily),
+arr AS (
+  SELECT event_type, list(y ORDER BY day) AS a0
+  FROM daily CROSS JOIN d0
+  WHERE day >= d0.d AND day < d0.d + {_HAAR_DAYS}
+  GROUP BY 1
+),
+l1 AS (
+  SELECT event_type,
+         list_transform(range(len(a0) // 2),
+             i -> a0[2*i+1] - a0[2*i+2]) AS d1,
+         list_transform(range(len(a0) // 2),
+             i -> a0[2*i+1] + a0[2*i+2]) AS a1
+  FROM arr
+),
+l2 AS (
+  SELECT event_type, d1,
+         list_transform(range(len(a1) // 2),
+             i -> a1[2*i+1] - a1[2*i+2]) AS d2,
+         list_transform(range(len(a1) // 2),
+             i -> a1[2*i+1] + a1[2*i+2]) AS a2
+  FROM l1
+),
+l3 AS (
+  SELECT event_type, d1, d2,
+         list_transform(range(len(a2) // 2),
+             i -> a2[2*i+1] - a2[2*i+2]) AS d3,
+         list_transform(range(len(a2) // 2),
+             i -> a2[2*i+1] + a2[2*i+2]) AS a3
+  FROM l2
+),
+l4 AS (
+  SELECT event_type, d1, d2, d3,
+         list_transform(range(len(a3) // 2),
+             i -> a3[2*i+1] - a3[2*i+2]) AS d4,
+         list_transform(range(len(a3) // 2),
+             i -> a3[2*i+1] + a3[2*i+2]) AS a4
+  FROM l3
+),
+e AS (
+  SELECT event_type,
+         list_aggregate(list_transform(d1, x -> x * x), 'sum') AS e1,
+         list_aggregate(list_transform(d2, x -> x * x), 'sum') AS e2,
+         list_aggregate(list_transform(d3, x -> x * x), 'sum') AS e3,
+         list_aggregate(list_transform(d4, x -> x * x), 'sum') AS e4,
+         list_aggregate(list_transform(a4, x -> x * x), 'sum')
+           AS e_approx
+  FROM l4
+)
+SELECT event_type, CAST(e1 AS BIGINT) AS e1, CAST(e2 AS BIGINT) AS e2,
+       CAST(e3 AS BIGINT) AS e3, CAST(e4 AS BIGINT) AS e4,
+       CAST(e_approx AS BIGINT) AS e_approx,
+       e1 * 1000000 // greatest(e1 + e2 + e3 + e4 + e_approx, 1)
+         AS fine_share_ppm
+FROM e ORDER BY event_type
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -18671,6 +18988,10 @@ QUERIES = {
     "cdc_checkpoint_interval_sweep": cdc_checkpoint_interval_sweep,
     "sim_embedding_norm_audit": sim_embedding_norm_audit,
     "window_churn_hazard_by_tenure": window_churn_hazard_by_tenure,
+    "agg_quantile_shift_deciles": agg_quantile_shift_deciles,
+    "sim_label_noise_pairs": sim_label_noise_pairs,
+    "window_session_gap_sweep": window_session_gap_sweep,
+    "window_haar_energy_levels": window_haar_energy_levels,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -18968,6 +19289,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "agg_quantile_shift_deciles": agg_quantile_shift_deciles_sql(),
+    "sim_label_noise_pairs": sim_label_noise_pairs_sql(),
+    "window_session_gap_sweep": window_session_gap_sweep_sql(),
+    "window_haar_energy_levels": window_haar_energy_levels_sql(),
     "window_rolling_corr_pair": window_rolling_corr_pair_sql(),
     "cdc_checkpoint_interval_sweep": cdc_checkpoint_interval_sweep_sql(),
     "sim_embedding_norm_audit": sim_embedding_norm_audit_sql(),
