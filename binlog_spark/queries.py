@@ -18780,6 +18780,309 @@ FROM e ORDER BY event_type
 """
 
 
+_RG_SIZES = (1024, 8192, 65536)
+
+
+def lake_rowgroup_size_sweep(spark, sf_dir):
+    """Row-group size tuning sweep — the intra-file granularity knob
+    (`spark.sql.files.maxPartitionBytes` / parquet row-group size):
+    with zone maps kept per group of 1k/8k/64k events, how many
+    groups (and rows) must the time-window predicate bank
+    (`ZM_WINDOWS` equal-width windows) scan — finer groups prune
+    harder but multiply the stats the planner must read, and this
+    sweep prices both sides. The file-level analogue is
+    `lake_minmax_prune_stats`; this is the knob inside the file.
+
+    Scale shape: per width ONE group-stats fold (|events|/width rows)
+    and a broadcast window bank; rows never rescanned per width.
+
+    Reference parity: none; lake-layout family (SURVEY §2.2)."""
+    outs = []
+    for width in _RG_SIZES:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ev = _t(spark, sf_dir, "events").select(
+            F.expr(f"event_id div {width}").alias("gid"), us.alias("e"))
+        g = ev.groupBy("gid").agg(F.min("e").alias("gmin"),
+                                  F.max("e").alias("gmax"),
+                                  F.count("*").alias("n_rows"))
+        bounds = g.agg(F.min("gmin").alias("lo"),
+                       (F.max("gmax") + F.lit(1)).alias("end"))
+        wins = (bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(ZM_WINDOWS - 1)))
+            .alias("k"), "lo", "end")
+            .select(F.expr(f"lo + (end - lo) * k div {ZM_WINDOWS}")
+                    .alias("wlo"),
+                    F.expr(f"lo + (end - lo) * (k + 1) div {ZM_WINDOWS}")
+                    .alias("whi")))
+        jj = g.crossJoin(F.broadcast(wins))
+        live = (F.col("gmax") >= F.col("wlo")) & (F.col("gmin")
+                                                  < F.col("whi"))
+        outs.append(jj.agg(
+            F.lit(width).cast("long").alias("group_rows"),
+            F.countDistinct("gid").alias("n_groups"),
+            F.sum(live.cast("long")).alias("group_scans"),
+            F.sum(F.when(live, F.col("n_rows")).otherwise(F.lit(0)))
+            .alias("rows_scanned")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("group_rows")
+
+
+def lake_rowgroup_size_sweep_sql():
+    sels = []
+    for width in _RG_SIZES:
+        sels.append(f"""
+SELECT CAST({width} AS BIGINT) AS group_rows,
+       CAST(count(DISTINCT g.gid) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN g.gmax >= w.wlo AND g.gmin < w.whi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS group_scans,
+       CAST(sum(CASE WHEN g.gmax >= w.wlo AND g.gmin < w.whi
+                     THEN g.n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned
+FROM (
+  SELECT event_id // {width} AS gid, min(epoch_us(ts)) AS gmin,
+         max(epoch_us(ts)) AS gmax, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+) g CROSS JOIN (
+  SELECT lo + (end_ - lo) * k // {ZM_WINDOWS} AS wlo,
+         lo + (end_ - lo) * (k + 1) // {ZM_WINDOWS} AS whi
+  FROM (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS end_
+        FROM events)
+  CROSS JOIN (SELECT unnest(range({ZM_WINDOWS})) AS k)
+) w""")
+    return ("WITH x AS (SELECT 1)\n" + " UNION ALL ".join(sels)
+            + "\nORDER BY group_rows\n")
+
+
+def dedup_lsh_pr_audit(spark, sf_dir):
+    """LSH candidate precision/recall against exact ground truth: the
+    MinHash-LSH candidate set (registered config: 8 hashes, 4 bands)
+    scored against the exact Jaccard ≥ 0.4 pair set (inverted index,
+    max_df = 64) — the acceptance audit before trusting the banded
+    index as the production dedup path (`dedup_estimate_calibration`
+    audits the ESTIMATE; this audits the CANDIDATE SET).
+
+    Scale shape: both generators are the bucket-bounded formulations;
+    the audit is one full-outer join on the pair key + a single fold.
+
+    Reference parity: none; dedup family eval (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (dedup.minhash_lsh_candidates(docs, n=3, num_hashes=8, bands=4)
+            .withColumn("is_cand", F.lit(1)))
+    truth = (dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4,
+                                       max_df=64)
+             .select("doc_a", "doc_b")
+             .withColumn("is_true", F.lit(1)))
+    j = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long")
+         .alias("n_candidates"),
+        F.sum(F.coalesce("is_true", F.lit(0))).cast("long")
+         .alias("n_true_pairs"),
+        F.sum((F.col("is_cand").isNotNull()
+               & F.col("is_true").isNotNull()).cast("long"))
+         .alias("n_hits"),
+        F.expr("sum(CASE WHEN is_cand IS NOT NULL AND is_true IS NOT"
+               " NULL THEN 1 ELSE 0 END) * 1000000"
+               " div greatest(sum(coalesce(is_cand, 0)), 1)")
+         .alias("precision_ppm"),
+        F.expr("sum(CASE WHEN is_cand IS NOT NULL AND is_true IS NOT"
+               " NULL THEN 1 ELSE 0 END) * 1000000"
+               " div greatest(sum(coalesce(is_true, 0)), 1)")
+         .alias("recall_ppm"))
+
+
+def dedup_lsh_pr_audit_sql():
+    cand = dedup.minhash_lsh_candidates_sql(n=3, num_hashes=8, bands=4)
+    truth = dedup.ngram_jaccard_pairs_sql(threshold=0.4, max_df=64)
+    return f"""
+WITH cand AS (SELECT doc_a, doc_b, 1 AS is_cand FROM ({cand})),
+truth AS (SELECT doc_a, doc_b, 1 AS is_true FROM ({truth})),
+j AS (SELECT * FROM cand FULL JOIN truth USING (doc_a, doc_b))
+SELECT CAST(sum(coalesce(is_cand, 0)) AS BIGINT) AS n_candidates,
+       CAST(sum(coalesce(is_true, 0)) AS BIGINT) AS n_true_pairs,
+       CAST(sum(CASE WHEN is_cand IS NOT NULL AND is_true IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       sum(CASE WHEN is_cand IS NOT NULL AND is_true IS NOT NULL
+                THEN 1 ELSE 0 END) * 1000000
+         // greatest(sum(coalesce(is_cand, 0)), 1) AS precision_ppm,
+       sum(CASE WHEN is_cand IS NOT NULL AND is_true IS NOT NULL
+                THEN 1 ELSE 0 END) * 1000000
+         // greatest(sum(coalesce(is_true, 0)), 1) AS recall_ppm
+FROM j
+"""
+
+
+def agg_pacf_lag2(spark, sf_dir):
+    """Partial autocorrelation at lag 2 via Durbin–Levinson — the
+    AR-order identification statistic: φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²)
+    from the lag-1/lag-2 Pearson ACF of the daily count series per
+    type. ACF says the series remembers; PACF says how many AR terms
+    that memory needs (φ₂₂ ≈ 0 → AR(1) is enough — the model-order
+    gate before fitting anything). DECIMAL moment sums, three shared
+    double expressions.
+
+    Scale shape: ONE (type, day) fold + two lag joins on the day
+    frame (same shape as `agg_acf_profile` at two lags).
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").cast("decimal(38,0)").alias("n"))
+             .localCheckpoint(eager=False))
+
+    def acf(lag):
+        a = daily.select("event_type", "day",
+                         F.col("n").alias("x"))
+        b = daily.select(F.col("event_type").alias("et"),
+                         F.col("day").alias("d2"),
+                         F.col("n").alias("y"))
+        pairs = a.join(b, (F.col("et") == F.col("event_type"))
+                       & (F.col("d2") == F.col("day") + lag))
+        s = (pairs.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy")))
+        m, sx, sy, sxy, sxx, syy = [
+            F.col(c).cast("double")
+            for c in ("m", "sx", "sy", "sxy", "sxx", "syy")]
+        rho = ((m * sxy - sx * sy)
+               / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)))
+        return s.select("event_type", rho.alias(f"rho{lag}"))
+
+    j = acf(1).join(acf(2), "event_type")
+    r1, r2 = F.col("rho1"), F.col("rho2")
+    return (j.select(
+        "event_type",
+        F.round(r1, 6).alias("acf_lag1"),
+        F.round(r2, 6).alias("acf_lag2"),
+        F.round((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1), 6)
+        .alias("pacf_lag2"))
+        .orderBy("event_type"))
+
+
+def agg_pacf_lag2_sql():
+    def acf(lag):
+        return f"""
+  SELECT a.event_type,
+         (count(*) * sum(a.n * b.n) - sum(a.n) * sum(b.n))
+         / (sqrt(CAST(count(*) * sum(a.n * a.n)
+                      - sum(a.n) * sum(a.n) AS DOUBLE))
+            * sqrt(CAST(count(*) * sum(b.n * b.n)
+                        - sum(b.n) * sum(b.n) AS DOUBLE))) AS rho{lag}
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day = a.day + {lag}
+  GROUP BY 1
+"""
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS DECIMAL(38,0)) AS n
+  FROM events GROUP BY 1, 2
+),
+a1 AS ({acf(1)}), a2 AS ({acf(2)})
+SELECT a1.event_type,
+       round(a1.rho1, 6) AS acf_lag1,
+       round(a2.rho2, 6) AS acf_lag2,
+       round((a2.rho2 - a1.rho1 * a1.rho1)
+             / (1.0 - a1.rho1 * a1.rho1), 6) AS pacf_lag2
+FROM a1 JOIN a2 USING (event_type)
+ORDER BY a1.event_type
+"""
+
+
+_ASOF_TOLERANCES_S = (60, 600, 3600)
+
+
+def join_asof_tolerance_sweep(spark, sf_dir):
+    """As-of join tolerance sweep: attribution match rate and mean
+    staleness when the purchase→click lookback is capped at
+    1 min / 10 min / 1 h — the tolerance knob every as-of join ships
+    (`join_asof_purchase_click` is unbounded; a real attribution
+    window is not). ONE carry-forward window computes the last click
+    time; the sweep re-scores the SAME joined frame.
+
+    Scale shape: one user-partitioned window + a 3-row broadcast
+    sweep fold — staleness computed once.
+
+    Reference parity: none; join family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("click", "purchase"))
+    side = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    u = base.select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_id",
+        side.alias("side"),
+        F.when(side == 0, F.unix_timestamp("ts")).alias("click_es"))
+    w = (Window.partitionBy("user_id").orderBy("es", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    p = (u.withColumn("last_click_es",
+                      F.last("click_es", ignorenulls=True).over(w))
+         .where(F.col("side") == 1)
+         .select("event_id",
+                 (F.col("es") - F.col("last_click_es"))
+                 .alias("staleness_s")))
+    tols = spark.createDataFrame(
+        [(t,) for t in _ASOF_TOLERANCES_S], "tol_s long")
+    j = p.crossJoin(F.broadcast(tols))
+    matched = F.col("staleness_s").isNotNull() \
+        & (F.col("staleness_s") <= F.col("tol_s"))
+    return (j.groupBy("tol_s")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum(matched.cast("long")).alias("n_matched"),
+                 F.sum(F.when(matched, F.col("staleness_s"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("sum_staleness_s"))
+            .withColumn("match_ppm",
+                        F.expr("n_matched * 1000000 div n_purchases"))
+            .withColumn("mean_staleness_s",
+                        F.expr("sum_staleness_s"
+                               " div greatest(n_matched, 1)"))
+            .orderBy("tol_s"))
+
+
+def join_asof_tolerance_sweep_sql():
+    tols = ", ".join(str(t) for t in _ASOF_TOLERANCES_S)
+    return f"""
+WITH u AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'click'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS click_es
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+p AS (
+  SELECT event_id,
+         es - last_value(click_es IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY es, side, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS staleness_s,
+         side
+  FROM u
+),
+pp AS (SELECT event_id, staleness_s FROM p WHERE side = 1),
+j AS (
+  SELECT t.tol_s, pp.staleness_s,
+         CASE WHEN pp.staleness_s IS NOT NULL
+               AND pp.staleness_s <= t.tol_s THEN 1 ELSE 0 END AS m
+  FROM pp CROSS JOIN (SELECT unnest([{tols}]) AS tol_s) t
+)
+SELECT CAST(tol_s AS BIGINT) AS tol_s,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(m) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN m = 1 THEN staleness_s ELSE 0 END) AS BIGINT)
+         AS sum_staleness_s,
+       sum(m) * 1000000 // count(*) AS match_ppm,
+       sum(CASE WHEN m = 1 THEN staleness_s ELSE 0 END)
+         // greatest(sum(m), 1) AS mean_staleness_s
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -18992,6 +19295,10 @@ QUERIES = {
     "sim_label_noise_pairs": sim_label_noise_pairs,
     "window_session_gap_sweep": window_session_gap_sweep,
     "window_haar_energy_levels": window_haar_energy_levels,
+    "lake_rowgroup_size_sweep": lake_rowgroup_size_sweep,
+    "dedup_lsh_pr_audit": dedup_lsh_pr_audit,
+    "agg_pacf_lag2": agg_pacf_lag2,
+    "join_asof_tolerance_sweep": join_asof_tolerance_sweep,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -19289,6 +19596,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "lake_rowgroup_size_sweep": lake_rowgroup_size_sweep_sql(),
+    "dedup_lsh_pr_audit": dedup_lsh_pr_audit_sql(),
+    "agg_pacf_lag2": agg_pacf_lag2_sql(),
+    "join_asof_tolerance_sweep": join_asof_tolerance_sweep_sql(),
     "agg_quantile_shift_deciles": agg_quantile_shift_deciles_sql(),
     "sim_label_noise_pairs": sim_label_noise_pairs_sql(),
     "window_session_gap_sweep": window_session_gap_sweep_sql(),
