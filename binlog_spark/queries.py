@@ -19083,6 +19083,297 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+_DV_THRESHOLDS_PPM = (100_000, 300_000, 500_000)
+
+
+def lake_dv_compaction_triggers(spark, sf_dir):
+    """Deletion-vector compaction trigger plan: with a key-erasure
+    batch (user_id % 13 == 0) applied as merge-on-read deletion
+    vectors, each file carries a shadowed-row ratio; sweeping the
+    compaction trigger at 10/30/50% shows how many files (and
+    resident rows) each policy would rewrite now — the
+    read-amplification-vs-write-cost dial for `lake_mor_deletes`
+    (DVs are free to write but every reader pays the mask until
+    compaction).
+
+    Scale shape: ONE (file) fold with the deleted flag counted
+    in-pass, then a 3-row broadcast threshold sweep on the |files|
+    stats frame.
+
+    Reference parity: none; lake-maintenance family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {lake_layout.FILE_EVENTS}").alias("file_id"),
+        (F.col("user_id") % 13 == 0).cast("long").alias("del"))
+    files = (ev.groupBy("file_id")
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum("del").alias("n_deleted")))
+    files = files.withColumn(
+        "ratio_ppm", F.expr("n_deleted * 1000000 div n_rows"))
+    ths = spark.createDataFrame(
+        [(t,) for t in _DV_THRESHOLDS_PPM], "threshold_ppm long")
+    j = files.crossJoin(F.broadcast(ths))
+    over = F.col("ratio_ppm") >= F.col("threshold_ppm")
+    return (j.groupBy("threshold_ppm")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum(over.cast("long")).alias("n_files_compact"),
+                 F.sum(F.when(over, F.col("n_rows")).otherwise(F.lit(0)))
+                 .cast("long").alias("rows_rewritten"),
+                 F.sum(F.when(over, F.col("n_deleted"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("dv_rows_cleared"))
+            .orderBy("threshold_ppm"))
+
+
+def lake_dv_compaction_triggers_sql():
+    from .operators.lake_layout import FILE_EVENTS
+    ths = ", ".join(str(t) for t in _DV_THRESHOLDS_PPM)
+    return f"""
+WITH files AS (
+  SELECT event_id // {FILE_EVENTS} AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_deleted
+  FROM events GROUP BY 1
+),
+f2 AS (
+  SELECT *, n_deleted * 1000000 // n_rows AS ratio_ppm FROM files
+)
+SELECT CAST(t.threshold_ppm AS BIGINT) AS threshold_ppm,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN f2.ratio_ppm >= t.threshold_ppm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_files_compact,
+       CAST(sum(CASE WHEN f2.ratio_ppm >= t.threshold_ppm
+                     THEN f2.n_rows ELSE 0 END) AS BIGINT)
+         AS rows_rewritten,
+       CAST(sum(CASE WHEN f2.ratio_ppm >= t.threshold_ppm
+                     THEN f2.n_deleted ELSE 0 END) AS BIGINT)
+         AS dv_rows_cleared
+FROM f2 CROSS JOIN (SELECT unnest([{ths}]) AS threshold_ppm) t
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sim_int8_quantization_recall(spark, sf_dir):
+    """Int8 quantization recall: exact cosine top-10 computed on
+    127-level quantized embeddings (x → floor(x·127)/127 — the
+    serving-side int8 compression) overlapped against the fp top-10
+    — how much ranking the 4× memory saving costs, per query
+    (`sim_pq_recall_audit` is the codebook variant; this is the
+    scalar-quantization one every vector DB offers first).
+
+    Scale shape: two runs of the bounded partial-top-k kernel (the
+    quantization is a map-side array transform) + a join on the two
+    k-row-per-query frames.
+
+    Reference parity: none; similarity-eval family (SURVEY §2.3)."""
+    from .operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 127) / 127.0 AS FLOAT))"))
+    exact = (cosine_topk(emb, n_queries=5, k=10)
+             .select("query_id", "vec_id")
+             .withColumn("in_fp", F.lit(1)))
+    quant = (cosine_topk(q, n_queries=5, k=10)
+             .select("query_id", "vec_id")
+             .withColumn("in_q", F.lit(1)))
+    j = exact.join(quant, ["query_id", "vec_id"], "full_outer")
+    return (j.groupBy("query_id")
+            .agg(F.sum(F.coalesce("in_fp", F.lit(0))).cast("long")
+                 .alias("k_fp"),
+                 F.sum((F.col("in_fp").isNotNull()
+                        & F.col("in_q").isNotNull()).cast("long"))
+                 .alias("n_overlap"))
+            .withColumn("recall_ppm",
+                        F.expr("n_overlap * 1000000 div k_fp"))
+            .orderBy("query_id"))
+
+
+def sim_int8_quantization_recall_sql():
+    exact = similarity.cosine_topk_sql(n_queries=5, k=10)
+    quant = similarity.cosine_topk_sql(table="qemb", n_queries=5, k=10)
+    return f"""
+WITH qemb AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127) / 127.0
+                  AS FLOAT)) AS embedding
+  FROM embeddings
+),
+e AS (SELECT query_id, vec_id, 1 AS in_fp FROM ({exact})),
+q AS (SELECT query_id, vec_id, 1 AS in_q FROM ({quant})),
+j AS (SELECT * FROM e FULL JOIN q USING (query_id, vec_id))
+SELECT query_id,
+       CAST(sum(coalesce(in_fp, 0)) AS BIGINT) AS k_fp,
+       CAST(sum(CASE WHEN in_fp IS NOT NULL AND in_q IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       sum(CASE WHEN in_fp IS NOT NULL AND in_q IS NOT NULL
+                THEN 1 ELSE 0 END) * 1000000
+         // sum(coalesce(in_fp, 0)) AS recall_ppm
+FROM j GROUP BY query_id ORDER BY query_id
+"""
+
+
+_RANGE_WIDTHS_MICRO = (2_000_000, 8_000_000, 32_000_000)
+_RANGE_HALF_MICRO = 2_000_000  # interval half-width: ±2 value units
+
+
+def join_range_bucket_width_sweep(spark, sf_dir):
+    """Interval-join bucket-width sweep — the tuning knob of the
+    bucketed non-equi join (`join_interval_point_bucketed`'s width,
+    chosen there once): intervals (order price mod 100 ± 2 units)
+    and points (event values) land in buckets of width 2/8/32 units;
+    narrow buckets replicate each interval across many buckets, wide
+    buckets flood the probe with false candidates. Per width: bucket
+    copies per interval, candidate pairs, true matches, and join
+    efficiency — the curve whose knee picks the production width.
+
+    Scale shape: per width, interval bucket replication is a bounded
+    sequence explode, the candidate join is an equi-join on the
+    bucket, and the true-match test is a residual filter — the exact
+    production plan being tuned, measured on itself.
+
+    Reference parity: none; join family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("iid"),
+        F.expr("(CAST(round(o_totalprice * 100) AS BIGINT) % 10000)"
+               " * 100").alias("cq"))
+    outs = []
+    for w in _RANGE_WIDTHS_MICRO:
+        iv = o.select(
+            "iid", "cq",
+            F.expr(f"sequence((cq - {_RANGE_HALF_MICRO}) div {w},"
+                   f" (cq + {_RANGE_HALF_MICRO}) div {w})")
+            .alias("bks"))
+        ivx = iv.select("iid", "cq", F.explode("bks").alias("bk"))
+        pts = ev.select("pid", "vq",
+                        F.expr(f"vq div {w}").alias("bk"))
+        cand = ivx.join(pts, "bk")
+        true_m = (F.abs(F.col("vq") - F.col("cq"))
+                  < _RANGE_HALF_MICRO)
+        outs.append(cand.agg(
+            F.lit(w).cast("long").alias("width_micro"),
+            (F.count("*")).alias("n_candidates"),
+            F.sum(true_m.cast("long")).alias("n_true"),
+            F.expr("sum(CASE WHEN abs(vq - cq) <"
+                   f" {_RANGE_HALF_MICRO} THEN 1 ELSE 0 END) * 1000000"
+                   " div greatest(count(*), 1)").alias("efficiency_ppm")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("width_micro")
+
+
+def join_range_bucket_width_sweep_sql():
+    sels = []
+    for w in _RANGE_WIDTHS_MICRO:
+        sels.append(f"""
+SELECT CAST({w} AS BIGINT) AS width_micro,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN abs(p.vq - i.cq) < {_RANGE_HALF_MICRO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       sum(CASE WHEN abs(p.vq - i.cq) < {_RANGE_HALF_MICRO}
+                THEN 1 ELSE 0 END) * 1000000
+         // greatest(count(*), 1) AS efficiency_ppm
+FROM (
+  SELECT iid, cq, unnest(range((cq - {_RANGE_HALF_MICRO}) // {w},
+                               (cq + {_RANGE_HALF_MICRO}) // {w} + 1))
+           AS bk
+  FROM (SELECT o_orderkey AS iid,
+               (CAST(round(o_totalprice * 100) AS BIGINT) % 10000) * 100
+                 AS cq
+        FROM orders)
+) i
+JOIN (SELECT event_id AS pid,
+             CAST(round(value * 1000000) AS BIGINT) AS vq,
+             CAST(round(value * 1000000) AS BIGINT) // {w} AS bk
+      FROM events) p USING (bk)""")
+    return " UNION ALL ".join(sels) + "\nORDER BY width_micro\n"
+
+
+def sketch_hll_daily_dau_audit(spark, sf_dir):
+    """Daily-active-users HLL audit: per day, the p=8 HLL estimate
+    next to the exact DAU and the signed error — "can the dashboard
+    run on sketches?" answered at the grain the dashboard actually
+    uses (`sketch_hll_estimate` audits per event type; DAU is the
+    time-series case where register reuse across days is the win).
+
+    Scale shape: one register fold per day group (≤ 256 rows each) +
+    the exact fold; both shuffle bounded state only.
+
+    Reference parity: none; sketch family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"), "user_id")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    bucket = F.shiftright(h, 52)
+    wv = h.bitwiseAND(F.lit(_HLL_W - 1))
+    rho = (F.when(wv == 0, F.lit(53))
+           .otherwise(F.lit(53) - F.length(F.bin(wv)))).cast("int")
+    regs = (ev.select("day", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("day", "bucket").agg(F.max("rho").alias("max_rho")))
+    per = (regs.groupBy("day")
+           .agg(F.count("*").alias("used"),
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                .alias("hsum")))
+    m = float(_HLL_M)
+    raw = F.lit(_HLL_ALPHA * m * m) / ((F.lit(m) - F.col("used"))
+                                       + F.col("hsum"))
+    lc = F.lit(m) * F.log(F.lit(m) / (F.lit(m) - F.col("used")))
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("used") < _HLL_M), lc) \
+        .otherwise(raw)
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_dau"))
+    return (per.join(exact, "day")
+            .select("day", F.col("used").cast("long")
+                    .alias("registers_used"),
+                    F.round(est, 4).alias("hll_estimate"),
+                    F.col("exact_dau").cast("long").alias("exact_dau"))
+            .orderBy("day"))
+
+
+def sketch_hll_daily_dau_audit_sql():
+    m = float(_HLL_M)
+    return f"""
+WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events
+),
+regs AS (
+  SELECT day, h >> 52 AS bucket,
+         CAST(max(CASE WHEN h & {_HLL_W - 1} = 0 THEN 53
+                       ELSE 53 - length(bin(h & {_HLL_W - 1})) END)
+              AS INTEGER) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+per AS (
+  SELECT day, count(*) AS used, sum(power(2.0, -max_rho)) AS hsum
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_dau
+  FROM h GROUP BY 1
+)
+SELECT p.day, CAST(p.used AS BIGINT) AS registers_used,
+       round(CASE WHEN {_HLL_ALPHA * m * m} / (({m} - p.used) + p.hsum)
+                       <= {2.5 * m} AND p.used < {_HLL_M}
+                  THEN {m} * ln({m} / ({m} - p.used))
+                  ELSE {_HLL_ALPHA * m * m} / (({m} - p.used) + p.hsum)
+             END, 4) AS hll_estimate,
+       e.exact_dau
+FROM per p JOIN exact e USING (day)
+ORDER BY p.day
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -19299,6 +19590,10 @@ QUERIES = {
     "dedup_lsh_pr_audit": dedup_lsh_pr_audit,
     "agg_pacf_lag2": agg_pacf_lag2,
     "join_asof_tolerance_sweep": join_asof_tolerance_sweep,
+    "lake_dv_compaction_triggers": lake_dv_compaction_triggers,
+    "sim_int8_quantization_recall": sim_int8_quantization_recall,
+    "join_range_bucket_width_sweep": join_range_bucket_width_sweep,
+    "sketch_hll_daily_dau_audit": sketch_hll_daily_dau_audit,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -19596,6 +19891,10 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "lake_dv_compaction_triggers": lake_dv_compaction_triggers_sql(),
+    "sim_int8_quantization_recall": sim_int8_quantization_recall_sql(),
+    "join_range_bucket_width_sweep": join_range_bucket_width_sweep_sql(),
+    "sketch_hll_daily_dau_audit": sketch_hll_daily_dau_audit_sql(),
     "lake_rowgroup_size_sweep": lake_rowgroup_size_sweep_sql(),
     "dedup_lsh_pr_audit": dedup_lsh_pr_audit_sql(),
     "agg_pacf_lag2": agg_pacf_lag2_sql(),
