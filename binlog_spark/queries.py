@@ -19671,6 +19671,256 @@ FROM p2 GROUP BY 1 ORDER BY 1
 """
 
 
+def window_holt_winters_additive(spark, sf_dir):
+    """Holt–Winters additive seasonal smoothing (α=β=γ=½ as integer
+    shifts) of the daily revenue-cents series per type — the seasonal
+    upgrade of `window_holt_linear` that completes the classical
+    forecasting ladder (naive baselines → linear trend → trend +
+    weekly season): state (level, trend, 7 seasonal terms) folds
+    SEQUENTIALLY over the ordered series inside ONE `aggregate`
+    expression per type (arithmetic right-shift = floor halving in
+    BOTH engines, so every state is an exact BIGINT), and the output
+    is the end state plus the one-step forecast level+trend+season.
+
+    Scale shape: ONE (type, day) fold, then a per-type bounded array
+    fold (|days| elements, 9-slot state) — sequential by definition
+    of the model, parallel across types; the oracle replays the same
+    recurrence as a recursive CTE.
+
+    Reference parity: none; forecasting family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                  .alias("cents")))
+    arr = (daily.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("day", "cents")))
+                .alias("s"))
+           .select("event_type",
+                   F.expr("transform(s, p -> p.cents)").alias("vals")))
+    hw = F.expr("""
+aggregate(
+  slice(vals, 2, size(vals) - 1),
+  named_struct(
+    'l', element_at(vals, 1), 'b', CAST(0 AS BIGINT),
+    's', array_repeat(CAST(0 AS BIGINT), 7), 'i', CAST(1 AS INT)),
+  (acc, x) -> named_struct(
+    'l', shiftright(x - element_at(acc.s, acc.i % 7 + 1)
+                    + acc.l + acc.b, 1),
+    'b', shiftright(shiftright(x - element_at(acc.s, acc.i % 7 + 1)
+                               + acc.l + acc.b, 1) - acc.l + acc.b, 1),
+    's', transform(acc.s, (v, j) -> IF(j = acc.i % 7,
+         shiftright(x - shiftright(x - element_at(acc.s, acc.i % 7 + 1)
+                                   + acc.l + acc.b, 1) + v, 1), v)),
+    'i', acc.i + 1))
+""")
+    out = arr.select("event_type", F.size("vals").alias("n_days"),
+                     hw.alias("st"))
+    return (out.select(
+        "event_type", F.col("n_days").cast("long").alias("n_days"),
+        F.col("st.l").alias("level_q"), F.col("st.b").alias("trend_q"),
+        F.expr("element_at(st.s, st.i % 7 + 1)").alias("season_next_q"),
+        (F.col("st.l") + F.col("st.b")
+         + F.expr("element_at(st.s, st.i % 7 + 1)")).alias("forecast_q"))
+        .orderBy("event_type"))
+
+
+def window_holt_winters_additive_sql():
+    s_cols = ", ".join(f"s{j}" for j in range(7))
+    zero_s = ", ".join(f"CAST(0 AS BIGINT) AS s{j}" for j in range(7))
+    upd_s = ", ".join(
+        f"CASE WHEN (d.rn - 1) % 7 = {j} THEN"
+        f" (d.cents - ((d.cents - r.s{j} + r.l + r.b) >> 1) + r.s{j})"
+        f" >> 1 ELSE r.s{j} END AS s{j}"
+        for j in range(7))
+    s_cur = " ".join(
+        f"WHEN (d.rn - 1) % 7 = {j} THEN r.s{j}" for j in range(7))
+    s_next = " ".join(
+        f"WHEN n.n_days % 7 = {j} THEN r.s{j}" for j in range(7))
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+n AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days FROM seq
+      GROUP BY 1),
+rec AS (
+  SELECT event_type, rn, cents AS l, CAST(0 AS BIGINT) AS b, {zero_s}
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         (d.cents - (CASE {s_cur} END) + r.l + r.b) >> 1 AS l,
+         (((d.cents - (CASE {s_cur} END) + r.l + r.b) >> 1)
+          - r.l + r.b) >> 1 AS b,
+         {upd_s}
+  FROM rec r JOIN seq d
+    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT r.event_type, n.n_days, r.l AS level_q, r.b AS trend_q,
+       (CASE {s_next} END) AS season_next_q,
+       r.l + r.b + (CASE {s_next} END) AS forecast_q
+FROM rec r JOIN n ON n.event_type = r.event_type AND r.rn = n.n_days
+ORDER BY 1
+"""
+
+
+def window_peak_hour_drift(spark, sf_dir):
+    """Peak-hour drift: the circular mean activity hour per type in
+    week 0 vs week 3, and the signed circular shift in minutes — did
+    the traffic peak MOVE? (`agg_circular_mean_hour` is the static
+    picture; drift feeds time-varying watermark and autoscaling
+    policies.) Uses the same 24 shared nanounit trig literals; the
+    two-argument atan2 runs on exact integer vector sums.
+
+    Scale shape: ONE (type, week, hour) count fold + the trig fold
+    on the 24-row-per-group frame.
+
+    Reference parity: none; time-series family (SURVEY §2.2)."""
+    import math as _m
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hr"))
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    ev = (ev.withColumn("wk", F.expr(f"(day - {d0}) div 7"))
+          .where(F.col("wk").isin(0, 3)))
+    cells = ev.groupBy("event_type", "wk", "hr").agg(
+        F.count("*").alias("c"))
+    cosc = F.expr(_dft_case_sql("hr", 24, _m.cos)).cast("decimal(38,0)")
+    sinc = F.expr(_dft_case_sql("hr", 24, _m.sin)).cast("decimal(38,0)")
+    vec = (cells.groupBy("event_type", "wk")
+           .agg(F.sum(F.col("c").cast("decimal(38,0)") * cosc)
+                .alias("sc"),
+                F.sum(F.col("c").cast("decimal(38,0)") * sinc)
+                .alias("ss")))
+    ang = F.atan2(F.col("ss").cast("double"), F.col("sc").cast("double"))
+    hrs = (ang / F.lit(2 * _m.pi) * 24 + 24) % 24
+    m = vec.select("event_type", "wk",
+                   F.round(hrs, 6).alias("mean_hr"))
+    a = m.where(F.col("wk") == 0).select(
+        "event_type", F.col("mean_hr").alias("hr_week1"))
+    b = m.where(F.col("wk") == 3).select(
+        "event_type", F.col("mean_hr").alias("hr_week4"))
+    diff = ((F.col("hr_week4") - F.col("hr_week1") + 36) % 24) - 12
+    return (a.join(b, "event_type")
+            .select("event_type", "hr_week1", "hr_week4",
+                    F.round(diff * 60, 6).alias("drift_minutes"))
+            .orderBy("event_type"))
+
+
+def window_peak_hour_drift_sql():
+    import math as _m
+    cosc = _dft_case_sql("hr", 24, _m.cos)
+    sinc = _dft_case_sql("hr", 24, _m.sin)
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events)) // 7
+           AS wk,
+         CAST(hour(ts) AS BIGINT) AS hr
+  FROM events
+),
+cells AS (
+  SELECT event_type, wk, hr, CAST(count(*) AS BIGINT) AS c
+  FROM ev WHERE wk IN (0, 3) GROUP BY 1, 2, 3
+),
+vec AS (
+  SELECT event_type, wk,
+         sum(c::HUGEINT * ({cosc})) AS sc,
+         sum(c::HUGEINT * ({sinc})) AS ss
+  FROM cells GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, wk,
+         round((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+                / (2 * pi()) * 24 + 24) % 24, 6) AS mean_hr
+  FROM vec
+)
+SELECT a.event_type, a.mean_hr AS hr_week1, b.mean_hr AS hr_week4,
+       round((((b.mean_hr - a.mean_hr + 36) % 24) - 12) * 60, 6)
+         AS drift_minutes
+FROM m a JOIN m b ON a.event_type = b.event_type
+WHERE a.wk = 0 AND b.wk = 3
+ORDER BY a.event_type
+"""
+
+
+def agg_srm_guardrail(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail — the first check of every A/B
+    readout: users hash-assigned 50/50 (md5 parity) should split
+    evenly; the χ² statistic against the expected split (1 df,
+    critical 3.841) flags broken assignment BEFORE anyone reads the
+    metric deltas. Per event type (each type a pseudo-experiment):
+    arm counts, χ² in micro-units, and the trip flag.
+
+    Scale shape: ONE (type, arm) distinct-user fold + map-side
+    arithmetic on the |types| frame.
+
+    Reference parity: none; experimentation family (SURVEY §2.2),
+    the guardrail in front of `agg_cuped_variance_reduction` /
+    `agg_two_proportion_ztest`."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 7), 16, 10).cast("long") % 2)
+    per = (ev.withColumn("arm", arm)
+           .groupBy("event_type", "arm")
+           .agg(F.countDistinct("user_id").alias("u")))
+    piv = (per.groupBy("event_type")
+           .agg(F.sum(F.when(F.col("arm") == 0, F.col("u"))
+                      .otherwise(0)).cast("long").alias("n_a"),
+                F.sum(F.when(F.col("arm") == 1, F.col("u"))
+                      .otherwise(0)).cast("long").alias("n_b")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    tot = na + nb
+    exp = tot / 2
+    chi2 = ((na - exp) * (na - exp) + (nb - exp) * (nb - exp)) / exp
+    return (piv.select(
+        "event_type", "n_a", "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).cast("long").alias("srm_tripped"))
+        .orderBy("event_type"))
+
+
+def agg_srm_guardrail_sql():
+    return """
+WITH per AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+           % 2 AS arm,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS u
+  FROM events GROUP BY 1, 2
+),
+piv AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN u ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN u ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM per GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       round(((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+              * (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+              + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+                * (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0))
+             / ((n_a + n_b) / 2.0), 6) AS chi2,
+       CAST(CASE WHEN ((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+                       * (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+                       + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+                         * (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0))
+                      / ((n_a + n_b) / 2.0) > 3.841
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_tripped
+FROM piv ORDER BY event_type
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -19895,6 +20145,9 @@ QUERIES = {
     "cdc_gtid_set_union": cdc_gtid_set_union,
     "agg_gumbel_block_maxima": agg_gumbel_block_maxima,
     "lake_file_sortedness_audit": lake_file_sortedness_audit,
+    "window_holt_winters_additive": window_holt_winters_additive,
+    "window_peak_hour_drift": window_peak_hour_drift,
+    "agg_srm_guardrail": agg_srm_guardrail,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -20192,6 +20445,9 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "window_holt_winters_additive": window_holt_winters_additive_sql(),
+    "window_peak_hour_drift": window_peak_hour_drift_sql(),
+    "agg_srm_guardrail": agg_srm_guardrail_sql(),
     "sql_intersect_all_bag_semantics":
         sql_intersect_all_bag_semantics_sql(),
     "cdc_gtid_set_union": cdc_gtid_set_union_sql(),
