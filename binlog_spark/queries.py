@@ -19921,6 +19921,294 @@ FROM piv ORDER BY event_type
 """
 
 
+_MDE_Z_SUM = 1.96 + 0.8416  # alpha=.05 two-sided + 80% power
+
+
+def agg_power_mde(spark, sf_dir):
+    """Power analysis / minimum detectable effect — the experiment-
+    sizing table: per event type, the per-user value metric's SE at
+    a 50/50 split and the relative MDE = (z_{α/2}+z_β)·SE·√2 / mean,
+    with and without the CUPED adjustment (variance ×(1−ρ²)) — i.e.
+    "how small an effect can this traffic detect, and how much
+    smaller with CUPED ON". Closes the experimentation suite
+    (`agg_srm_guardrail` → `agg_cuped_variance_reduction` → this).
+    Exact integer moments; four shared double expressions.
+
+    Scale shape: ONE user fold + a moment fold — the CUPED shape
+    re-used, output |types| rows.
+
+    Reference parity: none; experimentation family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    per = (ev.withColumn("wk", F.expr(f"(day - {d0}) div 7"))
+           .where(F.col("wk") < 4)
+           .groupBy("event_type", "user_id")
+           .agg(F.sum(F.when(F.col("wk") < 2, F.col("vq"))
+                      .otherwise(0)).cast("decimal(38,0)").alias("x"),
+                F.sum(F.when(F.col("wk") >= 2, F.col("vq"))
+                      .otherwise(0)).cast("decimal(38,0)").alias("y")))
+    mom = (per.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    n = F.col("n").cast("double")
+    sx, sy, sxx, syy, sxy = [F.col(c).cast("double")
+                             for c in ("sx", "sy", "sxx", "syy", "sxy")]
+    my = sy / n
+    vy = syy / n - my * my
+    vx = sxx / n - (sx / n) * (sx / n)
+    cxy = sxy / n - (sx / n) * my
+    rho2 = (cxy * cxy) / (vx * vy)
+    se = F.sqrt(vy * F.lit(2.0) / (n / F.lit(2.0)))
+    se_c = F.sqrt(vy * (F.lit(1.0) - rho2) * F.lit(2.0)
+                  / (n / F.lit(2.0)))
+    return (mom.select(
+        "event_type", F.col("n").alias("n_users"),
+        F.round(F.lit(_MDE_Z_SUM) * se / my * 100, 6)
+        .alias("mde_raw_pct"),
+        F.round(F.lit(_MDE_Z_SUM) * se_c / my * 100, 6)
+        .alias("mde_cuped_pct"))
+        .orderBy("event_type"))
+
+
+def agg_power_mde_sql():
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events)) // 7
+           AS wk,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+per AS (
+  SELECT event_type, user_id,
+         CAST(sum(CASE WHEN wk < 2 THEN vq ELSE 0 END)
+              AS DECIMAL(38,0)) AS x,
+         CAST(sum(CASE WHEN wk >= 2 THEN vq ELSE 0 END)
+              AS DECIMAL(38,0)) AS y
+  FROM ev WHERE wk < 4 GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM per GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+         CAST(sy AS DOUBLE) / n AS my,
+         CAST(syy AS DOUBLE) / n
+           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy,
+         (CAST(sxy AS DOUBLE) / n
+          - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+         * (CAST(sxy AS DOUBLE) / n
+            - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+         / ((CAST(sxx AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+            * (CAST(syy AS DOUBLE) / n
+               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+           AS rho2
+  FROM mom
+)
+SELECT event_type, n AS n_users,
+       round({_MDE_Z_SUM} * sqrt(vy * 2.0 / (n / 2.0)) / my * 100, 6)
+         AS mde_raw_pct,
+       round({_MDE_Z_SUM} * sqrt(vy * (1.0 - rho2) * 2.0 / (n / 2.0))
+             / my * 100, 6) AS mde_cuped_pct
+FROM d ORDER BY event_type
+"""
+
+
+def window_lindley_queue_wait(spark, sf_dir):
+    """Lindley queue-wait recursion — replay-consumer queueing math:
+    with per-type event inter-arrival times as the arrival process
+    and a deterministic service time of 80% of the mean
+    inter-arrival (ρ = 0.8 — a loaded but stable worker),
+    W_{n+1} = max(0, W_n + S − A_n) folds sequentially per type to
+    the exact wait each event would see; emitted: mean/max wait and
+    the share of events that waited — whether ONE worker keeps up
+    with this stream and by what margin (`cdc_replay_worker_balance`
+    shards the workers; this prices each shard's queue). Integer
+    seconds-micro state end to end.
+
+    Scale shape: ONE per-type ordered collect (bounded by the type's
+    event count) + one sequential `aggregate` fold carrying
+    (wait, sum, max, waited-count); recursive-CTE oracle replays the
+    same recurrence.
+
+    Reference parity: the reference's single-threaded handler IS this
+    queue (`row_streamer.go:120`); this computes its backlog law
+    (SURVEY §2.1 P28-P29)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp"))
+        .alias("us"), "event_id")
+    arr = (ev.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("us", "event_id")))
+                .alias("s"),
+                F.count("*").alias("n"),
+                F.max("us").alias("mx"), F.min("us").alias("mn")))
+    arr = arr.withColumn(
+        "svc", F.expr("((mx - mn) div (n - 1)) * 8 div 10"))
+    gaps = F.expr(
+        "transform(sequence(1, CAST(size(s) - 1 AS INT)),"
+        " i -> s[i].us - s[i - 1].us)")
+    fold = F.expr("""
+aggregate(
+  gaps,
+  named_struct('w', CAST(0 AS BIGINT), 'sm', CAST(0 AS BIGINT),
+               'mx', CAST(0 AS BIGINT), 'nw', CAST(0 AS BIGINT)),
+  (acc, a) -> named_struct(
+    'w', greatest(CAST(0 AS BIGINT), acc.w + svc - a),
+    'sm', acc.sm + greatest(CAST(0 AS BIGINT), acc.w + svc - a),
+    'mx', greatest(acc.mx,
+                   greatest(CAST(0 AS BIGINT), acc.w + svc - a)),
+    'nw', acc.nw + IF(greatest(CAST(0 AS BIGINT),
+                               acc.w + svc - a) > 0, 1, 0)))
+""")
+    out = (arr.withColumn("gaps", gaps)
+           .withColumn("st", fold))
+    return (out.select(
+        "event_type", F.col("n").cast("long").alias("n_events"),
+        F.col("svc").alias("service_us"),
+        F.expr("st.sm div greatest(size(gaps), 1)").alias("mean_wait_us"),
+        F.col("st.mx").alias("max_wait_us"),
+        F.expr("st.nw * 1000000 div greatest(size(gaps), 1)")
+        .alias("waited_ppm"))
+        .orderBy("event_type"))
+
+
+def window_lindley_queue_wait_sql():
+    return """
+WITH RECURSIVE ev AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+),
+seq AS (
+  SELECT event_type, us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY us, event_id) AS rn
+  FROM ev
+),
+meta AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         ((max(us) - min(us)) // (count(*) - 1)) * 8 // 10 AS svc
+  FROM seq GROUP BY 1
+),
+gaps AS (
+  SELECT a.event_type, a.rn - 1 AS gi, a.us - b.us AS gap
+  FROM seq a JOIN seq b
+    ON b.event_type = a.event_type AND b.rn = a.rn - 1
+),
+rec AS (
+  SELECT m.event_type, CAST(0 AS BIGINT) AS gi,
+         CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS sm,
+         CAST(0 AS BIGINT) AS mx, CAST(0 AS BIGINT) AS nw
+  FROM meta m
+  UNION ALL
+  SELECT r.event_type, r.gi + 1,
+         greatest(0, r.w + m.svc - g.gap),
+         r.sm + greatest(0, r.w + m.svc - g.gap),
+         greatest(r.mx, greatest(0, r.w + m.svc - g.gap)),
+         r.nw + CASE WHEN greatest(0, r.w + m.svc - g.gap) > 0
+                     THEN 1 ELSE 0 END
+  FROM rec r
+  JOIN meta m ON m.event_type = r.event_type
+  JOIN gaps g ON g.event_type = r.event_type AND g.gi = r.gi + 1
+)
+SELECT r.event_type, m.n AS n_events, m.svc AS service_us,
+       r.sm // greatest(m.n - 1, 1) AS mean_wait_us,
+       r.mx AS max_wait_us,
+       r.nw * 1000000 // greatest(m.n - 1, 1) AS waited_ppm
+FROM rec r JOIN meta m ON m.event_type = r.event_type
+WHERE r.gi = m.n - 1
+ORDER BY r.event_type
+"""
+
+
+def agg_jackknife_ratio_se(spark, sf_dir):
+    """Jackknife standard error of the revenue-per-order ratio —
+    the resampling cross-check of `agg_ratio_delta_method`: the
+    leave-one-customer-out ratio is computable EXACTLY from the
+    totals (R₋ᵤ = (Sx − xᵤ)/(Sn − nᵤ)), each pseudo-ratio is
+    nano-quantized BEFORE summing (a raw double sum over users would
+    be partition-order dependent), and SE² = (U−1)/U · Σ(R₋ᵤ − R̄)².
+    Delta and jackknife agreeing is the standard sanity gate on
+    both.
+
+    Scale shape: one unit fold + broadcast totals + one quantized
+    moment fold — no resampling loop, no per-unit recomputation.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+         .alias("cents"))
+    per = (o.groupBy("o_orderpriority", "o_custkey")
+           .agg(F.sum("cents").alias("x"),
+                F.count("*").cast("decimal(38,0)").alias("n")))
+    tot = (per.groupBy("o_orderpriority")
+           .agg(F.count("*").cast("long").alias("u"),
+                F.sum("x").alias("sx"), F.sum("n").alias("sn")))
+    j = per.join(F.broadcast(tot), "o_orderpriority")
+    loo = ((F.col("sx") - F.col("x")).cast("double")
+           / (F.col("sn") - F.col("n")).cast("double"))
+    # micro (1e6), not nano: keeps sum(q*q) within double's exact range
+    # after the DECIMAL->double cast, so the centered-variance
+    # cancellation costs identical bits in both engines
+    q = F.floor(loo * 1e6).cast("decimal(38,0)")
+    mom = (j.groupBy("o_orderpriority")
+           .agg(F.max("u").alias("u"),
+                F.sum(q).alias("sq"), F.sum(q * q).alias("sqq")))
+    u = F.col("u").cast("double")
+    sq, sqq = F.col("sq").cast("double"), F.col("sqq").cast("double")
+    var_q = sqq / u - (sq / u) * (sq / u)  # in micro^2 units
+    se = F.sqrt(var_q * (u - 1)) / F.lit(1e6)
+    return (mom.select(
+        "o_orderpriority", F.col("u").cast("long").alias("units"),
+        F.round(se, 6).alias("se_jackknife"))
+        .orderBy("o_orderpriority"))
+
+
+def agg_jackknife_ratio_se_sql():
+    return """
+WITH per AS (
+  SELECT o_orderpriority, o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS x,
+         CAST(count(*) AS DECIMAL(38,0)) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS u,
+         sum(x) AS sx, sum(n) AS sn
+  FROM per GROUP BY 1
+),
+q AS (
+  SELECT p.o_orderpriority, t.u,
+         CAST(floor(CAST(t.sx - p.x AS DOUBLE)
+                    / CAST(t.sn - p.n AS DOUBLE) * 1e6)
+              AS DECIMAL(38,0)) AS qv
+  FROM per p JOIN tot t USING (o_orderpriority)
+),
+mom AS (
+  SELECT o_orderpriority, max(u) AS u, sum(qv) AS sq,
+         sum(qv * qv) AS sqq
+  FROM q GROUP BY 1
+)
+SELECT o_orderpriority, CAST(u AS BIGINT) AS units,
+       round(sqrt((CAST(sqq AS DOUBLE) / u
+                   - (CAST(sq AS DOUBLE) / u)
+                     * (CAST(sq AS DOUBLE) / u))
+                  * (u - 1)) / 1e6, 6) AS se_jackknife
+FROM mom ORDER BY o_orderpriority
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -20148,6 +20436,9 @@ QUERIES = {
     "window_holt_winters_additive": window_holt_winters_additive,
     "window_peak_hour_drift": window_peak_hour_drift,
     "agg_srm_guardrail": agg_srm_guardrail,
+    "agg_power_mde": agg_power_mde,
+    "window_lindley_queue_wait": window_lindley_queue_wait,
+    "agg_jackknife_ratio_se": agg_jackknife_ratio_se,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -20445,6 +20736,9 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "agg_power_mde": agg_power_mde_sql(),
+    "window_lindley_queue_wait": window_lindley_queue_wait_sql(),
+    "agg_jackknife_ratio_se": agg_jackknife_ratio_se_sql(),
     "window_holt_winters_additive": window_holt_winters_additive_sql(),
     "window_peak_hour_drift": window_peak_hour_drift_sql(),
     "agg_srm_guardrail": agg_srm_guardrail_sql(),
