@@ -20209,6 +20209,251 @@ FROM mom ORDER BY o_orderpriority
 """
 
 
+_HURST_BLOCKS = (8, 16)
+
+
+def agg_hurst_rs(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    count series per type: mean R/S at block sizes 8 and 16 days and
+    H = log₂(RS₁₆/RS₈) — H ≈ 0.5 is memoryless, H → 1 is long-range
+    dependence, the property that breaks naive confidence intervals
+    on every rate metric upstream (`agg_acf_profile` sees short
+    memory; R/S sees the long kind). Block means are exact (integer
+    sums over fixed block sizes); cumulative deviations accumulate
+    in a deterministic per-block window order, so doubles agree.
+
+    Scale shape: ONE (type, day) fold, per-(type, block) windows on
+    the day frame, two tiny folds.
+
+    Reference parity: none; statistics family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("y"))
+             .localCheckpoint(eager=False))
+    d0 = daily.agg(F.min("day").alias("d")).collect()[0]["d"]
+    daily = daily.withColumn("idx", F.col("day") - d0)
+    outs = []
+    for m in _HURST_BLOCKS:
+        b = daily.withColumn("blk", F.expr(f"idx div {m}"))
+        cnt = b.groupBy("event_type", "blk").agg(
+            F.count("*").alias("bn"), F.sum("y").alias("bs"),
+            F.sum(F.col("y") * F.col("y")).alias("bss"))
+        full = cnt.where(F.col("bn") == m)
+        j = b.join(F.broadcast(full.select("event_type", "blk", "bs",
+                                           "bss")), ["event_type", "blk"])
+        dev = (F.col("y").cast("double")
+               - F.col("bs").cast("double") / m)
+        w = (Window.partitionBy("event_type", "blk").orderBy("idx")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cum = j.withColumn("cd", F.sum(dev).over(w))
+        per_blk = (cum.groupBy("event_type", "blk")
+                   .agg((F.max("cd") - F.min("cd")).alias("rng"),
+                        F.max("bs").alias("bs"),
+                        F.max("bss").alias("bss")))
+        sd = F.sqrt(F.col("bss").cast("double") / m
+                    - (F.col("bs").cast("double") / m)
+                    * (F.col("bs").cast("double") / m))
+        rs = F.col("rng") / sd
+        outs.append(per_blk.where(sd > 0)
+                    .groupBy("event_type")
+                    .agg(F.count("*").alias(f"n_blocks_{m}"),
+                         F.round(F.avg(rs), 6).alias(f"rs_{m}")))
+    j = outs[0].join(outs[1], "event_type")
+    h = (F.log(F.col(f"rs_{_HURST_BLOCKS[1]}")
+               / F.col(f"rs_{_HURST_BLOCKS[0]}"))
+         / F.log(F.lit(2.0)))
+    return (j.select("event_type",
+                     f"n_blocks_{_HURST_BLOCKS[0]}",
+                     f"rs_{_HURST_BLOCKS[0]}",
+                     f"n_blocks_{_HURST_BLOCKS[1]}",
+                     f"rs_{_HURST_BLOCKS[1]}",
+                     F.round(h, 6).alias("hurst"))
+            .orderBy("event_type"))
+
+
+def agg_hurst_rs_sql():
+    parts = ["""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000
+           - (SELECT min(epoch_us(ts) // 86400000000) FROM events)
+           AS idx,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+)"""]
+    for m in _HURST_BLOCKS:
+        parts.append(f""",
+b{m} AS (
+  SELECT d.event_type, d.idx, d.y, d.idx // {m} AS blk
+  FROM daily d
+),
+c{m} AS (
+  SELECT event_type, blk, count(*) AS bn, sum(y) AS bs,
+         sum(y * y) AS bss
+  FROM b{m} GROUP BY 1, 2
+),
+cum{m} AS (
+  SELECT b.event_type, b.blk,
+         sum(CAST(b.y AS DOUBLE) - CAST(c.bs AS DOUBLE) / {m})
+           OVER (PARTITION BY b.event_type, b.blk ORDER BY b.idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cd,
+         c.bs, c.bss
+  FROM b{m} b JOIN c{m} c
+    ON c.event_type = b.event_type AND c.blk = b.blk AND c.bn = {m}
+),
+pb{m} AS (
+  SELECT event_type, blk, max(cd) - min(cd) AS rng,
+         max(bs) AS bs, max(bss) AS bss
+  FROM cum{m} GROUP BY 1, 2
+),
+rs{m} AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks_{m},
+         round(avg(rng / sqrt(CAST(bss AS DOUBLE) / {m}
+                              - (CAST(bs AS DOUBLE) / {m})
+                                * (CAST(bs AS DOUBLE) / {m}))), 6)
+           AS rs_{m}
+  FROM pb{m}
+  WHERE sqrt(CAST(bss AS DOUBLE) / {m}
+             - (CAST(bs AS DOUBLE) / {m})
+               * (CAST(bs AS DOUBLE) / {m})) > 0
+  GROUP BY 1
+)""")
+    a, b = _HURST_BLOCKS
+    parts.append(f"""
+SELECT r1.event_type, r1.n_blocks_{a}, r1.rs_{a},
+       r2.n_blocks_{b}, r2.rs_{b},
+       round(ln(r2.rs_{b} / r1.rs_{a}) / ln(2.0), 6) AS hurst
+FROM rs{a} r1 JOIN rs{b} r2 USING (event_type)
+ORDER BY r1.event_type
+""")
+    return "".join(parts)
+
+
+_TXN_BURST_GAP_S = 5
+
+
+def cdc_txn_table_span_profile(spark, sf_dir):
+    """Transaction table-span profile: treating a user's events within
+    a 5-second burst as one logical transaction, how many distinct
+    event types does each txn touch? The span histogram is the
+    multi-table-transaction shape that decides whether per-table
+    CDC topics can preserve atomicity (span 1 — yes trivially) or
+    need a txn-marker protocol (`cdc_txn_assembly` builds the real
+    wire txns; this profiles their table fan-out analogue).
+
+    Scale shape: one lag window per user partition for burst ids,
+    one (user, burst) fold, one histogram fold.
+
+    Reference parity: table fan-out of the reference's per-txn event
+    groups (`replication/` txn boundaries, SURVEY §2.1 P28)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").alias("es"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    d = ev.withColumn(
+        "new_burst",
+        (F.coalesce(F.col("es") - F.lag("es").over(w),
+                    F.lit(9_999_999)) > _TXN_BURST_GAP_S).cast("long"))
+    d = d.withColumn("burst",
+                     F.sum("new_burst").over(
+                         Window.partitionBy("user_id")
+                         .orderBy("es", "event_id")
+                         .rowsBetween(Window.unboundedPreceding, 0)))
+    per = (d.groupBy("user_id", "burst")
+           .agg(F.countDistinct("event_type").alias("span"),
+                F.count("*").alias("n_events")))
+    return (per.groupBy("span")
+            .agg(F.count("*").alias("n_txns"),
+                 F.sum("n_events").cast("long").alias("n_events"))
+            .orderBy("span"))
+
+
+def cdc_txn_table_span_profile_sql():
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+  FROM events
+),
+d AS (
+  SELECT *, CASE WHEN coalesce(es - lag(es)
+                      OVER (PARTITION BY user_id
+                            ORDER BY es, event_id), 9999999)
+                      > {_TXN_BURST_GAP_S}
+                 THEN 1 ELSE 0 END AS new_burst
+  FROM ev
+),
+d2 AS (
+  SELECT *, sum(new_burst) OVER (PARTITION BY user_id
+                                 ORDER BY es, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS burst
+  FROM d
+),
+per AS (
+  SELECT user_id, burst,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS span,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM d2 GROUP BY 1, 2
+)
+SELECT span, CAST(count(*) AS BIGINT) AS n_txns,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+_GATE_MIN_WORDS = (10, 20, 40)
+
+
+def text_quality_gate_sweep(spark, sf_dir):
+    """Quality-gate threshold sweep: Gopher `keep` survival per source
+    at min_words = 10/20/40 (all other rules at the registered
+    `text_gopher_rules` settings) — the yield-vs-strictness curve a
+    curation run reads before committing to a gate (each notch costs
+    tokens; this prices the notches). One rules pass per threshold,
+    each map-only JVM codegen.
+
+    Scale shape: three map-only rule passes + |sources|-row folds —
+    no shuffle beyond the count.
+
+    Reference parity: none; text-curation family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    outs = []
+    for mw in _GATE_MIN_WORDS:
+        flags = textstats.gopher_rules(docs, min_words=mw)
+        outs.append(
+            flags.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("keep").cast("long").alias("n_kept"))
+            .select("source", F.lit(mw).cast("long").alias("min_words"),
+                    "n_docs", "n_kept",
+                    F.expr("n_kept * 1000000 div n_docs")
+                    .alias("keep_ppm")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("source", "min_words")
+
+
+def text_quality_gate_sweep_sql():
+    sels = []
+    for mw in _GATE_MIN_WORDS:
+        inner = textstats.gopher_rules_sql(min_words=mw)
+        sels.append(f"""
+SELECT d.source, CAST({mw} AS BIGINT) AS min_words,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(g.keep) AS BIGINT) AS n_kept,
+       sum(g.keep) * 1000000 // count(*) AS keep_ppm
+FROM ({inner}) g JOIN documents d USING (doc_id)
+GROUP BY 1""")
+    return " UNION ALL ".join(sels) + "\nORDER BY source, min_words\n"
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -20439,6 +20684,9 @@ QUERIES = {
     "agg_power_mde": agg_power_mde,
     "window_lindley_queue_wait": window_lindley_queue_wait,
     "agg_jackknife_ratio_se": agg_jackknife_ratio_se,
+    "agg_hurst_rs": agg_hurst_rs,
+    "cdc_txn_table_span_profile": cdc_txn_table_span_profile,
+    "text_quality_gate_sweep": text_quality_gate_sweep,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -20736,6 +20984,9 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "agg_hurst_rs": agg_hurst_rs_sql(),
+    "cdc_txn_table_span_profile": cdc_txn_table_span_profile_sql(),
+    "text_quality_gate_sweep": text_quality_gate_sweep_sql(),
     "agg_power_mde": agg_power_mde_sql(),
     "window_lindley_queue_wait": window_lindley_queue_wait_sql(),
     "agg_jackknife_ratio_se": agg_jackknife_ratio_se_sql(),
