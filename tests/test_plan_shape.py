@@ -772,3 +772,45 @@ def test_hll_sweep_register_folds_partial(spark, sf_dir):
     from binlog_spark.queries import sketch_hll_precision_sweep
     df = sketch_hll_precision_sweep(spark, sf_dir)
     assert plans.has_partial_aggregate(df), plans.physical_plan(df)
+
+
+def test_silhouette_distances_bounded_nk_no_cartesian_fact(spark, sf_dir):
+    from binlog_spark.queries import sim_simplified_silhouette
+    df = sim_simplified_silhouette(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the n x k distance frame comes from a BROADCAST nested loop against
+    # the k-row centroid table — never a shuffle-side cartesian
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lindley_fold_single_type_shuffle(spark, sf_dir):
+    from binlog_spark.queries import window_lindley_queue_wait
+    df = window_lindley_queue_wait(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the sequential fold happens inside one aggregate expression on a
+    # per-type collected array — no Python stage, no window over a
+    # global (unpartitioned) order
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_holt_winters_is_jvm_array_fold(spark, sf_dir):
+    from binlog_spark.queries import window_holt_winters_additive
+    df = window_holt_winters_additive(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+    assert plans.has_partial_aggregate(df), plan
+
+
+def test_sweep_queries_scan_fact_once_per_width(spark, sf_dir):
+    from binlog_spark.queries import cdc_microbatch_fold_savings
+    df = cdc_microbatch_fold_savings(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the 3-width sweep rides ONE events scan via a broadcast cross
+    # join — three separate scans would triple the I/O at 100 TB
+    # (formatted plans list each node twice: tree + details; count the
+    # numbered detail entries only)
+    import re
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 1, f"{scans} fact scans\n{plan}"
