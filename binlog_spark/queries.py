@@ -20719,6 +20719,186 @@ FROM m ORDER BY event_type
 """
 
 
+_XBAR_A2_7 = 0.419  # Shewhart A2 constant for subgroup size 7
+_XBAR_D3_7, _XBAR_D4_7 = 0.076, 1.924  # R-chart constants, n=7
+
+
+def agg_xbar_r_control(spark, sf_dir):
+    """Shewhart X̄–R control chart on the daily count series per
+    type: weeks are rational subgroups of 7 days, center lines are
+    the grand mean and mean range, control limits use the classical
+    n=7 constants (A2 = 0.419, D3/D4 = 0.076/1.924 — shared
+    literals), and every subgroup is flagged against its limits —
+    the SPC discipline distinct from MAD flags (robust outliers) and
+    CUSUM (drift): control charts separate common-cause from
+    special-cause variation with KNOWN false-alarm behavior.
+    Subgroup sums/ranges are exact integers.
+
+    Scale shape: ONE (type, day) fold, a (type, week) fold, a
+    |types| center fold broadcast back — three bounded folds.
+
+    Reference parity: none; monitoring family (SURVEY §2.2)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       / F.lit(86_400_000_000)).cast("long").alias("day"))
+             .agg(F.count("*").alias("y")))
+    d0 = daily.agg(F.min("day").alias("d")).collect()[0]["d"]
+    sub = (daily.withColumn("wk", F.expr(f"(day - {d0}) div 7"))
+           .groupBy("event_type", "wk")
+           .agg(F.count("*").alias("n"), F.sum("y").alias("s"),
+                (F.max("y") - F.min("y")).alias("r"))
+           .where(F.col("n") == 7))
+    centers = (sub.groupBy("event_type")
+               .agg(F.count("*").cast("long").alias("n_subgroups"),
+                    F.sum("s").alias("ts"), F.sum("r").alias("tr")))
+    j = sub.join(F.broadcast(centers), "event_type")
+    xbar = F.col("s").cast("double") / 7
+    gmean = F.col("ts").cast("double") / (F.col("n_subgroups") * 7)
+    rbar = F.col("tr").cast("double") / F.col("n_subgroups")
+    ucl = gmean + F.lit(_XBAR_A2_7) * rbar
+    lcl = gmean - F.lit(_XBAR_A2_7) * rbar
+    r_ucl = F.lit(_XBAR_D4_7) * rbar
+    r_lcl = F.lit(_XBAR_D3_7) * rbar
+    return (j.select(
+        "event_type", F.col("wk").cast("long").alias("week"),
+        F.round(xbar, 6).alias("xbar"),
+        F.col("r").cast("long").alias("range"),
+        F.round(ucl, 6).alias("x_ucl"), F.round(lcl, 6).alias("x_lcl"),
+        ((xbar > ucl) | (xbar < lcl)).cast("long").alias("x_ooc"),
+        ((F.col("r").cast("double") > r_ucl)
+         | (F.col("r").cast("double") < r_lcl)).cast("long")
+        .alias("r_ooc"))
+        .orderBy("event_type", "week"))
+
+
+def agg_xbar_r_control_sql():
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000
+           - (SELECT min(epoch_us(ts) // 86400000000) FROM events)
+           AS idx,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+sub AS (
+  SELECT event_type, idx // 7 AS wk, count(*) AS n,
+         sum(y) AS s, max(y) - min(y) AS r
+  FROM daily GROUP BY 1, 2
+),
+sub7 AS (SELECT * FROM sub WHERE n = 7),
+centers AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_subgroups,
+         sum(s) AS ts, sum(r) AS tr
+  FROM sub7 GROUP BY 1
+)
+SELECT s.event_type, CAST(s.wk AS BIGINT) AS week,
+       round(CAST(s.s AS DOUBLE) / 7, 6) AS xbar,
+       CAST(s.r AS BIGINT) AS range,
+       round(CAST(c.ts AS DOUBLE) / (c.n_subgroups * 7)
+             + {_XBAR_A2_7} * CAST(c.tr AS DOUBLE) / c.n_subgroups, 6)
+         AS x_ucl,
+       round(CAST(c.ts AS DOUBLE) / (c.n_subgroups * 7)
+             - {_XBAR_A2_7} * CAST(c.tr AS DOUBLE) / c.n_subgroups, 6)
+         AS x_lcl,
+       CAST(CASE WHEN CAST(s.s AS DOUBLE) / 7
+                      > CAST(c.ts AS DOUBLE) / (c.n_subgroups * 7)
+                        + {_XBAR_A2_7} * CAST(c.tr AS DOUBLE)
+                          / c.n_subgroups
+                  OR CAST(s.s AS DOUBLE) / 7
+                      < CAST(c.ts AS DOUBLE) / (c.n_subgroups * 7)
+                        - {_XBAR_A2_7} * CAST(c.tr AS DOUBLE)
+                          / c.n_subgroups
+            THEN 1 ELSE 0 END AS BIGINT) AS x_ooc,
+       CAST(CASE WHEN CAST(s.r AS DOUBLE)
+                      > {_XBAR_D4_7} * CAST(c.tr AS DOUBLE)
+                        / c.n_subgroups
+                  OR CAST(s.r AS DOUBLE)
+                      < {_XBAR_D3_7} * CAST(c.tr AS DOUBLE)
+                        / c.n_subgroups
+            THEN 1 ELSE 0 END AS BIGINT) AS r_ooc
+FROM sub7 s JOIN centers c USING (event_type)
+ORDER BY s.event_type, week
+"""
+
+
+def text_lognormal_length_fit(spark, sf_dir):
+    """Lognormal fit of document lengths per source — the standard
+    model of natural text length: μ and σ of ln(n_chars) by moments
+    (log terms nano-quantized so the sums are order-free integers),
+    the model's median e^μ next to the EXACT empirical median — a
+    large gap flags a source whose length distribution is not
+    organic (templates, truncation, concatenation).
+
+    Scale shape: map-side quantized logs, ONE source fold + an exact
+    per-source median via the ranked-window index rule.
+
+    Reference parity: none; text-profiling family (SURVEY §2.3)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars",
+        F.floor(F.log(F.col("n_chars").cast("double")) * 1e9)
+        .cast("decimal(38,0)").alias("lq"))
+    mom = (d.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("lq").alias("sl"),
+                F.sum(F.col("lq") * F.col("lq")).alias("sll")))
+    n = F.col("n_docs").cast("double")
+    sl, sll = F.col("sl").cast("double"), F.col("sll").cast("double")
+    mu = sl / n / 1e9
+    sig = F.sqrt(sll / n - (sl / n) * (sl / n)) / 1e9
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    med = (d.withColumn("rn", F.row_number().over(wr))
+           .withColumn("nn", F.count("*").over(wn))
+           .where(F.col("rn") == F.expr("(nn + 1) div 2"))
+           .select("source", F.col("n_chars").alias("median_chars")))
+    return (mom.join(med, "source")
+            .select("source", "n_docs",
+                    F.round(mu, 6).alias("mu"),
+                    F.round(sig, 6).alias("sigma"),
+                    F.round(F.exp(mu), 6).alias("model_median"),
+                    F.col("median_chars").cast("long")
+                    .alias("empirical_median"))
+            .orderBy("source"))
+
+
+def text_lognormal_length_fit_sql():
+    return """
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e9)
+              AS DECIMAL(38,0)) AS lq
+  FROM documents
+),
+mom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(lq) AS sl, sum(lq * lq) AS sll
+  FROM d GROUP BY 1
+),
+med AS (
+  SELECT source, n_chars AS median_chars FROM (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS nn
+    FROM d
+  ) WHERE rn = (nn + 1) // 2
+)
+SELECT m.source, m.n_docs,
+       round(CAST(m.sl AS DOUBLE) / m.n_docs / 1e9, 6) AS mu,
+       round(sqrt(CAST(m.sll AS DOUBLE) / m.n_docs
+                  - (CAST(m.sl AS DOUBLE) / m.n_docs)
+                    * (CAST(m.sl AS DOUBLE) / m.n_docs)) / 1e9, 6)
+         AS sigma,
+       round(exp(CAST(m.sl AS DOUBLE) / m.n_docs / 1e9), 6)
+         AS model_median,
+       CAST(e.median_chars AS BIGINT) AS empirical_median
+FROM mom m JOIN med e USING (source)
+ORDER BY m.source
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -20955,6 +21135,8 @@ QUERIES = {
     "sample_neyman_allocation": sample_neyman_allocation,
     "sim_simplified_silhouette": sim_simplified_silhouette,
     "agg_exponential_qq_corr": agg_exponential_qq_corr,
+    "agg_xbar_r_control": agg_xbar_r_control,
+    "text_lognormal_length_fit": text_lognormal_length_fit,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -21252,6 +21434,8 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "agg_xbar_r_control": agg_xbar_r_control_sql(),
+    "text_lognormal_length_fit": text_lognormal_length_fit_sql(),
     "sample_neyman_allocation": sample_neyman_allocation_sql(),
     "sim_simplified_silhouette": sim_simplified_silhouette_sql(),
     "agg_exponential_qq_corr": agg_exponential_qq_corr_sql(),
