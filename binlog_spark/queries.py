@@ -20899,6 +20899,117 @@ ORDER BY m.source
 """
 
 
+def dedup_token_savings_by_source(spark, sf_dir):
+    """Token budget recovered by exact dedup, per source: duplicates
+    (non-canonical copies under the content digest) carry tokens a
+    training run would pay twice — this emits each source's doc and
+    token loss rates, which is how dedup savings actually enter the
+    data-budget spreadsheet (`dedup_exact` finds the winners; this
+    prices the losers). Token counts via the shared whitespace class.
+
+    Scale shape: one digest fold + a winners semi-join (both keyed on
+    the digest), ONE source fold.
+
+    Reference parity: none; dedup/curation family (SURVEY §2.3)."""
+    from .operators.textnorm import ws_token_count
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h"),
+        ws_token_count(F.col("text")).alias("toks"))
+    winners = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    all_s = (docs.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("toks").cast("long").alias("tokens")))
+    kept_s = (kept.groupBy("source")
+              .agg(F.count("*").alias("n_kept"),
+                   F.sum("toks").cast("long").alias("tokens_kept")))
+    return (all_s.join(kept_s, "source")
+            .select("source", "n_docs", "n_kept", "tokens",
+                    "tokens_kept",
+                    F.expr("(tokens - tokens_kept) * 1000000"
+                           " div greatest(tokens, 1)")
+                    .alias("token_savings_ppm"))
+            .orderBy("source"))
+
+
+def dedup_token_savings_by_source_sql():
+    from .operators.textnorm import ws_token_count_sql
+    ntok = ws_token_count_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS h, {ntok} AS toks
+  FROM documents
+),
+winners AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
+kept AS (SELECT d.* FROM docs d JOIN winners w USING (doc_id)),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tokens
+  FROM docs GROUP BY 1
+),
+k AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(toks) AS BIGINT) AS tokens_kept
+  FROM kept GROUP BY 1
+)
+SELECT a.source, a.n_docs, k.n_kept, a.tokens, k.tokens_kept,
+       (a.tokens - k.tokens_kept) * 1000000
+         // greatest(a.tokens, 1) AS token_savings_ppm
+FROM a JOIN k USING (source)
+ORDER BY a.source
+"""
+
+
+_PACK_BUDGETS = (512, 1024, 2048)
+
+
+def sample_pack_efficiency_sweep(spark, sf_dir):
+    """Sequence-packing efficiency sweep: the greedy prefix packer
+    (`pack_sequences`) at context budgets 512/1024/2048 tokens — per
+    budget, packs produced and the fill rate (>1e6 ppm means
+    documents longer than the budget overflow their pack — the
+    truncate-or-split decision). The curve behind choosing a model's
+    packing config against THIS corpus's length distribution
+    (`sample_length_bucket_padding` prices batch padding; this
+    prices context-window fill).
+
+    Scale shape: per budget ONE partitioned prefix-sum window (the
+    packer's own plan) + a 1-row fold.
+
+    Reference parity: none; training-data pipeline family (SURVEY
+    §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for b in _PACK_BUDGETS:
+        p = sampling.pack_sequences(docs, budget=b)
+        outs.append(
+            p.agg(F.lit(b).cast("long").alias("budget"),
+                  F.countDistinct("lang", "pack_id").alias("n_packs"),
+                  F.sum("n_tokens").cast("long").alias("tokens"))
+            .withColumn("fill_ppm",
+                        F.expr("tokens * 1000000"
+                               " div greatest(n_packs * budget, 1)")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("budget")
+
+
+def sample_pack_efficiency_sweep_sql():
+    sels = []
+    for b in _PACK_BUDGETS:
+        inner = sampling.pack_sequences_sql(budget=b)
+        sels.append(f"""
+SELECT CAST({b} AS BIGINT) AS budget,
+       CAST(count(DISTINCT (lang, pack_id)) AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       sum(n_tokens) * 1000000
+         // greatest(count(DISTINCT (lang, pack_id)) * {b}, 1)
+         AS fill_ppm
+FROM ({inner})""")
+    return " UNION ALL ".join(sels) + "\nORDER BY budget\n"
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -21137,6 +21248,8 @@ QUERIES = {
     "agg_exponential_qq_corr": agg_exponential_qq_corr,
     "agg_xbar_r_control": agg_xbar_r_control,
     "text_lognormal_length_fit": text_lognormal_length_fit,
+    "dedup_token_savings_by_source": dedup_token_savings_by_source,
+    "sample_pack_efficiency_sweep": sample_pack_efficiency_sweep,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -21434,6 +21547,8 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "dedup_token_savings_by_source": dedup_token_savings_by_source_sql(),
+    "sample_pack_efficiency_sweep": sample_pack_efficiency_sweep_sql(),
     "agg_xbar_r_control": agg_xbar_r_control_sql(),
     "text_lognormal_length_fit": text_lognormal_length_fit_sql(),
     "sample_neyman_allocation": sample_neyman_allocation_sql(),
