@@ -19215,8 +19215,8 @@ FROM j GROUP BY query_id ORDER BY query_id
 """
 
 
-_RANGE_WIDTHS_MICRO = (2_000_000, 8_000_000, 32_000_000)
-_RANGE_HALF_MICRO = 2_000_000  # interval half-width: ±2 value units
+_RANGE_WIDTHS_MICRO = (20_000, 80_000, 320_000)
+_RANGE_HALF_MICRO = 20_000  # interval half-width: ±0.02 value units
 
 
 def join_range_bucket_width_sweep(spark, sf_dir):
@@ -19238,10 +19238,14 @@ def join_range_bucket_width_sweep(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("pid"),
         F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("iid"),
-        F.expr("(CAST(round(o_totalprice * 100) AS BIGINT) % 10000)"
-               " * 100").alias("cq"))
+    # every 100th order as an interval dim (the knob sweep needs a
+    # realistic match rate, not a dense cross product); centers spread
+    # over the full 0-100-unit value range in micro units
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") % 100 == 0)
+         .select(F.col("o_orderkey").alias("iid"),
+                 F.expr("(CAST(round(o_totalprice * 100) AS BIGINT)"
+                        " % 10000) * 10000").alias("cq")))
     outs = []
     for w in _RANGE_WIDTHS_MICRO:
         iv = o.select(
@@ -19284,9 +19288,9 @@ FROM (
                                (cq + {_RANGE_HALF_MICRO}) // {w} + 1))
            AS bk
   FROM (SELECT o_orderkey AS iid,
-               (CAST(round(o_totalprice * 100) AS BIGINT) % 10000) * 100
-                 AS cq
-        FROM orders)
+               (CAST(round(o_totalprice * 100) AS BIGINT) % 10000)
+                 * 10000 AS cq
+        FROM orders WHERE o_orderkey % 100 = 0)
 ) i
 JOIN (SELECT event_id AS pid,
              CAST(round(value * 1000000) AS BIGINT) AS vq,
