@@ -21014,6 +21014,238 @@ FROM ({inner})""")
     return " UNION ALL ".join(sels) + "\nORDER BY budget\n"
 
 
+def cdc_op_mix_drift_weekly(spark, sf_dir):
+    """Weekly I/U/D operation-mix drift of the changelog: per week,
+    the insert/update/delete shares in ppm plus a χ² against week 0's
+    mix — a drifting op mix changes MERGE cost (deletes rewrite,
+    inserts append) and is an early signal of upstream behavior
+    change (`cdc_lineage_by_op` is the static tally; this is its
+    time axis). Exact counts; one double χ² per week.
+
+    Scale shape: ONE (week, op) fold; χ² joins the broadcast week-0
+    row onto the |weeks × 3| frame.
+
+    Reference parity: op classes per `replication/binlog_event.go`
+    WRITE/UPDATE/DELETE (SURVEY §2.1 P27)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000 * 7)).cast("long").alias("awk"),
+        F.expr(_OP_EXPR).alias("op"))
+    w0 = ev.agg(F.min("awk").alias("w")).collect()[0]["w"]
+    cells = (ev.withColumn("wk", F.col("awk") - w0)
+             .groupBy("wk", "op").agg(F.count("*").alias("c")))
+    piv = (cells.groupBy("wk")
+           .agg(F.sum(F.when(F.col("op") == "I", F.col("c"))
+                      .otherwise(0)).cast("long").alias("ci"),
+                F.sum(F.when(F.col("op") == "U", F.col("c"))
+                      .otherwise(0)).cast("long").alias("cu"),
+                F.sum(F.when(F.col("op") == "D", F.col("c"))
+                      .otherwise(0)).cast("long").alias("cd")))
+    base = piv.where(F.col("wk") == 0).select(
+        F.col("ci").alias("bi"), F.col("cu").alias("bu"),
+        F.col("cd").alias("bd"))
+    j = piv.crossJoin(F.broadcast(base))
+    n = (F.col("ci") + F.col("cu") + F.col("cd")).cast("double")
+    bn = (F.col("bi") + F.col("bu") + F.col("bd")).cast("double")
+    chi = sum(((F.col(c).cast("double")
+                - n * F.col(b).cast("double") / bn)
+               * (F.col(c).cast("double")
+                  - n * F.col(b).cast("double") / bn))
+              / (n * F.col(b).cast("double") / bn)
+              for c, b in (("ci", "bi"), ("cu", "bu"), ("cd", "bd")))
+    return (j.select(
+        "wk",
+        F.expr("ci * 1000000 div (ci + cu + cd)").alias("insert_ppm"),
+        F.expr("cu * 1000000 div (ci + cu + cd)").alias("update_ppm"),
+        F.expr("cd * 1000000 div (ci + cu + cd)").alias("delete_ppm"),
+        F.round(chi, 6).alias("chi2_vs_week0"))
+        .orderBy("wk"))
+
+
+def cdc_op_mix_drift_weekly_sql():
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // (86400000000 * 7)
+           - (SELECT min(epoch_us(ts) // (86400000000 * 7)) FROM events)
+           AS wk,
+         {_OP_EXPR} AS op
+  FROM events
+),
+piv AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ci,
+         CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cu,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cd
+  FROM ev GROUP BY 1
+),
+base AS (SELECT ci AS bi, cu AS bu, cd AS bd FROM piv WHERE wk = 0)
+SELECT p.wk,
+       p.ci * 1000000 // (p.ci + p.cu + p.cd) AS insert_ppm,
+       p.cu * 1000000 // (p.ci + p.cu + p.cd) AS update_ppm,
+       p.cd * 1000000 // (p.ci + p.cu + p.cd) AS delete_ppm,
+       round(
+         (CAST(p.ci AS DOUBLE) - (p.ci + p.cu + p.cd)
+            * CAST(b.bi AS DOUBLE) / (b.bi + b.bu + b.bd))
+         * (CAST(p.ci AS DOUBLE) - (p.ci + p.cu + p.cd)
+              * CAST(b.bi AS DOUBLE) / (b.bi + b.bu + b.bd))
+         / ((p.ci + p.cu + p.cd)
+            * CAST(b.bi AS DOUBLE) / (b.bi + b.bu + b.bd))
+         + (CAST(p.cu AS DOUBLE) - (p.ci + p.cu + p.cd)
+              * CAST(b.bu AS DOUBLE) / (b.bi + b.bu + b.bd))
+           * (CAST(p.cu AS DOUBLE) - (p.ci + p.cu + p.cd)
+                * CAST(b.bu AS DOUBLE) / (b.bi + b.bu + b.bd))
+           / ((p.ci + p.cu + p.cd)
+              * CAST(b.bu AS DOUBLE) / (b.bi + b.bu + b.bd))
+         + (CAST(p.cd AS DOUBLE) - (p.ci + p.cu + p.cd)
+              * CAST(b.bd AS DOUBLE) / (b.bi + b.bu + b.bd))
+           * (CAST(p.cd AS DOUBLE) - (p.ci + p.cu + p.cd)
+                * CAST(b.bd AS DOUBLE) / (b.bi + b.bu + b.bd))
+           / ((p.ci + p.cu + p.cd)
+              * CAST(b.bd AS DOUBLE) / (b.bi + b.bu + b.bd)), 6)
+         AS chi2_vs_week0
+FROM piv p CROSS JOIN base b
+ORDER BY p.wk
+"""
+
+
+def graph_distance_histogram(spark, sf_dir):
+    """Hop-distance distribution from the sampled source set — the
+    per-level histogram of the keyed multi-source BFS (the
+    small-world picture: where the mass sits tells crawl-depth
+    budgets and cache radii; `graph_harmonic_centrality` reduces the
+    same frontier to one score per source). One row per (level):
+    reachable (source, node) pairs at that distance.
+
+    Scale shape: ONE keyed BFS (round count bounds the jobs), one
+    |levels| fold on the visited frame.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    und = (raw.where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    sources = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("skey"), F.col("doc_id").alias("node"))
+    vis = graph.bfs_levels_keyed(und, sources, max_rounds=HC_ROUNDS)
+    return (vis.groupBy(F.col("level").cast("long").alias("level"))
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("level"))
+
+
+def graph_distance_histogram_sql(rounds: int = HC_ROUNDS) -> str:
+    inner = graph_harmonic_centrality_sql(rounds)
+    # reuse the keyed-BFS CTE chain; re-aggregate by level instead
+    head, _, _tail = inner.rpartition("SELECT skey AS source_id")
+    return head + f"""SELECT CAST(level AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM v{rounds}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_KMV_SWEEP_KS = (16, 64, 256)
+
+
+def sketch_kmv_error_sweep(spark, sf_dir):
+    """KMV precision sweep — estimate error at k = 16/64/256 minima
+    per event type: the k-vs-accuracy frontier for min-k sketches,
+    completing the sweep family (CMS width, HLL precision, this).
+    Same 48-bit md5 hash as the registered `sketch_kmv_distinct`;
+    this eval query uses the ranked formulation (the production fold
+    is the bounded Arrow kernel, plan-asserted elsewhere).
+
+    Scale shape: one distinct-hash fold + a ranked window per type
+    reused by all three k (filter at the largest k) + a |types × 3|
+    report.
+
+    Reference parity: none; sketch family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    r = (dh.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wn))
+         .where(F.col("rn") <= max(_KMV_SWEEP_KS)))
+    exact = dh.groupBy("event_type").agg(
+        F.count("*").alias("exact_users"))
+    outs = []
+    for k in _KMV_SWEEP_KS:
+        kth = (r.where(F.col("rn") == F.least(F.col("n"), F.lit(k)))
+               .select("event_type", F.col("h").alias("kth"),
+                       F.col("n").alias("nn")))
+        est = F.when(F.col("nn") < k, F.col("nn").cast("double")) \
+            .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 48))
+                       / F.col("kth").cast("double"))
+        outs.append(kth.select(
+            "event_type", F.lit(k).cast("long").alias("k"),
+            F.round(est, 4).alias("estimate")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (out.join(F.broadcast(exact), "event_type")
+            .withColumn("err_pct",
+                        F.round(F.abs(F.col("estimate")
+                                      / F.col("exact_users")
+                                      .cast("double") - 1) * 100, 6))
+            .select("event_type", "k", "estimate",
+                    F.col("exact_users").cast("long").alias("exact_users"),
+                    "err_pct")
+            .orderBy("event_type", "k"))
+
+
+def sketch_kmv_error_sweep_sql():
+    sels = []
+    for k in _KMV_SWEEP_KS:
+        num = repr((k - 1) * float(1 << 48))  # one double literal:
+        # DuckDB would otherwise parse the two factors as DECIMALs and
+        # overflow the product at k = 64+
+        sels.append(f"""
+SELECT event_type, CAST({k} AS BIGINT) AS k,
+       round(CASE WHEN max(n) < {k} THEN CAST(max(n) AS DOUBLE)
+                  ELSE {num}
+                       / CAST(max(CASE WHEN rn = least(n, {k})
+                                       THEN h END) AS DOUBLE)
+             END, 4) AS estimate
+FROM mins GROUP BY event_type""")
+    union = " UNION ALL ".join(sels)
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM events
+),
+mins AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dh
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_users FROM dh
+  GROUP BY 1
+),
+sweep AS ({union})
+SELECT s.event_type, s.k, s.estimate, e.exact_users,
+       round(abs(s.estimate / CAST(e.exact_users AS DOUBLE) - 1)
+             * 100, 6) AS err_pct
+FROM sweep s JOIN exact e USING (event_type)
+ORDER BY s.event_type, s.k
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -21254,6 +21486,9 @@ QUERIES = {
     "text_lognormal_length_fit": text_lognormal_length_fit,
     "dedup_token_savings_by_source": dedup_token_savings_by_source,
     "sample_pack_efficiency_sweep": sample_pack_efficiency_sweep,
+    "cdc_op_mix_drift_weekly": cdc_op_mix_drift_weekly,
+    "graph_distance_histogram": graph_distance_histogram,
+    "sketch_kmv_error_sweep": sketch_kmv_error_sweep,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -21551,6 +21786,9 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "cdc_op_mix_drift_weekly": cdc_op_mix_drift_weekly_sql(),
+    "graph_distance_histogram": graph_distance_histogram_sql(),
+    "sketch_kmv_error_sweep": sketch_kmv_error_sweep_sql(),
     "dedup_token_savings_by_source": dedup_token_savings_by_source_sql(),
     "sample_pack_efficiency_sweep": sample_pack_efficiency_sweep_sql(),
     "agg_xbar_r_control": agg_xbar_r_control_sql(),
