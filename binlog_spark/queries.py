@@ -21246,6 +21246,207 @@ ORDER BY s.event_type, s.k
 """
 
 
+def text_cross_lang_dup_audit(spark, sf_dir):
+    """Cross-split boilerplate leakage: 24-char OPENING fingerprints
+    (the template-prefix grain — whole-document digests almost never
+    collide across languages, shared openings do) that appear under
+    MORE THAN ONE language label — the leakage that silently couples
+    per-language train/eval splits via shared templates and
+    boilerplate. Per language pair: shared fingerprints and the
+    involved doc count — `sim_label_noise_pairs`' text sibling on the
+    language axis, `text_template_prefixes`' cross-split view.
+
+    Scale shape: one digest fold carrying a language set (bounded by
+    |langs|), pairs exploded from the tiny multi-lang digest frame
+    only.
+
+    Reference parity: none; text-curation family (SURVEY §2.3)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.md5(F.substring("text", 1, 24)).alias("h"), "lang", "doc_id")
+    per = (d.groupBy("h")
+           .agg(F.array_sort(F.collect_set("lang")).alias("langs"),
+                F.count("*").alias("n_docs"))
+           .where(F.size("langs") > 1))
+    pairs = per.select(
+        "n_docs",
+        F.explode(F.expr(
+            "flatten(transform(langs, (x, i) ->"
+            " transform(slice(langs, i + 2, size(langs) - i - 1),"
+            " y -> struct(x AS la, y AS lb))))")).alias("p"))
+    return (pairs.groupBy(F.col("p.la").alias("lang_a"),
+                          F.col("p.lb").alias("lang_b"))
+            .agg(F.count("*").alias("n_shared_digests"),
+                 F.sum("n_docs").cast("long").alias("n_docs_involved"))
+            .orderBy("lang_a", "lang_b"))
+
+
+def text_cross_lang_dup_audit_sql():
+    return """
+WITH d AS (SELECT md5(substr(text, 1, 24)) AS h, lang, doc_id FROM documents),
+per AS (
+  SELECT h, list_sort(list(DISTINCT lang)) AS langs,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY h
+  HAVING len(list(DISTINCT lang)) > 1
+),
+pairs AS (
+  SELECT n_docs, a.la, b.lb
+  FROM per,
+       LATERAL (SELECT unnest(langs) AS la) a,
+       LATERAL (SELECT unnest(langs) AS lb) b
+  WHERE a.la < b.lb
+)
+SELECT la AS lang_a, lb AS lang_b,
+       CAST(count(*) AS BIGINT) AS n_shared_digests,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs_involved
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def window_diurnal_archetypes(spark, sf_dir):
+    """Diurnal-archetype segmentation: each user's hourly activity
+    profile scored against three integer prototypes — morning
+    (06-11), evening (18-23), uniform — and assigned by argmax with
+    a deterministic tie-break (the cheap behavioral clustering a
+    notification scheduler actually ships; k-means on 24-dim
+    profiles is the expensive version). Scores are pure integer dot
+    products, so assignment is bit-stable.
+
+    Scale shape: ONE (user, hour) fold, map-side scoring, a 3-row
+    result fold.
+
+    Reference parity: none; behavioral-analytics family (SURVEY
+    §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.hour(F.col("ts").cast("timestamp")).alias("hr"))
+    per = ev.groupBy("user_id", "hr").agg(F.count("*").alias("c"))
+    morning = F.sum(F.when((F.col("hr") >= 6) & (F.col("hr") < 12),
+                           F.col("c") * 4).otherwise(0))
+    evening = F.sum(F.when((F.col("hr") >= 18) & (F.col("hr") < 24),
+                           F.col("c") * 4).otherwise(0))
+    uniform = F.sum(F.col("c"))  # flat prototype weight 1 everywhere
+    u = (per.groupBy("user_id")
+         .agg(morning.alias("sm"), evening.alias("se"),
+              uniform.alias("su")))
+    arch = (F.when((F.col("sm") >= F.col("se"))
+                   & (F.col("sm") > F.col("su")), "morning")
+            .when(F.col("se") > F.col("su"), "evening")
+            .otherwise("uniform"))
+    return (u.select(arch.alias("archetype"))
+            .groupBy("archetype").agg(F.count("*").alias("n_users"))
+            .orderBy("archetype"))
+
+
+def window_diurnal_archetypes_sql():
+    return """
+WITH per AS (
+  SELECT user_id, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+         sum(CASE WHEN hr >= 6 AND hr < 12 THEN c * 4 ELSE 0 END)
+           AS sm,
+         sum(CASE WHEN hr >= 18 AND hr < 24 THEN c * 4 ELSE 0 END)
+           AS se,
+         sum(c) AS su
+  FROM per GROUP BY 1
+)
+SELECT CASE WHEN sm >= se AND sm > su THEN 'morning'
+            WHEN se > su THEN 'evening'
+            ELSE 'uniform' END AS archetype,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_coverage_gaps_hourly(spark, sf_dir):
+    """Hourly data-completeness monitor: per event type, expected
+    hours (full observed span), hours with zero events, and the
+    longest silent stretch — the table an ingestion on-call reads to
+    distinguish "source down" from "source slow"
+    (`cdc_freshness_by_type` watches the head; this watches HOLES in
+    the body). Gap runs via the rank-difference islands trick on the
+    present-hour frame.
+
+    Scale shape: ONE (type, hour) fold; islands form per type
+    partition on the hour-grain frame.
+
+    Reference parity: none; ops-monitoring family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)")
+        .alias("hr"))
+    hours = ev.groupBy("event_type", "hr").agg(F.count("*").alias("c"))
+    span = (hours.groupBy("event_type")
+            .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"),
+                 F.count("*").alias("n_present")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    isl = (hours.withColumn("grp", F.col("hr")
+                            - F.row_number().over(w))
+           .groupBy("event_type", "grp")
+           .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")))
+    wl = Window.partitionBy("event_type").orderBy("lo")
+    gaps = (isl.withColumn("next_lo", F.lead("lo").over(wl))
+            .where(F.col("next_lo").isNotNull())
+            .select("event_type",
+                    (F.col("next_lo") - F.col("hi") - 1).alias("gap")))
+    g = (gaps.groupBy("event_type")
+         .agg(F.max("gap").alias("longest_gap_hours")))
+    return (span.join(g, "event_type", "left")
+            .select("event_type",
+                    (F.col("h1") - F.col("h0") + 1).alias("span_hours"),
+                    F.col("n_present").cast("long").alias("hours_present"),
+                    (F.col("h1") - F.col("h0") + 1 - F.col("n_present"))
+                    .alias("hours_missing"),
+                    F.coalesce("longest_gap_hours", F.lit(0))
+                    .cast("long").alias("longest_gap_hours"))
+            .orderBy("event_type"))
+
+
+def window_coverage_gaps_hourly_sql():
+    return """
+WITH hours AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM hours GROUP BY 1
+),
+isl AS (
+  SELECT event_type,
+         hr - row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hr) AS grp,
+         hr
+  FROM hours
+),
+runs AS (
+  SELECT event_type, grp, min(hr) AS lo, max(hr) AS hi
+  FROM isl GROUP BY 1, 2
+),
+gaps AS (
+  SELECT event_type,
+         lead(lo) OVER (PARTITION BY event_type ORDER BY lo)
+           - hi - 1 AS gap
+  FROM runs
+),
+g AS (
+  SELECT event_type, max(gap) AS longest_gap_hours
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT s.event_type, s.h1 - s.h0 + 1 AS span_hours,
+       s.n_present AS hours_present,
+       s.h1 - s.h0 + 1 - s.n_present AS hours_missing,
+       coalesce(g.longest_gap_hours, 0) AS longest_gap_hours
+FROM span s LEFT JOIN g USING (event_type)
+ORDER BY s.event_type
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -21489,6 +21690,9 @@ QUERIES = {
     "cdc_op_mix_drift_weekly": cdc_op_mix_drift_weekly,
     "graph_distance_histogram": graph_distance_histogram,
     "sketch_kmv_error_sweep": sketch_kmv_error_sweep,
+    "text_cross_lang_dup_audit": text_cross_lang_dup_audit,
+    "window_diurnal_archetypes": window_diurnal_archetypes,
+    "window_coverage_gaps_hourly": window_coverage_gaps_hourly,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -21786,6 +21990,9 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "text_cross_lang_dup_audit": text_cross_lang_dup_audit_sql(),
+    "window_diurnal_archetypes": window_diurnal_archetypes_sql(),
+    "window_coverage_gaps_hourly": window_coverage_gaps_hourly_sql(),
     "cdc_op_mix_drift_weekly": cdc_op_mix_drift_weekly_sql(),
     "graph_distance_histogram": graph_distance_histogram_sql(),
     "sketch_kmv_error_sweep": sketch_kmv_error_sweep_sql(),
