@@ -21447,6 +21447,225 @@ ORDER BY s.event_type
 """
 
 
+def window_mtbf_mttr(spark, sf_dir):
+    """MTBF / MTTR from the error stream: hours containing error
+    events form incident runs (the islands trick); per the whole
+    stream: incident count, mean time between failures (healthy-run
+    mean), mean time to recovery (incident-run mean) — the two
+    numbers every reliability review opens with, derived from the
+    same hour grid as `window_coverage_gaps_hourly`. Pure integer
+    island arithmetic.
+
+    Scale shape: one (hour) fold on error events + islands on the
+    tiny hour frame + a 1-row fold.
+
+    Reference parity: none; ops-reliability family (SURVEY §2.2)."""
+    err = (_t(spark, sf_dir, "events")
+           .where(F.col("event_type") == "error")
+           .select(F.expr("CAST(floor(unix_timestamp(ts) / 3600)"
+                          " AS BIGINT)").alias("hr"))
+           .distinct())
+    w = Window.orderBy("hr")
+    isl = (err.withColumn("grp", F.col("hr")
+                          - F.row_number().over(w))
+           .groupBy("grp")
+           .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")))
+    wl = Window.orderBy("lo")
+    runs = (isl.withColumn("next_lo", F.lead("lo").over(wl))
+            .select((F.col("hi") - F.col("lo") + 1).alias("len_incident"),
+                    (F.col("next_lo") - F.col("hi") - 1)
+                    .alias("len_healthy")))
+    return runs.agg(
+        F.count("*").cast("long").alias("n_incidents"),
+        F.expr("sum(len_incident) * 1000 div count(*)")
+         .alias("mttr_millihours"),
+        F.expr("sum(len_healthy) * 1000"
+               " div greatest(count(len_healthy), 1)")
+         .alias("mtbf_millihours"))
+
+
+def window_mtbf_mttr_sql():
+    return """
+WITH err AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+  FROM events WHERE event_type = 'error'
+),
+isl AS (
+  SELECT hr - row_number() OVER (ORDER BY hr) AS grp, hr FROM err
+),
+runs0 AS (
+  SELECT grp, min(hr) AS lo, max(hr) AS hi FROM isl GROUP BY 1
+),
+runs AS (
+  SELECT hi - lo + 1 AS len_incident,
+         lead(lo) OVER (ORDER BY lo) - hi - 1 AS len_healthy
+  FROM runs0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_incidents,
+       sum(len_incident) * 1000 // count(*) AS mttr_millihours,
+       sum(len_healthy) * 1000 // greatest(count(len_healthy), 1)
+         AS mtbf_millihours
+FROM runs
+"""
+
+
+def cdc_periodic_snapshot_fact(spark, sf_dir):
+    """Periodic-snapshot fact build (Kimball fact type 2): the
+    week-end state of every key, carried forward across weeks with
+    no activity — the weekly balance/state table BI reads, built
+    from the changelog with ONE key shuffle + a carry-forward window
+    over the (user × week) grid (`join_locf_gapfill` is the
+    technique; this is the dimensional-modeling artifact). Emitted
+    at the week grain (per-week totals of the snapshot) so the
+    result stays bounded while the oracle checks the carried state
+    row set exactly.
+
+    Scale shape: one (user, week) LWW fold, a bounded week-grid
+    cross join per user (weeks = observed span), one carry-forward
+    window per user partition, a |weeks| fold.
+
+    Reference parity: the batch materialization of the reference's
+    continuously-applied state (`row_streamer.go` apply loop) at a
+    reporting grain (SURVEY §2.2 sinks)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000 * 7)).cast("long").alias("awk"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"))
+    w0 = ev.agg(F.min("awk").alias("w")).collect()[0]["w"]
+    wmax = ev.agg(F.max("awk").alias("w")).collect()[0]["w"]
+    n_weeks = int(wmax - w0 + 1)
+    lww = (ev.withColumn("wk", F.col("awk") - w0)
+           .groupBy("user_id", "wk")
+           .agg(F.max_by("vq", F.col("event_id")).alias("vq")))
+    grid = (lww.select("user_id").distinct()
+            .crossJoin(F.broadcast(
+                spark.range(n_weeks).select(
+                    F.col("id").cast("long").alias("wk")))))
+    filled = (grid.join(lww, ["user_id", "wk"], "left")
+              .withColumn("state_vq",
+                          F.last("vq", ignorenulls=True).over(
+                              Window.partitionBy("user_id")
+                              .orderBy("wk")
+                              .rowsBetween(Window.unboundedPreceding,
+                                           0))))
+    return (filled.where(F.col("state_vq").isNotNull())
+            .groupBy("wk")
+            .agg(F.count("*").alias("n_keys_with_state"),
+                 F.sum("state_vq").cast("decimal(38,0)").cast("string")
+                 .alias("sum_state_vq"))
+            .orderBy("wk"))
+
+
+def cdc_periodic_snapshot_fact_sql():
+    return """
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // (86400000000 * 7)
+           - (SELECT min(epoch_us(ts) // (86400000000 * 7)) FROM events)
+           AS wk,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+nw AS (SELECT max(wk) + 1 AS n FROM ev),
+lww AS (
+  SELECT user_id, wk, vq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, wk
+                                 ORDER BY event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT u.user_id, w.wk
+  FROM (SELECT DISTINCT user_id FROM lww) u
+  CROSS JOIN (SELECT unnest(range((SELECT n FROM nw))) AS wk) w
+),
+filled AS (
+  SELECT g.user_id, g.wk,
+         last_value(l.vq IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS state_vq
+  FROM grid g LEFT JOIN lww l
+    ON l.user_id = g.user_id AND l.wk = g.wk
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(count(*) AS BIGINT) AS n_keys_with_state,
+       CAST(CAST(sum(state_vq) AS DECIMAL(38,0)) AS VARCHAR)
+         AS sum_state_vq
+FROM filled WHERE state_vq IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_cohens_kappa(spark, sf_dir):
+    """Cohen's κ between the marker-based language identifier
+    (`operators/textstats.lang_id`) and the ground-truth labels —
+    chance-corrected agreement, the single number that summarizes
+    `text_langid_confusion`'s matrix (raw accuracy flatters a skewed
+    label mix; κ does not). Exact integer confusion counts; κ is one
+    shared double expression.
+
+    Scale shape: map-side prediction + ONE (truth, pred) fold +
+    marginal folds on the |langs|² frame.
+
+    Reference parity: none; eval family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    j = (docs.select("doc_id", "lang").join(pred, "doc_id")
+         .groupBy("lang", "pred_lang").agg(F.count("*").alias("c"))
+         .localCheckpoint(eager=False))
+    tot = j.agg(F.sum("c").alias("t")).collect()[0]["t"]
+    agree = (j.where(F.col("lang") == F.col("pred_lang"))
+             .agg(F.sum("c").alias("a")).collect()[0]["a"] or 0)
+    ma = (j.groupBy("lang").agg(F.sum("c").alias("ct"))
+          .join(j.groupBy("pred_lang").agg(F.sum("c").alias("cp"))
+                .withColumnRenamed("pred_lang", "lang"),
+                "lang", "full_outer")
+          .select(F.coalesce("ct", F.lit(0)).alias("ct"),
+                  F.coalesce("cp", F.lit(0)).alias("cp")))
+    pe_num = ma.agg(F.sum(F.col("ct") * F.col("cp")).alias("s")) \
+        .collect()[0]["s"]
+    po = agree / tot
+    pe = pe_num / (tot * tot)
+    kappa = (po - pe) / (1 - pe) if pe != 1 else 0.0
+    return spark.createDataFrame(
+        [(int(tot), int(agree), round(po, 6), round(pe, 6),
+          round(kappa, 6))],
+        "n_docs long, n_agree long, p_observed double, "
+        "p_expected double, kappa double")
+
+
+def agg_cohens_kappa_sql():
+    inner = textstats.lang_id_sql()
+    return f"""
+WITH pred AS ({inner}),
+j AS (
+  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(c) AS t FROM j),
+agree AS (SELECT coalesce(sum(c), 0) AS a FROM j
+          WHERE lang = pred_lang),
+ma AS (SELECT lang AS l, sum(c) AS ct FROM j GROUP BY 1),
+mb AS (SELECT pred_lang AS l, sum(c) AS cp FROM j GROUP BY 1),
+pe AS (
+  SELECT sum(coalesce(ma.ct, 0) * coalesce(mb.cp, 0)) AS s
+  FROM ma FULL JOIN mb USING (l)
+)
+SELECT CAST(t.t AS BIGINT) AS n_docs, CAST(a.a AS BIGINT) AS n_agree,
+       round(CAST(a.a AS DOUBLE) / t.t, 6) AS p_observed,
+       round(CAST(pe.s AS DOUBLE) / (CAST(t.t AS DOUBLE) * t.t), 6)
+         AS p_expected,
+       round((CAST(a.a AS DOUBLE) / t.t
+              - CAST(pe.s AS DOUBLE) / (CAST(t.t AS DOUBLE) * t.t))
+             / (1 - CAST(pe.s AS DOUBLE)
+                    / (CAST(t.t AS DOUBLE) * t.t)), 6) AS kappa
+FROM tot t CROSS JOIN agree a CROSS JOIN pe
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -21693,6 +21912,9 @@ QUERIES = {
     "text_cross_lang_dup_audit": text_cross_lang_dup_audit,
     "window_diurnal_archetypes": window_diurnal_archetypes,
     "window_coverage_gaps_hourly": window_coverage_gaps_hourly,
+    "window_mtbf_mttr": window_mtbf_mttr,
+    "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact,
+    "agg_cohens_kappa": agg_cohens_kappa,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -21990,6 +22212,9 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "window_mtbf_mttr": window_mtbf_mttr_sql(),
+    "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact_sql(),
+    "agg_cohens_kappa": agg_cohens_kappa_sql(),
     "text_cross_lang_dup_audit": text_cross_lang_dup_audit_sql(),
     "window_diurnal_archetypes": window_diurnal_archetypes_sql(),
     "window_coverage_gaps_hourly": window_coverage_gaps_hourly_sql(),
