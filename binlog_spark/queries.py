@@ -21666,6 +21666,317 @@ FROM tot t CROSS JOIN agree a CROSS JOIN pe
 """
 
 
+def agg_price_volume_decomposition(spark, sf_dir):
+    """Price-volume decomposition of the week-over-week revenue delta
+    (the FP&A bridge): Δrev = Δn·p̄₀ + n₀·Δp̄ + Δn·Δp̄ — volume
+    effect, price effect, and the mix cross-term, per order priority
+    between weeks 0-1 and 2-3. Exact cents/count sums; three shared
+    double products, which must reconcile to the exact revenue delta
+    (emitted as a check column in micro-cents).
+
+    Scale shape: ONE (priority, period) fold + arithmetic on the
+    |priorities| frame.
+
+    Reference parity: none; business-analytics family (SURVEY
+    §2.2)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+         / F.lit(86_400_000_000 * 7)).cast("long").alias("awk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    w0 = o.agg(F.min("awk").alias("w")).collect()[0]["w"]
+    per = (o.withColumn("p", F.expr(f"(awk - {w0}) div 2"))
+           .where(F.col("p") < 2)
+           .groupBy("o_orderpriority", "p")
+           .agg(F.count("*").alias("n"), F.sum("cents").alias("s")))
+    a = per.where(F.col("p") == 0).select(
+        "o_orderpriority", F.col("n").alias("n0"), F.col("s").alias("s0"))
+    b = per.where(F.col("p") == 1).select(
+        "o_orderpriority", F.col("n").alias("n1"), F.col("s").alias("s1"))
+    j = a.join(b, "o_orderpriority")
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    p0 = F.col("s0").cast("double") / n0
+    p1 = F.col("s1").cast("double") / n1
+    dn, dp = n1 - n0, p1 - p0
+    return (j.select(
+        "o_orderpriority",
+        (F.col("s1") - F.col("s0")).alias("rev_delta_cents"),
+        F.round(dn * p0, 6).alias("volume_effect"),
+        F.round(n0 * dp, 6).alias("price_effect"),
+        F.round(dn * dp, 6).alias("mix_effect"),
+        (F.round(dn * p0 + n0 * dp + dn * dp
+                 - (F.col("s1") - F.col("s0")).cast("double"), 6)
+         + F.lit(0.0)).alias("reconciliation_residual"))
+        .orderBy("o_orderpriority"))
+
+
+def agg_price_volume_decomposition_sql():
+    return """
+WITH o AS (
+  SELECT o_orderpriority,
+         (epoch_us(o_orderdate) // (86400000000 * 7)
+          - (SELECT min(epoch_us(o_orderdate) // (86400000000 * 7))
+             FROM orders)) // 2 AS p,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT o_orderpriority, p, CAST(count(*) AS BIGINT) AS n,
+         sum(cents) AS s
+  FROM o WHERE p < 2 GROUP BY 1, 2
+)
+SELECT a.o_orderpriority,
+       CAST(b.s - a.s AS BIGINT) AS rev_delta_cents,
+       round((b.n - CAST(a.n AS DOUBLE))
+             * (CAST(a.s AS DOUBLE) / a.n), 6) AS volume_effect,
+       round(a.n * (CAST(b.s AS DOUBLE) / b.n
+                    - CAST(a.s AS DOUBLE) / a.n), 6) AS price_effect,
+       round((b.n - CAST(a.n AS DOUBLE))
+             * (CAST(b.s AS DOUBLE) / b.n
+                - CAST(a.s AS DOUBLE) / a.n), 6) AS mix_effect,
+       round((b.n - CAST(a.n AS DOUBLE))
+               * (CAST(a.s AS DOUBLE) / a.n)
+             + a.n * (CAST(b.s AS DOUBLE) / b.n
+                      - CAST(a.s AS DOUBLE) / a.n)
+             + (b.n - CAST(a.n AS DOUBLE))
+               * (CAST(b.s AS DOUBLE) / b.n
+                  - CAST(a.s AS DOUBLE) / a.n)
+             - CAST(b.s - a.s AS DOUBLE), 6) + 0.0
+         AS reconciliation_residual
+FROM per a JOIN per b
+  ON b.o_orderpriority = a.o_orderpriority AND a.p = 0 AND b.p = 1
+ORDER BY a.o_orderpriority
+"""
+
+
+def cdc_null_key_quarantine(spark, sf_dir):
+    """Null-key quarantine — the unkeyable-row DLQ pattern: rows
+    whose MERGE key is NULL (simulated: every 101st user id nulled,
+    the upstream-extraction bug shape) cannot be routed to a bucket
+    and must quarantine rather than silently drop or collide on a
+    sentinel. Per type: quarantined counts/rate plus the bucket the
+    naive coalesce(key, 0) WOULD have polluted — making the cost of
+    the wrong fix visible.
+
+    Scale shape: map-side nullif + ONE (type) fold; the quarantine
+    set itself is a pushed filter.
+
+    Reference parity: the reference errors the whole stream on a
+    primary-key anomaly; a lake sink quarantines and continues
+    (SURVEY §2.1 P26/P29 delivery semantics)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("nullif(user_id, (user_id div 101) * 101)").alias("k"))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("k").isNull().cast("long"))
+                 .alias("n_quarantined"))
+            .withColumn("quarantine_ppm",
+                        F.expr("n_quarantined * 1000000 div n_rows"))
+            .withColumn("naive_sentinel_bucket",
+                        F.lit(0).cast("long"))
+            .orderBy("event_type"))
+
+
+def cdc_null_key_quarantine_sql():
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN nullif(user_id, (user_id // 101) * 101)
+                          IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       sum(CASE WHEN nullif(user_id, (user_id // 101) * 101) IS NULL
+                THEN 1 ELSE 0 END) * 1000000 // count(*)
+         AS quarantine_ppm,
+       CAST(0 AS BIGINT) AS naive_sentinel_bucket
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def graph_edge_hygiene_audit(spark, sf_dir):
+    """Edge-list hygiene audit of the raw md5 link graph BEFORE
+    symmetrization: self-loops, parallel edges, and the dedup yield —
+    the counts every graph pipeline logs before its algorithms run
+    (a CC/PageRank result is only as meaningful as the edge cleaning
+    that preceded it; `graph_reciprocity` measures structure, this
+    measures hygiene).
+
+    Scale shape: two folds on the edge list (raw count + distinct
+    count) and a self-loop filter — no joins.
+
+    Reference parity: none; graph family (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    h = F.md5(F.col("doc_id").cast("string"))
+    dsts = [F.conv(F.substring(h, 1 + 8 * j, 7), 16, 10).cast("long") % n
+            for j in range(3)]
+    raw = docs.select(F.col("doc_id").alias("a"),
+                      F.explode(F.array(*dsts)).alias("b"))
+    n_raw = raw.count()
+    n_self = raw.where(F.col("a") == F.col("b")).count()
+    n_distinct = raw.where(F.col("a") != F.col("b")).distinct().count()
+    return spark.createDataFrame(
+        [(n_raw, n_self, n_raw - n_self - n_distinct, n_distinct)],
+        "n_raw_edges long, n_self_loops long, n_parallel_dupes long, "
+        "n_clean_edges long")
+
+
+def graph_edge_hygiene_audit_sql():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS a,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1 + 8 * j, 7))::BIGINT
+             % (SELECT n FROM nn) AS b
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) AS n_raw_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM raw WHERE a = b)
+         AS n_self_loops,
+       (SELECT CAST(count(*) AS BIGINT) FROM raw)
+         - (SELECT CAST(count(*) AS BIGINT) FROM raw WHERE a = b)
+         - (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT a, b FROM raw WHERE a != b))
+         AS n_parallel_dupes,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT a, b FROM raw WHERE a != b))
+         AS n_clean_edges
+"""
+
+
+def sketch_bloom_sizing_plan(spark, sf_dir):
+    """Bloom-filter sizing calculator: for each event type's observed
+    distinct-key count n, the bits m = ⌈−n·ln p / (ln 2)²⌉ and hash
+    count k = round(m/n·ln 2) that hit target false-positive rates
+    of 1% and 0.1% — the capacity-planning table that precedes
+    `sketch_bloom_filter` (which builds at a FIXED size) and
+    `sketch_bloom_fpr_audit` (which measures what that size bought).
+    Exact distinct counts; the formulas are shared double
+    expressions floored/rounded identically.
+
+    Scale shape: ONE distinct fold + map-side formulas on the
+    |types| frame.
+
+    Reference parity: none; sketch family (SURVEY §2.2)."""
+    import math as _m
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_keys"))
+    outs = []
+    for p in (0.01, 0.001):
+        ln2sq = _m.log(2.0) ** 2
+        m = F.ceil(-F.col("n_keys").cast("double") * _m.log(p) / ln2sq) \
+            .cast("long")
+        kk = F.round(m.cast("double") / F.col("n_keys").cast("double")
+                     * _m.log(2.0)).cast("long")
+        outs.append(per.select(
+            "event_type",
+            F.lit(int(p * 10000)).cast("long").alias("target_fpr_bp"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            m.alias("bits_m"), kk.alias("hashes_k"),
+            F.expr("CAST(ceil(-CAST(n_keys AS DOUBLE) * "
+                   f"{_m.log(p)!r} / {ln2sq!r}) AS BIGINT)"
+                   " div greatest(n_keys, 1)").alias("bits_per_key")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "target_fpr_bp")
+
+
+def sketch_bloom_sizing_plan_sql():
+    import math as _m
+    ln2sq = _m.log(2.0) ** 2
+    sels = []
+    for p in (0.01, 0.001):
+        sels.append(f"""
+SELECT event_type, CAST({int(p * 10000)} AS BIGINT) AS target_fpr_bp,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(ceil(-CAST(count(DISTINCT user_id) AS DOUBLE)
+                 * {_m.log(p)!r} / {ln2sq!r}) AS BIGINT) AS bits_m,
+       CAST(round(CAST(ceil(-CAST(count(DISTINCT user_id) AS DOUBLE)
+                            * {_m.log(p)!r} / {ln2sq!r}) AS DOUBLE)
+                  / count(DISTINCT user_id) * {_m.log(2.0)!r})
+            AS BIGINT) AS hashes_k,
+       CAST(ceil(-CAST(count(DISTINCT user_id) AS DOUBLE)
+                 * {_m.log(p)!r} / {ln2sq!r}) AS BIGINT)
+         // greatest(count(DISTINCT user_id), 1) AS bits_per_key
+FROM events GROUP BY 1""")
+    return " UNION ALL ".join(sels) + "\nORDER BY event_type, target_fpr_bp\n"
+
+
+def join_snowflake_chain_integrity(spark, sf_dir):
+    """Snowflake-chain referential integrity sweep: orphan rates at
+    EVERY level of the region ← nation ← customer ← orders chain in
+    one report — the dimension-load acceptance check a warehouse
+    runs after each refresh (`sql_fk_orphan_audit` checks one edge;
+    a snowflake breaks anywhere along the chain). Broadcast anti
+    joins per level; all counts exact.
+
+    Scale shape: three anti joins, each against a broadcast parent
+    key set; one 3-row result.
+
+    Reference parity: none; join/modeling family (SURVEY §2.2)."""
+    region = _t(spark, sf_dir, "region").select("r_regionkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    rows = []
+    for name, child, key, parent, pkey in (
+            ("nation->region", nation, "n_regionkey", region,
+             "r_regionkey"),
+            ("customer->nation", cust, "c_nationkey", nation,
+             "n_nationkey"),
+            ("orders->customer", orders, "o_custkey", cust,
+             "c_custkey")):
+        total = child.count()
+        orphans = child.join(
+            F.broadcast(parent.select(F.col(pkey).alias(key))),
+            key, "left_anti").count()
+        rows.append((name, total, orphans,
+                     orphans * 1_000_000 // max(total, 1)))
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_child_rows long, n_orphans long, "
+              "orphan_ppm long").orderBy("fk_edge")
+
+
+def join_snowflake_chain_integrity_sql():
+    return """
+SELECT 'customer->nation' AS fk_edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+         AS n_orphans,
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+         * 1000000 // greatest((SELECT count(*) FROM customer), 1)
+         AS orphan_ppm
+UNION ALL
+SELECT 'nation->region',
+       (SELECT CAST(count(*) AS BIGINT) FROM nation),
+       (SELECT CAST(count(*) AS BIGINT) FROM nation x
+        WHERE NOT EXISTS (SELECT 1 FROM region r
+                          WHERE r.r_regionkey = x.n_regionkey)),
+       (SELECT count(*) FROM nation x
+        WHERE NOT EXISTS (SELECT 1 FROM region r
+                          WHERE r.r_regionkey = x.n_regionkey))
+         * 1000000 // greatest((SELECT count(*) FROM nation), 1)
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+         * 1000000 // greatest((SELECT count(*) FROM orders), 1)
+ORDER BY fk_edge
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -21915,6 +22226,11 @@ QUERIES = {
     "window_mtbf_mttr": window_mtbf_mttr,
     "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact,
     "agg_cohens_kappa": agg_cohens_kappa,
+    "agg_price_volume_decomposition": agg_price_volume_decomposition,
+    "cdc_null_key_quarantine": cdc_null_key_quarantine,
+    "graph_edge_hygiene_audit": graph_edge_hygiene_audit,
+    "sketch_bloom_sizing_plan": sketch_bloom_sizing_plan,
+    "join_snowflake_chain_integrity": join_snowflake_chain_integrity,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -22212,6 +22528,13 @@ SELECT CAST(6 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS n_ddls,
 """
 
 ORACLES = {
+    "agg_price_volume_decomposition":
+        agg_price_volume_decomposition_sql(),
+    "cdc_null_key_quarantine": cdc_null_key_quarantine_sql(),
+    "graph_edge_hygiene_audit": graph_edge_hygiene_audit_sql(),
+    "sketch_bloom_sizing_plan": sketch_bloom_sizing_plan_sql(),
+    "join_snowflake_chain_integrity":
+        join_snowflake_chain_integrity_sql(),
     "window_mtbf_mttr": window_mtbf_mttr_sql(),
     "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact_sql(),
     "agg_cohens_kappa": agg_cohens_kappa_sql(),
