@@ -21977,398 +21977,6 @@ ORDER BY fk_edge
 """
 
 
-def agg_ks_two_sample(spark, sf_dir):
-    """Two-sample Kolmogorov–Smirnov statistic between the `value`
-    distributions of click vs purchase events — the
-    distribution-equality test that needs no binning choice (unlike
-    PSI, `agg_value_psi_drift`) and no normality assumption (unlike
-    the t-shaped gates): D = max |F₁ − F₂| over the merged support,
-    evaluated exactly on micro-quantized values. The max is taken on
-    the INTEGER cross-product numerator |k₁n₂ − k₂n₁| (decimal(38)
-    sums), so argmax and D are order-free; the reported location is
-    the smallest value attaining D.
-
-    Scale shape: one fold to the distinct-value frame, then ONE
-    ordered pass over that frame (a single series per compared pair
-    — the same bounded-series shape as the ECDF/Lorenz family; for
-    unbounded value domains, pre-bin first).
-
-    Reference parity: none; statistical-testing family (SURVEY
-    §2.2)."""
-    ev = (_t(spark, sf_dir, "events")
-          .where(F.col("event_type").isin("click", "purchase"))
-          .select(F.floor(F.col("value") * 1e6).cast("long").alias("v"),
-                  (F.col("event_type") == "click").cast("long")
-                  .alias("g1")))
-    per = (ev.groupBy("v")
-           .agg(F.sum("g1").alias("c1"),
-                (F.count("*") - F.sum("g1")).alias("c2")))
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
-    cum = per.select(
-        "v",
-        F.sum("c1").over(wc).cast("decimal(38,0)").alias("k1"),
-        F.sum("c2").over(wc).cast("decimal(38,0)").alias("k2"),
-        F.sum("c1").over(wt).cast("decimal(38,0)").alias("n1"),
-        F.sum("c2").over(wt).cast("decimal(38,0)").alias("n2"))
-    d = cum.withColumn(
-        "dnum", F.abs(F.col("k1") * F.col("n2")
-                      - F.col("k2") * F.col("n1")))
-    d = d.withColumn("mx", F.max("dnum").over(wt))
-    return (d.where(F.col("dnum") == F.col("mx"))
-            .groupBy("n1", "n2", "mx")
-            .agg(F.min("v").alias("at"))
-            .select(F.col("n1").cast("long").alias("n_click"),
-                    F.col("n2").cast("long").alias("n_purchase"),
-                    F.round(F.col("mx").cast("double")
-                            / (F.col("n1") * F.col("n2")).cast("double"),
-                            6).alias("ks_d"),
-                    F.col("at").alias("ks_at_value_micro")))
-
-
-def agg_ks_two_sample_sql():
-    return """
-WITH ev AS (
-  SELECT CAST(floor(value * 1e6) AS BIGINT) AS v,
-         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
-  FROM events WHERE event_type IN ('click', 'purchase')
-),
-per AS (
-  SELECT v, CAST(sum(g1) AS DECIMAL(38,0)) AS c1,
-         CAST(count(*) - sum(g1) AS DECIMAL(38,0)) AS c2
-  FROM ev GROUP BY 1
-),
-cum AS (
-  SELECT v,
-         sum(c1) OVER (ORDER BY v
-                       ROWS UNBOUNDED PRECEDING) AS k1,
-         sum(c2) OVER (ORDER BY v
-                       ROWS UNBOUNDED PRECEDING) AS k2,
-         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
-  FROM per
-),
-d AS (
-  SELECT v, n1, n2, abs(k1 * n2 - k2 * n1) AS dnum,
-         max(abs(k1 * n2 - k2 * n1)) OVER () AS mx
-  FROM cum
-)
-SELECT CAST(n1 AS BIGINT) AS n_click,
-       CAST(n2 AS BIGINT) AS n_purchase,
-       round(CAST(mx AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
-       min(v) AS ks_at_value_micro
-FROM d WHERE dnum = mx
-GROUP BY n1, n2, mx
-"""
-
-
-def agg_mann_whitney_u(spark, sf_dir):
-    """Mann–Whitney U (Wilcoxon rank-sum) between click and purchase
-    `value` samples — the nonparametric location test to pair with
-    the KS shape test: U, the tie-corrected normal z (no continuity
-    correction — shared convention with the oracle), and the
-    rank-biserial effect size r = 1 − 2U/(n₁n₂). Tie handling is
-    exact: ranks are carried DOUBLED (2·rank is always integer even
-    for .5 tie-averages), every moment is an integer/decimal(38)
-    fold, and the single double expression at the end is shared with
-    the oracle verbatim.
-
-    Scale shape: one fold to the distinct-value frame, one ordered
-    pass for cumulative counts, one moment fold — no per-row ranks
-    over the raw sample.
-
-    Reference parity: none; statistical-testing family (SURVEY
-    §2.2)."""
-    ev = (_t(spark, sf_dir, "events")
-          .where(F.col("event_type").isin("click", "purchase"))
-          .select(F.floor(F.col("value") * 1e6).cast("long").alias("v"),
-                  (F.col("event_type") == "click").cast("long")
-                  .alias("g1")))
-    per = (ev.groupBy("v")
-           .agg(F.sum("g1").alias("c1"),
-                (F.count("*") - F.sum("g1")).alias("c2")))
-    per = per.withColumn("c", F.col("c1") + F.col("c2"))
-    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    r = per.withColumn(
-        "before", F.coalesce(F.sum("c").over(wb), F.lit(0)))
-    # doubled average rank of the tie group at v
-    r = r.withColumn("dr", 2 * F.col("before") + F.col("c") + 1)
-    dec = "decimal(38,0)"
-    m = r.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
-        F.sum((F.col("c1") * F.col("dr")).cast(dec)).alias("r1d"),
-        F.sum((F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-              .cast(dec)).alias("ties"))
-    n1 = F.col("n1").cast("double")
-    n2 = F.col("n2").cast("double")
-    n = n1 + n2
-    u1 = (F.col("r1d").cast("double") - n1 * (n1 + 1)) / 2
-    var = (n1 * n2 / 12) * ((n + 1) - F.col("ties").cast("double")
-                            / (n * (n - 1)))
-    z = (u1 - n1 * n2 / 2) / F.sqrt(var)
-    return m.select(
-        "n1", "n2", F.round(u1, 6).alias("u_click"),
-        F.round(z, 6).alias("z_score"),
-        F.round(F.lit(1.0) - 2 * u1 / (n1 * n2), 6)
-        .alias("rank_biserial"))
-
-
-def agg_mann_whitney_u_sql():
-    return """
-WITH ev AS (
-  SELECT CAST(floor(value * 1e6) AS BIGINT) AS v,
-         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
-  FROM events WHERE event_type IN ('click', 'purchase')
-),
-per AS (
-  SELECT v, sum(g1) AS c1, count(*) - sum(g1) AS c2,
-         CAST(count(*) AS BIGINT) AS c
-  FROM ev GROUP BY 1
-),
-r AS (
-  SELECT c1, c2, c,
-         2 * coalesce(sum(c) OVER (ORDER BY v
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING), 0) + c + 1 AS dr
-  FROM per
-),
-m AS (
-  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
-         sum(CAST(c1 * dr AS DECIMAL(38,0))) AS r1d,
-         sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS ties
-  FROM r
-)
-SELECT n1, n2,
-       round((CAST(r1d AS DOUBLE)
-              - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2, 6) AS u_click,
-       round(((CAST(r1d AS DOUBLE)
-               - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
-              - CAST(n1 AS DOUBLE) * n2 / 2)
-             / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
-                    * ((CAST(n1 AS DOUBLE) + n2 + 1)
-                       - CAST(ties AS DOUBLE)
-                         / ((CAST(n1 AS DOUBLE) + n2)
-                            * (CAST(n1 AS DOUBLE) + n2 - 1)))), 6)
-         AS z_score,
-       round(1.0 - 2 * ((CAST(r1d AS DOUBLE)
-                         - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2)
-                   / (CAST(n1 AS DOUBLE) * n2), 6) AS rank_biserial
-FROM m
-"""
-
-
-def agg_spearman_daily(spark, sf_dir):
-    """Spearman rank correlation between the daily order count and
-    the daily revenue across the order-date series — the monotone-
-    association check that is robust to the revenue tail (its
-    Pearson companion on raw values is `window_rolling_corr_pair`).
-    Tie-averaged ranks are carried doubled (always integer), the
-    five moment sums are exact integer folds over the day frame, and
-    ρ is Pearson-on-ranks as one shared double expression.
-
-    Scale shape: ONE day fold, ranks over the bounded day frame
-    (|days| rows), one moment fold.
-
-    Reference parity: none; statistical-testing family (SURVEY
-    §2.2)."""
-    daily = (_t(spark, sf_dir, "orders")
-             .groupBy((F.unix_micros(F.col("o_orderdate")
-                                     .cast("timestamp"))
-                       / F.lit(86_400_000_000)).cast("long").alias("day"))
-             .agg(F.count("*").alias("n"),
-                  F.sum(F.round(F.col("o_totalprice") * 100)
-                        .cast("long")).alias("s")))
-    drn = (2 * F.rank().over(Window.orderBy("n"))
-           + F.count("*").over(Window.partitionBy("n")) - 1)
-    drs = (2 * F.rank().over(Window.orderBy("s"))
-           + F.count("*").over(Window.partitionBy("s")) - 1)
-    rk = daily.select(drn.alias("x"), drs.alias("y"))
-    m = rk.agg(F.count("*").cast("long").alias("m"),
-               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-               F.sum(F.col("x") * F.col("y")).alias("sxy"),
-               F.sum(F.col("x") * F.col("x")).alias("sxx"),
-               F.sum(F.col("y") * F.col("y")).alias("syy"))
-    md = F.col("m").cast("double")
-    sx, sy, sxy, sxx, syy = [F.col(c).cast("double") for c in
-                             ("sx", "sy", "sxy", "sxx", "syy")]
-    rho = ((md * sxy - sx * sy)
-           / (F.sqrt(md * sxx - sx * sx) * F.sqrt(md * syy - sy * sy)))
-    return m.select(F.col("m").alias("n_days"),
-                    F.round(rho, 6).alias("spearman_rho"))
-
-
-def agg_spearman_daily_sql():
-    return """
-WITH daily AS (
-  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-         CAST(count(*) AS BIGINT) AS n,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
-  FROM orders GROUP BY 1
-),
-rk AS (
-  SELECT 2 * rank() OVER (ORDER BY n)
-           + count(*) OVER (PARTITION BY n) - 1 AS x,
-         2 * rank() OVER (ORDER BY s)
-           + count(*) OVER (PARTITION BY s) - 1 AS y
-  FROM daily
-),
-m AS (
-  SELECT CAST(count(*) AS BIGINT) AS m, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-  FROM rk
-)
-SELECT m AS n_days,
-       round((m * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(m * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(m * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-         AS spearman_rho
-FROM m
-"""
-
-
-# Benford expected first-digit shares log10(1 + 1/d) — one shared
-# literal table for both engines (transcendentals never recomputed)
-_BENFORD_P = {
-    1: 0.3010299956639812, 2: 0.17609125905568124,
-    3: 0.12493873660829993, 4: 0.09691001300805642,
-    5: 0.07918124604762482, 6: 0.06694678963061322,
-    7: 0.05799194697768673, 8: 0.05115252244738129,
-    9: 0.04575749056067514,
-}
-
-
-def agg_benford_first_digit(spark, sf_dir):
-    """Benford first-digit audit of order totals — the fabricated-
-    data / unit-mix smell test: observed first-significant-digit
-    shares vs log10(1+1/d) expectations with per-digit χ²
-    contributions. The digit is extracted from the INTEGER cents
-    string (never floating log10, whose last-ulp behavior differs
-    across libm builds); expected shares are shared literals from
-    `_BENFORD_P`; all-9-digit coverage is guaranteed by a right join
-    against the digit dimension.
-
-    Scale shape: map-side digit extraction + ONE 9-row fold; the
-    digit dimension is a broadcast literal.
-
-    Reference parity: none; data-quality family (SURVEY §2.2)."""
-    c = (_t(spark, sf_dir, "orders")
-         .select(F.floor(F.col("o_totalprice") * 100).cast("long")
-                 .alias("cents"))
-         .where(F.col("cents") > 0)
-         .select(F.substring(F.col("cents").cast("string"), 1, 1)
-                 .cast("long").alias("digit")))
-    counts = c.groupBy("digit").agg(F.count("*").alias("n_obs"))
-    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
-    j = (digits.join(counts, "digit", "left")
-         .select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")))
-    j = j.withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
-    pmap = F.create_map(*[F.lit(x) for kv in _BENFORD_P.items()
-                          for x in kv])
-    p = F.element_at(pmap, F.col("digit").cast("int"))
-    nobs = F.col("n_obs").cast("double")
-    expn = p * F.col("n_total").cast("double")
-    return (j.select(
-        "digit", "n_obs",
-        F.round(nobs / F.col("n_total").cast("double"), 6)
-        .alias("observed_share"),
-        F.round(p, 6).alias("benford_share"),
-        F.round((nobs - expn) * (nobs - expn) / expn, 6)
-        .alias("chi2_contrib"))
-        .orderBy("digit"))
-
-
-def agg_benford_first_digit_sql():
-    dims = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
-    return f"""
-WITH c AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM orders WHERE floor(o_totalprice * 100) > 0
-),
-counts AS (
-  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1
-),
-dims AS (SELECT digit, CAST(p AS DOUBLE) AS p
-         FROM (VALUES {dims}) AS t(digit, p)),
-j AS (
-  SELECT CAST(d.digit AS BIGINT) AS digit,
-         coalesce(counts.n_obs, 0) AS n_obs, d.p
-  FROM dims d LEFT JOIN counts ON counts.digit = d.digit
-),
-t AS (SELECT j.*, sum(n_obs) OVER () AS n_total FROM j)
-SELECT digit, n_obs,
-       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS observed_share,
-       round(p, 6) AS benford_share,
-       round((n_obs - p * n_total) * (n_obs - p * n_total)
-             / (p * n_total), 6) AS chi2_contrib
-FROM t ORDER BY digit
-"""
-
-
-def window_max_drawdown(spark, sf_dir):
-    """Maximum drawdown of the daily-revenue series per order
-    priority — running-peak minus current in exact cents, the
-    worst peak-to-trough decline and the day it bottomed (smallest
-    such day on ties). The finance risk statistic re-read as an
-    operations one: how far below its best day has this revenue
-    stream fallen, and when.
-
-    Scale shape: ONE (priority, day) fold + a running max over each
-    bounded per-priority day series + one fold to the |priorities|
-    frame.
-
-    Reference parity: none; series-analytics family (SURVEY §2.2)."""
-    daily = (_t(spark, sf_dir, "orders")
-             .groupBy("o_orderpriority",
-                      (F.unix_micros(F.col("o_orderdate")
-                                     .cast("timestamp"))
-                       / F.lit(86_400_000_000)).cast("long").alias("day"))
-             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
-                        .cast("long")).alias("s")))
-    w = (Window.partitionBy("o_orderpriority").orderBy("day")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    d = (daily.withColumn("rm", F.max("s").over(w))
-         .withColumn("dd", F.col("rm") - F.col("s")))
-    agg = (d.groupBy("o_orderpriority")
-           .agg(F.count("*").cast("long").alias("n_days"),
-                F.max("dd").alias("max_drawdown_cents")))
-    return (d.join(agg, "o_orderpriority")
-            .where(F.col("dd") == F.col("max_drawdown_cents"))
-            .groupBy("o_orderpriority", "n_days", "max_drawdown_cents")
-            .agg(F.min("day").alias("trough_day"))
-            .orderBy("o_orderpriority"))
-
-
-def window_max_drawdown_sql():
-    return """
-WITH daily AS (
-  SELECT o_orderpriority, epoch_us(o_orderdate) // 86400000000 AS day,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
-  FROM orders GROUP BY 1, 2
-),
-d AS (
-  SELECT o_orderpriority, day, s,
-         max(s) OVER (PARTITION BY o_orderpriority ORDER BY day
-                      ROWS UNBOUNDED PRECEDING) - s AS dd
-  FROM daily
-),
-agg AS (
-  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_days,
-         max(dd) AS max_drawdown_cents
-  FROM d GROUP BY 1
-)
-SELECT d.o_orderpriority, agg.n_days, agg.max_drawdown_cents,
-       min(d.day) AS trough_day
-FROM d JOIN agg ON d.o_orderpriority = agg.o_orderpriority
-               AND d.dd = agg.max_drawdown_cents
-GROUP BY 1, 2, 3
-ORDER BY 1
-"""
-
-
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -22623,11 +22231,6 @@ QUERIES = {
     "graph_edge_hygiene_audit": graph_edge_hygiene_audit,
     "sketch_bloom_sizing_plan": sketch_bloom_sizing_plan,
     "join_snowflake_chain_integrity": join_snowflake_chain_integrity,
-    "agg_ks_two_sample": agg_ks_two_sample,
-    "agg_mann_whitney_u": agg_mann_whitney_u,
-    "agg_spearman_daily": agg_spearman_daily,
-    "agg_benford_first_digit": agg_benford_first_digit,
-    "window_max_drawdown": window_max_drawdown,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -22932,11 +22535,6 @@ ORACLES = {
     "sketch_bloom_sizing_plan": sketch_bloom_sizing_plan_sql(),
     "join_snowflake_chain_integrity":
         join_snowflake_chain_integrity_sql(),
-    "agg_ks_two_sample": agg_ks_two_sample_sql(),
-    "agg_mann_whitney_u": agg_mann_whitney_u_sql(),
-    "agg_spearman_daily": agg_spearman_daily_sql(),
-    "agg_benford_first_digit": agg_benford_first_digit_sql(),
-    "window_max_drawdown": window_max_drawdown_sql(),
     "window_mtbf_mttr": window_mtbf_mttr_sql(),
     "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact_sql(),
     "agg_cohens_kappa": agg_cohens_kappa_sql(),
