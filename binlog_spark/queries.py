@@ -21977,6 +21977,270 @@ ORDER BY fk_edge
 """
 
 
+# Poisson(1) CDF at k = 0..7 — shared literals for the inverse-CDF
+# lookup that turns a hash-uniform into a bootstrap resampling weight
+# (both engines compare against the same doubles; e^{-1} never
+# recomputed). P(w > 7) < 1.03e-5 — the tail is folded into w = 7.
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847,
+              0.9196986029286058, 0.9810118431238463,
+              0.9963401531726563, 0.9994058151824183,
+              0.999916758850712)
+_HASH48 = 281474976710656.0  # 2^48, the 12-hex-digit hash range
+
+
+def agg_poisson_bootstrap_ci(spark, sf_dir):
+    """Distributed Poisson bootstrap 95% CI for the mean event value
+    per type — THE bootstrap that works on a cluster: instead of
+    resampling n rows with replacement (which needs global
+    coordination), every row independently receives a Poisson(1)
+    weight per replicate, so the whole procedure is a map-side
+    explode followed by one weighted fold. Weights are DERIVED, not
+    drawn: u = hash48(event_id, replicate)/2^48 through the shared
+    Poisson(1) inverse-CDF literals (`_POIS1_CDF`), so Spark and the
+    oracle materialize byte-identical resamples. B = 64 replicates;
+    the CI is the 2nd/63rd order statistic of the replicate means
+    (2.5%/97.5% with ceil convention), ties broken by replicate id.
+
+    Scale shape: map-side 64x explode + ONE (type, replicate) fold
+    (decimal(38) products) + an order-statistic pick over the
+    64-row-per-type frame. No global resample, no driver loop.
+
+    Reference parity: none; statistical-inference family (SURVEY
+    §2.2)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", "event_id",
+                  F.round(F.col("value") * 1e6).cast("long").alias("vq"))
+          .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(63)))))
+    u = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("event_id").cast("string"),
+                          F.col("b").cast("string"))), 1, 12),
+        16, 10).cast("long").cast("double") / F.lit(_HASH48))
+    w = F.lit(7)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (ev.withColumn("w", w)
+           .groupBy("event_type", "b")
+           .agg(F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+                F.sum((F.col("w") * F.col("vq")).cast("decimal(38,0)"))
+                .alias("swv")))
+    rep = rep.withColumn(
+        "mean_micro", F.col("swv").cast("double") / F.col("sw")
+        .cast("double"))
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_micro", "b"))
+    picks = (rep.withColumn("rn", rn)
+             .where(F.col("rn").isin(2, 63))
+             .groupBy("event_type")
+             .agg(F.min("mean_micro").alias("lo_micro"),
+                  F.max("mean_micro").alias("hi_micro")))
+    point = (_t(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum(F.round(F.col("value") * 1e6).cast("long"))
+                  .alias("sv")))
+    return (point.join(picks, "event_type")
+            .select("event_type", "n",
+                    F.round(F.col("sv").cast("double") / F.col("n")
+                            / 1e6, 6).alias("mean_value"),
+                    F.round(F.col("lo_micro") / 1e6, 6).alias("ci_lo"),
+                    F.round(F.col("hi_micro") / 1e6, 6).alias("ci_hi"))
+            .orderBy("event_type"))
+
+
+def agg_poisson_bootstrap_ci_sql():
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {k}"
+        for k, c in enumerate(_POIS1_CDF))
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS vq, reps.b
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) reps
+),
+uw AS (
+  SELECT event_type, b, vq,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                  || CAST(b AS VARCHAR)), 1, 12))::BIGINT
+              AS DOUBLE) / {_HASH48!r} AS u
+  FROM ev
+),
+wts AS (
+  SELECT event_type, b, vq,
+         CASE {cases} ELSE 7 END AS w
+  FROM uw
+),
+rep AS (
+  SELECT event_type, b,
+         sum(CAST(w AS DECIMAL(38,0))) AS sw,
+         sum(CAST(w * vq AS DECIMAL(38,0))) AS swv
+  FROM wts GROUP BY 1, 2
+),
+rm AS (
+  SELECT event_type, b,
+         CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(swv AS DOUBLE)
+                                     / CAST(sw AS DOUBLE), b) AS rn
+  FROM rep
+),
+picks AS (
+  SELECT event_type, min(mean_micro) AS lo_micro,
+         max(mean_micro) AS hi_micro
+  FROM rm WHERE rn IN (2, 63) GROUP BY 1
+),
+point AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS sv
+  FROM events GROUP BY 1
+)
+SELECT point.event_type, point.n,
+       round(CAST(sv AS DOUBLE) / n / 1e6, 6) AS mean_value,
+       round(lo_micro / 1e6, 6) AS ci_lo,
+       round(hi_micro / 1e6, 6) AS ci_hi
+FROM point JOIN picks USING (event_type)
+ORDER BY event_type
+"""
+
+
+def privacy_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity risk audit of the documents table under the
+    quasi-identifier (lang, source, length-bucket) — the
+    re-identification exposure profile a privacy review asks for
+    before a release: for each k threshold, how many equivalence
+    classes fall below it and how many rows they expose. The
+    length bucket is n_chars div 100 (coarse enough to be a
+    realistic QI, fine enough to split classes). Pure integer
+    counting; thresholds are a broadcast literal dimension.
+
+    Scale shape: ONE QI-class fold + a 3-row broadcast-joined
+    threshold sweep over the class frame.
+
+    Reference parity: none; privacy-engineering family (SURVEY
+    §2.2), beside `cdc_gdpr_erasure_plan`."""
+    classes = (_t(spark, sf_dir, "documents")
+               .groupBy("lang", "source",
+                        (F.col("n_chars") / 100).cast("long")
+                        .alias("len_bucket"))
+               .agg(F.count("*").alias("k")))
+    total = classes.agg(
+        F.sum("k").alias("n_rows"),
+        F.count("*").alias("n_classes"))
+    thr = spark.createDataFrame([(2,), (5,), (10,)],
+                                "k_threshold long")
+    below = (classes.crossJoin(F.broadcast(thr))
+             .where(F.col("k") < F.col("k_threshold"))
+             .groupBy("k_threshold")
+             .agg(F.count("*").alias("nc"), F.sum("k").alias("nr")))
+    return (thr.join(below, "k_threshold", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "k_threshold",
+                F.coalesce("nc", F.lit(0)).alias("n_classes_below"),
+                F.coalesce("nr", F.lit(0)).alias("n_rows_below"),
+                (F.coalesce("nr", F.lit(0)) * 1_000_000
+                 / F.col("n_rows")).cast("long").alias("rows_below_ppm"),
+                F.col("n_classes").cast("long").alias("n_classes_total"))
+            .orderBy("k_threshold"))
+
+
+def privacy_k_anonymity_audit_sql():
+    return """
+WITH classes AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket,
+         CAST(count(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1, 2, 3
+),
+total AS (
+  SELECT sum(k) AS n_rows, CAST(count(*) AS BIGINT) AS n_classes
+  FROM classes
+),
+thr AS (SELECT CAST(t.k_threshold AS BIGINT) AS k_threshold
+        FROM (VALUES (2), (5), (10)) AS t(k_threshold)),
+below AS (
+  SELECT k_threshold, CAST(count(*) AS BIGINT) AS nc, sum(k) AS nr
+  FROM thr JOIN classes ON classes.k < thr.k_threshold
+  GROUP BY 1
+)
+SELECT thr.k_threshold,
+       coalesce(below.nc, 0) AS n_classes_below,
+       coalesce(below.nr, 0) AS n_rows_below,
+       coalesce(below.nr, 0) * 1000000 // total.n_rows
+         AS rows_below_ppm,
+       total.n_classes AS n_classes_total
+FROM thr LEFT JOIN below USING (k_threshold) CROSS JOIN total
+ORDER BY k_threshold
+"""
+
+
+# sqrt(2 ln(1.25/δ)) at δ = 1e-6 — the analytic-Gaussian-mechanism
+# calibration factor, one shared literal
+_GAUSS_DP_FACTOR = 5.298802526850474
+
+
+def privacy_dp_budget_plan(spark, sf_dir):
+    """Differential-privacy noise-budget plan for per-type event
+    releases — the calculator a privacy engineer runs BEFORE adding
+    noise (the sizing-table companion of `sketch_bloom_sizing_plan`):
+    for each event type and ε ∈ {0.1, 1, 8}, the Laplace scale for a
+    count release (Δ=1), the Gaussian σ at δ=1e-6 (shared
+    `_GAUSS_DP_FACTOR` literal), the Laplace scale for a sum release
+    under value clipping at 100 (Δ=100 — clipping is part of the
+    mechanism, so the clipped true sum is also reported), and the
+    expected relative count error b/n that decides whether the
+    release is usable.
+
+    Scale shape: ONE per-type fold + a 3-row literal ε dimension;
+    everything else is arithmetic on the |types|×3 frame.
+
+    Reference parity: none; privacy-engineering family (SURVEY
+    §2.2)."""
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.least(F.round(F.col("value") * 1e6)
+                              .cast("long"), F.lit(100_000_000)))
+                .alias("clipped_sum_micro")))
+    eps = spark.createDataFrame([(0.1,), (1.0,), (8.0,)],
+                                "epsilon double")
+    j = per.crossJoin(F.broadcast(eps))
+    b_count = F.lit(1.0) / F.col("epsilon")
+    return (j.select(
+        "event_type", F.round("epsilon", 6).alias("epsilon"), "n",
+        F.round(F.col("clipped_sum_micro").cast("double") / 1e6, 6)
+        .alias("clipped_sum"),
+        F.round(b_count, 6).alias("laplace_b_count"),
+        F.round(F.lit(_GAUSS_DP_FACTOR) / F.col("epsilon"), 6)
+        .alias("gauss_sigma_count"),
+        F.round(F.lit(100.0) / F.col("epsilon"), 6)
+        .alias("laplace_b_sum"),
+        F.round(b_count / F.col("n").cast("double"), 6)
+        .alias("count_rel_err"))
+        .orderBy("event_type", "epsilon"))
+
+
+def privacy_dp_budget_plan_sql():
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(least(CAST(round(value * 1e6) AS BIGINT), 100000000))
+           AS clipped_sum_micro
+  FROM events GROUP BY 1
+),
+eps AS (SELECT CAST(e.epsilon AS DOUBLE) AS epsilon
+        FROM (VALUES (0.1), (1.0), (8.0)) AS e(epsilon))
+SELECT event_type, round(epsilon, 6) AS epsilon, n,
+       round(CAST(clipped_sum_micro AS DOUBLE) / 1e6, 6)
+         AS clipped_sum,
+       round(1.0 / epsilon, 6) AS laplace_b_count,
+       round({_GAUSS_DP_FACTOR!r} / epsilon, 6) AS gauss_sigma_count,
+       round(100.0 / epsilon, 6) AS laplace_b_sum,
+       round(1.0 / epsilon / n, 6) AS count_rel_err
+FROM per CROSS JOIN eps
+ORDER BY event_type, epsilon
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -22231,6 +22495,9 @@ QUERIES = {
     "graph_edge_hygiene_audit": graph_edge_hygiene_audit,
     "sketch_bloom_sizing_plan": sketch_bloom_sizing_plan,
     "join_snowflake_chain_integrity": join_snowflake_chain_integrity,
+    "agg_poisson_bootstrap_ci": agg_poisson_bootstrap_ci,
+    "privacy_k_anonymity_audit": privacy_k_anonymity_audit,
+    "privacy_dp_budget_plan": privacy_dp_budget_plan,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -22535,6 +22802,9 @@ ORACLES = {
     "sketch_bloom_sizing_plan": sketch_bloom_sizing_plan_sql(),
     "join_snowflake_chain_integrity":
         join_snowflake_chain_integrity_sql(),
+    "agg_poisson_bootstrap_ci": agg_poisson_bootstrap_ci_sql(),
+    "privacy_k_anonymity_audit": privacy_k_anonymity_audit_sql(),
+    "privacy_dp_budget_plan": privacy_dp_budget_plan_sql(),
     "window_mtbf_mttr": window_mtbf_mttr_sql(),
     "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact_sql(),
     "agg_cohens_kappa": agg_cohens_kappa_sql(),
