@@ -22241,6 +22241,255 @@ ORDER BY event_type, epsilon
 """
 
 
+def agg_did_estimate(spark, sf_dir):
+    """Difference-in-differences estimate on the event stream — the
+    2x2 panel design the causal family still lacked (`agg_its_break_
+    effect` is the single-series version; CUPED/SRM are its variance
+    and health companions): hash-assigned treatment (md5(user_id)
+    mod 2 — the `split_train_holdout` idiom, no RNG state), pre/post
+    split at the midpoint day, cell means from exact integer folds,
+    DiD = (T,post − T,pre) − (C,post − C,pre), and a plain pooled
+    standard error Σ s²ᵢⱼ/nᵢⱼ with the t statistic (no clustering —
+    stated convention shared with the oracle).
+
+    Scale shape: ONE conditional-aggregation fold (decimal(38)
+    squares) + scalar arithmetic on the single-row frame; the only
+    driver action is the O(1) day-extent lookup.
+
+    Reference parity: none; experimentation family (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.round(F.col("value") * 1e6).cast("long").alias("vq"))
+    ext = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi")) \
+        .collect()[0]
+    mid = ext["lo"] + (ext["hi"] - ext["lo"] + 1) // 2
+    treat = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 2)
+    post = (F.col("day") >= F.lit(mid)).cast("long")
+    cells = ev.withColumn("t", treat).withColumn("p", post)
+
+    def cell(tv, pv, expr, name):
+        return F.sum(F.when((F.col("t") == tv) & (F.col("p") == pv),
+                            expr).otherwise(F.lit(0))
+                     .cast("decimal(38,0)")).alias(name)
+
+    m = cells.agg(*[c for tv, pv, tag in
+                    [(0, 0, "00"), (0, 1, "01"), (1, 0, "10"),
+                     (1, 1, "11")]
+                    for c in (cell(tv, pv, F.lit(1), f"n{tag}"),
+                              cell(tv, pv, F.col("vq"), f"s{tag}"),
+                              cell(tv, pv, F.col("vq") * F.col("vq"),
+                                   f"q{tag}"))])
+    d = {}
+    for tag in ("00", "01", "10", "11"):
+        n = F.col(f"n{tag}").cast("double")
+        s = F.col(f"s{tag}").cast("double")
+        q = F.col(f"q{tag}").cast("double")
+        d[f"mean{tag}"] = s / n / 1e6
+        d[f"varn{tag}"] = (q - s * s / n) / (n - 1) / n / 1e12
+    did = ((d["mean11"] - d["mean10"]) - (d["mean01"] - d["mean00"]))
+    se = F.sqrt(d["varn00"] + d["varn01"] + d["varn10"] + d["varn11"])
+    return m.select(
+        F.col("n00").cast("long").alias("n_ctrl_pre"),
+        F.col("n01").cast("long").alias("n_ctrl_post"),
+        F.col("n10").cast("long").alias("n_treat_pre"),
+        F.col("n11").cast("long").alias("n_treat_post"),
+        F.round(d["mean00"], 6).alias("mean_ctrl_pre"),
+        F.round(d["mean01"], 6).alias("mean_ctrl_post"),
+        F.round(d["mean10"], 6).alias("mean_treat_pre"),
+        F.round(d["mean11"], 6).alias("mean_treat_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"))
+
+
+def agg_did_estimate_sql():
+    cells = []
+    for tv, pv, tag in [(0, 0, "00"), (0, 1, "01"), (1, 0, "10"),
+                        (1, 1, "11")]:
+        w = f"t = {tv} AND p = {pv}"
+        cells.append(
+            f"sum(CAST(CASE WHEN {w} THEN 1 ELSE 0 END"
+            f" AS DECIMAL(38,0))) AS n{tag},"
+            f" sum(CAST(CASE WHEN {w} THEN vq ELSE 0 END"
+            f" AS DECIMAL(38,0))) AS s{tag},"
+            f" sum(CAST(CASE WHEN {w} THEN vq * vq ELSE 0 END"
+            f" AS DECIMAL(38,0))) AS q{tag}")
+    mean = {t: f"(CAST(s{t} AS DOUBLE) / CAST(n{t} AS DOUBLE) / 1e6)"
+            for t in ("00", "01", "10", "11")}
+    varn = {t: f"((CAST(q{t} AS DOUBLE) - CAST(s{t} AS DOUBLE)"
+               f" * CAST(s{t} AS DOUBLE) / CAST(n{t} AS DOUBLE))"
+               f" / (CAST(n{t} AS DOUBLE) - 1)"
+               f" / CAST(n{t} AS DOUBLE) / 1e12)"
+            for t in ("00", "01", "10", "11")}
+    did = (f"(({mean['11']} - {mean['10']})"
+           f" - ({mean['01']} - {mean['00']}))")
+    se = (f"sqrt({varn['00']} + {varn['01']}"
+          f" + {varn['10']} + {varn['11']})")
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 1e6) AS BIGINT) AS vq
+  FROM events
+),
+ext AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+cells AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           % 2 AS t,
+         CASE WHEN day >= lo + (hi - lo + 1) // 2
+              THEN 1 ELSE 0 END AS p,
+         vq
+  FROM ev CROSS JOIN ext
+),
+m AS (SELECT {", ".join(cells)} FROM cells)
+SELECT CAST(n00 AS BIGINT) AS n_ctrl_pre,
+       CAST(n01 AS BIGINT) AS n_ctrl_post,
+       CAST(n10 AS BIGINT) AS n_treat_pre,
+       CAST(n11 AS BIGINT) AS n_treat_post,
+       round({mean['00']}, 6) AS mean_ctrl_pre,
+       round({mean['01']}, 6) AS mean_ctrl_post,
+       round({mean['10']}, 6) AS mean_treat_pre,
+       round({mean['11']}, 6) AS mean_treat_post,
+       round({did}, 6) AS did_estimate,
+       round({se}, 6) AS se,
+       round({did} / {se}, 6) AS t_stat
+FROM m
+"""
+
+
+def mix_chinchilla_plan(spark, sf_dir):
+    """Chinchilla compute-optimal sizing plan against THIS corpus —
+    the planning table that sits upstream of `mix_token_budget_
+    allocation` (which splits a budget across sources; this one asks
+    whether the corpus supports the budget at all): for compute
+    C ∈ {1e18, 1e20, 1e22, 1e24} FLOPs, the compute-optimal
+    parameter count under C = 6·N·D with the D ≈ 20·N rule
+    (N* = sqrt(C/120)), the token requirement D* = 20·N*, the epochs
+    over the measured whitespace-token corpus that requirement
+    implies, and the single-epoch feasibility flag the
+    data-constrained schedule (`sample_epoch_schedule`) takes over
+    from. Token counts are the exact `ws_token_count` fold; the
+    C dimension is a 4-row literal.
+
+    Scale shape: ONE map-side token fold to a scalar + arithmetic on
+    a 4-row literal frame.
+
+    Reference parity: none; training-mix planning family (SURVEY
+    §2.3)."""
+    corpus = (_t(spark, sf_dir, "documents")
+              .agg(F.sum(ws_token_count(F.col("text")))
+                   .cast("long").alias("corpus_tokens"),
+                   F.count("*").cast("long").alias("n_docs")))
+    cdim = spark.createDataFrame(
+        [(1e18,), (1e20,), (1e22,), (1e24,)], "compute_flops double")
+    n_opt = F.sqrt(F.col("compute_flops") / 120)
+    d_opt = 20 * n_opt
+    return (cdim.crossJoin(F.broadcast(corpus))
+            .select(
+                "compute_flops", "n_docs", "corpus_tokens",
+                F.floor(n_opt).cast("long").alias("n_params_opt"),
+                F.floor(d_opt).cast("long").alias("tokens_opt"),
+                F.round(d_opt / F.col("corpus_tokens").cast("double"), 6)
+                .alias("epochs_needed"),
+                (d_opt <= F.col("corpus_tokens").cast("double"))
+                .cast("long").alias("single_epoch_ok"))
+            .orderBy("compute_flops"))
+
+
+def mix_chinchilla_plan_sql():
+    return f"""
+WITH corpus AS (
+  SELECT CAST(sum({ws_token_count_sql('text')}) AS BIGINT)
+           AS corpus_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents
+),
+cdim AS (SELECT CAST(c.compute_flops AS DOUBLE) AS compute_flops
+         FROM (VALUES (1e18), (1e20), (1e22), (1e24))
+           AS c(compute_flops))
+SELECT compute_flops, n_docs, corpus_tokens,
+       CAST(floor(sqrt(compute_flops / 120)) AS BIGINT)
+         AS n_params_opt,
+       CAST(floor(20 * sqrt(compute_flops / 120)) AS BIGINT)
+         AS tokens_opt,
+       round(20 * sqrt(compute_flops / 120)
+             / CAST(corpus_tokens AS DOUBLE), 6) AS epochs_needed,
+       CASE WHEN 20 * sqrt(compute_flops / 120)
+                 <= CAST(corpus_tokens AS DOUBLE)
+            THEN 1 ELSE 0 END AS single_epoch_ok
+FROM cdim CROSS JOIN corpus
+ORDER BY compute_flops
+"""
+
+
+def tok_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit per language — the multilingual-
+    equity number a tokenizer review reports (how many subword
+    tokens per whitespace word each language pays; high-fertility
+    languages get fewer effective context words and higher serving
+    cost): subword tokens / whitespace words and characters per
+    token, per language. The subword grain is the 4-chars-per-token
+    proxy Σ ceil(len(word)/4) — exact integer arithmetic that tracks
+    each language's word-length distribution (the `BPE_RE` regex
+    grain is degenerate on an alnum-only corpus: it would equal the
+    word count); a real-tokenizer drop-in only swaps this one
+    per-word expression. Higher-order JVM lambdas, no Python.
+
+    Scale shape: map-side split/transform/aggregate + ONE |langs|
+    fold.
+
+    Reference parity: none; tokenizer-analysis family (SURVEY
+    §2.3)."""
+    words = F.filter(F.split(F.col("text"), r"[ \t\n\r\f\v]+"),
+                     lambda x: x != F.lit(""))
+    subwords = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor((F.length(x) + F.lit(3))
+                                     / F.lit(4)).cast("long"))
+    d = (_t(spark, sf_dir, "documents")
+         .groupBy("lang")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum(ws_token_count(F.col("text"))).cast("long")
+              .alias("ws_tokens"),
+              F.sum(subwords).cast("long").alias("subword_tokens"),
+              F.sum(F.length("text")).cast("long").alias("n_chars")))
+    return (d.select(
+        "lang", "n_docs", "ws_tokens", "subword_tokens",
+        F.round(F.col("subword_tokens").cast("double")
+                / F.col("ws_tokens").cast("double"), 6)
+        .alias("fertility"),
+        F.round(F.col("n_chars").cast("double")
+                / F.col("subword_tokens").cast("double"), 6)
+        .alias("chars_per_token"))
+        .orderBy("lang"))
+
+
+def tok_fertility_by_lang_sql():
+    ws = r"[ \t\n\r\f\v]+"
+    sub = (f"list_sum(list_transform(list_filter("
+           f"string_split_regex(text, '{ws}'), x -> x <> ''), "
+           f"x -> (length(x) + 3) // 4))")
+    return f"""
+WITH d AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({ws_token_count_sql('text')}) AS BIGINT)
+           AS ws_tokens,
+         CAST(sum({sub}) AS BIGINT) AS subword_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+)
+SELECT lang, n_docs, ws_tokens, subword_tokens,
+       round(CAST(subword_tokens AS DOUBLE) / ws_tokens, 6)
+         AS fertility,
+       round(CAST(n_chars AS DOUBLE) / subword_tokens, 6)
+         AS chars_per_token
+FROM d ORDER BY lang
+"""
+
+
 # Registration order matters operationally: the correctness driver
 # samples the FIRST 50 registered queries each round (observed: the r3
 # sample == the first 50 keys exactly), so entries that have never had a
@@ -22498,6 +22747,9 @@ QUERIES = {
     "agg_poisson_bootstrap_ci": agg_poisson_bootstrap_ci,
     "privacy_k_anonymity_audit": privacy_k_anonymity_audit,
     "privacy_dp_budget_plan": privacy_dp_budget_plan,
+    "agg_did_estimate": agg_did_estimate,
+    "mix_chinchilla_plan": mix_chinchilla_plan,
+    "tok_fertility_by_lang": tok_fertility_by_lang,
     # --- green in r1/r2 but not re-sampled in r3: refresh next ---
     "sim_ivf_ann_topk": sim_ivf_ann_q,
     "text_token_count": text_token_count_q,
@@ -22805,6 +23057,9 @@ ORACLES = {
     "agg_poisson_bootstrap_ci": agg_poisson_bootstrap_ci_sql(),
     "privacy_k_anonymity_audit": privacy_k_anonymity_audit_sql(),
     "privacy_dp_budget_plan": privacy_dp_budget_plan_sql(),
+    "agg_did_estimate": agg_did_estimate_sql(),
+    "mix_chinchilla_plan": mix_chinchilla_plan_sql(),
+    "tok_fertility_by_lang": tok_fertility_by_lang_sql(),
     "window_mtbf_mttr": window_mtbf_mttr_sql(),
     "cdc_periodic_snapshot_fact": cdc_periodic_snapshot_fact_sql(),
     "agg_cohens_kappa": agg_cohens_kappa_sql(),
