@@ -814,3 +814,61 @@ def test_sweep_queries_scan_fact_once_per_width(spark, sf_dir):
     import re
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans <= 1, f"{scans} fact scans\n{plan}"
+
+
+def test_poisson_bootstrap_is_mapside_explode_plus_fold(spark, sf_dir):
+    from binlog_spark.queries import agg_poisson_bootstrap_ci
+    df = agg_poisson_bootstrap_ci(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the 64x replicate blowup is a generator (explode) BEFORE the
+    # (type, replicate) fold — resampling never shuffles raw rows per
+    # replicate, and the weight derivation is pure JVM hash arithmetic
+    assert "Generate" in plan, plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+    assert plans.has_partial_aggregate(df), plan
+
+
+def test_stump_split_scans_fact_once(spark, sf_dir):
+    import re
+
+    from binlog_spark.queries import agg_stump_split_gini
+    df = agg_stump_split_gini(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # 23 candidate splits ride ONE events scan via the broadcast
+    # threshold dimension — a per-split scan would multiply I/O 23x
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 1, f"{scans} fact scans\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_privacy_audits_broadcast_threshold_dims(spark, sf_dir):
+    from binlog_spark.queries import (privacy_k_anonymity_audit,
+                                      privacy_l_diversity_audit)
+    for fn in (privacy_k_anonymity_audit, privacy_l_diversity_audit):
+        df = fn(spark, sf_dir)
+        plan = plans.physical_plan(df)
+        assert "BroadcastExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_did_estimate_is_one_conditional_fold(spark, sf_dir):
+    from binlog_spark.queries import agg_did_estimate
+    df = agg_did_estimate(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the whole 2x2 panel is conditional aggregation — no window, no
+    # Python stage, partial (map-side) aggregation before the shuffle
+    assert "Window" not in plan, plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+    assert plans.has_partial_aggregate(df), plan
+
+
+def test_bh_fdr_is_jvm_only(spark, sf_dir):
+    from binlog_spark.queries import agg_bh_fdr_hourly
+    df = agg_bh_fdr_hourly(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # erfc polynomial + integer step-up are whole-stage-codegen JVM
+    # expressions; the only windows run over the bounded 120-row frame
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan
