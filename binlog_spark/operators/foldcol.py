@@ -16,9 +16,14 @@ Here the fold runs directly on the Arrow buffers:
 * the surviving map entries are ONE contiguous range per key inside the
   batch's MapArray children (rows of a run are adjacent, so their entry
   slices concatenate), gathered with a single ``take`` per batch;
-* the folded map itself is assembled JVM-side by ``map_from_entries``-
-  style ``map_from_arrays`` under the session's LAST_WIN dedup policy —
-  later patches win, exactly the scalar fold's ``dict.update`` order.
+* duplicate column keys inside a surviving range (two updates patching
+  the same column) are deduplicated IN the kernel — key keeps its first
+  position, value comes from its last occurrence, exactly the scalar
+  fold's ``dict.update`` order — so the final JVM-side
+  ``map_from_arrays`` sees unique keys and the fold's semantics do NOT
+  depend on the session's ``spark.sql.mapKeyDedupPolicy`` (r4 VERDICT:
+  relying on LAST_WIN crashed under default-config consumer sessions,
+  where the policy is EXCEPTION).
 
 Key runs spanning Arrow batches are carried as a single pending state
 and merged with the ordered-chunk combine algebra (a later chunk with
@@ -74,8 +79,50 @@ class _Carry:
         mv = pa.concat_arrays(
             [c for c in self.vchunks]) if self.vchunks else pa.array(
                 [], type=pa.string())
-        return (*self.key, self.del_, self.full, mk.to_pylist(),
-                mv.to_pylist(), self.g, self.s, self.n)
+        # dict preserves first-insertion key order with last value — the
+        # scalar fold's update order; emitting unique keys keeps the map
+        # assembly independent of spark.sql.mapKeyDedupPolicy
+        folded = {}
+        for k, v in zip(mk.to_pylist(), mv.to_pylist()):
+            folded[k] = v
+        return (*self.key, self.del_, self.full, list(folded.keys()),
+                list(folded.values()), self.g, self.s, self.n)
+
+
+def _dedup_keep_last(ent_k, ent_v, lens):
+    """Vectorized per-row map-key dedup over the gathered entry ranges.
+
+    ``ent_k``/``ent_v`` are the concatenated entries of ``lens.size``
+    output rows (row ``i`` owns ``lens[i]`` consecutive entries). For
+    each (row, key): the key keeps its FIRST position, the value comes
+    from its LAST occurrence — ``dict.update`` / LAST_WIN semantics —
+    so downstream ``map_from_arrays`` never sees a duplicate key under
+    any ``spark.sql.mapKeyDedupPolicy``.
+
+    Returns ``(ent_k, ent_v, lens)``; the no-duplicate case is a single
+    ``np.unique`` check and returns the inputs untouched.
+    """
+    total = len(ent_k)
+    if total == 0:
+        return ent_k, ent_v, lens
+    row_ids = np.repeat(np.arange(lens.size, dtype=np.int64),
+                        lens.astype(np.int64))
+    codes = pc.dictionary_encode(ent_k).indices
+    codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+    combo = row_ids * (codes_np.max() + 1) + codes_np
+    uniq_first = np.unique(combo, return_index=True)[1]
+    if uniq_first.size == total:  # no duplicate (row, key) pairs
+        return ent_k, ent_v, lens
+    # last occurrence per combo, aligned with the same sorted-unique order
+    rev_first = np.unique(combo[::-1], return_index=True)[1]
+    uniq_last = total - 1 - rev_first
+    order = np.argsort(uniq_first, kind="stable")
+    key_pos = uniq_first[order]   # ascending → rows stay contiguous,
+    val_pos = uniq_last[order]    # first-insertion order within a row
+    new_k = ent_k.take(pa.array(key_pos))
+    new_v = ent_v.take(pa.array(val_pos))
+    new_lens = np.bincount(row_ids[key_pos], minlength=lens.size)
+    return new_k, new_v, new_lens
 
 
 def _range_gather_idx(starts, lens):
@@ -201,6 +248,7 @@ def fold_changes_columnar(changes: DataFrame,
                 idx = _range_gather_idx(e_start[sel], lens)
                 ent_k = mk_child.take(pa.array(idx))
                 ent_v = mv_child.take(pa.array(idx))
+                ent_k, ent_v, lens = _dedup_keep_last(ent_k, ent_v, lens)
                 offs = np.zeros(sel.size + 1, np.int32)
                 np.cumsum(lens, out=offs[1:], dtype=np.int32)
                 arrays = [ka.take(pa.array(sstart)) for ka in karrs]
@@ -229,8 +277,8 @@ def fold_changes_columnar(changes: DataFrame,
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     partials = src.mapInArrow(_fold, schema=_partial_schema(keys))
-    # session policy LAST_WIN: later entries (higher gtid) win — the
-    # scalar fold's dict.update order
+    # mk is unique per row (kernel dedup) — safe under any
+    # spark.sql.mapKeyDedupPolicy, including the EXCEPTION default
     return partials.select(
         *keys, "del", "full",
         F.map_from_arrays("mk", "mv").alias("m"),

@@ -27,36 +27,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the cast makes the empty map's declared type value-NULLABLE: the
+# aggregate accumulator's type is the init expression's, and writing a
+# NULL patch value into a non-null-valued accumulator slot is a codegen
+# NPE once map_zip_with (nullable lambda result) replaced map_concat
+_EMPTY_MAP = ("cast(map_filter(map('', ''), (k, v) -> false) "
+              "as map<string,string>)")
+
 _INIT = (
     "named_struct('del', false, 'full', false, "
-    "'m', map_filter(map('', ''), (k, v) -> false), "
+    f"'m', {_EMPTY_MAP}, "
     "'g', cast(-1 as bigint), 's', -1)"
 )
 
+
+def _merge_right_wins(a: str, b: str) -> str:
+    """Last-writer map merge as a policy-independent expression.
+
+    ``map_concat`` only gives right-wins under
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` and THROWS under the
+    EXCEPTION default (r4 VERDICT — crashed every consumer session built
+    outside ``get_spark``). ``map_zip_with`` iterates the key union with
+    left-map keys first (the ``dict.update`` order) and never duplicates
+    a key; ``map_contains_key`` (not ``coalesce``) picks the right side
+    so an explicit NULL patch value still overwrites."""
+    return (f"map_zip_with({a}, {b}, (k_, lv_, rv_) -> "
+            f"CASE WHEN map_contains_key({b}, k_) THEN rv_ ELSE lv_ END)")
+
+
 # event-level fold step (e: struct<g,s,op,after>)
-_STEP = """
+_STEP = f"""
 CASE
   WHEN e.op = 'D' THEN named_struct(
     'del', true, 'full', false,
-    'm', map_filter(map('', ''), (k, v) -> false), 'g', e.g, 's', e.s)
+    'm', {_EMPTY_MAP}, 'g', e.g, 's', e.s)
   WHEN e.op = 'I' THEN named_struct(
     'del', false, 'full', true,
-    'm', coalesce(e.after, map_filter(map('', ''), (k, v) -> false)),
+    'm', coalesce(e.after, {_EMPTY_MAP}),
     'g', e.g, 's', e.s)
   ELSE named_struct(
     'del', acc.del, 'full', acc.full,
-    'm', map_concat(acc.m, coalesce(e.after, map_filter(map('', ''), (k, v) -> false))),
+    'm', {_merge_right_wins("acc.m", f"coalesce(e.after, {_EMPTY_MAP})")},
     'g', e.g, 's', e.s)
 END
 """
 
 # chunk-level combine step (p: struct<del,full,m,g,s> for a LATER chunk)
-_COMBINE = """
+_COMBINE = f"""
 CASE
   WHEN p.del OR p.full THEN p
   ELSE named_struct(
     'del', acc.del, 'full', acc.full,
-    'm', map_concat(acc.m, p.m), 'g', p.g, 's', p.s)
+    'm', {_merge_right_wins("acc.m", "p.m")}, 'g', p.g, 's', p.s)
 END
 """
 

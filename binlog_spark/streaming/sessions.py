@@ -14,10 +14,12 @@ is admissible), a key holds a LIST of open candidate sessions: an event
 landing between two of them can merge them, and only the watermark —
 via the timer — proves a session can never grow again and may close.
 The merge/expiry logic is pure (``merge_sessions`` / ``split_expired``)
-and unit-tested without Spark; the processor is a thin shell around it
-(the end-to-end streaming run additionally needs ``google.protobuf``,
-which this sandbox does not ship — tests/test_streaming_sessions.py
-skips the e2e case there and always runs the pure-logic cases).
+and unit-tested without Spark; the processor is a thin shell around it.
+The end-to-end run needs ``google.protobuf`` for the worker↔JVM state
+protocol (the data plane is Arrow); environments without the wheel get
+the vendored minimal runtime (`vendor/miniproto.py`, public wire format
+only) — installed at import time below, which covers Spark workers too
+because unpickling the processor imports this module first.
 
 At scale state is sharded by key across the state store; per-key state
 is O(open sessions) — bounded by the watermark horizon over the gap —
@@ -28,9 +30,14 @@ idle keys are evicted by their own timer rather than by a scan.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql.streaming.stateful_processor import (
+
+from ..vendor import miniproto
+
+miniproto.install()  # no-op when the real google.protobuf exists
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
     StatefulProcessorHandle,
 )

@@ -48,7 +48,6 @@ def main():
     spark = (SparkSession.builder.appName("binlog-cdc-replay")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -88,9 +88,16 @@ def _write(d, name, rows, mtime):
 
 
 def test_sessions_close_on_event_time_timer(spark, tmp_path):
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas needs google.protobuf at runtime")
+    # transformWithStateInPandas needs google.protobuf at runtime; the
+    # sessions module installs the vendored miniproto shim when the real
+    # wheel is absent, so this e2e runs everywhere (r4 directive 4).
+    # It also needs the RocksDB state store (typed state = one column
+    # family per state variable; the HDFS-backed default supports one).
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key, "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
     watch = str(tmp_path / "in")
     os.makedirs(watch)
     now = time.time()
@@ -105,13 +112,19 @@ def test_sessions_close_on_event_time_timer(spark, tmp_path):
     _write(watch, "f3.parquet", [("C", T0 + 500 * MIN)], now - 30)
     _write(watch, "f4.parquet", [("C", T0 + 505 * MIN)], now - 20)
 
-    stream = (spark.readStream.schema("k string, ts timestamp")
-              .option("maxFilesPerTrigger", 1).parquet(watch))
-    out = activity_sessions(stream, key_col="k", ts_col="ts",
-                            gap="30 minutes")
-    q = (out.writeStream.format("memory").queryName("sess")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        stream = (spark.readStream.schema("k string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(watch))
+        out = activity_sessions(stream, key_col="k", ts_col="ts",
+                                gap="30 minutes")
+        q = (out.writeStream.format("memory").queryName("sess")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
 
     rows = {r["k"]: r for r in spark.sql("SELECT * FROM sess").collect()}
     assert set(rows) == {"A", "B"}, rows
