@@ -85,22 +85,30 @@ class ImagePlan:
         self.null_nb = null_nb
 
 
-def make_image_plan(types, metadata, unsigned, names, bits: int):
+def make_image_plan(types, metadata, unsigned, names, bits: int,
+                    collations=None):
     """Build the columnar plan, or None if any present cell type is
     outside the vectorizable set (caller falls back to the scalar
-    kernel)."""
+    kernel). ``collations``: per-column MySQL collation ids — "var"
+    steps for text columns with a known non-UTF-8 charset carry the
+    source codec (decode-at-source, same contract as the scalar
+    kernel's ``make_image_decoder``)."""
+    from ..wire.collations import source_codec
+
     cols = [c for c in range(len(types)) if bits >> c & 1]
     if (len(cols) + 7) // 8 > 7:  # int64 null-bitmap vector limit
         return None
     steps, pnames = [], []
     for c in cols:
         t, m = types[c], metadata[c]
+        codec = (source_codec(collations[c]) if collations
+                 and t != C.TYPE_GEOMETRY else None)
         if t in _INT_W:
             steps.append(("int", _INT_W[t], not unsigned[c]))
         elif t in (C.TYPE_VARCHAR, C.TYPE_VARSTRING):
-            steps.append(("var", 2 if m > 255 else 1))
+            steps.append(("var", 2 if m > 255 else 1, codec))
         elif t in _BLOB_TYPES and 1 <= m <= 4:
-            steps.append(("var", m))
+            steps.append(("var", m, codec))
         else:
             return None
         pnames.append(names[c])
@@ -161,12 +169,15 @@ def _to_text(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
-def _string_column(buf, starts, lens) -> pa.Array:
+def _string_column(buf, starts, lens, codec=None) -> pa.Array:
     """Gather variable-length cells into one contiguous Arrow string array.
 
     One repeat/cumsum fancy-index per column per batch; UTF-8 validation
     is Arrow's C++ binary→utf8 cast, with the engine's lossless latin-1
-    per-cell fallback on invalid bytes (codec.to_text contract)."""
+    per-cell fallback on invalid bytes (codec.to_text contract).
+    ``codec``: a declared non-UTF-8 column charset decodes every cell
+    with the real codec instead (per-cell Python — acceptable: it runs
+    only for columns a schema provider explicitly marked non-UTF-8)."""
     n = starts.size
     if n == 0:
         return pa.array([], type=pa.string())
@@ -196,6 +207,9 @@ def _string_column(buf, starts, lens) -> pa.Array:
     data = buf[idx]
     arr = pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data)])
+    if codec is not None:
+        return pa.array([b.decode(codec, "replace") for b in arr.to_pylist()],
+                        type=pa.string())
     try:
         return arr.cast(pa.string())
     except pa.lib.ArrowInvalid:
@@ -369,7 +383,8 @@ def decode_group(group: _Group, buf, mv, pos_np, next_np, ts_np, file_col,
             return _int_column(np.concatenate(chunks))
         starts = np.concatenate([c[0] for c in chunks])
         lens = np.concatenate([c[1] for c in chunks])
-        return _string_column(buf, starts, lens)
+        return _string_column(buf, starts, lens,
+                              step[2] if len(step) > 2 else None)
 
     before = (pa.nulls(n, type=_MAP_T) if ip is None else _map_column(
         ip.names, [_column(s, acc_ident[i]) for i, s in enumerate(ip.steps)],
@@ -568,21 +583,23 @@ def decode_batch_arrow(batch: pa.RecordBatch, ctx, ddl_acc=None):
             if names_uns is None:
                 group = "scalar"  # unknown table → scalar dead-letter path
             else:
-                names, unsigned = names_uns
+                names, unsigned, colls = names_uns
                 ip = (make_image_plan(types, metadata, unsigned, names,
-                                      ident_bits) if has_ident else None)
+                                      ident_bits, colls)
+                      if has_ident else None)
                 dp = (make_image_plan(types, metadata, unsigned, names,
-                                      data_bits) if has_data else None)
+                                      data_bits, colls)
+                      if has_data else None)
                 if (has_ident and ip is None) or (has_data and dp is None):
                     group = "scalar"  # unsupported cell type → scalar kernel
                 else:
                     op = ("I" if etype in C.WRITE_ROWS_TYPES else
                           "U" if etype in C.UPDATE_ROWS_TYPES else "D")
                     ident_dec = (E.make_image_decoder(
-                        types, metadata, unsigned, names, ident_bits)
+                        types, metadata, unsigned, names, ident_bits, colls)
                         if has_ident else None)
                     data_dec = (E.make_image_decoder(
-                        types, metadata, unsigned, names, data_bits)
+                        types, metadata, unsigned, names, data_bits, colls)
                         if has_data else None)
                     group = _Group(ip, dp, op, db, tbl, ident_dec, data_dec)
             plan_cache[gkey] = group

@@ -189,14 +189,24 @@ def build_decode_context(stream_meta: dict, registry: dict):
 
 
 def _resolve_names(name_index, mapper, db, tbl, ncols):
-    """Cached schema-provider lookup (negative results cached too)."""
+    """Cached schema-provider lookup (negative results cached too).
+
+    Mapper entries are ``(name, is_unsigned)`` or — when the provider
+    knows column charsets (e.g. a DESC/information_schema mapper) —
+    ``(name, is_unsigned, collation_id)``. Returns ``(names, unsigned,
+    collations)`` with ``collations`` None when no entry carries one
+    (the byte-transparent default decode, unchanged)."""
     key = (db, tbl, ncols)
     hit = name_index.get(key, _MISS)
     if hit is not _MISS:
         return hit
     cols = mapper.mysql_table(db, tbl, ncols)
-    hit = (([c[0] for c in cols], [c[1] for c in cols])
-           if cols is not None else None)
+    if cols is None:
+        hit = None
+    else:
+        colls = [c[2] if len(c) > 2 else None for c in cols]
+        hit = ([c[0] for c in cols], [c[1] for c in cols],
+               colls if any(c is not None for c in colls) else None)
     name_index[key] = hit
     return hit
 
@@ -274,7 +284,7 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None,
                     reason=("column count mismatch" if known else
                             f"table {db}.{tbl} not in registry")))
                 continue
-            names, unsigned = names_uns
+            names, unsigned, collations = names_uns
             if etype in C.WRITE_ROWS_TYPES:
                 op = "I"
             elif etype in C.UPDATE_ROWS_TYPES:
@@ -284,7 +294,8 @@ def decode_batch(pdf: pd.DataFrame, ctx, ddl_acc=None,
             posi, nposi, tsi = int(pos), int(next_pos), int(ts)
             seq = 0
             for before, after in E.read_row_maps(fmt, etype, body, types,
-                                                 metadata, unsigned, names):
+                                                 metadata, unsigned, names,
+                                                 collations):
                 append((None, None, None, file, posi, nposi, tsi, op, db,
                         tbl, before, after, seq, "change", None, None))
                 seq += 1

@@ -963,14 +963,28 @@ class DescTableMapper:
         key = (db, tbl)
         if key not in self._cache:
             try:
+                # SHOW FULL COLUMNS = DESC + the per-column Collation —
+                # known non-UTF-8 text columns then decode at source
+                # (wire/codec make_cell_str_decoder codec arm) instead
+                # of post-hoc re-interpretation (r4 ADVICE)
                 rs = self._conn().exec(
-                    f"desc {quote_identifier(db)}.{quote_identifier(tbl)}")
+                    "show full columns from "
+                    f"{quote_identifier(db)}.{quote_identifier(tbl)}")
                 self._cache[key] = (
-                    [(r["Field"], "unsigned" in (r["Type"] or ""))
+                    [(r["Field"], "unsigned" in (r["Type"] or ""),
+                      self._collation_id(r.get("Collation")))
                      for r in rs.dicts()] if rs is not None else None)
             except RuntimeError:  # server error: unknown table
                 self._cache[key] = None
         return self._cache[key]
+
+    @staticmethod
+    def _collation_id(name):
+        if not name or name == "NULL":
+            return None
+        from ..wire.collations import COLLATION_TO_ID
+
+        return COLLATION_TO_ID.get(name)
 
     def mysql_table(self, db: str, tbl: str, ncols: int):
         cols = self._describe(db, tbl)

@@ -552,16 +552,38 @@ def _build_decoder(typ: int, metadata: int, unsigned: bool):
 _STR_DECODER_CACHE: dict = {}
 
 
-def make_cell_str_decoder(typ: int, metadata: int, unsigned: bool):
+# text-bearing wire types a declared column charset applies to (GEOMETRY
+# shares the blob wire layout but is binary by definition)
+_TEXT_TYPES = {C.TYPE_VARCHAR, C.TYPE_VARSTRING, C.TYPE_STRING,
+               C.TYPE_TINYBLOB, C.TYPE_MEDIUMBLOB, C.TYPE_LONGBLOB,
+               C.TYPE_BLOB}
+
+
+def make_cell_str_decoder(typ: int, metadata: int, unsigned: bool,
+                          codec: str | None = None):
     """Specialized ``(data, pos) -> (str, consumed)`` closure: the decode
     and the canonical text conversion fused in one call, so the hot row
     loop does one closure call per cell with no intermediate bytes→str
-    second pass. Non-UTF8 bytes take the lossless ``to_text`` path."""
-    key = (typ, metadata, unsigned)
+    second pass. Non-UTF8 bytes take the lossless ``to_text`` path.
+
+    ``codec``: a known non-UTF-8 column charset (collations.source_codec)
+    decodes AT SOURCE with that codec — no post-hoc re-interpretation,
+    which is ambiguous for non-UTF-8 bytes that happen to form valid
+    UTF-8 (r4 ADVICE / operators/charset.py residual case)."""
+    key = (typ, metadata, unsigned, codec)
     d = _STR_DECODER_CACHE.get(key)
     if d is None:
-        d = _STR_DECODER_CACHE[key] = _build_str_decoder(typ, metadata,
-                                                         unsigned)
+        if codec is not None and typ in _TEXT_TYPES:
+            raw = _build_decoder(typ, metadata, unsigned)
+
+            def d(data, pos, _raw=raw, _codec=codec):
+                v, ln = _raw(data, pos)
+                # substitution on decode only: one corrupt cell must not
+                # fail the job (charset_decode_column contract)
+                return v.decode(_codec, errors="replace"), ln
+        else:
+            d = _build_str_decoder(typ, metadata, unsigned)
+        _STR_DECODER_CACHE[key] = d
     return d
 
 

@@ -143,3 +143,21 @@ def codec_for_collation(cid: int) -> str | None:
     if name is None:
         return None
     return CHARSET_CODECS.get(charset_of(name))
+
+
+def source_codec(cid: int | None) -> str | None:
+    """Collation id → codec the DECODE kernels should apply at source,
+    or None for the byte-transparent default arm. UTF-8/ASCII collations
+    return None on purpose: the default arm already decodes valid UTF-8
+    and keeps invalid bytes losslessly (latin-1 mapping) instead of
+    U+FFFD-corrupting them — strictly better than ``decode('utf-8',
+    'replace')``. Only known non-UTF-8 text charsets route to their real
+    codec, eliminating the post-hoc re-interpretation ambiguity
+    (operators/charset.py module docstring: UTF-8-valid byte pairs in a
+    cp1251 column)."""
+    if cid is None:
+        return None
+    codec = codec_for_collation(cid)
+    if codec in (None, "utf-8", "ascii"):
+        return None
+    return codec

@@ -606,7 +606,8 @@ def iter_rows(fmt: BinlogFormat, typ: int, data, types, metadata, unsigned=None)
 _IMAGE_DECODER_CACHE: dict = {}
 
 
-def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
+def make_image_decoder(types, metadata, unsigned, names, present_bits: int,
+                       collations=None):
     """Build (and cache) a fused row-image decoder for one
     (schema, present-bitmap) signature: ``(body, pos) -> (map, new_pos)``.
 
@@ -618,13 +619,20 @@ def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
     the cached per-column str decoder. Rows containing SQL NULLs take a
     generic slow path (NULL-free is the overwhelmingly common case).
     UTF-8 decode falls back to lossless latin-1 (codec.to_text contract).
+    ``collations``: optional per-column MySQL collation ids; text columns
+    with a known non-UTF-8 charset decode at source with the real codec
+    (collations.source_codec) instead of the byte-transparent arm.
     """
+    from .collations import source_codec
+    from .codec import make_cell_str_decoder
+
+    codecs = ([source_codec(c) for c in collations] if collations
+              else [None] * len(types))
     key = (tuple(types), tuple(metadata), tuple(unsigned), tuple(names),
-           present_bits)
+           present_bits, tuple(codecs))
     fn = _IMAGE_DECODER_CACHE.get(key)
     if fn is not None:
         return fn
-    from .codec import make_cell_str_decoder
 
     ncols = len(types)
     cols = [c for c in range(ncols) if present_bits >> c & 1]
@@ -640,6 +648,13 @@ def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
           "    if nulls:",
           "        return _with_nulls(body, pos, nulls)",
           "    out = {}"]
+    def _text_emit(nm, c):
+        if codecs[c] is not None:
+            return [f"    out[{nm}] = raw.decode({codecs[c]!r}, 'replace')"]
+        return [f"    try: out[{nm}] = raw.decode('utf-8')",
+                "    except UnicodeDecodeError: "
+                f"out[{nm}] = raw.decode('latin-1')"]
+
     for j, c in enumerate(cols):
         t, m, u, nm = types[c], metadata[c], unsigned[c], repr(names[c])
         if t in (C.TYPE_VARCHAR, C.TYPE_VARSTRING):
@@ -651,17 +666,16 @@ def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
                 L += ["    ln = body[pos]",
                       "    raw = body[pos+1:pos+1+ln]",
                       "    pos += ln + 1"]
-            L += [f"    try: out[{nm}] = raw.decode('utf-8')",
-                  "    except UnicodeDecodeError: "
-                  f"out[{nm}] = raw.decode('latin-1')"]
+            L += _text_emit(nm, c)
         elif t in (C.TYPE_TINYBLOB, C.TYPE_MEDIUMBLOB, C.TYPE_LONGBLOB,
                    C.TYPE_BLOB, C.TYPE_GEOMETRY) and 1 <= m <= 4:
             L += [f"    ln = int.from_bytes(body[pos:pos+{m}], 'little')",
                   f"    raw = body[pos+{m}:pos+{m}+ln]",
-                  f"    pos += ln + {m}",
-                  f"    try: out[{nm}] = raw.decode('utf-8')",
-                  "    except UnicodeDecodeError: "
-                  f"out[{nm}] = raw.decode('latin-1')"]
+                  f"    pos += ln + {m}"]
+            L += (_text_emit(nm, c) if t != C.TYPE_GEOMETRY
+                  else [f"    try: out[{nm}] = raw.decode('utf-8')",
+                        "    except UnicodeDecodeError: "
+                        f"out[{nm}] = raw.decode('latin-1')"])
         elif t in (C.TYPE_TINY, C.TYPE_SHORT, C.TYPE_INT24, C.TYPE_LONG,
                    C.TYPE_LONGLONG):
             w = {C.TYPE_TINY: 1, C.TYPE_SHORT: 2, C.TYPE_INT24: 3,
@@ -673,14 +687,15 @@ def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
                 L.append(f"    v -= {full} if v >= {half} else 0")
             L += [f"    out[{nm}] = '%d' % v", f"    pos += {w}"]
         else:
-            ns[f"_d{j}"] = make_cell_str_decoder(t, m, u)
+            ns[f"_d{j}"] = make_cell_str_decoder(t, m, u, codec=codecs[c])
             L += [f"    v, ln = _d{j}(body, pos)",
                   f"    out[{nm}] = v",
                   "    pos += ln"]
     L.append("    return out, pos")
 
     plan = [(names[c], make_cell_str_decoder(types[c], metadata[c],
-                                             unsigned[c])) for c in cols]
+                                             unsigned[c], codec=codecs[c]))
+            for c in cols]
 
     def _with_nulls(body, pos, nulls):
         out = {}
@@ -700,15 +715,15 @@ def make_image_decoder(types, metadata, unsigned, names, present_bits: int):
 
 
 def iter_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
-                  unsigned, names):
+                  unsigned, names, collations=None):
     """Iterate ``(before_map, after_map)`` per row of a ROWS event (see
     ``read_row_maps`` — this is its iterator facade)."""
     return iter(read_row_maps(fmt, typ, data, types, metadata, unsigned,
-                              names))
+                              names, collations))
 
 
 def read_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
-                  unsigned, names) -> list:
+                  unsigned, names, collations=None) -> list:
     """All ``(before_map, after_map)`` rows of a ROWS event — the hot
     decode kernel.
 
@@ -741,12 +756,12 @@ def read_row_maps(fmt: BinlogFormat, typ: int, data, types, metadata,
         bits = int.from_bytes(body[pos : pos + nb], "little") & mask
         pos += nb
         identify_dec = make_image_decoder(types, metadata, unsigned, names,
-                                          bits)
+                                          bits, collations)
     if has_data:
         bits = int.from_bytes(body[pos : pos + nb], "little") & mask
         pos += nb
         data_dec = make_image_decoder(types, metadata, unsigned, names,
-                                      bits)
+                                      bits, collations)
 
     end = len(body)
     out = []

@@ -73,3 +73,76 @@ def test_multi_column_map(spark):
     out = decode_text_columns(df, {"a": 51, "b": 11})
     row = out.collect()[0]
     assert (row.a, row.b) == ("данные", "ascii ok")
+
+
+# --------------------------------------------------- decode-at-source (r5)
+def test_charset_at_source_both_kernels_cp1251():
+    """r4 ADVICE directive 5: columns whose schema provider declares a
+    known non-UTF-8 collation decode AT SOURCE with the real codec —
+    including the case post-hoc re-interpretation cannot recover: wire
+    bytes that are valid UTF-8 (0xC3 0xA9 = cp1251 'Г©' but UTF-8 'é' —
+    U+00E9-only text is attributed to the latin-1 arm by
+    recover_wire_bytes, yielding cp1251 of 0xE9 = 'щ' instead).
+    Scalar and columnar kernels must agree and both must yield the
+    cp1251 interpretation of the exact wire bytes."""
+    import pandas as pd
+
+    from tests.test_colsplit import (_custom_world, make_meta,
+                                     to_batch, norm)
+    from binlog_spark.operators import colsplit as CS
+    from binlog_spark.operators import decode as D
+    from binlog_spark.wire import constants as C
+    from binlog_spark.wire.collations import COLLATION_TO_ID
+
+    cid = COLLATION_TO_ID["cp1251_general_ci"]
+    cols = [("id", C.TYPE_LONG, 0, False),
+            ("txt", C.TYPE_VARCHAR, 80, False)]
+    # equal-length ASCII placeholders, then patch the REAL wire bytes in
+    # (the generator's cell encoder is UTF-8 and cannot emit case 3)
+    wire_cases = {
+        "1": (b"A1", b"\xd0\xb0"),   # valid UTF-8 'а'; cp1251 'Р°'
+        "2": (b"B2", b"\xc3\xa9"),   # valid UTF-8 'é'; cp1251 'Г©'
+        "3": (b"C3", "да".encode("cp1251")),   # invalid UTF-8
+    }
+    rows = [(None, {"id": k, "txt": ph.decode()})
+            for k, (ph, _) in wire_cases.items()]
+    frames, _registry = _custom_world(cols, [(C.E_WRITE_ROWS_V2, rows)])
+    patched = []
+    for f, p_, et, fr in frames:
+        if et == C.E_WRITE_ROWS_V2:
+            for ph, wire in wire_cases.values():
+                assert ph in fr and len(ph) == len(wire)
+                fr = fr.replace(ph, wire)
+        patched.append((f, p_, et, fr))
+    # schema provider declares the column charset: 3-tuple registry rows
+    registry = {("d1", "t1"): [[("id", False, None), ("txt", False, cid)]]}
+    meta = make_meta(patched)
+
+    # scalar kernel
+    pdf = pd.DataFrame(
+        {"file": [f for f, _, _, _ in patched],
+         "pos": [p_ for _, p_, _, _ in patched],
+         "etype": [et for _, _, et, _ in patched],
+         "frame": [fr for _, _, _, fr in patched]})
+    ref = D.decode_batch(pdf, D.build_decode_context(meta, registry))
+    # columnar kernel
+    outs = list(CS.decode_batch_arrow(
+        to_batch(patched), D.build_decode_context(meta, registry)))
+    got = pd.concat([rb.to_pandas() for rb in outs], ignore_index=True)
+    assert norm(ref) == norm(got)
+
+    by_id = {dict(m)["id"]: dict(m)["txt"]
+             for m in got[got["kind"] == "change"]["after"]}
+    want = {k: wire.decode("cp1251")
+            for k, (_, wire) in wire_cases.items()}
+    assert by_id == want
+    assert want["2"] == "Г©" and want["3"] == "да"
+
+    # and WITHOUT a declared collation the byte-transparent contract is
+    # unchanged (utf-8 arm for valid pairs, latin-1 for case 3)
+    plain = {("d1", "t1"): [[("id", False), ("txt", False)]]}
+    ref2 = D.decode_batch(pdf, D.build_decode_context(meta, plain))
+    by_id2 = {dict(m)["id"]: dict(m)["txt"]
+              for m in ref2[ref2["kind"] == "change"]["after"]}
+    assert by_id2["1"] == "\u0430" and by_id2["2"] == "\u00e9"
+    assert by_id2["3"] == b"\xe4\xe0".decode("latin-1")

@@ -257,6 +257,53 @@ def test_inline_discovery_checksumless_stream_sizes_bodies_right():
     assert norm(ref) == norm(got)
 
 
+def test_wave_overrun_diverts_group_to_scalar_kernel():
+    """Pin the wave-kernel bounds check (r4 VERDICT directive 6): a
+    corrupt interior length byte that drives the wave cursor past the
+    rows-event body must divert the WHOLE plan group to the scalar
+    kernel (exactness contract: byte-identical output to a pure scalar
+    run) instead of emitting invented rows from out-of-range offsets —
+    and the intact frames of the same group must still decode fully."""
+    cols = [("id", C.TYPE_LONG, 0, False),
+            ("name", C.TYPE_VARCHAR, 80, False)]
+    good = [(None, {"id": "1", "name": "aaa"}),
+            (None, {"id": "2", "name": "bbb"})]
+    bad = [(None, {"id": "3", "name": "zz9"})]
+    frames, registry = _custom_world(
+        cols, [(C.E_WRITE_ROWS_V2, good), (C.E_WRITE_ROWS_V2, bad)])
+    # inflate the last row's VARCHAR length prefix (the byte before the
+    # unique payload) far past the remaining body
+    patched = []
+    for f, p, et, fr in frames:
+        if et == C.E_WRITE_ROWS_V2 and b"zz9" in fr:
+            buf = bytearray(fr)
+            buf[fr.index(b"zz9") - 1] = 250
+            fr = bytes(buf)
+        patched.append((f, p, et, fr))
+    meta = make_meta(patched)
+    ctx = D.build_decode_context(meta, registry)
+    outs = list(CS.decode_batch_arrow(to_batch(patched), ctx))
+    got = pd.concat([rb.to_pandas() for rb in outs], ignore_index=True)
+    # exactness: identical to the scalar kernel on the same stream
+    pdf = pd.DataFrame(
+        {"file": [f for f, _, _, _ in patched],
+         "pos": [p for _, p, _, _ in patched],
+         "etype": [et for _, _, et, _ in patched],
+         "frame": [fr for _, _, _, fr in patched]})
+    ref = D.decode_batch(pdf, D.build_decode_context(meta, registry))
+    assert norm(ref) == norm(got)
+    # the intact event's rows survive untruncated...
+    ch = got[got["kind"] == "change"]
+    names = sorted(dict(m).get("name") for m in ch["after"]
+                   if dict(m).get("id") in ("1", "2"))
+    assert names == ["aaa", "bbb"]
+    # ...and nothing invented: no change row carries bytes the corrupt
+    # frame does not actually hold (a 250-byte string cannot exist)
+    for m in ch["after"]:
+        name = dict(m).get("name")
+        assert name is None or len(name) <= 80
+
+
 def test_wide_table_int_matrix():
     """>8 present columns exercises the multi-byte null bitmap path."""
     cols = [(f"c{i}", C.TYPE_LONG, 0, False) for i in range(12)]

@@ -243,7 +243,7 @@ class FakeDumpServer(threading.Thread):
                     cols, rows = self.results[sql]
                     for i, p in enumerate(_result_packets(cols, rows)):
                         D._write_packet(wf, i + 1, p)
-                elif sql.startswith("desc "):
+                elif sql.startswith(("desc ", "show full columns from ")):
                     D._write_packet(wf, 1, b"\xff\x7a\x04#42S02no such table")
                 else:
                     D._write_packet(wf, 1, b"\x00\x00\x00\x02\x00\x00\x00")
@@ -602,12 +602,16 @@ def test_exec_parses_result_set_and_master_status(dump_world):
     client.close()
 
 
-def _desc_results():
+def _desc_results(collation="utf8mb4_general_ci"):
+    # SHOW FULL COLUMNS layout = DESC + Collation/Privileges/Comment
     cols = genlog.table_spec().columns
     rows = [(name, "blob" if name == "content" else "varchar(255)",
-             "YES", "", None, "") for name, _t, _m, _u in cols]
-    return {f"desc `{genlog.DB}`.`{genlog.TABLE}`": (
-        ["Field", "Type", "Null", "Key", "Default", "Extra"], rows)}
+             collation, "YES", "", None, "", "select", "")
+            for name, _t, _m, _u in cols]
+    return {"show full columns from "
+            f"`{genlog.DB}`.`{genlog.TABLE}`": (
+        ["Field", "Type", "Collation", "Null", "Key", "Default", "Extra",
+         "Privileges", "Comment"], rows)}
 
 
 def test_desc_table_mapper_resolves_schema_over_the_wire(spark, tmp_path):
@@ -650,7 +654,8 @@ def test_desc_table_mapper_resolves_schema_over_the_wire(spark, tmp_path):
     want = {k: v["content"] for k, v in world.final_state.items()}
     assert got == want
     # the schema really came over the wire
-    assert any(q.startswith("desc `codehub`") for q in server.seen_queries)
+    assert any(q.startswith("show full columns from `codehub`")
+               for q in server.seen_queries)
 
 
 def test_desc_table_mapper_unknown_table_and_width_mismatch():
@@ -660,7 +665,10 @@ def test_desc_table_mapper_unknown_table_and_width_mismatch():
     dsn = f"{USER}:{PASSWORD}@tcp(127.0.0.1:{server.port})/"
     m = D.DescTableMapper(dsn)
     cols = m.mysql_table(genlog.DB, genlog.TABLE, 5)
-    assert [c for c, _ in cols] == genlog.table_spec().col_names
+    assert [c[0] for c in cols] == genlog.table_spec().col_names
+    # SHOW FULL COLUMNS carries the per-column collation id (3-tuples)
+    from binlog_spark.wire.collations import COLLATION_TO_ID
+    assert {c[2] for c in cols} == {COLLATION_TO_ID["utf8mb4_general_ci"]}
     assert m.mysql_table(genlog.DB, genlog.TABLE, 7) is None  # width mismatch
     assert m.knows(genlog.DB, genlog.TABLE)
     assert m.mysql_table("nope", "missing", 3) is None

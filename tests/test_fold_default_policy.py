@@ -170,6 +170,52 @@ def test_replay_batch_e2e_default_policy(strict_policy, tmp_path):
     assert got == want
 
 
+def test_replay_canonical_rendering_non_utc_session(spark, tmp_path):
+    """r4 VERDICT directive 1 follow-up: the canonical temporal
+    renderers live in the Python wire codec (naive-UTC arithmetic on
+    the event's epoch seconds) and must NOT silently depend on
+    ``spark.sql.session.timeZone``. Run the full replay under a
+    deliberately non-UTC session and require the exact same final lake
+    content as the UTC-pinned run."""
+    import hashlib
+
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key, None)
+    gen = genlog.CdcWorldGenerator(seed=23, n_repos=5, paths_per_repo=3,
+                                   txns_per_file=20)
+    result = gen.generate(n_txns=60)
+    frames_dir = str(tmp_path / "frames")
+    genlog.write_frames_parquet(result, frames_dir)
+
+    def run(tag):
+        lake = LakeTable.create(spark, str(tmp_path / f"lake_{tag}"),
+                                columns=genlog.table_spec().col_names,
+                                key_cols=list(genlog.KEY_COLS), n_buckets=4)
+        frames = pipeline.read_frames(spark, frames_dir)
+        pipeline.replay_batch(spark, frames, lake, genlog.table_registry(),
+                              batch_id=0)
+        return sorted(
+            (r["repo"], r["path"],
+             hashlib.sha256("\x01".join(
+                 str(r[c]) for c in genlog.table_spec().col_names)
+                 .encode()).hexdigest())
+            for r in lake.to_df().collect())
+
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc_state = run("utc")
+        spark.conf.set(tz_key, "America/New_York")
+        ny_state = run("ny")
+    finally:
+        if prev is None:
+            spark.conf.unset(tz_key)
+        else:
+            spark.conf.set(tz_key, prev)
+    assert utc_state == ny_state
+    want = {k: v["content"] for k, v in result.final_state.items()}
+    assert len(utc_state) == len(want)
+
+
 def test_dedup_keep_last_kernel():
     """Unit test of the vectorized (row, key) dedup: first position,
     last value, per-row lens recomputed."""
