@@ -28,7 +28,13 @@ indistinguishable from latin-1-mapped bytes 0xE9 after decode, and is
 attributed to the latin-1 arm — the correct attribution for a known
 non-UTF-8 column, which is this module's use case. Columns that need
 exact recovery of such text should be decoded charset-aware at the
-source instead of re-interpreted post-hoc.
+source instead of re-interpreted post-hoc — supported since r5: a
+schema provider returning ``(name, unsigned, collation_id)`` entries
+(e.g. ``DescTableMapper`` via SHOW FULL COLUMNS) routes known
+non-UTF-8 text columns through ``collations.source_codec`` inside both
+decode kernels (``wire/codec.make_cell_str_decoder`` codec arm,
+``colsplit`` var-step codec), eliminating the ambiguity entirely
+(tests/test_charset_decode.py::test_charset_at_source_both_kernels_cp1251).
 """
 
 from __future__ import annotations
