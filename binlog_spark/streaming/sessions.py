@@ -109,8 +109,19 @@ class _SessionProcessor(StatefulProcessor):
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        closed, open_ = split_expired(
-            self._load(), expiredTimerInfo.getExpiryTimeInMs(), self._gap_ms)
+        # split at the CURRENT watermark, not the fired timer's own
+        # expiry: the watermark may have advanced far past it (e.g. a
+        # quiet key whose one registered timer — the earliest candidate
+        # close — fires long after several of its sessions became
+        # provably complete), and every session the watermark proves
+        # complete must close on THIS firing. Splitting at the expiry
+        # time closed only the earliest session per firing, deferring
+        # the rest to one-more-batch-each — late closes on low-traffic
+        # keys and never-closed tails on finite streams. The max() is
+        # defensive: both points are watermark-passed.
+        wm = max(timerValues.getCurrentWatermarkInMs(),
+                 expiredTimerInfo.getExpiryTimeInMs())
+        closed, open_ = split_expired(self._load(), wm, self._gap_ms)
         self._store(open_)
         if open_:
             self._handle.registerTimer(open_[0][1] + self._gap_ms + 1)
